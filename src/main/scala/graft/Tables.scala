@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Readers for the driver-provided parquet tables (TESTDATA.md).
+  *
+  * Scans stay declarative (`spark.read.parquet` + downstream select/filter)
+  * so Catalyst pushes predicates and prunes columns into the parquet reader
+  * — at 100 TB the scan dominates, and a scan that reads all columns for a
+  * 2-column projection is wrong (check `.explain`: PushedFilters/ReadSchema).
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** `events.parquet` carries TIMESTAMP(NANOS); Spark's parquet reader only
+    * exposes nanos via the nanos-as-long legacy mode. Convert to microsecond
+    * precision with exact integer division (a double division would lose
+    * precision at 1e18 ns magnitudes). Truncation toward zero matches
+    * DuckDB's view of the same instants for post-1970 data.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _        => raw
+    }
+  }
+}

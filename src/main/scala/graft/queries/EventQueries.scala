@@ -1,0 +1,118 @@
+package graft.queries
+
+import graft.{DeclaredQuery, Tables}
+import graft.util.Det
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Q24 family — event-time windowing over the `events` table (SURVEY §2.11).
+  * The reference has no streaming; these declare the engine's extension
+  * surface. Batch-checkable vs DuckDB: every window is expressed through
+  * epoch-second arithmetic that is identical in both engines (timestamps are
+  * exported as epoch BIGINTs, never raw timestamps, to dodge tz/precision
+  * encoding differences between writers). The streaming twins of these ops
+  * (Trigger/watermark behavior) live in graft.streaming and are unit-tested
+  * with a memory source.
+  */
+object EventQueries {
+
+  // ---------------------------------------------------------------- Q24a
+  /** Tumbling 1-hour window ≡ date_trunc groupBy. Spark's `window()` would
+    * emit a struct column; date_trunc is the same computation and exports
+    * cleanly. value sums are exact integer cents. */
+  val q24a = DeclaredQuery(
+    "q24a_tumbling",
+    Some(s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+            |       event_type, COUNT(*) AS n,
+            |       ${Det.sql.sumMoney("value")} AS total_value
+            |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Det.unCents(sum(Det.cents(col("value")))).as("total_value"))
+      .orderBy("hour_epoch", "event_type")
+  }
+
+  // ---------------------------------------------------------------- Q24b
+  /** Sliding window (1 h length, 15 min slide): every event lands in 4
+    * windows. Spark uses the native `window()` generator; the oracle expands
+    * the same 4 windows arithmetically — both align windows to epoch 0. */
+  val q24b = DeclaredQuery(
+    "q24b_sliding",
+    Some("""SELECT ws AS window_start, event_type, COUNT(*) AS n FROM (
+           |  SELECT CAST(FLOOR(epoch(ts)/900) AS BIGINT)*900 - k*900 AS ws, event_type
+           |  FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k))
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n"))
+      .orderBy("window_start", "event_type")
+  }
+
+  // ---------------------------------------------------------------- Q24c
+  /** Sessionization, gaps-and-islands form: lag + cumulative flag sum with a
+    * 30-minute gap (SURVEY Q24c). Both sides compare floored epoch seconds
+    * so the boundary predicate is integer-exact. */
+  val q24c = DeclaredQuery(
+    "q24c_session",
+    Some("""WITH e AS (
+           |  SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
+           |         ts
+           |  FROM events),
+           |f AS (
+           |  SELECT user_id, event_id, es,
+           |         CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+           |              OR lag(es) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           |              THEN 1 ELSE 0 END AS new_session
+           |  FROM e),
+           |g AS (
+           |  SELECT user_id, event_id, es,
+           |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY es, event_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_nr
+           |  FROM f)
+           |SELECT user_id, session_nr, COUNT(*) AS n_events,
+           |       MIN(es) AS session_start, MAX(es) AS session_end,
+           |       MAX(es) - MIN(es) AS duration_sec
+           |FROM g GROUP BY user_id, session_nr
+           |ORDER BY user_id, session_nr""".stripMargin)) { (s, d) =>
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val byUserEs = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_timestamp(col("ts")).as("es"))
+      .withColumn("new_session",
+        when(col("es") - lag(col("es"), 1).over(byUser) > 1800
+          || lag(col("es"), 1).over(byUser).isNull, 1).otherwise(0))
+      .withColumn("session_nr", sum(col("new_session")).over(byUserEs))
+      .groupBy("user_id", "session_nr")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("es")).as("session_start"),
+        max(col("es")).as("session_end"),
+        (max(col("es")) - min(col("es"))).as("duration_sec"))
+      .orderBy("user_id", "session_nr")
+  }
+
+  // ---------------------------------------------------------------- Q26j
+  /** JSON surface over events.props: get_json_object extraction + group
+    * aggregate (SURVEY §2.8 events extension). The oracle extracts the same
+    * value by regexp so it does not depend on DuckDB's JSON extension. */
+  val q26j = DeclaredQuery(
+    "q26j_json_extract",
+    Some("""SELECT event_type,
+           |       CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,
+           |       COUNT(*) AS n
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("k_sum"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(q24a, q24b, q24c, q26j)
+}

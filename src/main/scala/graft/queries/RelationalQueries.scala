@@ -1,0 +1,652 @@
+package graft.queries
+
+import graft.{DeclaredQuery, Tables}
+import graft.util.Det
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Q01–Q23 from SURVEY.md §2.14 — the reference's relational computation
+  * shapes re-expressed on the TPC-H-ish testdata star schema.
+  *
+  * Every query is a plain Catalyst plan (no UDFs) so predicate pushdown,
+  * column pruning and whole-stage codegen apply end-to-end; joins against
+  * dimension-sized sides are explicitly `broadcast(...)`. All money math is
+  * exact integer cents (Det.cents) so results are bit-stable under any
+  * partitioning/order — see Det's scaladoc.
+  */
+object RelationalQueries {
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+
+  // ---------------------------------------------------------------- Q01
+  /** P1/P2/P3/P8/F11: select + rename + drop + cast projection of customer.
+    * Reference shape: `/root/reference/src/qcardia_data/setup/reformat/
+    * utils.py:116-129` (column select/reorder) + `mm2.py:75-83` (rename) +
+    * `dataset_cacher.py:381-388` (casts). */
+  val q01 = DeclaredQuery(
+    "q01_projection",
+    Some("""SELECT c_name AS subject_id, c_mktsegment AS segment,
+           |       CAST(c_custkey AS INTEGER) AS custkey_i32,
+           |       CAST(ROUND(c_acctbal) AS BIGINT) AS acctbal_round
+           |FROM customer ORDER BY custkey_i32""".stripMargin)) { (s, d) =>
+    Tables.customer(s, d).select(
+      col("c_name").as("subject_id"),
+      col("c_mktsegment").as("segment"),
+      col("c_custkey").cast("int").as("custkey_i32"),
+      round(col("c_acctbal"), 0).cast("long").as("acctbal_round"))
+      .orderBy("custkey_i32")
+  }
+
+  // ---------------------------------------------------------------- Q02
+  /** P4/P5: equality + IN-list predicates (`data_split.py:99-102`,
+    * `dataset_cacher.py:171-174`). Filters reach the parquet scan as
+    * PushedFilters. */
+  val q02 = DeclaredQuery(
+    "q02_filter",
+    Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_quantity
+           |FROM lineitem
+           |WHERE l_returnflag = 'R' AND l_linestatus IN ('F','O') AND l_quantity >= 30
+           |ORDER BY l_orderkey, l_linenumber, l_quantity, l_linestatus""".stripMargin)) { (s, d) =>
+    li(s, d)
+      .filter(col("l_returnflag") === "R" &&
+        col("l_linestatus").isin("F", "O") && col("l_quantity") >= 30)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_quantity")
+      // (orderkey, linenumber) is not unique in the testdata → the ORDER BY
+      // totally orders the projected row so both engines agree.
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_linestatus")
+  }
+
+  // ---------------------------------------------------------------- Q03
+  /** P6 + T2-shape: 1→N explode (posexplode of a sequence — the
+    * DimensionsTo2Dd generator archetype, `transforms/dimensions.py:8-109`)
+    * with the ed_only-style frame filter pushed below
+    * (`dataset_cacher.py:346-353`). */
+  val q03 = DeclaredQuery(
+    "q03_explode_filter",
+    Some("""SELECT l_orderkey, l_linenumber, frame_nr FROM (
+           |  SELECT l_orderkey, l_linenumber,
+           |         unnest(range(0, CAST(l_linenumber AS BIGINT))) AS frame_nr
+           |  FROM lineitem WHERE l_orderkey % 20 = 0)
+           |WHERE frame_nr <> 0
+           |ORDER BY l_orderkey, l_linenumber, frame_nr""".stripMargin)) { (s, d) =>
+    li(s, d).filter(col("l_orderkey") % 20 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        explode(sequence(lit(0L), col("l_linenumber").cast("long") - 1)).as("frame_nr"))
+      .filter(col("frame_nr") =!= 0)
+      .orderBy("l_orderkey", "l_linenumber", "frame_nr")
+  }
+
+  // ---------------------------------------------------------------- Q04
+  /** P7/F1/F2/F3: regexp recode chain (`mm2.py:87-98`), zero-pad ids
+    * (`mm2.py:84-86`), concat/split id packing (`utils.py:65-102`). */
+  val q04 = DeclaredQuery(
+    "q04_recode",
+    Some("""SELECT p_partkey,
+           |       regexp_replace(regexp_replace(p_type, 'ECONOMY', 'ECO', 'g'), 'SMALL', 'SM', 'g') AS type_code,
+           |       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS pk_pad,
+           |       concat_ws('-', p_brand, CAST(p_size AS VARCHAR)) AS brand_size,
+           |       string_split(p_brand, '#')[2] AS brand_nr
+           |FROM part ORDER BY p_partkey""".stripMargin)) { (s, d) =>
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      regexp_replace(regexp_replace(col("p_type"), "ECONOMY", "ECO"), "SMALL", "SM").as("type_code"),
+      lpad(col("p_partkey").cast("string"), 8, "0").as("pk_pad"),
+      concat_ws("-", col("p_brand"), col("p_size").cast("string")).as("brand_size"),
+      element_at(split(col("p_brand"), "#"), 2).as("brand_nr"))
+      .orderBy("p_partkey")
+  }
+
+  // ---------------------------------------------------------------- Q05
+  /** A1/A2/J1: inverse-frequency sampler weights, null-tolerant composite
+    * group key, merged back with a broadcast left join
+    * (`pipeline/utils.py:120-135`). weight = total/group_size — a single
+    * IEEE division of two exact integers. */
+  val q05 = DeclaredQuery(
+    "q05_invfreq_weights",
+    Some("""SELECT c_custkey, c_mktsegment, c_nationkey,
+           |       CAST((SELECT COUNT(*) FROM customer) AS DOUBLE)
+           |         / CAST(COUNT(*) OVER (PARTITION BY c_mktsegment, c_nationkey) AS DOUBLE) AS weight
+           |FROM customer ORDER BY c_custkey""".stripMargin)) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val grp = c.groupBy("c_mktsegment", "c_nationkey").agg(count(lit(1)).as("grp_n"))
+    val tot = c.agg(count(lit(1)).as("total"))
+    c.join(broadcast(grp), Seq("c_mktsegment", "c_nationkey"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+        (col("total").cast("double") / col("grp_n").cast("double")).as("weight"))
+      .orderBy("c_custkey")
+  }
+
+  // ---------------------------------------------------------------- Q06
+  /** J2/A13: per-order enrichment join against the subject table + per-split
+    * summary counts (`dataset_cacher.py:393-415`, `pipeline/utils.py:138-149`).
+    * customer is dimension-sized → broadcast; orders shuffles once for the
+    * groupBy only. */
+  val q06 = DeclaredQuery(
+    "q06_enrich_join",
+    Some(s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+            |       COUNT(DISTINCT o_custkey) AS n_customers,
+            |       ${Det.sql.sumMoney("o_totalprice")} AS total_price
+            |FROM orders JOIN customer ON o_custkey = c_custkey
+            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)) { (s, d) =>
+    // customer is NOT broadcast: at 100 TB it is fact-sized (1.5M × SF rows);
+    // a shuffle hash join on the key is the scale-correct plan, and AQE
+    // promotes it to broadcast automatically when the build side is small.
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        Det.unCents(sum(Det.cents(col("o_totalprice")))).as("total_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  // ---------------------------------------------------------------- Q07
+  /** J3/J4/J5/U1/U2/R1: the full data_split.py pipeline shape
+    * (`pipeline/data_split.py:13-86`): seeded grouped test sample,
+    * predicate-set overlap removal, anti-join dev set, seeded train/valid
+    * partition with round(n*p) sizing. */
+  val q07 = DeclaredQuery(
+    "q07_split_pipeline",
+    Some(s"""WITH ranked AS (
+            |  SELECT c_custkey, c_acctbal, c_mktsegment,
+            |         row_number() OVER (PARTITION BY c_mktsegment
+            |           ORDER BY ${Det.sql.seededKey("1234", "c_custkey")}, c_custkey) AS rk_test
+            |  FROM customer),
+            |kept AS (
+            |  SELECT * FROM ranked
+            |  WHERE NOT (c_acctbal < 0 AND c_mktsegment IN ('BUILDING','MACHINERY'))),
+            |dev AS (
+            |  SELECT c_custkey,
+            |         row_number() OVER (ORDER BY ${Det.sql.seededKey("5678", "c_custkey")}, c_custkey) AS rn,
+            |         COUNT(*) OVER () AS n_dev
+            |  FROM kept WHERE rk_test > 15)
+            |SELECT c_custkey, split FROM (
+            |  SELECT c_custkey, 'test' AS split FROM kept WHERE rk_test <= 15
+            |  UNION ALL
+            |  SELECT c_custkey,
+            |         CASE WHEN rn <= FLOOR(CAST(n_dev AS DOUBLE)*0.2 + 0.5)
+            |              THEN 'valid' ELSE 'train' END AS split
+            |  FROM dev)
+            |ORDER BY c_custkey""".stripMargin)) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val wTest = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(Det.seededKey("1234", col("c_custkey")), col("c_custkey"))
+    val ranked = c.withColumn("rk_test", row_number().over(wTest))
+    val overlap = col("c_acctbal") < 0 && col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    val kept = ranked.filter(!overlap)
+    val test = kept.filter(col("rk_test") <= 15)
+      .select(col("c_custkey"), lit("test").as("split"))
+    val dev = kept.filter(col("rk_test") > 15)
+    val wDev = Window.orderBy(Det.seededKey("5678", col("c_custkey")), col("c_custkey"))
+    val nDev = dev.agg(count(lit(1)).as("n_dev"))
+    val trainValid = dev.withColumn("rn", row_number().over(wDev))
+      .crossJoin(broadcast(nDev))
+      .select(col("c_custkey"),
+        when(col("rn") <= floor(col("n_dev").cast("double") * 0.2 + 0.5), "valid")
+          .otherwise("train").as("split"))
+    test.unionByName(trainValid).orderBy("c_custkey")
+  }
+
+  // ---------------------------------------------------------------- Q08
+  /** J6: content-equality ("as-of by value") match — locate a row inside a
+    * group by exact content hash, take min index
+    * (`setup/reformat/utils.py:76-89`). Content keys are md5 over exact
+    * integer cents so both engines hash identical strings. */
+  val q08 = DeclaredQuery(
+    "q08_content_match",
+    Some(s"""WITH li AS (
+            |  SELECT l_orderkey, l_linenumber,
+            |         md5(concat_ws(',',
+            |           CAST(${Det.sql.cents("l_quantity")} AS VARCHAR),
+            |           CAST(${Det.sql.cents("l_discount")} AS VARCHAR))) AS content
+            |  FROM lineitem WHERE l_orderkey % 50 = 0),
+            |tgt AS (SELECT l_orderkey, content AS target FROM (
+            |          SELECT l_orderkey, content,
+            |                 row_number() OVER (PARTITION BY l_orderkey
+            |                   ORDER BY l_linenumber DESC, content DESC) AS rk
+            |          FROM li) WHERE rk = 1)
+            |SELECT li.l_orderkey,
+            |       MIN(CASE WHEN content = target THEN l_linenumber END) AS matched_linenumber
+            |FROM li JOIN tgt ON li.l_orderkey = tgt.l_orderkey
+            |GROUP BY li.l_orderkey ORDER BY li.l_orderkey""".stripMargin)) { (s, d) =>
+    val rows = li(s, d).filter(col("l_orderkey") % 50 === 0)
+      .withColumn("content", md5(concat_ws(",",
+        Det.cents(col("l_quantity")).cast("string"),
+        Det.cents(col("l_discount")).cast("string"))))
+    // (l_orderkey, l_linenumber) is NOT unique in the testdata — a bare
+    // max_by would tie-break nondeterministically; rank with an explicit
+    // total order instead.
+    val wTgt = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber").desc, col("content").desc)
+    val tgt = rows.withColumn("rk", row_number().over(wTgt))
+      .filter(col("rk") === 1)
+      .select(col("l_orderkey"), col("content").as("target"))
+    rows.join(tgt, "l_orderkey")
+      .groupBy("l_orderkey")
+      .agg(min(when(col("content") === col("target"), col("l_linenumber")))
+        .as("matched_linenumber"))
+      .orderBy("l_orderkey")
+  }
+
+  // ---------------------------------------------------------------- Q09
+  /** A3/W2: grouped fixed-n seeded sampling — 15 per nation
+    * (`utils.py:9-29`, used by `setup/test_splits.py:6-24`). */
+  val q09 = DeclaredQuery(
+    "q09_grouped_sample",
+    Some(s"""SELECT c_nationkey, c_custkey, rk FROM (
+            |  SELECT c_nationkey, c_custkey,
+            |         row_number() OVER (PARTITION BY c_nationkey
+            |           ORDER BY ${Det.sql.seededKey("42", "c_custkey")}, c_custkey) AS rk
+            |  FROM customer)
+            |WHERE rk <= 15 ORDER BY c_custkey""".stripMargin)) { (s, d) =>
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(Det.seededKey("42", col("c_custkey")), col("c_custkey"))
+    Tables.customer(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 15)
+      .select("c_nationkey", "c_custkey", "rk")
+      .orderBy("c_custkey")
+  }
+
+  // ---------------------------------------------------------------- Q10
+  /** A4/F7/F8/F12: per-group intensity stats + standardize + clamp + min-shift
+    * (`transforms/utils.py:87-91`, `transforms/intensity.py:24-131`).
+    * Stats come from exact integer cent sums; the standardize/clamp chain is
+    * the same IEEE expression tree on both sides. */
+  val q10 = DeclaredQuery(
+    "q10_stats_standardize",
+    Some("""WITH st AS (
+           |  SELECT l_orderkey, l_linenumber,
+           |         CAST(ROUND(l_extendedprice*100) AS BIGINT) AS c,
+           |         COUNT(*) OVER (PARTITION BY l_orderkey) AS n,
+           |         SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) OVER (PARTITION BY l_orderkey) AS s1,
+           |         SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)*CAST(ROUND(l_extendedprice*100) AS BIGINT))
+           |           OVER (PARTITION BY l_orderkey) AS s2,
+           |         MIN(CAST(ROUND(l_extendedprice*100) AS BIGINT)) OVER (PARTITION BY l_orderkey) AS mn
+           |  FROM lineitem),
+           |ex AS (
+           |  SELECT l_orderkey, l_linenumber, c, n, mn,
+           |         CAST(s1 AS DOUBLE)/1e2/CAST(n AS DOUBLE) AS mean,
+           |         CASE WHEN n > 1 THEN
+           |           sqrt(greatest(
+           |             (CAST(s2 AS DOUBLE)/1e4 - (CAST(s1 AS DOUBLE)/1e2)*(CAST(s1 AS DOUBLE)/1e2)/CAST(n AS DOUBLE))
+           |               / CAST(n - 1 AS DOUBLE), 0.0))
+           |         END AS sd
+           |  FROM st)
+           |SELECT l_orderkey, l_linenumber,
+           |       CAST(c - mn AS DOUBLE)/1e2 AS shifted,
+           |       CASE WHEN sd IS NOT NULL AND sd > 0.0
+           |            THEN greatest(least((CAST(c AS DOUBLE)/1e2 - mean)/sd, 2.0), -2.0)
+           |            ELSE 0.0 END AS standardized
+           |FROM ex ORDER BY l_orderkey, l_linenumber, shifted, standardized""".stripMargin)) { (s, d) =>
+    val w = Window.partitionBy(col("l_orderkey"))
+    val st = li(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        Det.cents(col("l_extendedprice")).as("c"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("c")).over(w))
+      .withColumn("s2", sum(col("c") * col("c")).over(w))
+      .withColumn("mn", min(col("c")).over(w))
+    val ex = st
+      .withColumn("mean", col("s1").cast("double") / lit(1e2) / col("n").cast("double"))
+      .withColumn("sd", when(col("n") > 1,
+        sqrt(greatest(
+          (col("s2").cast("double") / lit(1e4)
+            - (col("s1").cast("double") / lit(1e2)) * (col("s1").cast("double") / lit(1e2)) / col("n").cast("double"))
+            / (col("n") - 1).cast("double"), lit(0.0)))))
+    ex.select(col("l_orderkey"), col("l_linenumber"),
+      ((col("c") - col("mn")).cast("double") / lit(1e2)).as("shifted"),
+      when(col("sd").isNotNull && col("sd") > 0.0,
+        greatest(least((col("c").cast("double") / lit(1e2) - col("mean")) / col("sd"), lit(2.0)), lit(-2.0)))
+        .otherwise(lit(0.0)).as("standardized"))
+      .orderBy("l_orderkey", "l_linenumber", "shifted", "standardized")
+  }
+
+  // ---------------------------------------------------------------- Q11
+  /** A5/A6: exploration sweep — mean / stddev_pop / 9-point nearest-rank
+    * quantiles per group (`setup/exploration.py:84-100`; numpy std is
+    * population std). Nearest-rank index is pinned to
+    * floor(q*(n-1)+0.5)+1 on both sides; values are exact cents. */
+  val q11 = DeclaredQuery(
+    "q11_exploration_sweep", {
+      val qdefs = Seq("0.0" -> "q00", "0.01" -> "q01", "0.05" -> "q05",
+        "0.25" -> "q25", "0.5" -> "q50", "0.75" -> "q75",
+        "0.95" -> "q95", "0.99" -> "q99", "1.0" -> "q100")
+      val qcols = qdefs.map { case (q, nm) =>
+        s"CAST(MAX(CASE WHEN rn = FLOOR($q*CAST(n-1 AS DOUBLE)+0.5)+1 THEN c END) AS DOUBLE)/1e2 AS $nm"
+      }.mkString(",\n       ")
+      Some(s"""WITH r AS (
+              |  SELECT l_returnflag AS flag,
+              |         CAST(ROUND(l_extendedprice*100) AS BIGINT) AS c,
+              |         row_number() OVER (PARTITION BY l_returnflag ORDER BY CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS rn,
+              |         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+              |  FROM lineitem)
+              |SELECT flag, CAST(MAX(n) AS BIGINT) AS n,
+              |       CAST(SUM(c) AS DOUBLE)/1e2/CAST(MAX(n) AS DOUBLE) AS mean,
+              |       sqrt(greatest(CAST(SUM(c*c) AS DOUBLE)/1e4/CAST(MAX(n) AS DOUBLE)
+              |         - (CAST(SUM(c) AS DOUBLE)/1e2/CAST(MAX(n) AS DOUBLE))*(CAST(SUM(c) AS DOUBLE)/1e2/CAST(MAX(n) AS DOUBLE)), 0.0)) AS stddev_pop,
+              |       $qcols
+              |FROM r GROUP BY flag ORDER BY flag""".stripMargin)
+    }) { (s, d) =>
+    val qdefs = Seq(0.0 -> "q00", 0.01 -> "q01", 0.05 -> "q05",
+      0.25 -> "q25", 0.5 -> "q50", 0.75 -> "q75",
+      0.95 -> "q95", 0.99 -> "q99", 1.0 -> "q100")
+    val w = Window.partitionBy(col("flag"))
+    val r = li(s, d)
+      .select(col("l_returnflag").as("flag"), Det.cents(col("l_extendedprice")).as("c"))
+      .withColumn("rn", row_number().over(w.orderBy(col("c"))))
+      .withColumn("n", count(lit(1)).over(w))
+    val meanE = sum(col("c")).cast("double") / lit(1e2) / max(col("n")).cast("double")
+    val qAggs = qdefs.map { case (q, nm) =>
+      (max(when(col("rn") === (floor(lit(q) * (col("n") - 1).cast("double") + 0.5) + 1), col("c")))
+        .cast("double") / lit(1e2)).as(nm)
+    }
+    // sum of squared cents: per-row product fits a long (≤1.2e14) but the
+    // group sum can exceed Long.MaxValue beyond sf0.1 — accumulate as
+    // decimal(38,0) (exact, matches DuckDB's HUGEINT sum).
+    val s2 = sum((col("c") * col("c")).cast(DecimalType(38, 0)))
+    val aggCols: Seq[Column] =
+      max(col("n")).cast("long").as("n") +:
+        meanE.as("mean") +:
+        sqrt(greatest(
+          s2.cast("double") / lit(1e4) / max(col("n")).cast("double")
+            - meanE * meanE, lit(0.0))).as("stddev_pop") +:
+        qAggs
+    r.groupBy("flag")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .orderBy("flag")
+  }
+
+  // ---------------------------------------------------------------- Q12
+  /** A7/F4: distinct sorted value set per group, joined to one string —
+    * `torch.unique` + `"_".join(classes)` shape
+    * (`transforms/utils.py:136-141`). */
+  val q12 = DeclaredQuery(
+    "q12_distinct_set",
+    Some("""SELECT o_custkey,
+           |       array_to_string(list_sort(list(DISTINCT o_orderpriority)), '_') AS priorities,
+           |       COUNT(*) AS n_orders
+           |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)) { (s, d) =>
+    Tables.orders(s, d).groupBy("o_custkey")
+      .agg(array_join(array_sort(collect_set(col("o_orderpriority"))), "_").as("priorities"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey")
+  }
+
+  // ---------------------------------------------------------------- Q13
+  /** A8/A9: ED/ES detection shape — argmax/argmin of a conditional count
+    * with pinned tiebreaks (`setup/reformat/utils.py:91-113`). Implemented
+    * as rank-1 rows of two explicit orderings (deterministic, unlike bare
+    * max_by on ties). */
+  val q13 = DeclaredQuery(
+    "q13_argmax_argmin",
+    Some("""WITH cnt AS (
+           |  SELECT o.o_custkey, l.l_orderkey,
+           |         CAST(SUM(CASE WHEN l.l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS big_lines
+           |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |  GROUP BY o.o_custkey, l.l_orderkey),
+           |r AS (
+           |  SELECT o_custkey, l_orderkey, big_lines,
+           |         row_number() OVER (PARTITION BY o_custkey ORDER BY big_lines DESC, l_orderkey) AS rk_ed,
+           |         row_number() OVER (PARTITION BY o_custkey ORDER BY big_lines ASC,  l_orderkey) AS rk_es
+           |  FROM cnt)
+           |SELECT o_custkey,
+           |       MAX(CASE WHEN rk_ed = 1 THEN l_orderkey END) AS ed_orderkey,
+           |       MAX(CASE WHEN rk_ed = 1 THEN big_lines END) AS ed_count,
+           |       MAX(CASE WHEN rk_es = 1 THEN l_orderkey END) AS es_orderkey,
+           |       MAX(CASE WHEN rk_es = 1 THEN big_lines END) AS es_count
+           |FROM r GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)) { (s, d) =>
+    // fact-fact join (lineitem ⋈ orders): shuffle on the join key, never
+    // broadcast — orders is ~1.5M × SF rows.
+    val cnt = li(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey", "l_orderkey")
+      .agg(sum(when(col("l_quantity") > 25, 1).otherwise(0)).cast("long").as("big_lines"))
+    val r = cnt
+      .withColumn("rk_ed", row_number().over(
+        Window.partitionBy(col("o_custkey")).orderBy(col("big_lines").desc, col("l_orderkey"))))
+      .withColumn("rk_es", row_number().over(
+        Window.partitionBy(col("o_custkey")).orderBy(col("big_lines").asc, col("l_orderkey"))))
+    r.groupBy("o_custkey")
+      .agg(max(when(col("rk_ed") === 1, col("l_orderkey"))).as("ed_orderkey"),
+        max(when(col("rk_ed") === 1, col("big_lines"))).as("ed_count"),
+        max(when(col("rk_es") === 1, col("l_orderkey"))).as("es_orderkey"),
+        max(when(col("rk_es") === 1, col("big_lines"))).as("es_count"))
+      .orderBy("o_custkey")
+  }
+
+  // ---------------------------------------------------------------- Q14
+  /** A10/W1/F10: 256-bin histogram + cumulative CDF + hist-eq remap
+    * (`visualization/utils.py:39-46`). Bucketing is pure integer arithmetic
+    * (exact on both engines); the CDF normalization divides exact integers. */
+  val q14 = DeclaredQuery(
+    "q14_histogram_cdf",
+    Some("""WITH b AS (
+           |  SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS c,
+           |         MIN(CAST(ROUND(l_extendedprice*100) AS BIGINT)) OVER () AS mn,
+           |         MAX(CAST(ROUND(l_extendedprice*100) AS BIGINT)) OVER () AS mx,
+           |         COUNT(*) OVER () AS total
+           |  FROM lineitem),
+           |h AS (
+           |  SELECT ((c - mn) * 256) // (mx - mn + 1) AS bucket,
+           |         MAX(total) AS total, COUNT(*) AS cnt
+           |  FROM b GROUP BY 1),
+           |w AS (
+           |  SELECT bucket, cnt, total,
+           |         SUM(cnt) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM h),
+           |m AS (SELECT *, MIN(cum) OVER () AS cmin FROM w)
+           |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(cnt AS BIGINT) AS cnt,
+           |       CAST(cum AS BIGINT) AS cum,
+           |       CAST(cum - cmin AS DOUBLE)/CAST(total - cmin AS DOUBLE) AS cdf,
+           |       CAST(ROUND(255.0 * CAST(cum - cmin AS DOUBLE)/CAST(total - cmin AS DOUBLE)) AS BIGINT) AS eq_level
+           |FROM m ORDER BY bucket""".stripMargin)) { (s, d) =>
+    val c = Det.cents(col("l_extendedprice"))
+    val base = li(s, d).select(c.as("c"))
+    val stats = base.agg(min(col("c")).as("mn"), max(col("c")).as("mx"),
+      count(lit(1)).as("total"))
+    val h = base.crossJoin(broadcast(stats))
+      .withColumn("bucket", expr("(c - mn) * 256 DIV (mx - mn + 1)"))
+      .groupBy("bucket")
+      .agg(max(col("total")).as("total"), count(lit(1)).as("cnt"))
+    val wcum = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = h.withColumn("cum", sum(col("cnt")).over(wcum))
+      .withColumn("cmin", min(col("cum")).over(Window.partitionBy(lit(1))))
+    val cdf = (col("cum") - col("cmin")).cast("double") / (col("total") - col("cmin")).cast("double")
+    withCum.select(col("bucket").cast("long").as("bucket"),
+      col("cnt").cast("long").as("cnt"),
+      col("cum").cast("long").as("cum"),
+      cdf.as("cdf"),
+      round(lit(255.0) * cdf, 0).cast("long").as("eq_level"))
+      .orderBy("bucket")
+  }
+
+  // ---------------------------------------------------------------- Q16
+  /** W2/W4/O2/O3/U4/F14: DICOM ordering shape — natural-sort key on
+    * filenames (`setup/reformat/utils.py:139-149`), slice index =
+    * dense_rank of projected position descending (`utils.py:218-241`),
+    * projection = dot(pos, cross(o1,o2)) with integer vectors
+    * (`utils.py:229-233`; cross(2,1,0 × 0,1,1) = (1,-2,2)). */
+  val q16 = DeclaredQuery(
+    "q16_dicom_order",
+    Some("""WITH f AS (
+           |  SELECT p_partkey,
+           |         'img' || CAST(p_partkey % 97 AS VARCHAR) || '_f' || CAST(p_partkey AS VARCHAR) AS fname,
+           |         p_size*1 + (p_partkey % 7)*(-2) + (p_partkey % 5)*2 AS proj
+           |  FROM part),
+           |k AS (
+           |  SELECT p_partkey, fname, proj,
+           |         CAST(regexp_extract(fname, '([0-9]+)', 1) AS BIGINT) AS nat1,
+           |         CAST(regexp_extract(fname, '_f([0-9]+)', 1) AS BIGINT) AS nat2
+           |  FROM f)
+           |SELECT p_partkey, fname, nat1, nat2, proj,
+           |       dense_rank() OVER (ORDER BY proj DESC) AS slice_index,
+           |       row_number() OVER (ORDER BY nat1, nat2, p_partkey) AS file_order
+           |FROM k ORDER BY p_partkey""".stripMargin)) { (s, d) =>
+    val f = Tables.part(s, d).select(
+      col("p_partkey"),
+      concat(lit("img"), (col("p_partkey") % 97).cast("string"),
+        lit("_f"), col("p_partkey").cast("string")).as("fname"),
+      (col("p_size") * 1 + (col("p_partkey") % 7) * -2 + (col("p_partkey") % 5) * 2).as("proj"))
+    val k = f
+      .withColumn("nat1", regexp_extract(col("fname"), "([0-9]+)", 1).cast("long"))
+      .withColumn("nat2", regexp_extract(col("fname"), "_f([0-9]+)", 1).cast("long"))
+    k.withColumn("slice_index", dense_rank().over(Window.orderBy(col("proj").desc)))
+      .withColumn("file_order", row_number().over(
+        Window.orderBy(col("nat1"), col("nat2"), col("p_partkey"))))
+      .orderBy("p_partkey")
+  }
+
+  // ---------------------------------------------------------------- Q17
+  /** W3/F9: group-relative renumber — frame_nr = (frame − ED) mod total
+    * (`dataset_cacher.py:357-358`), ED = rank-1 row of an explicit ordering. */
+  val q17 = DeclaredQuery(
+    "q17_frame_renumber",
+    Some("""WITH e AS (
+           |  SELECT l_orderkey, l_linenumber,
+           |         COUNT(*) OVER (PARTITION BY l_orderkey) AS n,
+           |         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC, l_linenumber) AS rk
+           |  FROM lineitem),
+           |ed AS (SELECT l_orderkey, l_linenumber AS ed_ln FROM e WHERE rk = 1)
+           |SELECT e.l_orderkey, e.l_linenumber,
+           |       ((e.l_linenumber - ed.ed_ln) % e.n + e.n) % e.n AS frame_nr
+           |FROM e JOIN ed ON e.l_orderkey = ed.l_orderkey
+           |ORDER BY e.l_orderkey, e.l_linenumber""".stripMargin)) { (s, d) =>
+    val w = Window.partitionBy(col("l_orderkey"))
+    val e = li(s, d).select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("rk", row_number().over(w.orderBy(col("l_quantity").desc, col("l_linenumber"))))
+    val ed = e.filter(col("rk") === 1).select(col("l_orderkey"), col("l_linenumber").as("ed_ln"))
+    e.join(ed, "l_orderkey")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        pmod(col("l_linenumber") - col("ed_ln"), col("n")).as("frame_nr"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // ---------------------------------------------------------------- Q18
+  /** O4/R3: seeded random limit-n subset (`data_predictor.py:178-184`) +
+    * shuffle/batch grouping with drop_last (`data_module.py:158-166`).
+    * Spark executes orderBy+limit as distributed TakeOrdered — no global
+    * sort materializes at scale. */
+  val q18 = DeclaredQuery(
+    "q18_seeded_limit",
+    Some(s"""WITH r AS (
+            |  SELECT o_orderkey, o_totalprice,
+            |         row_number() OVER (ORDER BY ${Det.sql.seededKey("7", "o_orderkey")}, o_orderkey) AS rn
+            |  FROM orders)
+            |SELECT o_orderkey, o_totalprice, rn, (rn - 1) // 32 AS batch_id
+            |FROM r WHERE rn <= 192
+            |ORDER BY o_orderkey""".stripMargin)) { (s, d) =>
+    val key = Det.seededKey("7", col("o_orderkey"))
+    val top = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), key.as("k"))
+      .orderBy(col("k"), col("o_orderkey"))
+      .limit(192) // 6 complete batches of 32 (drop_last on a 200-row draw)
+    top.withColumn("rn", row_number().over(Window.orderBy(col("k"), col("o_orderkey"))))
+      .withColumn("batch_id", expr("(rn - 1) DIV 32"))
+      .select("o_orderkey", "o_totalprice", "rn", "batch_id")
+      .orderBy("o_orderkey")
+  }
+
+  // ---------------------------------------------------------------- Q19
+  /** U3: union-by-name across heterogeneous schemas, missing columns → null
+    * (`dataset_cacher.py:296-311` pd.concat shape). */
+  val q19 = DeclaredQuery(
+    "q19_union_byname",
+    Some("""SELECT * FROM (
+           |  SELECT c_custkey AS k, c_mktsegment AS segment FROM customer WHERE c_nationkey < 12
+           |  UNION ALL BY NAME
+           |  SELECT c_custkey + 1000000 AS k, c_acctbal AS acctbal FROM customer WHERE c_nationkey >= 12)
+           |ORDER BY k""".stripMargin)) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val a = c.filter(col("c_nationkey") < 12)
+      .select(col("c_custkey").as("k"), col("c_mktsegment").as("segment"))
+    val b = c.filter(col("c_nationkey") >= 12)
+      .select((col("c_custkey") + 1000000).as("k"), col("c_acctbal").as("acctbal"))
+    a.unionByName(b, allowMissingColumns = true).orderBy("k")
+  }
+
+  // ---------------------------------------------------------------- Q20
+  /** U-ext: INTERSECT / EXCEPT of key sets from two predicates
+    * (completes the set-op surface; reference only has union/difference,
+    * `data_split.py:43-67`). */
+  val q20 = DeclaredQuery(
+    "q20_setops",
+    Some("""SELECT tag, k FROM (
+           |  SELECT 'both' AS tag, c_custkey AS k FROM (
+           |    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+           |    INTERSECT
+           |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+           |  UNION ALL
+           |  SELECT 'only_pos' AS tag, c_custkey AS k FROM (
+           |    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+           |    EXCEPT
+           |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'))
+           |ORDER BY tag, k""".stripMargin)) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val pos = c.filter(col("c_acctbal") > 0).select(col("c_custkey"))
+    val bld = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val both = pos.intersect(bld).select(lit("both").as("tag"), col("c_custkey").as("k"))
+    val onlyPos = pos.except(bld).select(lit("only_pos").as("tag"), col("c_custkey").as("k"))
+    both.unionByName(onlyPos).orderBy("tag", "k")
+  }
+
+  // ---------------------------------------------------------------- Q21
+  /** F5: cache-identity fingerprint — md5 over the sorted member list per
+    * group (`dataset_cacher.py:103-127`). */
+  val q21 = DeclaredQuery(
+    "q21_fingerprint",
+    Some("""SELECT c_nationkey,
+           |       md5(array_to_string(list_sort(list(c_name)), ',')) AS fp,
+           |       COUNT(*) AS n
+           |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)) { (s, d) =>
+    Tables.customer(s, d).groupBy("c_nationkey")
+      .agg(md5(concat_ws(",", array_sort(collect_list(col("c_name"))))).as("fp"),
+        count(lit(1)).as("n"))
+      .orderBy("c_nationkey")
+  }
+
+  // ---------------------------------------------------------------- Q22
+  /** X6: ROLLUP revenue — grouping-sets surface. Revenue is exact integer
+    * arithmetic: cents × (100 − discount_pct) summed as integers, one final
+    * division (associative → partition-order-proof at any scale). */
+  val q22 = DeclaredQuery(
+    "q22_rollup_revenue",
+    Some("""SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+           |       COALESCE(l_linestatus, 'ALL') AS status,
+           |       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+           |                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE)/1e4 AS revenue,
+           |       COUNT(*) AS n
+           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+           |ORDER BY flag, status""".stripMargin)) { (s, d) =>
+    li(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg((sum(Det.cents(col("l_extendedprice")) * (lit(100) - Det.cents(col("l_discount"))))
+        .cast("double") / lit(1e4)).as("revenue"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("revenue"), col("n"))
+      .orderBy("flag", "status")
+  }
+
+  // ---------------------------------------------------------------- Q23
+  /** X7: approx_count_distinct sanity — tolerance-checked, not hashable
+    * (HLL sketches differ across engines by design) → no oracle, driver
+    * records a rows-only check. Exact count rides along for the tolerance
+    * comparison. */
+  val q23 = DeclaredQuery("q23_approx_distinct", None) { (s, d) =>
+    li(s, d).agg(
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      countDistinct(col("l_partkey")).as("exact_parts"))
+      .withColumn("rel_err",
+        abs(col("approx_parts") - col("exact_parts")).cast("double") / col("exact_parts").cast("double"))
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
+    q16, q17, q18, q19, q20, q21, q22, q23)
+}

@@ -1,0 +1,311 @@
+package graft.queries
+
+import graft.{DeclaredQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication surface over `documents` (SURVEY §2.13
+  * X1/X2/X4 and the training-pipeline brief): exact dedup, MinHash+LSH,
+  * SimHash, n-gram Jaccard, language-ID heuristic, quality scoring, token
+  * counting, content fingerprinting.
+  *
+  * Scale notes (100 TB): every query is a single scan + hash aggregation on
+  * doc_id or a band key — no global sorts except the final declared ORDER BY
+  * (which a real pipeline drops). MinHash signatures are computed entirely
+  * with higher-order functions (no explode of the shingle stream), so the
+  * per-document work stays inside whole-stage codegen and the only shuffle
+  * is the band-bucket join. Hash functions are md5-string based so the
+  * DuckDB oracle reproduces them byte-for-byte.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  /** word tokens; documents are single-space separated. */
+  private val words: Column = split(col("text"), " ")
+
+  // ---------------------------------------------------------------- Q26
+  /** X1: exact dedup by content hash — canonical id + multiplicity per
+    * distinct content. */
+  val q26 = DeclaredQuery(
+    "q26_exact_dedup",
+    Some("""SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id,
+           |       COUNT(*) AS n_copies
+           |FROM documents GROUP BY md5(text) ORDER BY canonical_id""".stripMargin)) { (s, d) =>
+    docs(s, d).groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .orderBy("canonical_id")
+  }
+
+  // ---------------------------------------------------------------- Q26t
+  /** X4: corpus token statistics per language. */
+  val q26t = DeclaredQuery(
+    "q26t_token_stats",
+    Some("""SELECT lang, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS tot_tokens,
+           |       COUNT(DISTINCT term) AS n_terms,
+           |       CAST(COUNT(*) AS DOUBLE)/CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS avg_tokens
+           |FROM (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+           |GROUP BY lang ORDER BY lang""".stripMargin)) { (s, d) =>
+    docs(s, d).select(col("lang"), col("doc_id"), explode(words).as("term"))
+      .groupBy("lang")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("tot_tokens"),
+        countDistinct(col("term")).as("n_terms"))
+      .withColumn("avg_tokens", col("tot_tokens").cast("double") / col("n_docs").cast("double"))
+      .orderBy("lang")
+  }
+
+  // shared minhash construction -----------------------------------------
+  /** word-3-shingles; docs with <3 words fall back to the whole text. */
+  private val shingles: Column = {
+    val n = size(words)
+    when(n >= 3, transform(sequence(lit(1), n - 2),
+      i => concat_ws(" ", element_at(words, i), element_at(words, i + 1), element_at(words, i + 2))))
+      .otherwise(array(col("text")))
+  }
+
+  /** minhash_h = lexicographic min of md5(shingle#h) — a string min-hash
+    * both engines compute identically; no numeric hash parsing needed. */
+  private def minhash(h: Int): Column =
+    array_min(transform(shingles, x => md5(concat(x, lit(s"#$h")))))
+
+  private val oracleShingleCte =
+    """WITH s AS (
+      |  SELECT doc_id, CASE WHEN len(string_split(text,' ')) >= 3
+      |    THEN list_transform(range(1, len(string_split(text,' '))-1),
+      |           i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
+      |    ELSE [text] END AS sh
+      |  FROM documents),
+      |u AS (SELECT doc_id, unnest(sh) AS g FROM s),
+      |m AS (SELECT doc_id,
+      |        MIN(md5(g || '#0')) AS mh0, MIN(md5(g || '#1')) AS mh1,
+      |        MIN(md5(g || '#2')) AS mh2, MIN(md5(g || '#3')) AS mh3,
+      |        MIN(md5(g || '#4')) AS mh4, MIN(md5(g || '#5')) AS mh5,
+      |        MIN(md5(g || '#6')) AS mh6, MIN(md5(g || '#7')) AS mh7
+      |      FROM u GROUP BY doc_id)""".stripMargin
+
+  // ---------------------------------------------------------------- Q27
+  /** X2: MinHash signature + LSH band keys per document (8 hashes, 4 bands
+    * of 2). The Spark side never explodes the shingle stream — signature
+    * computation is per-row HOFs inside codegen; only band joins shuffle. */
+  val q27 = DeclaredQuery(
+    "q27_minhash_sig",
+    Some(s"""$oracleShingleCte
+            |SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7,
+            |       md5(mh0 || mh1) AS band0, md5(mh2 || mh3) AS band1,
+            |       md5(mh4 || mh5) AS band2, md5(mh6 || mh7) AS band3
+            |FROM m ORDER BY doc_id""".stripMargin)) { (s, d) =>
+    val sig = docs(s, d).select(col("doc_id") +:
+      (0 until 8).map(h => minhash(h).as(s"mh$h")): _*)
+    sig.select(col("doc_id") +:
+      (0 until 8).map(h => col(s"mh$h")) ++:
+      (0 until 4).map(b =>
+        md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as(s"band$b")): _*)
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- Q27p
+  /** X2: near-dup candidate pairs — documents sharing any LSH band. The
+    * scale path: groupBy band key (shuffle bounded by bucket sizes), never
+    * an all-pairs join. */
+  val q27p = DeclaredQuery(
+    "q27p_minhash_pairs",
+    Some(s"""$oracleShingleCte,
+            |b AS (
+            |  SELECT doc_id, 0 AS band_idx, md5(mh0 || mh1) AS band FROM m
+            |  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM m
+            |  UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM m
+            |  UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM m)
+            |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, COUNT(*) AS shared_bands
+            |FROM b a JOIN b c ON a.band_idx = c.band_idx AND a.band = c.band
+            |                  AND a.doc_id < c.doc_id
+            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)) { (s, d) =>
+    val sig = docs(s, d).select(col("doc_id") +:
+      (0 until 8).map(h => minhash(h).as(s"mh$h")): _*)
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until 4).map(b =>
+        md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))): _*)))
+      .toDF("doc_id", "band_idx", "band")
+    val a = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band"))
+    val c = bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band"))
+    a.join(c, Seq("band_idx", "band")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_bands"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------------- Q28
+  /** SimHash (16-bit): per distinct token, md5 hex nibbles vote ±1 per bit;
+    * fingerprint = Σ bit_j·2^j. Pure integer/string ops → engine-identical. */
+  val q28 = DeclaredQuery(
+    "q28_simhash",
+    Some("""WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS term
+           |           FROM documents),
+           |b AS (
+           |  SELECT doc_id, j,
+           |         CASE WHEN SUM(CASE WHEN strpos('89abcdef', substr(md5(term), CAST(j+1 AS INTEGER), 1)) > 0
+           |                            THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+           |  FROM t CROSS JOIN (SELECT unnest(range(0, 16)) AS j)
+           |  GROUP BY doc_id, j)
+           |SELECT doc_id,
+           |       CAST(SUM(bit * CAST(ROUND(POWER(2.0, j)) AS BIGINT)) AS BIGINT) AS simhash16
+           |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, d) =>
+    val terms = docs(s, d)
+      .select(col("doc_id"), explode(array_distinct(words)).as("term"))
+      .withColumn("h", md5(col("term")))
+    val bits = terms
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0L), lit(15L))).as("j"))
+      .withColumn("contrib",
+        when(expr("instr('89abcdef', substring(h, CAST(j+1 AS INT), 1)) > 0"), 1).otherwise(-1))
+      .groupBy("doc_id", "j")
+      .agg(when(sum(col("contrib")) > 0, 1).otherwise(0).as("bit"))
+    bits.groupBy("doc_id")
+      .agg(sum(col("bit") * expr("CAST(ROUND(POWER(2.0, j)) AS BIGINT)")).cast("long").as("simhash16"))
+      .orderBy("doc_id")
+  }
+
+  // language-ID stopword sets -------------------------------------------
+  private val stopsets = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "y", "de", "un"))
+
+  // ---------------------------------------------------------------- Q29
+  /** Language-ID n-gram/stopword heuristic: per-language stopword hit
+    * ratios, argmax with a fixed preference order on ties. (The synthetic
+    * corpus shares one vocab across langs — the query checks the *operator*,
+    * determinism included, not model accuracy.) */
+  val q29 = DeclaredQuery(
+    "q29_langid", {
+      val ratioCols = stopsets.map { case (lg, ws) =>
+        val inList = ws.map(w => s"'$w'").mkString(", ")
+        s"CAST(SUM(CASE WHEN term IN ($inList) THEN 1 ELSE 0 END) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS r_$lg"
+      }.mkString(",\n         ")
+      Some(s"""WITH t AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS term FROM documents),
+              |r AS (
+              |  SELECT doc_id, lang,
+              |         $ratioCols
+              |  FROM t GROUP BY doc_id, lang)
+              |SELECT doc_id, r_en, r_de, r_fr, r_es,
+              |       CASE WHEN r_en >= r_de AND r_en >= r_fr AND r_en >= r_es THEN 'en'
+              |            WHEN r_de >= r_fr AND r_de >= r_es THEN 'de'
+              |            WHEN r_fr >= r_es THEN 'fr' ELSE 'es' END AS predicted,
+              |       lang AS actual,
+              |       (CASE WHEN r_en >= r_de AND r_en >= r_fr AND r_en >= r_es THEN 'en'
+              |             WHEN r_de >= r_fr AND r_de >= r_es THEN 'de'
+              |             WHEN r_fr >= r_es THEN 'fr' ELSE 'es' END) = lang AS correct
+              |FROM r ORDER BY doc_id""".stripMargin)
+    }) { (s, d) =>
+    val t = docs(s, d).select(col("doc_id"), col("lang"), explode(words).as("term"))
+    val ratioAggs = stopsets.map { case (lg, ws) =>
+      (sum(when(col("term").isin(ws: _*), 1).otherwise(0)).cast("double")
+        / count(lit(1)).cast("double")).as(s"r_$lg")
+    }
+    val r = t.groupBy("doc_id", "lang").agg(ratioAggs.head, ratioAggs.tail: _*)
+    val predicted =
+      when(col("r_en") >= col("r_de") && col("r_en") >= col("r_fr") && col("r_en") >= col("r_es"), "en")
+        .when(col("r_de") >= col("r_fr") && col("r_de") >= col("r_es"), "de")
+        .when(col("r_fr") >= col("r_es"), "fr")
+        .otherwise("es")
+    r.select(col("doc_id"), col("r_en"), col("r_de"), col("r_fr"), col("r_es"),
+      predicted.as("predicted"), col("lang").as("actual"),
+      (predicted === col("lang")).as("correct"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- Q30
+  /** Quality scoring: length/stopword/long-token features combined into a
+    * deterministic score (same IEEE tree both sides). */
+  val q30 = DeclaredQuery(
+    "q30_quality",
+    Some("""WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+           |f AS (
+           |  SELECT doc_id, COUNT(*) AS n_tokens,
+           |         CAST(SUM(length(term)) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS avg_token_len,
+           |         CAST(SUM(CASE WHEN term IN ('the','a','of','and','to') THEN 1 ELSE 0 END) AS DOUBLE)
+           |           / CAST(COUNT(*) AS DOUBLE) AS stop_ratio,
+           |         CAST(SUM(CASE WHEN length(term) >= 6 THEN 1 ELSE 0 END) AS DOUBLE)
+           |           / CAST(COUNT(*) AS DOUBLE) AS long_ratio
+           |  FROM t GROUP BY doc_id)
+           |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, avg_token_len, stop_ratio, long_ratio,
+           |       0.3*stop_ratio + 0.4*least(avg_token_len/8.0, 1.0) + 0.3*long_ratio AS quality_score
+           |FROM f ORDER BY doc_id""".stripMargin)) { (s, d) =>
+    val t = docs(s, d).select(col("doc_id"), explode(words).as("term"))
+    val f = t.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens"),
+      (sum(length(col("term"))).cast("double") / count(lit(1)).cast("double")).as("avg_token_len"),
+      (sum(when(col("term").isin("the", "a", "of", "and", "to"), 1).otherwise(0)).cast("double")
+        / count(lit(1)).cast("double")).as("stop_ratio"),
+      (sum(when(length(col("term")) >= 6, 1).otherwise(0)).cast("double")
+        / count(lit(1)).cast("double")).as("long_ratio"))
+    f.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+      col("avg_token_len"), col("stop_ratio"), col("long_ratio"),
+      (lit(0.3) * col("stop_ratio")
+        + lit(0.4) * least(col("avg_token_len") / 8.0, lit(1.0))
+        + lit(0.3) * col("long_ratio")).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- Q31
+  /** Token counting: whitespace tokens + BPE-ish regex tokens + the
+    * chars/4 BPE estimate. */
+  val q31 = DeclaredQuery(
+    "q31_token_count",
+    Some("""SELECT doc_id,
+           |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+           |       CAST(ceil(n_chars/4.0) AS BIGINT) AS est_bpe
+           |FROM documents ORDER BY doc_id""".stripMargin)) { (s, d) =>
+    docs(s, d).select(col("doc_id"),
+      size(words).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("re_tokens"),
+      ceil(col("n_chars") / 4.0).cast("long").as("est_bpe"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- Q32
+  /** Document fingerprinting: md5 content hash + a position-weighted
+    * additive rolling hash Σ ascii(c_i)·(i²+7) mod 1e9+7. The Spark side is
+    * a single `aggregate` HOF (no explode, stays in codegen); the oracle
+    * computes the same commutative sum by unnest+group. */
+  val q32 = DeclaredQuery(
+    "q32_fingerprint",
+    Some("""SELECT doc_id, md5(text) AS content_hash,
+           |       CAST(SUM(ascii(substr(text, CAST(i AS INTEGER), 1)) * (i*i + 7)) % 1000000007 AS BIGINT) AS fp
+           |FROM (SELECT doc_id, text, unnest(range(1, length(text)+1)) AS i FROM documents)
+           |GROUP BY doc_id, text ORDER BY doc_id""".stripMargin)) { (s, d) =>
+    docs(s, d).select(col("doc_id"), md5(col("text")).as("content_hash"),
+      expr("""aggregate(sequence(1, length(text)), CAST(0 AS BIGINT),
+             |  (acc, i) -> acc + ascii(substring(text, i, 1)) * (CAST(i AS BIGINT)*i + 7))
+             |  % 1000000007""".stripMargin).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- Q33
+  /** n-gram Jaccard similarity over distinct word sets, on a deterministic
+    * 10×10 pair sample. (The LSH queries above are the scale path; exact
+    * Jaccard is the verifier.) */
+  val q33 = DeclaredQuery(
+    "q33_ngram_jaccard",
+    Some("""WITH s AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS ws FROM documents),
+           |a AS (SELECT doc_id AS doc_a, ws AS wa FROM s WHERE doc_id % 50 = 0),
+           |b AS (SELECT doc_id AS doc_b, ws AS wb FROM s WHERE doc_id % 50 = 1)
+           |SELECT doc_a, doc_b,
+           |       CAST(len(list_intersect(wa, wb)) AS BIGINT) AS n_common,
+           |       CAST(len(list_distinct(list_concat(wa, wb))) AS BIGINT) AS n_union,
+           |       CAST(len(list_intersect(wa, wb)) AS DOUBLE)
+           |         / CAST(len(list_distinct(list_concat(wa, wb))) AS DOUBLE) AS jaccard
+           |FROM a CROSS JOIN b ORDER BY doc_a, doc_b""".stripMargin)) { (s, d) =>
+    val sets = docs(s, d).select(col("doc_id"), array_distinct(words).as("ws"))
+    val a = sets.filter(col("doc_id") % 50 === 0).select(col("doc_id").as("doc_a"), col("ws").as("wa"))
+    val b = sets.filter(col("doc_id") % 50 === 1).select(col("doc_id").as("doc_b"), col("ws").as("wb"))
+    a.crossJoin(b)
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("wa"), col("wb"))).cast("long").as("n_common"),
+        size(array_union(col("wa"), col("wb"))).cast("long").as("n_union"))
+      .withColumn("jaccard", col("n_common").cast("double") / col("n_union").cast("double"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(q26, q26t, q27, q27p, q28, q29, q30, q31, q32, q33)
+}

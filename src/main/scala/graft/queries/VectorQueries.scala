@@ -1,0 +1,125 @@
+package graft.queries
+
+import graft.{DeclaredQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity surface (SURVEY §2.13 X3 + the training-pipeline
+  * brief): brute-force cosine top-k as the verifiable baseline, an
+  * LSH-bucketed variant as the scale path.
+  *
+  * All vector math runs through higher-order functions (zip_with/aggregate)
+  * over `array<float>` cast to double — sequential left-folds, so the
+  * summation order is fixed and matches DuckDB's list functions to ~1e-12,
+  * far inside the 6-decimal hash rounding. No UDFs: HOFs stay codegen'd.
+  */
+object VectorQueries {
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** embeddings with double vectors + L2 norms. */
+  private def normed(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    e.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+  }
+
+  // ---------------------------------------------------------------- Q25
+  /** Cosine top-5 neighbors of 5 probe vectors. Probes are a tiny side →
+    * broadcast; the scan side streams once. At 100 TB this is the exact
+    * "score a handful of queries against the corpus" shape: one pass, no
+    * shuffle except the final per-probe top-k (TakeOrdered-sized). */
+  val q25 = DeclaredQuery(
+    "q25_cosine_topk",
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+           |p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm FROM n WHERE vec_id < 5),
+           |sim AS (
+           |  SELECT probe_id, vec_id,
+           |         list_dot_product(v, pv)/(nrm*pnrm) AS cosine
+           |  FROM n CROSS JOIN p WHERE vec_id <> probe_id),
+           |r AS (SELECT probe_id, vec_id, cosine,
+           |             row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rk
+           |      FROM sim)
+           |SELECT probe_id, rk, vec_id AS neighbor_id, cosine
+           |FROM r WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin)) { (s, d) =>
+    val n = normed(s, d)
+    val probes = n.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pnrm"))
+    n.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", dot(col("v"), col("pv")) / (col("nrm") * col("pnrm")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rk") <= 5)
+      .select(col("probe_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy("probe_id", "rk")
+  }
+
+  // ---------------------------------------------------------------- Q34
+  /** Embedding near-dup detection: top-20 most-similar pairs over a
+    * deterministic 1/25 sample of the pair space (both ids ≡ 0 mod 5).
+    * The full-corpus path at scale is q35's LSH bucketing — an O(n²)
+    * all-pairs join is declared only on the sampled subset. */
+  val q34 = DeclaredQuery(
+    "q34_embed_neardup",
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 5 = 0),
+           |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+           |sim AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |         list_dot_product(a.v, b.v)/(a.nrm*b.nrm) AS cosine
+           |  FROM n a JOIN n b ON a.vec_id < b.vec_id),
+           |r AS (SELECT id_a, id_b, cosine,
+           |             row_number() OVER (ORDER BY cosine DESC, id_a, id_b) AS rk
+           |      FROM sim)
+           |SELECT rk, id_a, id_b, cosine FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin)) { (s, d) =>
+    val n = normed(s, d).filter(col("vec_id") % 5 === 0)
+    val a = n.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cosine").desc, col("id_a"), col("id_b"))))
+      .filter(col("rk") <= 20)
+      .select("rk", "id_a", "id_b", "cosine")
+      .orderBy("rk")
+  }
+
+  // ---------------------------------------------------------------- Q35
+  /** LSH-bucketed ANN (the 100 TB path): 16 seeded random hyperplanes →
+    * 16-bit sign signature per vector → candidates share a signature
+    * bucket; exact cosine only inside buckets. Hyperplane components are
+    * md5-derived ±1 (deterministic, engine-independent), so the bucketing
+    * itself is reproducible. Sign flips sit on a measure-zero boundary →
+    * no oracle; validated rows-only + by ScalaTest (bucket recall vs brute
+    * force on the sampled pairs). */
+  val q35 = DeclaredQuery("q35_lsh_buckets", None) { (s, d) =>
+    val dims = 64
+    val planes = 8 // 256 buckets — sized so sf0.01's 500 vectors collide; at
+    // corpus scale raise planes (buckets ≈ corpus/expected-candidates)
+    // plane j, dim k sign: high bit of first hex nibble of md5("hp:j:k")
+    val signs: Seq[Seq[Int]] = (0 until planes).map { j =>
+      (0 until dims).map { k =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"hp:$j:$k".getBytes("UTF-8"))
+        if ((hex(0) & 0x80) != 0) 1 else -1
+      }
+    }
+    val e = Tables.embeddings(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val sigBits: Seq[Column] = (0 until planes).map { j =>
+      val proj = dot(col("v"), array(signs(j).map(x => lit(x.toDouble)): _*))
+      when(proj >= 0, lit("1")).otherwise(lit("0"))
+    }
+    val sig = e.withColumn("bucket", concat(sigBits: _*))
+    sig.groupBy("bucket")
+      .agg(count(lit(1)).as("n_vectors"),
+        array_sort(collect_list(col("vec_id"))).as("members"))
+      .filter(col("n_vectors") > 1)
+      .orderBy("bucket")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(q25, q34, q35)
+}
