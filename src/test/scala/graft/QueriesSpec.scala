@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant checks for the declared queries on sf0.001 — fast smoke plus
+  * the properties the DuckDB hash can't see (the parity gate itself runs via
+  * tools/check_oracle.py against sf0.01).
+  */
+class QueriesSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf0001)
+
+  test("every declared query runs and is non-empty on sf0.001") {
+    val counts = SparkEntry.queries.map { case (name, fn) => name -> fn(spark, sf0001).count() }
+    val empty = counts.filter(_._2 == 0)
+    assert(empty.isEmpty, s"empty results: ${empty.keys.mkString(", ")}")
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"oracle without query: $extra")
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q05 weights: sum over group of 1/weight*total = group size") {
+    val df = run("q05_invfreq_weights")
+    val total = df.count().toDouble
+    // weight = total/grp_n → grp_n = total/weight; per group all weights equal
+    val distinctPerGroup = df.groupBy("c_mktsegment", "c_nationkey")
+      .agg(countDistinct(col("weight")).as("w"))
+      .filter(col("w") =!= 1).count()
+    assert(distinctPerGroup == 0)
+    // Σ 1/weight = Σ grp_n/total = 1.0 per distinct group... overall Σ over rows = Σ grp_n²/total
+    val sumInv = df.select(sum(lit(1.0) / col("weight"))).head().getDouble(0)
+    val check = df.groupBy("c_mktsegment", "c_nationkey").count()
+      .select(sum(col("count") * col("count"))).head().getLong(0) / total
+    assert(math.abs(sumInv - check) < 1e-6)
+  }
+
+  test("q07 split: partitions are disjoint and exhaustive over kept subjects") {
+    val df = run("q07_split_pipeline")
+    assert(df.groupBy("c_custkey").count().filter(col("count") > 1).count() == 0, "subject in 2 splits")
+    val bySplit = df.groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet == Set("test", "train", "valid"))
+    // valid ≈ 20% of dev
+    val dev = bySplit("train") + bySplit("valid")
+    assert(math.abs(bySplit("valid").toDouble - math.floor(dev * 0.2 + 0.5)) <= 0.0)
+  }
+
+  test("q09 grouped sample: at most 15 per nation, deterministic across runs") {
+    val a = run("q09_grouped_sample")
+    assert(a.groupBy("c_nationkey").count().filter(col("count") > 15).count() == 0)
+    val h1 = a.orderBy("c_custkey").collect().toSeq
+    val h2 = run("q09_grouped_sample").orderBy("c_custkey").collect().toSeq
+    assert(h1 == h2, "seeded sample not deterministic")
+  }
+
+  test("q03 explode conserves counts: rows = Σ (linenumber − 1)") {
+    val exploded = run("q03_explode_filter").count()
+    val expected = Tables.lineitem(spark, sf0001)
+      .filter(col("l_orderkey") % 20 === 0)
+      .select(sum(col("l_linenumber") - 1)).head().getLong(0)
+    assert(exploded == expected)
+  }
+
+  test("q14 histogram: counts sum to table size, cdf ends at 1") {
+    val h = run("q14_histogram_cdf").collect()
+    val total = Tables.lineitem(spark, sf0001).count()
+    assert(h.map(_.getAs[Long]("cnt")).sum == total)
+    val last = h.maxBy(_.getAs[Long]("bucket"))
+    assert(math.abs(last.getAs[Double]("cdf") - 1.0) < 1e-12)
+  }
+
+  test("q15 circle encloses all its points") {
+    val circles = run("q15_enclosing_circle").collect()
+      .map(r => r.getAs[String]("flag") -> ((r.getAs[Double]("cx"), r.getAs[Double]("cy"), r.getAs[Double]("r")))).toMap
+    val pts = Tables.lineitem(spark, sf0001).select(
+      col("l_returnflag").as("flag"),
+      (col("l_partkey") % 97).cast("double").as("x"),
+      (col("l_suppkey") % 89).cast("double").as("y")).collect()
+    pts.foreach { row =>
+      val (cx, cy, r) = circles(row.getAs[String]("flag"))
+      val d = math.hypot(row.getAs[Double]("x") - cx, row.getAs[Double]("y") - cy)
+      assert(d <= r + 1e-6, s"point outside circle: $row d=$d r=$r")
+    }
+  }
+
+  test("q25 top-k: ranks are 1..5 per probe and sims descend") {
+    val rows = run("q25_cosine_topk").collect()
+    rows.groupBy(_.getAs[Long]("probe_id")).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("rk"))
+      assert(byRank.map(_.getAs[Int]("rk")).toSeq == (1 to 5))
+      val sims = byRank.map(_.getAs[Double]("cosine")).toSeq
+      assert(sims == sims.sorted.reverse, "similarities not descending")
+      assert(sims.forall(s => s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9))
+    }
+  }
+
+  test("q26 exact dedup: canonical ids unique, copies sum to corpus size") {
+    val df = run("q26_exact_dedup")
+    val n = Tables.documents(spark, sf0001).count()
+    assert(df.select(sum("n_copies")).head().getLong(0) == n)
+    assert(df.select(countDistinct("content_hash")).head().getLong(0) == df.count())
+  }
+
+  test("q28 simhash is within 16-bit range") {
+    val bad = run("q28_simhash").filter(col("simhash16") < 0 || col("simhash16") > 65535).count()
+    assert(bad == 0)
+  }
+}
