@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import graft.util.Det
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The cache stage (`pipeline/dataset_cacher.py`): materialize a derived
+  * dataset keyed by an MD5 fingerprint of (config ⨯ subject set), serve
+  * identical requests from cache (S5/S11, SURVEY §4 row 1).
+  *
+  * Replaces one-`.pt`-file-per-slice with a Parquet dataset partitioned by
+  * `dataset` (S5 mapping) plus a `_manifest` parquet — at 100 TB the
+  * partitioned layout gives partition pruning on dataset and splits write
+  * parallelism across executors; the driver only computes the fingerprint.
+  */
+object DatasetCacher {
+
+  /** F5 cache identity (`dataset_cacher.py:103-127`): md5 over the config
+    * canonical string + the sorted dataset-subject list. Computed
+    * distributed (sort_array(collect_list)) then fetched — the collect is a
+    * single md5 string, not data. */
+  def fingerprint(config: GraftConfig, subjects: DataFrame, idCol: String): String = {
+    val ids = subjects.agg(
+      md5(concat_ws(",",
+        lit(GraftConfig.canonical(config)),
+        concat_ws(",", sort_array(collect_list(col(idCol).cast("string"))))))
+        .as("fp"))
+    ids.head().getString(0)
+  }
+
+  def cachePath(root: String, config: GraftConfig, fp: String): String = {
+    val dim = config.dimensionality.toLowerCase
+    s"$root/dev$dim-${config.datasetNames.sorted.mkString("_")}-$fp"
+  }
+
+  /** S11 cache-existence probe (`dataset_cacher.py:67-76`): skip
+    * materialization when the manifest exists, unless overwrite. */
+  def isCached(spark: SparkSession, path: String): Boolean = {
+    val hPath = new org.apache.hadoop.fs.Path(s"$path/_manifest")
+    hPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hPath)
+  }
+
+  /** Materialize `records` (already transformed by the cache plan) under
+    * the fingerprinted path, partitioned by `dataset`; write the manifest
+    * (S6's consolidated CSV analog) from the non-tensor columns.
+    *
+    * @return the cache path (whether written now or served from cache)
+    */
+  def materialize(spark: SparkSession, records: DataFrame, metaCols: Seq[String],
+                  root: String, config: GraftConfig, subjects: DataFrame,
+                  idCol: String, overwrite: Boolean = false): String = {
+    val fp = fingerprint(config, subjects, idCol)
+    val path = cachePath(root, config, fp)
+    if (overwrite || !isCached(spark, path)) {
+      records.write.mode(SaveMode.Overwrite)
+        .partitionBy("dataset").parquet(s"$path/records")
+      records.select(metaCols.map(col): _*)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/_manifest")
+    }
+    path
+  }
+
+  /** T12 `LoadCachedDatad` read side: scan the cached records. */
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/records")
+
+  def manifest(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/_manifest")
+}

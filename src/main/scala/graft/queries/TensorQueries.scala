@@ -1,0 +1,80 @@
+package graft.queries
+
+import graft.{DeclaredQuery, Tables}
+import graft.tensor.Tensors
+import graft.util.Det
+import org.apache.spark.sql.functions._
+
+/** Driver-checked queries exercising the tensor layer end-to-end (SURVEY
+  * §2.9): tensors are built from lineitem groups (sorted exact-cent prices
+  * as the float buffer), then run through the HOF operators. The oracles
+  * recompute the same float arithmetic relationally — float32 casts are
+  * IEEE-identical in both engines.
+  */
+object TensorQueries {
+
+  /** per-order float buffer of sorted prices (exact cents → float). */
+  private def orderTensors(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), Det.cents(col("l_extendedprice")).as("c"))
+      .groupBy("l_orderkey")
+      .agg(transform(array_sort(collect_list(col("c"))),
+        c => (c.cast("double") / lit(1e2)).cast("float")).as("data"))
+
+  // ---------------------------------------------------------------- Q40
+  /** A4 via the tensor stats HOF: one-pass min/max/mean/std over the
+    * buffer. Oracle recomputes from the relational rows; the HOF folds in
+    * sorted order while DuckDB's SUM order is free — both land ~1e-12
+    * apart, far inside the 6-decimal rounding. */
+  val q40 = DeclaredQuery(
+    "q40_tensor_stats",
+    Some("""WITH f AS (
+           |  SELECT l_orderkey,
+           |         CAST(CAST(CAST(ROUND(l_extendedprice*100) AS BIGINT) AS DOUBLE)/1e2 AS FLOAT) AS pf
+           |  FROM lineitem)
+           |SELECT l_orderkey, COUNT(*) AS n,
+           |       CAST(MIN(pf) AS DOUBLE) AS amin, CAST(MAX(pf) AS DOUBLE) AS amax,
+           |       SUM(CAST(pf AS DOUBLE))/CAST(COUNT(*) AS DOUBLE) AS mean,
+           |       sqrt(greatest(
+           |         SUM(CAST(pf AS DOUBLE)*CAST(pf AS DOUBLE))/CAST(COUNT(*) AS DOUBLE)
+           |           - (SUM(CAST(pf AS DOUBLE))/CAST(COUNT(*) AS DOUBLE))*(SUM(CAST(pf AS DOUBLE))/CAST(COUNT(*) AS DOUBLE)),
+           |         0.0)) AS std
+           |FROM f GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)) { (s, d) =>
+    val t = orderTensors(s, d)
+      .select(col("l_orderkey"), Tensors.stats(col("data")).as("st"))
+    t.select(col("l_orderkey"), col("st.numel").as("n"),
+      col("st.amin"), col("st.amax"), col("st.mean"), col("st.std").as("std"))
+      .orderBy("l_orderkey")
+  }
+
+  // ---------------------------------------------------------------- Q41
+  /** T2 explode pipeline end-to-end: per-order (2,3,1,1,1) tensor from the
+    * first 6 sorted prices, exploded to 2-D records with frame/slice
+    * counters; oracle mirrors with row_number arithmetic. */
+  val q41 = DeclaredQuery(
+    "q41_tensor_explode",
+    Some("""WITH r AS (
+           |  SELECT l_orderkey,
+           |         CAST(CAST(CAST(ROUND(l_extendedprice*100) AS BIGINT) AS DOUBLE)/1e2 AS FLOAT) AS pf,
+           |         row_number() OVER (PARTITION BY l_orderkey
+           |           ORDER BY CAST(ROUND(l_extendedprice*100) AS BIGINT)) - 1 AS rn,
+           |         COUNT(*) OVER (PARTITION BY l_orderkey) AS n
+           |  FROM lineitem)
+           |SELECT l_orderkey, CAST(rn // 3 AS INTEGER) AS frame_nr,
+           |       CAST(rn % 3 AS INTEGER) AS slice_nr, pf AS value,
+           |       2 AS total_nr_frames, 3 AS total_nr_slices
+           |FROM r WHERE n >= 6 AND rn < 6
+           |ORDER BY l_orderkey, frame_nr, slice_nr""".stripMargin)) { (s, d) =>
+    val t = orderTensors(s, d)
+      .filter(size(col("data")) >= 6)
+      .select(col("l_orderkey"),
+        Tensors.tensor(typedLit(Seq(2, 3, 1, 1, 1)), slice(col("data"), 1, 6)).as("t"))
+    Tensors.explodeTo2d(t, "t")
+      .select(col("l_orderkey"), col("frame_nr"), col("slice_nr"),
+        element_at(col("t.data"), 1).as("value"),
+        col("total_nr_frames"), col("total_nr_slices"))
+      .orderBy("l_orderkey", "frame_nr", "slice_nr")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(q40, q41)
+}

@@ -1,0 +1,169 @@
+package graft
+
+import graft.pipeline._
+import graft.tensor.Tensors
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class PipelineSpec extends SparkSpec {
+
+  private def cfg = GraftConfig(
+    datasetNames = Seq("mm1"), keyPairs = Map("image" -> "label"),
+    dimensionality = "2D", targetSize = (4, 4), nrClasses = 3)
+
+  test("GraftConfig parses YAML and ignores unknown keys") {
+    val y =
+      """dataset:
+        |  names: [mm1, mm2]
+        |  key_pairs: {sa_cine: sa_cine_gt, la_cine: none}
+        |cache:
+        |  dimensionality: 3D
+        |  special_mode: ed_only
+        |  target_size: [128, 128]
+        |unknown_section: {foo: 1}
+        |split: {seed: 99, valid_fraction: 0.25}
+        |""".stripMargin
+    val f = Files.createTempFile("cfg", ".yaml")
+    Files.writeString(f, y)
+    val c = GraftConfig.fromYaml(f.toString)
+    assert(c.datasetNames == Seq("mm1", "mm2"))
+    assert(c.keyPairs == Map("sa_cine" -> "sa_cine_gt", "la_cine" -> "none"))
+    assert(c.dimensionality == "3D" && c.specialMode.contains("ed_only"))
+    assert(c.targetSize == (128, 128) && c.seed == 99L && c.validFraction == 0.25)
+  }
+
+  test("DataSplit: disjoint, exhaustive, deterministic, overlap removed") {
+    val subjects = Tables.customer(spark, sf0001)
+    val overlap = col("c_acctbal") < -900
+    val s1 = DataSplit.split(subjects, "c_custkey", "c_mktsegment", 5, 0.2, 7L, Some(overlap))
+    val s2 = DataSplit.split(subjects, "c_custkey", "c_mktsegment", 5, 0.2, 7L, Some(overlap))
+    assert(s1.orderBy("c_custkey").collect().toSeq == s2.orderBy("c_custkey").collect().toSeq)
+    assert(s1.groupBy("c_custkey").count().filter(col("count") > 1).count() == 0)
+    assert(s1.filter(col("c_acctbal") < -900).count() == 0, "overlap subjects must be dropped")
+    val sm = DataSplit.summary(s1, "c_custkey").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sm.keySet == Set("test", "train", "valid"))
+  }
+
+  /** synthetic 2-subject record table with (2,2,1,2,2) tensors. */
+  private def records: DataFrame = {
+    val n = 2 * 2 * 1 * 2 * 2
+    spark.range(2).select(
+      concat(lit("subj"), col("id")).as("subject_id"),
+      lit("mm1").as("dataset"),
+      Tensors.tensor(typedLit(Seq(2, 2, 1, 2, 2)),
+        transform(sequence(lit(1), lit(n)), i => (i + col("id") * 100).cast("float"))).as("image"),
+      Tensors.tensor(typedLit(Seq(2, 2, 1, 2, 2)),
+        transform(sequence(lit(1), lit(n)), i => (i % 3).cast("float"))).as("label"))
+  }
+
+  test("cachePlan explodes with stats meta and special-mode filter") {
+    val plan = TransformPlanner.cachePlan(cfg, Seq("image"), Seq("label"))
+    val out = plan(records)
+    assert(out.count() == 8) // 2 subjects × T2 × D2
+    val r = out.filter(col("subject_id") === "subj0" && col("frame_nr") === 0 && col("slice_nr") === 0).head()
+    assert(r.getAs[Int]("total_nr_frames") == 2 && r.getAs[Int]("total_nr_slices") == 2)
+    // min-shift happened before explode: global min of subj0 was 1 → shifted to 0
+    val firstBlock = out.filter(col("subject_id") === "subj0")
+      .orderBy("frame_nr", "slice_nr").select(col("image.data")).head().getSeq[Float](0)
+    assert(firstBlock == Seq(0f, 1f, 2f, 3f))
+    // stats meta present
+    assert(out.select(col("image_meta.std")).head().getDouble(0) > 0)
+    // ed_only keeps frame 0 only
+    val edOnly = TransformPlanner.cachePlan(cfg.copy(specialMode = Some("ed_only")),
+      Seq("image"), Seq("label"))(records)
+    assert(edOnly.count() == 4)
+    assert(edOnly.select("frame_nr").distinct().collect().map(_.getInt(0)).toSeq == Seq(0))
+  }
+
+  test("servePlan: identity resample + standardize + one-hot") {
+    val cached = TransformPlanner.cachePlan(cfg, Seq("image"), Seq("label"))(records)
+      .withColumn("file_id", concat_ws("-", col("subject_id"), col("frame_nr"), col("slice_nr")))
+    val serve = TransformPlanner.servePlan(cfg.copy(oneHot = true, targetSize = (2, 2)),
+      Seq("image"), Seq("label"), "file_id", augmented = false)
+    val out = serve(cached)
+    assert(out.count() == 8)
+    val img = out.select(col("image.data")).head().getSeq[Float](0)
+    assert(math.abs(img.map(_.toDouble).sum) < 1e-4, "standardized block should be ~zero-mean")
+    val lbl = out.select(col("label.shape")).head().getSeq[Int](0)
+    assert(lbl == Seq(1, 1, 3, 2, 2), "one-hot expands channel axis")
+  }
+
+  test("servePlan augmented: deterministic and seed-dependent; copies fan out") {
+    val cached = TransformPlanner.cachePlan(cfg, Seq("image"), Seq("label"))(records)
+      .withColumn("file_id", concat_ws("-", col("subject_id"), col("frame_nr"), col("slice_nr")))
+    val aug = cfg.copy(targetSize = (2, 2), copies = 1,
+      augment = AugmentConfig(enabled = true, noiseSigma = 0.1))
+    val p = TransformPlanner.servePlan(aug, Seq("image"), Seq("label"), "file_id", augmented = true)
+    val a = p(cached).orderBy("file_id", "copy_nr").select(col("image.data")).collect().map(_.getSeq[Float](0))
+    val b = p(cached).orderBy("file_id", "copy_nr").select(col("image.data")).collect().map(_.getSeq[Float](0))
+    assert(a.toSeq == b.toSeq, "augmented serve must be reproducible")
+    assert(p(cached).count() == 16, "copies=1 doubles the stream")
+  }
+
+  test("DatasetCacher: fingerprint identity + cache hit skip") {
+    val dir = Files.createTempDirectory("graftcache").toString
+    val subj = records.select("subject_id").distinct()
+    val fp1 = DatasetCacher.fingerprint(cfg, subj, "subject_id")
+    val fp2 = DatasetCacher.fingerprint(cfg, subj, "subject_id")
+    val fp3 = DatasetCacher.fingerprint(cfg.copy(dimensionality = "3D"), subj, "subject_id")
+    assert(fp1 == fp2 && fp1 != fp3)
+    val recs = TransformPlanner.cachePlan(cfg, Seq("image"), Seq("label"))(records)
+    val path = DatasetCacher.materialize(spark, recs,
+      Seq("subject_id", "dataset", "frame_nr", "slice_nr"), dir, cfg, subj, "subject_id")
+    assert(DatasetCacher.isCached(spark, path))
+    assert(DatasetCacher.load(spark, path).count() == 8)
+    assert(DatasetCacher.manifest(spark, path).columns.toSet ==
+      Set("subject_id", "dataset", "frame_nr", "slice_nr"))
+    // second call serves from cache (same path, no error)
+    val path2 = DatasetCacher.materialize(spark, recs,
+      Seq("subject_id", "dataset", "frame_nr", "slice_nr"), dir, cfg, subj, "subject_id")
+    assert(path2 == path)
+  }
+
+  test("BatchServer: batches, drop_last, weights, weighted draw") {
+    val df = Tables.customer(spark, sf0001) // 150 rows
+    val batched = BatchServer.shuffledBatches(df, "c_custkey", epoch = 1, batchSize = 32, dropLast = true)
+    assert(batched.count() == 128) // 4 complete batches
+    val sizes = batched.groupBy("batch_id").count().collect().map(_.getLong(1))
+    assert(sizes.forall(_ == 32))
+    val e1 = BatchServer.shuffledBatches(df, "c_custkey", 1, 32, dropLast = true)
+      .select("c_custkey", "batch_id").collect().toSeq
+    val e2 = BatchServer.shuffledBatches(df, "c_custkey", 2, 32, dropLast = true)
+      .select("c_custkey", "batch_id").collect().toSeq
+    assert(e1.toSet != e2.toSet, "different epochs shuffle differently")
+
+    val weighted = BatchServer.inverseFrequencyWeights(df, Seq("c_mktsegment"))
+    val drawn = BatchServer.weightedDraw(weighted, "c_custkey", draws = 600, seed = 5L)
+    assert(drawn.count() == 600)
+    // rare segments are oversampled to ≈uniform across segments
+    val bySeg = drawn.groupBy("c_mktsegment").count().collect().map(_.getLong(1))
+    assert(bySeg.max < 3 * bySeg.min,
+      s"inverse-frequency draw should roughly equalize segments: ${bySeg.mkString(",")}")
+    val again = BatchServer.weightedDraw(weighted, "c_custkey", 600, 5L)
+      .groupBy("c_mktsegment").count().collect().map(_.getLong(1))
+    assert(bySeg.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("Predictor: softmax + argmax + inverse warp round-trip") {
+    val pred = records.select(col("subject_id"),
+      Tensors.tensor(typedLit(Seq(1, 1, 3, 2, 2)),
+        typedLit((0 until 12).map(_.toFloat))).as("prediction"),
+      typedLit(Seq(1.0, 0.0, 0.0, 0.0, 1.0, 0.0)).as("_affine"))
+    val sm = Predictor.softmaxChannels(pred, "prediction")
+    val probs = sm.select(col("prediction.data")).head().getSeq[Float](0)
+    // each fiber sums to 1: fibers are (i, i+4, i+8)
+    for (i <- 0 until 4) {
+      val s = probs(i) + probs(i + 4) + probs(i + 8)
+      assert(math.abs(s - 1.0) < 1e-5)
+    }
+    val am = Predictor.argmaxChannels(pred, "prediction")
+    assert(am.select(col("prediction.data")).head().getSeq[Float](0) == Seq(2f, 2f, 2f, 2f))
+    assert(am.select(col("prediction.shape")).head().getSeq[Int](0) == Seq(1, 1, 1, 2, 2))
+    val inv = Predictor.invertPredictions(am, 2, 2)
+    assert(inv.select(col("prediction.data")).head().getSeq[Float](0) == Seq(2f, 2f, 2f, 2f))
+    val cc = Predictor.classCounts(am, "prediction", 3).head()
+    assert(cc.getAs[Long]("class_2") == 4 && cc.getAs[Long]("class_0") == 0)
+  }
+}

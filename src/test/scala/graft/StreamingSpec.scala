@@ -1,0 +1,70 @@
+package graft
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** Watermark / session-window behavior on a real stream (SURVEY §2.11:
+  * "exercised in a streaming unit test (not DuckDB-hashable)"). */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
+
+  test("session_window merges within gap and splits across it, under watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type")
+    val sessions = StreamingOps.sessions(events, "ts", "user_id",
+      watermark = "10 minutes", gap = "5 minutes")
+    val q = sessions.writeStream.format("memory")
+      .queryName("sessions_out").outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two events 2 min apart (one session), then a 20-min gap
+      input.addData((ts(0), 1L, "a"), (ts(2), 1L, "a"), (ts(22), 1L, "b"))
+      q.processAllAvailable()
+      // advance watermark far past everything so all sessions close
+      input.addData((ts(59), 9L, "z"))
+      q.processAllAvailable()
+      val out = spark.table("sessions_out")
+        .filter(col("user_id") === 1L)
+        .orderBy("session_start").collect()
+      assert(out.length == 2, s"expected 2 closed sessions, got ${out.toSeq}")
+      assert(out(0).getAs[Long]("n_events") == 2)
+      assert(out(0).getAs[Timestamp]("session_start") == ts(0))
+      // session end = last event + gap
+      assert(out(0).getAs[Timestamp]("session_end") == ts(7))
+      assert(out(1).getAs[Long]("n_events") == 1)
+    } finally q.stop()
+  }
+
+  test("watermark drops late data in tumbling aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type")
+    val agg = StreamingOps.tumbling(events, "ts", watermark = "5 minutes",
+      width = "10 minutes", aggs = Seq(count(lit(1)).as("n")))
+    val q = agg.writeStream.format("memory")
+      .queryName("tumbling_out").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(1), 1L, "a"), (ts(3), 1L, "a"))
+      q.processAllAvailable()
+      // watermark advances to 10:55 − 5m = 10:50; the [10:00,10:10) window closes
+      input.addData((ts(55), 2L, "b"))
+      q.processAllAvailable()
+      // this event is *late* beyond the watermark → discarded
+      input.addData((ts(5), 1L, "a"))
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-01 11:30:00"), 3L, "c"))
+      q.processAllAvailable()
+      val w0 = spark.table("tumbling_out")
+        .filter(col("window.start") === ts(0)).collect()
+      assert(w0.length == 1 && w0(0).getAs[Long]("n") == 2,
+        s"late event must not be counted: ${w0.toSeq}")
+    } finally q.stop()
+  }
+}
