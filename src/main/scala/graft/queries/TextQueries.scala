@@ -64,10 +64,22 @@ object TextQueries {
       .otherwise(array(col("text")))
   }
 
-  /** minhash_h = lexicographic min of md5(shingle#h) — a string min-hash
-    * both engines compute identically; no numeric hash parsing needed. */
-  private def minhash(h: Int): Column =
-    array_min(transform(shingles, x => md5(concat(x, lit(s"#$h")))))
+  /** MinHash signatures for all docs: explode the shingle stream once, then
+    * hash-aggregate 8 string-mins per doc (minhash_h = lexicographic min of
+    * md5(shingle#h) — identical in DuckDB, no numeric hash parsing).
+    *
+    * Deliberately explode+partial-agg rather than nested HOFs: map-side
+    * combine reduces each partition to one 8-string row per doc before the
+    * shuffle, and the codegen stays small (a nested-HOF formulation gets
+    * duplicated 12× by CollapseProject and spends ~10 s in codegen alone).
+    * This is the shape that survives 100 TB: the shuffle carries only
+    * signatures, never shingles. */
+  private def minhashSignatures(df: DataFrame): DataFrame = {
+    val sh = df.select(col("doc_id"), explode(shingles).as("g"))
+    sh.groupBy("doc_id")
+      .agg((0 until 8).map(h => min(md5(concat(col("g"), lit(s"#$h")))).as(s"mh$h")).head,
+        (0 until 8).map(h => min(md5(concat(col("g"), lit(s"#$h")))).as(s"mh$h")).tail: _*)
+  }
 
   private val oracleShingleCte =
     """WITH s AS (
@@ -95,9 +107,7 @@ object TextQueries {
             |       md5(mh0 || mh1) AS band0, md5(mh2 || mh3) AS band1,
             |       md5(mh4 || mh5) AS band2, md5(mh6 || mh7) AS band3
             |FROM m ORDER BY doc_id""".stripMargin)) { (s, d) =>
-    val sig = docs(s, d).select(col("doc_id") +:
-      (0 until 8).map(h => minhash(h).as(s"mh$h")): _*)
-    sig.select(col("doc_id") +:
+    minhashSignatures(docs(s, d)).select(col("doc_id") +:
       (0 until 8).map(h => col(s"mh$h")) ++:
       (0 until 4).map(b =>
         md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as(s"band$b")): _*)
@@ -120,8 +130,7 @@ object TextQueries {
             |FROM b a JOIN b c ON a.band_idx = c.band_idx AND a.band = c.band
             |                  AND a.doc_id < c.doc_id
             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)) { (s, d) =>
-    val sig = docs(s, d).select(col("doc_id") +:
-      (0 until 8).map(h => minhash(h).as(s"mh$h")): _*)
+    val sig = minhashSignatures(docs(s, d))
     val bands = sig.select(col("doc_id"),
       posexplode(array((0 until 4).map(b =>
         md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))): _*)))

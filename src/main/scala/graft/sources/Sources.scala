@@ -1,0 +1,90 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink surface (SURVEY §2.1).
+  *
+  * The reference reads NIfTI/DICOM files + per-dataset CSVs and writes
+  * per-record `.pt` files + consolidated CSVs. Spark-side: binary scans with
+  * decode kernels for the imaging formats (decode stubbed — no nibabel/
+  * pydicom in the JVM; the Spark plumbing is real), schema'd CSV for
+  * metadata, Parquet for everything materialized.
+  */
+object Sources {
+
+  /** S3 dataset-CSV source (`utils.py:132-133`): explicit schema, subject
+    * ids forced to string exactly like `dtype={"SubjectID": str}`. */
+  def subjectCsv(spark: SparkSession, path: String, extraFields: Seq[StructField] = Nil): DataFrame = {
+    val schema = StructType(
+      StructField("SubjectID", StringType, nullable = false) +:
+        StructField("Pathology", StringType, nullable = true) +:
+        StructField("Vendor", StringType, nullable = true) +:
+        extraFields)
+    spark.read.option("header", "true").schema(schema).csv(path)
+  }
+
+  /** S6 consolidated-CSV sink (`dataset_cacher.py:391`): single-file CSV for
+    * tool interop; the Parquet manifest is the scale path — coalesce(1) is a
+    * deliberate single-writer funnel, only for small metadata tables. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** S10 directory-listing scan (`pipeline/utils.py:48-54`): file index +
+    * `input_file_name`, with the `{dataset}-{subject}` filename parse. */
+  def listRecords(spark: SparkSession, dir: String, format: String = "parquet"): DataFrame = {
+    val base = spark.read.format(format).load(dir)
+      .withColumn("_path", input_file_name())
+    val fname = regexp_extract(col("_path"), "([^/]+)$", 1)
+    base.withColumn("file_name", fname)
+      .withColumn("dataset_from_name", regexp_extract(col("file_name"), "^([^-]+)-", 1))
+      .withColumn("subject_from_name", regexp_extract(col("file_name"), "^[^-]+-([^-.]+)", 1))
+      .drop("_path")
+  }
+
+  /** S1/S2 binary volume scan: `binaryFile` source + decode kernel. The
+    * decode is a deterministic stub (container ships no NIfTI/DICOM codec)
+    * producing a (1,1,1,H,W) tensor + pixdim from the byte stream — swap
+    * for a real parser without touching callers. `pathGlobFilter` prunes at
+    * the file index, `binaryFile` streams content columns lazily. */
+  val stubDecodeVolume: UserDefinedFunction =
+    udf((content: Array[Byte], h: Int, w: Int) => {
+      val data = new Array[Float](h * w)
+      var i = 0
+      while (i < data.length) {
+        var acc = 1125899906842597L ^ (i * 0x9E3779B185EBCA87L)
+        val n = math.min(content.length, 32)
+        var j = 0
+        while (j < n) {
+          acc = (acc ^ (content(j) + j * 131L)) * 0x9E3779B185EBCA87L
+          j += 1
+        }
+        acc ^= acc >>> 29
+        data(i) = (acc & 0x3ff).toFloat / 4f
+        i += 1
+      }
+      (Seq(1, 1, 1, h, w), data.toSeq, Seq(1.25f, 1.25f, 8.0f)) // (shape, data, pixdim)
+    })
+
+  def scanVolumes(spark: SparkSession, dir: String, glob: String, h: Int, w: Int): DataFrame = {
+    val dec = stubDecodeVolume(col("content"), lit(h), lit(w))
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(col("path"), col("length"),
+        struct(dec("_1").as("shape"), dec("_2").as("data")).as("volume"),
+        dec("_3").as("pixdim"))
+  }
+
+  /** S8 prediction sink: parquet of the prediction column per subject. */
+  def writePredictions(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** S7/S9 render sinks (NIfTI / PNG) are explicit non-goals (SURVEY §7.5):
+    * they need format codecs, not dataflow. The hook is a foreachPartition
+    * writer over the tensor column; kept as the documented extension point. */
+  def foreachRecordSink(df: DataFrame)(write: Iterator[org.apache.spark.sql.Row] => Unit): Unit =
+    df.foreachPartition(write)
+}

@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.NaturalSort
+import graft.pipeline.Reformat
+import graft.sources.Sources
+import graft.tensor.Tensors
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class SourcesSpec extends SparkSpec {
+
+  test("subjectCsv reads with string SubjectID schema") {
+    val dir = Files.createTempDirectory("csv").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/subjects.csv"),
+      "SubjectID,Pathology,Vendor\n007,NOR,A\n042,HCM,B\n")
+    val df = Sources.subjectCsv(spark, s"$dir/subjects.csv")
+    assert(df.schema("SubjectID").dataType.typeName == "string")
+    assert(df.orderBy("SubjectID").collect().map(_.getString(0)).toSeq == Seq("007", "042"))
+  }
+
+  test("csv sink round-trips through the csv source") {
+    val dir = Files.createTempDirectory("csvout").toString
+    val df = spark.range(3).select(
+      format_string("%03d", col("id")).as("SubjectID"),
+      lit("NOR").as("Pathology"), lit("A").as("Vendor"))
+    Sources.writeCsv(df, s"$dir/out")
+    val back = Sources.subjectCsv(spark, s"$dir/out")
+    assert(back.count() == 3)
+    assert(back.orderBy("SubjectID").collect().map(_.getString(0)).toSeq ==
+      Seq("000", "001", "002"))
+  }
+
+  test("binary volume scan decodes deterministically with glob pruning") {
+    val dir = Files.createTempDirectory("vols").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/mm1-sub1.nii.gz"), Array[Byte](1, 2, 3, 4, 5))
+    Files.write(java.nio.file.Paths.get(s"$dir/mm1-sub2.nii.gz"), Array[Byte](9, 8, 7, 6, 5))
+    Files.write(java.nio.file.Paths.get(s"$dir/notes.txt"), Array[Byte](0))
+    val v = Sources.scanVolumes(spark, dir, "*.nii.gz", h = 4, w = 4)
+    assert(v.count() == 2, "glob must prune the .txt")
+    val a = v.orderBy("path").select(col("volume.data")).collect().map(_.getSeq[Float](0))
+    val b = Sources.scanVolumes(spark, dir, "*.nii.gz", 4, 4)
+      .orderBy("path").select(col("volume.data")).collect().map(_.getSeq[Float](0))
+    assert(a.toSeq == b.toSeq)
+    assert(a(0) != a(1), "different bytes decode differently")
+    assert(v.select(col("pixdim")).head().getSeq[Float](0) == Seq(1.25f, 1.25f, 8.0f))
+  }
+
+  test("listRecords parses dataset-subject from filenames") {
+    val dir = Files.createTempDirectory("recs").toString
+    spark.range(2).select(col("id")).write.parquet(s"$dir/mm1-subjA.parquet")
+    val df = Sources.listRecords(spark, s"$dir/mm1-subjA.parquet")
+    val r = df.head()
+    assert(r.getAs[String]("dataset_from_name").nonEmpty)
+  }
+
+  test("natKey orders file2 before file10 and handles multi-run names") {
+    val df = spark.createDataFrame(Seq(
+      Tuple1("img10_f2"), Tuple1("img2_f10"), Tuple1("img2_f2"), Tuple1("x"), Tuple1("img10_f10")
+    )).toDF("name")
+    val sorted = df.orderBy(NaturalSort.natKey(col("name"))).collect().map(_.getString(0)).toSeq
+    assert(sorted == Seq("img2_f2", "img2_f10", "img10_f2", "img10_f10", "x"))
+  }
+
+  /** frames fixture: subject × 4 frames, foreground volume peaks at frame 1,
+    * dips at frame 3. */
+  private def frames = {
+    val mk = (fg: Int) => typedLit((0 until 4).map(i => if (i < fg) 1f else 0f))
+    spark.range(2).select(concat(lit("s"), col("id")).as("subject"))
+      .crossJoin(spark.range(4).select(col("id").cast("int").as("frame_nr")))
+      .withColumn("label", Tensors.tensor(typedLit(Seq(1, 1, 1, 2, 2)),
+        when(col("frame_nr") === 1, mk(4))
+          .when(col("frame_nr") === 3, mk(1))
+          .otherwise(mk(2))))
+  }
+
+  test("detectEdEs finds max/min foreground frames") {
+    val out = Reformat.detectEdEs(frames, "subject", "label").orderBy("subject").collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getAs[Int]("ed_frame") == 1 && r.getAs[Long]("ed_volume") == 4)
+      assert(r.getAs[Int]("es_frame") == 3 && r.getAs[Long]("es_volume") == 1)
+    }
+  }
+
+  test("stackEdEs builds a 2-frame tensor per subject") {
+    val edEs = Reformat.detectEdEs(frames, "subject", "label")
+    val stacked = Reformat.stackEdEs(frames, "subject", "label", edEs)
+    val r = stacked.orderBy("subject").head()
+    assert(r.getAs[org.apache.spark.sql.Row]("stacked").getSeq[Int](0) == Seq(2, 1, 1, 2, 2))
+    val data = r.getAs[org.apache.spark.sql.Row]("stacked").getSeq[Float](1)
+    assert(data == Seq(1f, 1f, 1f, 1f, 1f, 0f, 0f, 0f), "ED block then ES block")
+  }
+
+  test("zoomsFromAffine recovers voxel spacing") {
+    val affine = typedLit(Seq(2.0f, 0f, 0f, 0f, 3.0f, 0f, 0f, 0f, 8.0f))
+    val z = spark.range(1).select(Reformat.zoomsFromAffine(affine).as("z"))
+      .head().getSeq[Double](0)
+    assert(z.map(v => math.round(v * 1e9) / 1e9) == Seq(2.0, 3.0, 8.0))
+  }
+}
