@@ -121,5 +121,66 @@ object VectorQueries {
       .orderBy("bucket")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(q25, q34, q35)
+  // ---------------------------------------------------------------- Q36
+  /** IVF-style ANN (the second scale path next to q35's LSH): 16 coarse
+    * centroids picked by seeded hash order, every vector assigned to its
+    * most-cosine-similar centroid, probes search only their top-2 clusters
+    * (nprobe=2), exact cosine inside. At corpus scale: centroids are a
+    * k-means fit (tiny, broadcast), assignment is one scan, and a probe
+    * touches ~nprobe/k of the data. Fully deterministic → oracle-checked. */
+  val q36 = DeclaredQuery(
+    "q36_ivf_ann",
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+           |cent AS (
+           |  SELECT row_number() OVER (ORDER BY md5(concat_ws(':', CAST(vec_id AS VARCHAR), 'centroid')), vec_id) AS cluster_id,
+           |         v AS cv, nrm AS cnrm, vec_id AS cent_vec
+           |  FROM n QUALIFY cluster_id <= 16),
+           |asgn0 AS (
+           |  SELECT n.vec_id, n.v, n.nrm, cent.cluster_id,
+           |         list_dot_product(n.v, cent.cv)/(n.nrm*cent.cnrm) AS csim,
+           |         row_number() OVER (PARTITION BY n.vec_id
+           |           ORDER BY list_dot_product(n.v, cent.cv)/(n.nrm*cent.cnrm) DESC, cent.cluster_id) AS ark
+           |  FROM n CROSS JOIN cent),
+           |asgn AS (SELECT vec_id, v, nrm, cluster_id FROM asgn0 WHERE ark = 1),
+           |probe_clusters AS (SELECT vec_id AS probe_id, cluster_id FROM asgn0 WHERE vec_id < 5 AND ark <= 2),
+           |probes AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm FROM n WHERE vec_id < 5),
+           |cand AS (
+           |  SELECT pc.probe_id, a.vec_id,
+           |         list_dot_product(a.v, p.pv)/(a.nrm*p.pnrm) AS cosine
+           |  FROM asgn a JOIN probe_clusters pc ON a.cluster_id = pc.cluster_id
+           |              JOIN probes p ON p.probe_id = pc.probe_id
+           |  WHERE a.vec_id <> pc.probe_id),
+           |r AS (SELECT probe_id, vec_id, cosine,
+           |             row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rk
+           |      FROM cand)
+           |SELECT probe_id, rk, vec_id AS neighbor_id, cosine
+           |FROM r WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin)) { (s, d) =>
+    val n = normed(s, d)
+    val cent = n
+      .withColumn("cluster_id", row_number().over(Window.orderBy(
+        md5(concat_ws(":", col("vec_id").cast("string"), lit("centroid"))), col("vec_id"))))
+      .filter(col("cluster_id") <= 16)
+      .select(col("cluster_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val asgn0 = n.crossJoin(broadcast(cent))
+      .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cluster_id"))))
+    val asgn = asgn0.filter(col("ark") === 1).select(col("vec_id"), col("v"), col("nrm"), col("cluster_id"))
+    val probeClusters = asgn0.filter(col("vec_id") < 5 && col("ark") <= 2)
+      .select(col("vec_id").as("probe_id"), col("cluster_id"))
+    val probes = n.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pnrm"))
+    asgn.join(broadcast(probeClusters), "cluster_id")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .join(broadcast(probes), "probe_id")
+      .withColumn("cosine", dot(col("v"), col("pv")) / (col("nrm") * col("pnrm")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rk") <= 5)
+      .select(col("probe_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy("probe_id", "rk")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(q25, q34, q35, q36)
 }
