@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.EnclosingCircle
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** ScalaCheck properties for the pure kernels (SURVEY §5.3). */
+object GraftProperties extends Properties("graft") {
+
+  private val point: Gen[(Double, Double)] =
+    for (x <- Gen.choose(0, 40); y <- Gen.choose(0, 40)) yield (x.toDouble, y.toDouble)
+
+  property("welzl circle encloses every input point") =
+    Prop.forAll(Gen.nonEmptyListOf(point)) { pts =>
+      val c = EnclosingCircle.welzl(pts)
+      pts.forall(p => math.hypot(p._1 - c.cx, p._2 - c.cy) <= c.r + 1e-7)
+    }
+
+  property("welzl is permutation-invariant") =
+    Prop.forAll(Gen.nonEmptyListOf(point)) { pts =>
+      val a = EnclosingCircle.welzl(pts)
+      val b = EnclosingCircle.welzl(pts.reverse)
+      math.abs(a.r - b.r) < 1e-9 && math.hypot(a.cx - b.cx, a.cy - b.cy) < 1e-9
+    }
+
+  property("welzl radius is minimal vs 2-point diameter lower bound") =
+    Prop.forAll(Gen.nonEmptyListOf(point)) { pts =>
+      val c = EnclosingCircle.welzl(pts)
+      // any two points give a lower bound of half their distance
+      pts.combinations(2).forall {
+        case Seq(a, b) => c.r >= math.hypot(a._1 - b._1, a._2 - b._2) / 2 - 1e-7
+        case _ => true
+      }
+    }
+
+  /** model comparator for natural ordering, to pin NaturalSort.natKey. */
+  private def natCompare(a: String, b: String): Int = {
+    val tok = "([0-9]+|[^0-9]+)".r
+    val as = tok.findAllIn(a).toList
+    val bs = tok.findAllIn(b).toList
+    as.zip(bs).foreach { case (x, y) =>
+      val c =
+        if (x.forall(_.isDigit) && y.forall(_.isDigit)) BigInt(x).compare(BigInt(y))
+        else x.compare(y)
+      if (c != 0) return c
+    }
+    as.length - bs.length
+  }
+
+  private val nameGen: Gen[String] = for {
+    p1 <- Gen.oneOf("img", "file", "x", "")
+    n1 <- Gen.choose(0, 120)
+    p2 <- Gen.oneOf("_f", "-", "")
+    n2 <- Gen.choose(0, 15)
+  } yield s"$p1$n1$p2$n2"
+
+  property("natKey byte order equals natural-compare model order") = {
+    // evaluate the Column expression through a tiny local projection
+    val spark = SparkSpec.spark
+    import org.apache.spark.sql.functions._
+    Prop.forAll(Gen.listOfN(6, nameGen)) { names =>
+      val keyed = spark.createDataFrame(names.map(Tuple1(_))).toDF("name")
+        .select(col("name"), graft.operators.NaturalSort.natKey(col("name")).as("k"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val byKey = names.distinct.sortBy(keyed)
+      val byModel = names.distinct.sorted(Ordering.fromLessThan[String]((a, b) => natCompare(a, b) < 0))
+      // keys must induce the same order wherever the model order is strict
+      byKey.zip(byModel).forall { case (x, y) => natCompare(x, y) == 0 }
+    }
+  }
+
+  property("cents round-trips 2-decimal money exactly") =
+    Prop.forAll(Gen.choose(-99999999L, 99999999L)) { c =>
+      val x = c / 100.0 // a 2-decimal double
+      math.round(x * 100).toLong == c
+    }
+}

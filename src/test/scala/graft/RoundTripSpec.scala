@@ -1,0 +1,85 @@
+package graft
+
+import graft.tensor.{Kernels, Tensors}
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Spark-level algebraic properties over seeded random inputs
+  * (SURVEY §5.3): normalize∘denormalize ≈ id, explode preserves the buffer,
+  * warp∘inverse ≈ id on the interior for random small affines. */
+class RoundTripSpec extends SparkSpec {
+  import Tensors._
+
+  private def df(shape: Seq[Int], data: Seq[Float]) =
+    spark.range(1).select(col("id").as("key"),
+      tensor(typedLit(shape), typedLit(data)).as("t"))
+
+  test("normalize∘denormalize ≈ identity (random buffers)") {
+    val rng = new Random(1)
+    for (_ <- 1 to 10) {
+      val n = 4 + rng.nextInt(20)
+      val data = Seq.fill(n)(rng.nextFloat() * 100 - 50)
+      val mn = data.min; val mx = data.max
+      val normed = df(Seq(1, 1, 1, 1, n), data)
+        .select(normalize(col("t"), 0, 1).as("t"))
+        .select(col("t.data")).head().getSeq[Float](0)
+      val recon = normed.map(v => v * (mx - mn) + mn)
+      data.zip(recon).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-3, s"roundtrip drift: $a vs $b")
+      }
+    }
+  }
+
+  test("explode 2d concatenation reconstructs the original buffer (random shapes)") {
+    val rng = new Random(2)
+    for (_ <- 1 to 8) {
+      val (t, d, c, h, w) = (1 + rng.nextInt(3), 1 + rng.nextInt(3),
+        1 + rng.nextInt(2), 1 + rng.nextInt(4), 1 + rng.nextInt(4))
+      val data = Seq.fill(t * d * c * h * w)(rng.nextFloat())
+      val exploded = explodeTo2d(df(Seq(t, d, c, h, w), data), "t")
+        .orderBy("frame_nr", "slice_nr")
+        .select(col("t.data")).collect().flatMap(_.getSeq[Float](0)).toSeq
+      assert(exploded == data, s"shape ($t,$d,$c,$h,$w)")
+      assert(explodeTo2d(df(Seq(t, d, c, h, w), data), "t").count() == t * d)
+    }
+  }
+
+  test("warp∘inverse ≈ identity on interior for random small affines") {
+    val rng = new Random(3)
+    for (trial <- 1 to 5) {
+      // smooth (band-limited) image: bilinear interpolation can reconstruct
+      // these; per-pixel noise cannot round-trip any resampler
+      val img = (0 until 16 * 16).map { i =>
+        val y = i / 16; val x = i % 16
+        (4 * math.sin(x * 0.4 + trial) + 4 * math.cos(y * 0.3) + 8).toFloat
+      }
+      val ang = (rng.nextDouble() - 0.5) * 0.3
+      val sc = 0.9 + rng.nextDouble() * 0.2
+      val m = Seq(math.cos(ang) / sc, math.sin(ang) / sc, rng.nextDouble() - 0.5,
+        -math.sin(ang) / sc, math.cos(ang) / sc, rng.nextDouble() - 0.5)
+      val base = df(Seq(1, 1, 1, 16, 16), img)
+      val round = base.select(
+        Kernels.affineResample(col("t.shape"), col("t.data"), typedLit(m),
+          lit(16), lit(16), lit(true)).as("w"))
+        .select(Kernels.affineResample(col("w._1"), col("w._2"),
+          Kernels.invertAffine(typedLit(m)), lit(16), lit(16), lit(true)).as("b"))
+        .select(col("b._2")).head().getSeq[Float](0)
+      var err = 0.0; var cnt = 0
+      for (y <- 4 until 12; x <- 4 until 12) {
+        err += math.abs(img(y * 16 + x) - round(y * 16 + x)); cnt += 1
+      }
+      assert(err / cnt < 0.5, s"trial $trial mean interior error ${err / cnt}")
+    }
+  }
+
+  test("inverse-frequency weight × group size = total (any grouping)") {
+    val df = Tables.customer(spark, sf0001)
+    val w = graft.pipeline.BatchServer.inverseFrequencyWeights(df, Seq("c_mktsegment", "c_nationkey"))
+    val total = df.count().toDouble
+    val bad = w.groupBy("c_mktsegment", "c_nationkey")
+      .agg(first("weight").as("w"), count(lit(1)).as("n"))
+      .withColumn("prod", col("w") * col("n"))
+      .filter(abs(col("prod") - total) > 1e-6)
+    assert(bad.count() == 0)
+  }
+}
