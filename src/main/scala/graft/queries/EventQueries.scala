@@ -114,5 +114,34 @@ object EventQueries {
       .orderBy("event_type")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(q24a, q24b, q24c, q26j)
+  // ---------------------------------------------------------------- Q24d
+  /** Spark-native `session_window` in batch mode (the same operator the
+    * streaming path uses, StreamingOps.sessions) — oracle mirrors the
+    * gaps-and-islands semantics on raw fractional-second epochs (events
+    * are exactly μs-valued, so both engines see identical doubles;
+    * session end = last event + gap). */
+  val q24d = DeclaredQuery(
+    "q24d_session_window",
+    Some("""WITH e AS (SELECT user_id, event_id, epoch(ts) AS es FROM events),
+           |f AS (SELECT user_id, event_id, es,
+           |        CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w >= 1800 THEN 1 ELSE 0 END AS new_s
+           |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+           |g AS (SELECT user_id, es,
+           |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY es, event_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS snr
+           |      FROM f)
+           |SELECT user_id, MIN(es) AS start_epoch, MAX(es) + 1800.0 AS end_epoch,
+           |       COUNT(*) AS n_events
+           |FROM g GROUP BY user_id, snr ORDER BY user_id, start_epoch""".stripMargin)) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").cast("double").as("start_epoch"),
+        col("session_window.end").cast("double").as("end_epoch"),
+        col("n_events"))
+      .orderBy("user_id", "start_epoch")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(q24a, q24b, q24c, q24d, q26j)
 }

@@ -130,7 +130,10 @@ object TextQueries {
             |FROM b a JOIN b c ON a.band_idx = c.band_idx AND a.band = c.band
             |                  AND a.doc_id < c.doc_id
             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)) { (s, d) =>
-    val sig = minhashSignatures(docs(s, d))
+    // signatures feed both sides of the self-join; persist so the shingle
+    // scan+agg runs once (at corpus scale the signature table is the
+    // materialized artifact anyway)
+    val sig = minhashSignatures(docs(s, d)).persist()
     val bands = sig.select(col("doc_id"),
       posexplode(array((0 until 4).map(b =>
         md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))): _*)))
