@@ -224,6 +224,37 @@ object Tensors {
     cropHW(t, y0, y1, x0, x1)
   }
 
+  /** T16 histogram equalization (`visualization/utils.py:39-46`; the
+    * A10+W1+F10 composite, relational twin = q14): 256 equal-width bins over
+    * the buffer, CDF via running sum, remap each value to
+    * round(255·(cdf−cdf_min)/(n−cdf_min)).
+    *
+    * Per-record HOF implementation (O(256·n) per buffer via the counts
+    * transform) — fine for record-sized images; a corpus-wide equalization
+    * uses the q14 relational shape instead (histogram as a groupBy, one
+    * pass). */
+  def histEqualize(t: Column): Column = {
+    val mn = array_min(t("data")).cast("double")
+    val mx = array_max(t("data")).cast("double")
+    val n = size(t("data"))
+    val rng = mx - mn
+    val bucketOf: Column => Column = x =>
+      least(floor((x.cast("double") - mn) / (rng + lit(1e-12)) * 256), lit(255.0)).cast("int")
+    val counts = transform(sequence(lit(0), lit(255)), b =>
+      size(filter(t("data"), x => bucketOf(x) === b)))
+    // running CDF over the 256 counts (fold builds the prefix-sum array)
+    val cdf = aggregate(counts, array().cast("array<int>"),
+      (acc, c) => concat(acc, array(
+        when(size(acc) === 0, lit(0)).otherwise(element_at(acc, -1)) + c)))
+    val cdfMin = array_min(filter(cdf, c => c > 0))
+    val remapped = transform(t("data"), x =>
+      when(rng > 0,
+        round((element_at(cdf, bucketOf(x) + 1) - cdfMin).cast("double")
+          / greatest((n - cdfMin).cast("double"), lit(1.0)) * 255, 0))
+        .otherwise(lit(0.0)).cast("float"))
+    tensor(t("shape"), remapped)
+  }
+
   /** crop every (t,d,c) block of the buffer to rows [y0,y1] × cols [x0,x1]
     * (inclusive). */
   def cropHW(t: Column, y0: Column, y1: Column, x0: Column, x1: Column): Column = {

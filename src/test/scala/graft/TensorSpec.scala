@@ -176,6 +176,20 @@ class TensorSpec extends SparkSpec {
     assert(flipped.select(col("t._2")).head().getSeq[Float](0) == Seq(3f, 4f, 5f, 0f, 1f, 2f))
   }
 
+  test("histEqualize flattens the intensity distribution") {
+    // strongly skewed image: mostly 0s, few bright pixels
+    val img = Seq.fill(12)(0f) ++ Seq(10f, 20f, 200f, 255f)
+    val eq = dataOf(mk(Seq(1, 1, 1, 4, 4), img).select(histEqualize(col("t")).as("t")))
+    // darkest mass maps to 0-level, brightest to 255
+    assert(eq.max == 255f)
+    assert(eq.count(_ == eq.min) == 12, "the dominant bin stays grouped")
+    assert(eq.distinct.sorted == eq.distinct.sorted.distinct, "monotone remap")
+    // constant image maps to 0 (degenerate range guard)
+    val const = dataOf(mk(Seq(1, 1, 1, 1, 4), Seq(7f, 7f, 7f, 7f))
+      .select(histEqualize(col("t")).as("t")))
+    assert(const == Seq(0f, 0f, 0f, 0f))
+  }
+
   test("randomAffine with zero probabilities is the identity map") {
     val df = spark.range(1).select(
       AffineParams.randomAffine(col("id"), 1L, 30, 0.0, (0.8, 1.2), 0.0, 0.0, 5, 0.0).as("m"))
