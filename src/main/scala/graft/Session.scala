@@ -30,4 +30,17 @@ object Session {
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.ui.enabled", "false")
+
+  /** Wide-row (tensor-record) read tuning: the vectorized parquet reader
+    * batches 4096 rows by default — at ~5 MB per cine record that is a
+    * ~20 GB reservation per task. 32-row batches keep vectorization with a
+    * ~160 MB ceiling. Call before scanning tensor-record parquet
+    * (DatasetCacher.load does this); harmless for narrow relational scans
+    * issued afterwards, but the narrow-scan default is restored by
+    * `narrowRows`. */
+  def wideRows(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "32")
+
+  def narrowRows(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "4096")
 }

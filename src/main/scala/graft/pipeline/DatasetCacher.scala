@@ -60,9 +60,12 @@ object DatasetCacher {
     path
   }
 
-  /** T12 `LoadCachedDatad` read side: scan the cached records. */
-  def load(spark: SparkSession, path: String): DataFrame =
+  /** T12 `LoadCachedDatad` read side: scan the cached records (wide rows →
+    * small vectorized batches, see Session.wideRows). */
+  def load(spark: SparkSession, path: String): DataFrame = {
+    graft.Session.wideRows(spark)
     spark.read.parquet(s"$path/records")
+  }
 
   def manifest(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/_manifest")

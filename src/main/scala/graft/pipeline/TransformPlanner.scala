@@ -27,11 +27,25 @@ object TransformPlanner {
       df = df.withColumn(c, Tensors.ensure5d(col(c)))
     }
     imageCols.foreach { c =>
-      df = df.withColumn(c, Tensors.shiftToZero(col(c)))
-        .withColumn(s"${c}_meta", Tensors.stats(col(s"$c.data")))
+      // kernel fast path: cache inputs are full 4-D cine buffers (10⁶+
+      // elements) — interpreted HOFs are 10-100× slower there (see
+      // Kernels.bufferStats scaladoc)
+      val st = Kernels.bufferStats(col(s"$c.data"))
+      df = df.withColumn(s"${c}_meta",
+        struct(st("_1").as("amin"), st("_2").as("amax"), st("_3").as("mean"),
+          st("_4").as("std"), st("_5").as("numel")))
+      df = df.withColumn(c, Tensors.tensor(col(s"$c.shape"),
+        Kernels.shiftScale(col(s"$c.data"), -col(s"${c}_meta.amin"), lit(1.0))))
+      // meta reflects the shifted buffer the record stores (min = 0), like
+      // the reference which computes stats after ProcessIntensityd
+      df = df.withColumn(s"${c}_meta", struct(
+        lit(0.0).as("amin"),
+        (col(s"${c}_meta.amax") - col(s"${c}_meta.amin")).as("amax"),
+        (col(s"${c}_meta.mean") - col(s"${c}_meta.amin")).as("mean"),
+        col(s"${c}_meta.std").as("std"), col(s"${c}_meta.numel").as("numel")))
     }
     labelCols.foreach { c =>
-      df = df.withColumn(s"${c}_present_classes", Tensors.presentClasses(col(c)))
+      df = df.withColumn(s"${c}_present_classes", Kernels.presentClasses(col(s"$c.data")))
     }
     // explode on the first image key's geometry; sibling keys share shape
     val primary = imageCols.headOption.getOrElse(labelCols.head)

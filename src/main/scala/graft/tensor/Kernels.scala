@@ -96,6 +96,52 @@ object Kernels {
     Seq(i0, i1, -(i0 * m(2) + i1 * m(5)), i3, i4, -(i3 * m(2) + i4 * m(5)))
   })
 
+  /** A4/T6 fast path for LARGE buffers: one-pass stats + shift as a
+    * primitive JVM loop. Spark's higher-order array functions are
+    * CodegenFallback (interpreted, boxed, per element — the `aggregate`
+    * fold even allocates a struct row per element); on megapixel cine
+    * buffers that is 10-100× slower than this loop. `Tensors.stats`/HOF
+    * intensity ops remain the right tool for small arrays (vectors,
+    * shingles, per-order groups) where they stay inside the relational
+    * plan. Rule of thumb: HOFs under ~10k elements, kernels above.
+    */
+  val bufferStats: UserDefinedFunction = udf((data: Seq[Float]) => {
+    var mn = Double.MaxValue; var mx = Double.MinValue
+    var s1 = 0.0; var s2 = 0.0
+    val arr = data.toArray
+    var i = 0
+    while (i < arr.length) {
+      val x = arr(i).toDouble
+      if (x < mn) mn = x
+      if (x > mx) mx = x
+      s1 += x; s2 += x * x
+      i += 1
+    }
+    val n = arr.length
+    val mean = if (n > 0) s1 / n else 0.0
+    val variance = if (n > 0) math.max(s2 / n - mean * mean, 0.0) else 0.0
+    (mn, mx, mean, math.sqrt(variance), n.toLong)
+  })
+
+  /** x → (x + shift) * scale over the buffer, primitive loop. */
+  val shiftScale: UserDefinedFunction =
+    udf((data: Seq[Float], shift: Double, scale: Double) => {
+      val arr = data.toArray
+      val out = new Array[Float](arr.length)
+      var i = 0
+      while (i < arr.length) { out(i) = ((arr(i) + shift) * scale).toFloat; i += 1 }
+      out.toSeq
+    })
+
+  /** A7 fast path: sorted distinct rounded classes of a large label buffer. */
+  val presentClasses: UserDefinedFunction = udf((data: Seq[Float]) => {
+    val seen = scala.collection.mutable.SortedSet.empty[Int]
+    val arr = data.toArray
+    var i = 0
+    while (i < arr.length) { seen += math.round(arr(i)); i += 1 }
+    seen.toSeq
+  })
+
   /** T9 separable Gaussian blur of every (t,d,c) plane, truncated at 3σ
     * (monai RandGaussianSmoothd semantics), reflect-free zero-sum-preserving
     * normalization at borders. */
