@@ -18,8 +18,15 @@ object VectorQueries {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** native codegen dot product (graft.expressions.VecDot) — same
+    * left-to-right double fold as the HOF formulation and DuckDB's
+    * list_dot_product, so results are bit-identical; but the loop lives
+    * inside whole-stage codegen instead of an interpreted lambda. */
+  private def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.expressions.VecDot(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
+  }
 
   /** embeddings with double vectors + L2 norms. */
   private def normed(s: SparkSession, d: String): DataFrame = {
