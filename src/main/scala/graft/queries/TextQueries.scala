@@ -319,5 +319,71 @@ object TextQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(q26, q26t, q27, q27p, q28, q29, q30, q31, q32, q33)
+  // ---------------------------------------------------------------- Q37
+  /** Boilerplate detection: non-overlapping 2-word chunks shared across
+    * documents (the "same footer in 10k pages" shape). Scale: explode →
+    * hash-agg on the chunk; the shuffle carries (chunk, doc) pairs only. */
+  val q37 = DeclaredQuery(
+    "q37_chunk_dedup",
+    Some("""WITH c AS (
+           |  SELECT doc_id,
+           |         string_split(text,' ')[CAST(2*i+1 AS INTEGER)] || ' ' ||
+           |         string_split(text,' ')[CAST(2*i+2 AS INTEGER)] AS chunk
+           |  FROM (SELECT doc_id, text, unnest(range(0, len(string_split(text,' '))//2)) AS i
+           |        FROM documents)),
+           |d AS (SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc
+           |      FROM c GROUP BY chunk)
+           |SELECT chunk, n_docs, first_doc FROM d WHERE n_docs > 1
+           |ORDER BY chunk""".stripMargin)) { (s, d) =>
+    val w = words
+    val chunks = docs(s, d).select(col("doc_id"),
+      explode(transform(sequence(lit(0), (size(w) / 2).cast("int") - 1),
+        i => concat_ws(" ", element_at(w, i * 2 + 1), element_at(w, i * 2 + 2)))).as("chunk"))
+    chunks.groupBy("chunk")
+      .agg(countDistinct(col("doc_id")).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy("chunk")
+  }
+
+  // ---------------------------------------------------------------- Q38
+  /** Benchmark-contamination check: training docs sharing word-trigrams
+    * with a held-out benchmark set (doc_id ≡ 7 mod 100) — the standard
+    * test-set-leakage sweep. The benchmark side is tiny → broadcast; the
+    * training side streams once. */
+  val q38 = DeclaredQuery(
+    "q38_contamination",
+    Some("""WITH g AS (
+           |  SELECT doc_id, string_split(text,' ')[CAST(i AS INTEGER)] || ' ' ||
+           |         string_split(text,' ')[CAST(i+1 AS INTEGER)] || ' ' ||
+           |         string_split(text,' ')[CAST(i+2 AS INTEGER)] AS tri
+           |  FROM (SELECT doc_id, text, unnest(range(1, len(string_split(text,' '))-1)) AS i
+           |        FROM documents)),
+           |bench AS (SELECT DISTINCT tri FROM g WHERE doc_id % 100 = 7),
+           |bdocs AS (SELECT doc_id, tri FROM g WHERE doc_id % 100 = 7),
+           |train AS (SELECT DISTINCT doc_id, tri FROM g WHERE doc_id % 100 <> 7)
+           |SELECT t.doc_id,
+           |       COUNT(DISTINCT t.tri) AS n_shared_trigrams,
+           |       COUNT(DISTINCT b.doc_id) AS n_benchmark_docs_hit
+           |FROM train t JOIN bench ON t.tri = bench.tri
+           |             JOIN bdocs b ON t.tri = b.tri
+           |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)) { (s, d) =>
+    val w = words
+    val g = docs(s, d).select(col("doc_id"),
+      explode(when(size(w) >= 3, transform(sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+        .otherwise(array())).as("tri"))
+    val bench = g.filter(col("doc_id") % 100 === 7)
+    val benchTris = bench.select(col("tri")).distinct()
+    val benchDocs = bench.select(col("doc_id").as("bench_doc"), col("tri"))
+    val train = g.filter(col("doc_id") % 100 =!= 7).distinct()
+    train.join(broadcast(benchTris), "tri")
+      .join(broadcast(benchDocs), "tri")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("tri")).as("n_shared_trigrams"),
+        countDistinct(col("bench_doc")).as("n_benchmark_docs_hit"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(q26, q26t, q27, q27p, q28, q29, q30, q31,
+    q32, q33, q37, q38)
 }

@@ -36,4 +36,13 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col(keyCol), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"))
+
+  /** Streaming exact dedup (X1's streaming twin): keep the first record per
+    * key, with state expiry bounded by the watermark —
+    * `dropDuplicatesWithinWatermark` keeps state finite on an unbounded
+    * stream (a plain dropDuplicates would grow state forever at 100 TB/day). */
+  def dedupStream(events: DataFrame, tsCol: String, watermark: String,
+                  keyCols: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
 }

@@ -41,6 +41,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first record per key under watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val events = input.toDF().toDF("ts", "content_hash", "payload")
+    val deduped = StreamingOps.dedupStream(events, "ts", "10 minutes", Seq("content_hash"))
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_out").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(0), 100L, "a"), (ts(1), 100L, "b"), (ts(2), 200L, "c"))
+      q.processAllAvailable()
+      input.addData((ts(3), 100L, "d"), (ts(4), 300L, "e"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").collect()
+      assert(out.length == 3, s"one row per key: ${out.toSeq}")
+      assert(out.map(_.getAs[Long]("content_hash")).sorted.toSeq == Seq(100L, 200L, 300L))
+      // the first payload for key 100 won
+      assert(out.find(_.getAs[Long]("content_hash") == 100L).get.getAs[String]("payload") == "a")
+    } finally q.stop()
+  }
+
   test("watermark drops late data in tumbling aggregation") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
