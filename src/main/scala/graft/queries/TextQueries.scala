@@ -65,8 +65,10 @@ object TextQueries {
   }
 
   /** MinHash signatures for all docs: explode the shingle stream once, then
-    * hash-aggregate 8 string-mins per doc (minhash_h = lexicographic min of
-    * md5(shingle#h) — identical in DuckDB, no numeric hash parsing).
+    * hash-aggregate 8 string-mins per doc. The 8 hash functions are the
+    * four 8-hex-char slices of md5(shingle) plus the four of
+    * md5(shingle#) — 2 digests instead of 8, byte-identical in DuckDB
+    * (substr of the same lowercase hex).
     *
     * Deliberately explode+partial-agg rather than nested HOFs: map-side
     * combine reduces each partition to one 8-string row per doc before the
@@ -76,9 +78,13 @@ object TextQueries {
     * signatures, never shingles. */
   private def minhashSignatures(df: DataFrame): DataFrame = {
     val sh = df.select(col("doc_id"), explode(shingles).as("g"))
-    sh.groupBy("doc_id")
-      .agg((0 until 8).map(h => min(md5(concat(col("g"), lit(s"#$h")))).as(s"mh$h")).head,
-        (0 until 8).map(h => min(md5(concat(col("g"), lit(s"#$h")))).as(s"mh$h")).tail: _*)
+      .withColumn("h1", md5(col("g")))
+      .withColumn("h2", md5(concat(col("g"), lit("#"))))
+    def hashSlice(h: Int): Column =
+      if (h < 4) substring(col("h1"), 8 * h + 1, 8)
+      else substring(col("h2"), 8 * (h - 4) + 1, 8)
+    val aggs = (0 until 8).map(h => min(hashSlice(h)).as(s"mh$h"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   private val oracleShingleCte =
@@ -88,12 +94,12 @@ object TextQueries {
       |           i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
       |    ELSE [text] END AS sh
       |  FROM documents),
-      |u AS (SELECT doc_id, unnest(sh) AS g FROM s),
+      |u AS (SELECT doc_id, md5(unnest(sh)) AS h1, md5(unnest(sh) || '#') AS h2 FROM s),
       |m AS (SELECT doc_id,
-      |        MIN(md5(g || '#0')) AS mh0, MIN(md5(g || '#1')) AS mh1,
-      |        MIN(md5(g || '#2')) AS mh2, MIN(md5(g || '#3')) AS mh3,
-      |        MIN(md5(g || '#4')) AS mh4, MIN(md5(g || '#5')) AS mh5,
-      |        MIN(md5(g || '#6')) AS mh6, MIN(md5(g || '#7')) AS mh7
+      |        MIN(substr(h1, 1, 8))  AS mh0, MIN(substr(h1, 9, 8))  AS mh1,
+      |        MIN(substr(h1, 17, 8)) AS mh2, MIN(substr(h1, 25, 8)) AS mh3,
+      |        MIN(substr(h2, 1, 8))  AS mh4, MIN(substr(h2, 9, 8))  AS mh5,
+      |        MIN(substr(h2, 17, 8)) AS mh6, MIN(substr(h2, 25, 8)) AS mh7
       |      FROM u GROUP BY doc_id)""".stripMargin
 
   // ---------------------------------------------------------------- Q27
