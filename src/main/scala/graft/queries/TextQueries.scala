@@ -55,14 +55,25 @@ object TextQueries {
       .orderBy("lang")
   }
 
-  // shared minhash construction -----------------------------------------
-  /** word-3-shingles; docs with <3 words fall back to the whole text. */
-  private val shingles: Column = {
-    val n = size(words)
-    when(n >= 3, transform(sequence(lit(1), n - 2),
-      i => concat_ws(" ", element_at(words, i), element_at(words, i + 1), element_at(words, i + 2))))
-      .otherwise(array(col("text")))
+  // shared n-gram construction ------------------------------------------
+  /** Bind an expensive array expression ONCE as a lambda variable: wrap in
+    * a single-element array and transform over it. Without this, Catalyst
+    * inlines the array expr at every reference inside the n-gram lambda —
+    * `split(text)` was being re-evaluated 3× per shingle. */
+  private def bound(arr: Column)(f: Column => Column): Column =
+    element_at(transform(array(arr), f), 1)
+
+  /** word n-grams of width `k` joined by spaces; empty when fewer than k
+    * words. */
+  private def ngrams(k: Int): Column = bound(words) { w =>
+    when(size(w) >= k, transform(sequence(lit(1), size(w) - (k - 1)),
+      i => concat_ws(" ", (0 until k).map(o => element_at(w, i + o)): _*)))
+      .otherwise(array())
   }
+
+  /** word-3-shingles; docs with <3 words fall back to the whole text. */
+  private val shingles: Column =
+    when(size(words) >= 3, ngrams(3)).otherwise(array(col("text")))
 
   /** MinHash signatures for all docs: explode the shingle stream once, then
     * hash-aggregate 8 string-mins per doc. The 8 hash functions are the
@@ -341,10 +352,11 @@ object TextQueries {
            |      FROM c GROUP BY chunk)
            |SELECT chunk, n_docs, first_doc FROM d WHERE n_docs > 1
            |ORDER BY chunk""".stripMargin)) { (s, d) =>
-    val w = words
-    val chunks = docs(s, d).select(col("doc_id"),
-      explode(transform(sequence(lit(0), (size(w) / 2).cast("int") - 1),
-        i => concat_ws(" ", element_at(w, i * 2 + 1), element_at(w, i * 2 + 2)))).as("chunk"))
+    val chunkArr = bound(words) { w =>
+      transform(sequence(lit(0), (size(w) / 2).cast("int") - 1),
+        i => concat_ws(" ", element_at(w, i * 2 + 1), element_at(w, i * 2 + 2)))
+    }
+    val chunks = docs(s, d).select(col("doc_id"), explode(chunkArr).as("chunk"))
     chunks.groupBy("chunk")
       .agg(countDistinct(col("doc_id")).as("n_docs"), min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") > 1)
@@ -373,11 +385,7 @@ object TextQueries {
            |FROM train t JOIN bench ON t.tri = bench.tri
            |             JOIN bdocs b ON t.tri = b.tri
            |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)) { (s, d) =>
-    val w = words
-    val g = docs(s, d).select(col("doc_id"),
-      explode(when(size(w) >= 3, transform(sequence(lit(1), size(w) - 2),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
-        .otherwise(array())).as("tri"))
+    val g = docs(s, d).select(col("doc_id"), explode(ngrams(3)).as("tri"))
     val bench = g.filter(col("doc_id") % 100 === 7)
     val benchTris = bench.select(col("tri")).distinct()
     val benchDocs = bench.select(col("doc_id").as("bench_doc"), col("tri"))
