@@ -217,14 +217,12 @@ object RelationalQueries {
         Det.cents(col("l_quantity")).cast("string"),
         Det.cents(col("l_discount")).cast("string"))))
     // (l_orderkey, l_linenumber) is NOT unique in the testdata — a bare
-    // max_by would tie-break nondeterministically; rank with an explicit
-    // total order instead.
+    // max_by would tie-break nondeterministically; take the first row of an
+    // explicit total order. Window + groupBy share the l_orderkey
+    // partitioning, so this is one exchange and no join.
     val wTgt = Window.partitionBy(col("l_orderkey"))
       .orderBy(col("l_linenumber").desc, col("content").desc)
-    val tgt = rows.withColumn("rk", row_number().over(wTgt))
-      .filter(col("rk") === 1)
-      .select(col("l_orderkey"), col("content").as("target"))
-    rows.join(tgt, "l_orderkey")
+    rows.withColumn("target", first(col("content")).over(wTgt))
       .groupBy("l_orderkey")
       .agg(min(when(col("content") === col("target"), col("l_linenumber")))
         .as("matched_linenumber"))
@@ -515,12 +513,13 @@ object RelationalQueries {
            |       ((e.l_linenumber - ed.ed_ln) % e.n + e.n) % e.n AS frame_nr
            |FROM e JOIN ed ON e.l_orderkey = ed.l_orderkey
            |ORDER BY e.l_orderkey, e.l_linenumber""".stripMargin)) { (s, d) =>
+    // ED lookup as a windowed first() — no self-join; both windows share
+    // the l_orderkey partitioning (one exchange total)
     val w = Window.partitionBy(col("l_orderkey"))
-    val e = li(s, d).select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    li(s, d).select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       .withColumn("n", count(lit(1)).over(w))
-      .withColumn("rk", row_number().over(w.orderBy(col("l_quantity").desc, col("l_linenumber"))))
-    val ed = e.filter(col("rk") === 1).select(col("l_orderkey"), col("l_linenumber").as("ed_ln"))
-    e.join(ed, "l_orderkey")
+      .withColumn("ed_ln", first(col("l_linenumber"))
+        .over(w.orderBy(col("l_quantity").desc, col("l_linenumber"))))
       .select(col("l_orderkey"), col("l_linenumber"),
         pmod(col("l_linenumber") - col("ed_ln"), col("n")).as("frame_nr"))
       .orderBy("l_orderkey", "l_linenumber")
