@@ -45,6 +45,29 @@ object BatchServer {
       .drop("_grp_n", "_total")
   }
 
+  /** Scalable deterministic prefix sum over a numeric-id total order:
+    * two-phase — per-bucket partial sums (tiny) get running offsets, rows
+    * window-sum only within their bucket. A single global
+    * `Window.orderBy(id)` funnels every row through one reducer; this
+    * shape never does, and the result is identical because the bucket
+    * function (id DIV width) preserves the id order. */
+  def scalableCumSum(df: DataFrame, idCol: String, valueCol: String): DataFrame = {
+    // total order = xxhash64(id): numeric for any id type, deterministic,
+    // collision-free in practice; bucket = top 10 bits (arithmetic shift is
+    // monotone in the key, so buckets preserve the order)
+    val withB = df.withColumn("_ord", xxhash64(col(idCol)))
+      .withColumn("_b", shiftright(col("_ord"), 54))
+    val bucketTotals = withB.groupBy("_b").agg(sum(col(valueCol)).as("_b_sum"))
+    val offsets = bucketTotals.withColumn("_b_off",
+      coalesce(sum(col("_b_sum")).over(
+        Window.orderBy(col("_b")).rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+      .select(col("_b"), col("_b_off"))
+    val wIn = Window.partitionBy(col("_b")).orderBy(col("_ord"), col(idCol))
+    withB.join(broadcast(offsets), Seq("_b"))
+      .withColumn("_cum_hi", col("_b_off") + sum(col(valueCol)).over(wIn))
+      .drop("_b", "_b_off", "_ord")
+  }
+
   /** R2 WeightedRandomSampler analog: `draws` seeded with-replacement picks
     * ∝ weight. Deterministic inverse-CDF: u_i = hash(i, seed) ∈ [0,1),
     * pick the row whose cumulative-weight interval contains u_i·W.
@@ -52,8 +75,7 @@ object BatchServer {
     * property-tested (SURVEY §7.4.4). */
   def weightedDraw(df: DataFrame, idCol: String, draws: Int, seed: Long): DataFrame = {
     val spark = df.sparkSession
-    val w = Window.orderBy(col(idCol))
-    val cum = df.withColumn("_cum_hi", sum(col("weight")).over(w))
+    val cum = scalableCumSum(df, idCol, "weight")
       .withColumn("_cum_lo", col("_cum_hi") - col("weight"))
     val total = df.agg(sum(col("weight")).as("_w_total"))
     val drawsDf = spark.range(draws.toLong).select(col("id").as("draw_nr"))

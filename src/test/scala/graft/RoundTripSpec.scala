@@ -72,6 +72,22 @@ class RoundTripSpec extends SparkSpec {
     }
   }
 
+  test("scalableCumSum equals single-window prefix sum in xxhash64 order") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Tables.customer(spark, sf0001).withColumn("weight", col("c_acctbal") + 1000.0)
+    val scalable = graft.pipeline.BatchServer.scalableCumSum(df, "c_custkey", "weight")
+      .select(col("c_custkey"), col("_cum_hi")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val naive = df.withColumn("_cum_hi", sum(col("weight")).over(
+      Window.orderBy(xxhash64(col("c_custkey")), col("c_custkey"))))
+      .select(col("c_custkey"), col("_cum_hi")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scalable.keySet == naive.keySet)
+    scalable.foreach { case (k, v) =>
+      assert(math.abs(v - naive(k)) < 1e-6, s"custkey $k: $v vs ${naive(k)}")
+    }
+  }
+
   test("inverse-frequency weight × group size = total (any grouping)") {
     val df = Tables.customer(spark, sf0001)
     val w = graft.pipeline.BatchServer.inverseFrequencyWeights(df, Seq("c_mktsegment", "c_nationkey"))
