@@ -34,13 +34,13 @@ object Session {
 
   /** Wide-row (tensor-record) read tuning: the vectorized parquet reader
     * batches 4096 rows by default — at ~5 MB per cine record that is a
-    * ~20 GB reservation per task. 32-row batches keep vectorization with a
-    * ~160 MB ceiling. Call before scanning tensor-record parquet
-    * (DatasetCacher.load does this); harmless for narrow relational scans
-    * issued afterwards, but the narrow-scan default is restored by
+    * ~20 GB reservation per task. 8-row batches keep vectorization with a
+    * ~40 MB-per-column ceiling, which also survives 32 concurrent tasks in
+    * one local JVM. Call before scanning tensor-record parquet
+    * (DatasetCacher.load does this); the narrow-scan default is restored by
     * `narrowRows`. */
   def wideRows(spark: SparkSession): Unit =
-    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "32")
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "8")
 
   def narrowRows(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "4096")
