@@ -133,15 +133,28 @@ object TransformPlanner {
       df = df.withColumn(c, warped(c, lit(oh), lit(ow), bilinear = false))
     }
 
-    // T7 normalization family, reference_level current|saved
+    // T7 normalization family, reference_level current|saved — kernel path:
+    // serve records are whole 2-D/3-D buffers where interpreted HOFs drag
+    // (see Kernels.bufferStats scaladoc)
+    def kernelStandardize(c: String, mean: org.apache.spark.sql.Column,
+                          std: org.apache.spark.sql.Column) =
+      Tensors.tensor(col(s"$c.shape"),
+        when(std > 0,
+          Kernels.shiftScale(col(s"$c.data"), -mean, lit(1.0) / std))
+          .otherwise(Kernels.shiftScale(col(s"$c.data"), -mean, lit(0.0))))
     imageCols.foreach { c =>
       config.normalize.mode match {
         case "standardize" =>
           df =
             if (config.normalize.referenceLevel == "saved")
-              df.withColumn(c, Tensors.standardize(col(c),
+              df.withColumn(c, kernelStandardize(c,
                 col(s"${c}_meta.mean"), col(s"${c}_meta.std")))
-            else df.withColumn(c, Tensors.standardizeInPlace(col(c)))
+            else {
+              val st = Kernels.bufferStats(col(s"$c.data"))
+              df.withColumn("_st", st)
+                .withColumn(c, kernelStandardize(c, col("_st._3"), col("_st._4")))
+                .drop("_st")
+            }
         case "normalize" =>
           df = df.withColumn(c, Tensors.normalize(col(c), 0.0, 1.0))
         case _ => ()
