@@ -6,6 +6,18 @@ import org.apache.spark.sql.functions._
 class BucketingSpec extends SparkSpec {
 
   test("same-bucket join runs without a shuffle exchange") {
+    // idempotence: the warehouse dir outlives the in-memory catalog across
+    // JVM runs — drop both the table entries and their locations
+    Seq("li_b", "o_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
     val li = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
     val o = Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice")
     Bucketing.writeBucketed(li, "li_b", "l_orderkey", 4)
