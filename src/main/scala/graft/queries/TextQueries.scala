@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{DeclaredQuery, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + deduplication surface over `documents` (SURVEY §2.13
@@ -398,6 +399,77 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- Q39
+  /** Near-dup cluster formation: connected components over the LSH-band
+    * candidate edges (q27p) by min-label propagation — the step that turns
+    * pair candidates into "keep one canonical doc per cluster" decisions.
+    * cluster_id = min doc_id reachable through shared bands.
+    *
+    * Spark side: iterative label propagation (converges in ≤ log₂ of the
+    * deepest component; the driver loop only checks a changed-count). The
+    * oracle computes the same fixpoint as a recursive reachability CTE.
+    * Scale: each iteration is one join + groupBy on (edge, label) — the
+    * standard Spark connected-components shape without GraphX. */
+  val q39 = DeclaredQuery(
+    "q39_dedup_clusters",
+    Some(s"""${oracleShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+            |b AS (
+            |  SELECT doc_id, 0 AS band_idx, md5(mh0 || mh1) AS band FROM m
+            |  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM m
+            |  UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM m
+            |  UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM m),
+            |e AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS c
+            |      FROM b x JOIN b y ON x.band_idx = y.band_idx AND x.band = y.band
+            |                        AND x.doc_id < y.doc_id),
+            |sym AS (SELECT a AS x, c AS nb FROM e UNION ALL SELECT c, a FROM e),
+            |r(doc_id, seen) AS (
+            |  SELECT doc_id, doc_id FROM documents
+            |  UNION
+            |  SELECT sym.nb, r.seen FROM r JOIN sym ON sym.x = r.doc_id),
+            |reach AS (SELECT doc_id, MIN(seen) AS cluster_id FROM r GROUP BY doc_id)
+            |SELECT doc_id, cluster_id,
+            |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+            |       (doc_id = cluster_id) AS is_canonical
+            |FROM reach ORDER BY doc_id""".stripMargin)) { (s, d) =>
+    val sig = minhashSignatures(docs(s, d)).persist()
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until 4).map(b =>
+        md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))): _*)))
+      .toDF("doc_id", "band_idx", "band")
+    val edges = bands.select(col("doc_id").as("a"), col("band_idx"), col("band"))
+      .join(bands.select(col("doc_id").as("c"), col("band_idx"), col("band")),
+        Seq("band_idx", "band"))
+      .filter(col("a") < col("c"))
+      .select("a", "c").distinct().persist()
+    var labels = docs(s, d).select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      // neighbor labels in both edge directions, then per-doc min
+      val viaA = edges.join(labels.withColumnRenamed("doc_id", "c")
+        .withColumnRenamed("cluster_id", "nl"), Seq("c"))
+        .select(col("a").as("doc_id"), col("nl"))
+      val viaC = edges.join(labels.withColumnRenamed("doc_id", "a")
+        .withColumnRenamed("cluster_id", "nl"), Seq("a"))
+        .select(col("c").as("doc_id"), col("nl"))
+      // eager localCheckpoint truncates the per-iteration lineage — without
+      // it each round re-plans (and re-runs) every previous round's joins
+      val next = labels.unionByName(viaA.withColumnRenamed("nl", "cluster_id"))
+        .unionByName(viaC.withColumnRenamed("nl", "cluster_id"))
+        .groupBy("doc_id").agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    val w = Window.partitionBy(col("cluster_id"))
+    labels.withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[DeclaredQuery] = Seq(q26, q26t, q27, q27p, q28, q29, q30, q31,
-    q32, q33, q37, q38)
+    q32, q33, q37, q38, q39)
 }
