@@ -24,7 +24,7 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (q15 Welzl aggregate, q23 HLL sketch, q35 LSH sign boundaries) →
+    * (q15 Welzl aggregate, q23 HLL sketch) →
     * driver records a weaker rows-only check for those.
     */
   def oracleSql: Map[String, String] =

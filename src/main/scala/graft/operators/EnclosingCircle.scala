@@ -60,16 +60,22 @@ object EnclosingCircle {
   }
 
   private object Agg extends Aggregator[(Double, Double), ArrayBuffer[(Double, Double)], Circle] {
+    // Hash-based dedup, amortized O(1) per point: append freely, collapse
+    // duplicates whenever the buffer length hits a power of two (so total
+    // dedup work is O(n)), and always on merge/finish. A per-append
+    // `b.contains` would be O(n²) per group — fatal on raw pixel coords.
+    private def dedup(b: ArrayBuffer[(Double, Double)]): ArrayBuffer[(Double, Double)] = {
+      val seen = scala.collection.mutable.HashSet.empty[(Double, Double)]
+      b.filter(seen.add)
+    }
     def zero: ArrayBuffer[(Double, Double)] = ArrayBuffer.empty
     def reduce(b: ArrayBuffer[(Double, Double)], p: (Double, Double)): ArrayBuffer[(Double, Double)] = {
-      if (!b.contains(p)) b += p // bounded dedup: point domain per group is small
-      b
+      b += p
+      if (b.length >= 1024 && (b.length & (b.length - 1)) == 0) dedup(b) else b
     }
-    def merge(a: ArrayBuffer[(Double, Double)], b: ArrayBuffer[(Double, Double)]): ArrayBuffer[(Double, Double)] = {
-      b.foreach(p => if (!a.contains(p)) a += p)
-      a
-    }
-    def finish(b: ArrayBuffer[(Double, Double)]): Circle = welzl(b.toSeq)
+    def merge(a: ArrayBuffer[(Double, Double)], b: ArrayBuffer[(Double, Double)]): ArrayBuffer[(Double, Double)] =
+      dedup(a ++= b)
+    def finish(b: ArrayBuffer[(Double, Double)]): Circle = welzl(dedup(b).toSeq)
     def bufferEncoder: Encoder[ArrayBuffer[(Double, Double)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     def outputEncoder: Encoder[Circle] = Encoders.product[Circle]

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.operators.Ranks
 import graft.util.Det
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -10,26 +11,30 @@ import org.apache.spark.sql.functions._
   * weights (A1/A2/J1) and a deterministic with-replacement weighted draw
   * (R2) via inverse-CDF range join.
   *
-  * Scale: the shuffle is an `orderBy(hash)` — a full sort, but of *keys*,
-  * and Spark executes it as a range-partitioned sort, no single-node
-  * bottleneck. The weighted draw joins draws to a cumulative-weight table
-  * (broadcast when groups are few, range-join otherwise).
+  * Scale: the epoch shuffle is a two-phase rank over the seeded key
+  * (`Ranks.globalRowNumber` — per-bucket windows, no single-reducer sort).
+  * The weighted draw joins draws to a cumulative-weight table (broadcast
+  * when groups are few, range-join otherwise).
   */
 object BatchServer {
 
   /** R3: epoch-seeded uniform shuffle + fixed-size batch ids; incomplete
-    * trailing batch dropped when dropLast. */
+    * trailing batch dropped when dropLast. The rank is the two-phase
+    * `Ranks.globalRowNumber` (this is the serving hot path — a bare
+    * `Window.orderBy` would single-reduce every epoch), and the dropLast
+    * row count falls out of the same bucket-count pass, so no extra
+    * `df.count()` action. */
   def shuffledBatches(df: DataFrame, idCol: String, epoch: Long,
                       batchSize: Int, dropLast: Boolean): DataFrame = {
-    val w = Window.orderBy(Det.seededKey(s"epoch$epoch", col(idCol)), col(idCol))
-    val out = df.withColumn("_rn", row_number().over(w))
+    val key = Det.seededKey(s"epoch$epoch", col(idCol))
+    val (ranked, n) = Ranks.globalRowNumberWithCount(
+      df, Ranks.hexBucket(key), Seq(key, col(idCol)), "_rn")
+    val out = ranked
       .withColumn("batch_id", expr(s"(_rn - 1) DIV $batchSize"))
       .withColumn("pos_in_batch", expr(s"(_rn - 1) % $batchSize"))
     val sized =
-      if (dropLast) {
-        val n = df.count()
-        out.filter(col("_rn") <= (n / batchSize) * batchSize)
-      } else out
+      if (dropLast) out.filter(col("_rn") <= (n / batchSize) * batchSize)
+      else out
     sized.drop("_rn")
   }
 
@@ -58,9 +63,13 @@ object BatchServer {
     val withB = df.withColumn("_ord", xxhash64(col(idCol)))
       .withColumn("_b", shiftright(col("_ord"), 54))
     val bucketTotals = withB.groupBy("_b").agg(sum(col(valueCol)).as("_b_sum"))
+    // offsets frame is ≤1024 post-agg rows — deliberate (non-foldable)
+    // single-partition key keeps the tiny running sum off the
+    // "no partition defined" path
     val offsets = bucketTotals.withColumn("_b_off",
       coalesce(sum(col("_b_sum")).over(
-        Window.orderBy(col("_b")).rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+        Window.partitionBy(Ranks.onePartition(col("_b"))).orderBy(col("_b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
       .select(col("_b"), col("_b_off"))
     val wIn = Window.partitionBy(col("_b")).orderBy(col("_ord"), col(idCol))
     withB.join(broadcast(offsets), Seq("_b"))
@@ -70,21 +79,30 @@ object BatchServer {
 
   /** R2 WeightedRandomSampler analog: `draws` seeded with-replacement picks
     * ∝ weight. Deterministic inverse-CDF: u_i = hash(i, seed) ∈ [0,1),
-    * pick the row whose cumulative-weight interval contains u_i·W.
+    * pick the row whose cumulative-weight interval contains ⌊u_i·W⌋.
+    *
+    * Weights are quantized to exact integer micro-units (×1e6) first:
+    * integer cumulative sums are associative, so adjacent intervals tile
+    * [0, W) exactly — no IEEE ulp gaps/overlaps at boundaries, every draw
+    * matches exactly one row, and the result is strictly
+    * partition-invariant. `_w_total` is `max(_cum_hi)` of the same sums,
+    * never a separately-ordered double sum. (Weights below 5e-7 quantize
+    * to zero and are never drawn.)
     * Declared contract checks the weights (Q05); the draw itself is
     * property-tested (SURVEY §7.4.4). */
   def weightedDraw(df: DataFrame, idCol: String, draws: Int, seed: Long): DataFrame = {
     val spark = df.sparkSession
-    val cum = scalableCumSum(df, idCol, "weight")
-      .withColumn("_cum_lo", col("_cum_hi") - col("weight"))
-    val total = df.agg(sum(col("weight")).as("_w_total"))
+    val units = df.withColumn("_wu", round(col("weight") * 1e6, 0).cast("long"))
+    val cum = scalableCumSum(units, idCol, "_wu")
+      .withColumn("_cum_lo", col("_cum_hi") - col("_wu"))
+    val total = cum.agg(max(col("_cum_hi")).as("_w_total"))
     val drawsDf = spark.range(draws.toLong).select(col("id").as("draw_nr"))
       .crossJoin(broadcast(total))
       .withColumn("_u",
-        (pmod(xxhash64(col("draw_nr"), lit(seed)), lit(1L << 24)).cast("double")
-          / lit((1L << 24).toDouble)) * col("_w_total"))
-    // interval containment join: _cum_lo <= u < _cum_hi
+        floor((pmod(xxhash64(col("draw_nr"), lit(seed)), lit(1L << 24)).cast("double")
+          / lit((1L << 24).toDouble)) * col("_w_total").cast("double")).cast("long"))
+    // interval containment join: _cum_lo <= u < _cum_hi (integer, exact)
     drawsDf.join(cum, col("_u") >= col("_cum_lo") && col("_u") < col("_cum_hi"))
-      .drop("_u", "_cum_lo", "_cum_hi", "_w_total")
+      .drop("_u", "_cum_lo", "_cum_hi", "_w_total", "_wu")
   }
 }

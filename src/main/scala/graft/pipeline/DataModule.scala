@@ -39,7 +39,8 @@ final case class DataModule(
     val devSubjects = splitDf.filter(col("split").isin("train", "valid"))
     val devRecords = records.join(
       broadcast(devSubjects.select(col(idCol), col("split"))), Seq(idCol))
-    val cached = TransformPlanner.cachePlan(config, imageCols, labelCols)(devRecords)
+    val cached = TransformPlanner.cachePlan(config, imageCols, labelCols,
+      recordKeyCols = Seq("dataset", idCol))(devRecords)
       .withColumn("file_id", concat_ws("-",
         col("dataset"), col(idCol), format_string("%02d", col("slice_nr")),
         format_string("%02d", col("frame_nr"))))
@@ -59,7 +60,7 @@ final case class DataModule(
       .filter(col("split") === whichSplit)
     val augmented = whichSplit == "train"
     val served = TransformPlanner.servePlan(config, imageCols, labelCols,
-      "file_id", augmented)(cached)
+      "file_id", augmented, epoch)(cached)
     BatchServer.shuffledBatches(served, "file_id", epoch,
       config.batchSize, config.dropLast)
   }
@@ -73,6 +74,6 @@ final case class DataModule(
     val weighted = BatchServer.inverseFrequencyWeights(cached, weightCols)
     val drawn = BatchServer.weightedDraw(weighted, "file_id", draws, config.seed + epoch)
     TransformPlanner.servePlan(config, imageCols, labelCols,
-      "file_id", augmented = whichSplit == "train")(drawn)
+      "file_id", augmented = whichSplit == "train", epoch = epoch)(drawn)
   }
 }

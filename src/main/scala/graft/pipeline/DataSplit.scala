@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.operators.Ranks
 import graft.util.Det
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -11,9 +12,8 @@ import org.apache.spark.sql.functions._
   * seeded train/valid partition with round(n·p) sizing (R1).
   *
   * All randomness is `md5(id:seed)` ordering — partition/retry-invariant
-  * (SURVEY §7.4.2). Scale: the only global window is the dev-set
-  * row_number; at cluster scale swap it for a two-phase rank (per-partition
-  * rank + offset by partition counts) — the declared behavior is identical.
+  * (SURVEY §7.4.2). The dev-set rank is a two-phase `Ranks.globalRowNumber`
+  * (per-bucket rank + broadcast offsets) — no single-reducer global window.
   */
 object DataSplit {
 
@@ -35,9 +35,10 @@ object DataSplit {
     val test = kept.filter(col("_rk_test") <= testPerGroup)
       .drop("_rk_test").withColumn("split", lit("test"))
     val dev = kept.filter(col("_rk_test") > testPerGroup).drop("_rk_test")
-    val wDev = Window.orderBy(Det.seededKey((seed + 4444).toString, id), id)
+    val devKey = Det.seededKey((seed + 4444).toString, id)
     val nDev = dev.agg(count(lit(1)).as("_n_dev"))
-    val trainValid = dev.withColumn("_rn", row_number().over(wDev))
+    val trainValid = Ranks.globalRowNumber(dev, Ranks.hexBucket(devKey),
+        Seq(devKey, id), "_rn")
       .crossJoin(broadcast(nDev))
       .withColumn("split",
         when(col("_rn") <= floor(col("_n_dev").cast("double") * validFraction + 0.5), "valid")

@@ -51,7 +51,9 @@ object DatasetCacher {
                   idCol: String, overwrite: Boolean = false): String = {
     val fp = fingerprint(config, subjects, idCol)
     val path = cachePath(root, config, fp)
-    if (overwrite || !isCached(spark, path)) {
+    // overwrite deletes the stale tree first (reformat_check flow) so
+    // partitions from a previous run can't linger next to the new write
+    if (needsMaterialize(spark, path, overwrite)) {
       records.write.mode(SaveMode.Overwrite)
         .partitionBy("dataset").parquet(s"$path/records")
       records.select(metaCols.map(col): _*)
@@ -69,4 +71,26 @@ object DatasetCacher {
 
   def manifest(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/_manifest")
+
+  /** Recursive cache-folder delete (`setup/reformat/reformat.py:7-77`
+    * `reformat_check` overwrite flow): drop a stale fingerprinted cache
+    * directory through the Hadoop FS API (local/HDFS/object stores).
+    * Guarded to paths that look like caches ([[cachePath]] layout) so a
+    * mis-wired root cannot recursively delete arbitrary directories.
+    * @return true iff something was deleted */
+  def deleteCache(spark: SparkSession, path: String): Boolean = {
+    require(new org.apache.hadoop.fs.Path(path).getName.matches("dev[23]d-.+-[0-9a-f]{32}"),
+      s"refusing to recursively delete non-cache path: $path")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(hPath) && fs.delete(hPath, true)
+  }
+
+  /** `reformat_check` shape: probe + optional overwrite in one call —
+    * returns true when the cache is absent (caller should materialize),
+    * deleting a stale cache first when overwrite is requested. */
+  def needsMaterialize(spark: SparkSession, path: String, overwrite: Boolean): Boolean = {
+    if (overwrite) deleteCache(spark, path)
+    overwrite || !isCached(spark, path)
+  }
 }

@@ -20,8 +20,16 @@ object TransformPlanner {
   /** The *cache* plan (`dataset_cacher.py:190-276` `_get_cache_transform`):
     * ensure5d → min-shift → per-image stats meta → explode to 2D/3D
     * (+ special-mode frame filter pushed below the sink, §4 row 2).
-    * `keyCol` is the record key used for seeded draws. */
-  def cachePlan(config: GraftConfig, imageCols: Seq[String], labelCols: Seq[String]): DataFrame => DataFrame = { df0 =>
+    *
+    * `recordKeyCols` identifies one source record (e.g. dataset + subject)
+    * and is REQUIRED for `special_mode`: ED/ES are *detected* per record
+    * (argmax/argmin of foreground volume, `setup/reformat/utils.py:91-113`)
+    * and frames renumbered ED-relative (W3, `dataset_cacher.py:357-358`)
+    * before the filter — frame 0 after renumber IS the detected ED, like
+    * the reference; a raw `frame_nr == 0` filter would pick an arbitrary
+    * acquisition frame. */
+  def cachePlan(config: GraftConfig, imageCols: Seq[String], labelCols: Seq[String],
+                recordKeyCols: Seq[String] = Seq.empty): DataFrame => DataFrame = { df0 =>
     var df = df0
     (imageCols ++ labelCols).foreach { c =>
       df = df.withColumn(c, Tensors.ensure5d(col(c)))
@@ -53,12 +61,40 @@ object TransformPlanner {
       case "3D" => explodeAll3d(df, primary, imageCols ++ labelCols)
       case _    => explodeAll2d(df, primary, imageCols ++ labelCols)
     }
-    // special_mode frame filter (`dataset_cacher.py:346-353`): ED is frame 0
-    // after the reference's ED-relative renumber (W3)
+    // special_mode (`dataset_cacher.py:346-353`): detect ED/ES per record,
+    // renumber ED-relative (W3), then keep only the requested frame
     config.specialMode match {
-      case Some("ed_only") => df.filter(col("frame_nr") === 0)
-      case Some("es_only") => df.filter(col("frame_nr") === col("total_nr_frames") / 2)
-      case _ => df
+      case Some(mode) =>
+        require(labelCols.nonEmpty, "special_mode needs a label column for ED/ES detection")
+        require(recordKeyCols.nonEmpty,
+          "special_mode needs recordKeyCols to detect ED/ES per record")
+        val keyCols = recordKeyCols.map(col)
+        // foreground volume per (record, frame): per-row label sum, then
+        // frame totals — a hash-agg, no window over the pixel stream
+        val vol = aggregate(col(s"${labelCols.head}.data"), lit(0L),
+          (acc, x) => acc + when(x > 0, 1L).otherwise(0L))
+        val withVol = df.withColumn("_slice_vol", vol)
+        val frameVol = withVol.groupBy(keyCols :+ col("frame_nr"): _*)
+          .agg(sum(col("_slice_vol")).as("_gt_volume"))
+        // argmax (ED) / argmin (ES) with the reference's smallest-frame
+        // tiebreak, via lexicographic struct extremes — no row_number
+        val edes = frameVol.groupBy(keyCols: _*)
+          .agg(max(struct(col("_gt_volume"), (-col("frame_nr")).as("_nf"))).as("_ed"),
+            min(struct(col("_gt_volume"), col("frame_nr"))).as("_es"))
+          .select(keyCols :+ (-col("_ed._nf")).as("_ed_frame")
+            :+ col("_es.frame_nr").as("_es_frame"): _*)
+        val renum = withVol.drop("_slice_vol").join(edes, recordKeyCols)
+          .withColumn("frame_nr",
+            pmod(col("frame_nr") - col("_ed_frame"), col("total_nr_frames")).cast("int"))
+          .withColumn("_es_rel",
+            pmod(col("_es_frame") - col("_ed_frame"), col("total_nr_frames")).cast("int"))
+        val filtered = mode match {
+          case "ed_only" => renum.filter(col("frame_nr") === 0)
+          case "es_only" => renum.filter(col("frame_nr") === col("_es_rel"))
+          case other => throw new IllegalArgumentException(s"unknown special_mode: $other")
+        }
+        filtered.drop("_ed_frame", "_es_frame", "_es_rel")
+      case None => df
     }
   }
 
@@ -104,17 +140,24 @@ object TransformPlanner {
     * multi-view copies → seeded random affine resample → normalization
     * (current or saved stats) → photometric augments → clamp → one-hot.
     * `keyCol` drives every seeded draw (RandChangeSeedd T11 is obsolete
-    * under keyed hashing — SURVEY §2.9).
+    * under keyed hashing — SURVEY §2.9). `epoch` is folded into the
+    * augmentation key so draws re-randomize each epoch (the reference's
+    * MONAI transforms re-draw per epoch; a key without the epoch would
+    * serve bit-identical augmentations every epoch) while staying
+    * deterministic per (record, copy, epoch).
     */
   def servePlan(config: GraftConfig, imageCols: Seq[String], labelCols: Seq[String],
-                keyCol: String, augmented: Boolean): DataFrame => DataFrame = { df0 =>
+                keyCol: String, augmented: Boolean,
+                epoch: Long = 0L): DataFrame => DataFrame = { df0 =>
     var df = df0
     val key = col(keyCol)
     val (oh, ow) = config.targetSize
 
     if (augmented && config.copies > 0) {
       df = Tensors.copySamples(df, config.copies)
-      df = df.withColumn("_aug_key", concat_ws("#", key, col("copy_nr")))
+      df = df.withColumn("_aug_key", concat_ws("#", key, col("copy_nr"), lit(epoch)))
+    } else if (augmented) {
+      df = df.withColumn("_aug_key", concat_ws("#", key, lit(epoch)))
     } else df = df.withColumn("_aug_key", key)
 
     // T4 RandResample2Dd: seeded affine, bilinear for images / nearest for labels

@@ -70,8 +70,8 @@ object EventQueries {
            |  FROM e),
            |g AS (
            |  SELECT user_id, event_id, es,
-           |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY es, event_id
-           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_nr
+           |         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY es, event_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_nr
            |  FROM f)
            |SELECT user_id, session_nr, COUNT(*) AS n_events,
            |       MIN(es) AS session_start, MAX(es) AS session_end,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{DeclaredQuery, Tables}
+import graft.operators.Ranks
 import graft.util.Det
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -180,9 +181,12 @@ object RelationalQueries {
     val test = kept.filter(col("rk_test") <= 15)
       .select(col("c_custkey"), lit("test").as("split"))
     val dev = kept.filter(col("rk_test") > 15)
-    val wDev = Window.orderBy(Det.seededKey("5678", col("c_custkey")), col("c_custkey"))
+    // global seeded rank, two-phase (Ranks): a bare Window.orderBy would
+    // serialize the whole dev set through one reducer at scale
+    val devKey = Det.seededKey("5678", col("c_custkey"))
     val nDev = dev.agg(count(lit(1)).as("n_dev"))
-    val trainValid = dev.withColumn("rn", row_number().over(wDev))
+    val trainValid = Ranks.globalRowNumber(dev, Ranks.hexBucket(devKey),
+        Seq(devKey, col("c_custkey")), "rn")
       .crossJoin(broadcast(nDev))
       .select(col("c_custkey"),
         when(col("rn") <= floor(col("n_dev").cast("double") * 0.2 + 0.5), "valid")
@@ -329,32 +333,60 @@ object RelationalQueries {
               |       $qcols
               |FROM r GROUP BY flag ORDER BY flag""".stripMargin)
     }) { (s, d) =>
+    import s.implicits._
     val qdefs = Seq(0.0 -> "q00", 0.01 -> "q01", 0.05 -> "q05",
       0.25 -> "q25", 0.5 -> "q50", 0.75 -> "q75",
       0.95 -> "q95", 0.99 -> "q99", 1.0 -> "q100")
-    val w = Window.partitionBy(col("flag"))
-    val r = li(s, d)
+    val base = li(s, d)
       .select(col("l_returnflag").as("flag"), Det.cents(col("l_extendedprice")).as("c"))
-      .withColumn("rn", row_number().over(w.orderBy(col("c"))))
-      .withColumn("n", count(lit(1)).over(w))
-    val meanE = sum(col("c")).cast("double") / lit(1e2) / max(col("n")).cast("double")
-    val qAggs = qdefs.map { case (q, nm) =>
-      (max(when(col("rn") === (floor(lit(q) * (col("n") - 1).cast("double") + 0.5) + 1), col("c")))
-        .cast("double") / lit(1e2)).as(nm)
+    // moments from one hash-agg (no window). Sum of squared cents: per-row
+    // product fits a long (≤1.2e14) but the group sum can exceed
+    // Long.MaxValue beyond sf0.1 — accumulate as decimal(38,0) (exact,
+    // matches DuckDB's HUGEINT sum).
+    val stats = base.groupBy("flag").agg(
+      count(lit(1)).as("n"),
+      sum(col("c")).as("_sc"),
+      sum((col("c") * col("c")).cast(DecimalType(38, 0))).as("_sc2"))
+    // Exact nearest-rank quantiles WITHOUT ranking whole per-flag
+    // partitions (3 groups = 3 giant single-reducer sorts at scale).
+    // Bucketed CDF: prices live in a bounded domain → $1000-wide cent
+    // buckets; per-(flag,bucket) counts give running offsets (a window
+    // over ≤~110 tiny rows per flag), the offsets locate which bucket
+    // holds each target rank, and only those buckets get row_number'd —
+    // every window here is partitioned and bounded.
+    val bucketed = base.withColumn("_b", floor(col("c").cast("double") / 1e5).cast("long"))
+    val wB = Window.partitionBy(col("flag")).orderBy(col("_b"))
+    val boffs = bucketed.groupBy("flag", "_b").agg(count(lit(1)).as("_bn"))
+      .withColumn("_off_lo", coalesce(
+        sum(col("_bn")).over(wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_off_hi", col("_off_lo") + col("_bn"))
+    val qdf = qdefs.toDF("q", "qname")
+    val targets = stats.select(col("flag"), col("n")).crossJoin(broadcast(qdf))
+      .withColumn("_rk", floor(col("q") * (col("n") - 1).cast("double") + 0.5) + 1)
+    val located = targets.join(boffs, Seq("flag"))
+      .filter(col("_rk") > col("_off_lo") && col("_rk") <= col("_off_hi"))
+      .select(col("flag"), col("qname"), col("_b"),
+        (col("_rk") - col("_off_lo")).as("_local_rk"))
+    val needed = located.select("flag", "_b").distinct()
+    val wIn = Window.partitionBy(col("flag"), col("_b")).orderBy(col("c"))
+    val vals = bucketed.join(broadcast(needed), Seq("flag", "_b"))
+      .withColumn("_lrn", row_number().over(wIn))
+      .join(broadcast(located), Seq("flag", "_b"))
+      .filter(col("_lrn") === col("_local_rk"))
+      .select(col("flag"), col("qname"), (col("c").cast("double") / lit(1e2)).as("_qv"))
+    val qAggs = qdefs.map { case (_, nm) =>
+      max(when(col("qname") === nm, col("_qv"))).as(nm)
     }
-    // sum of squared cents: per-row product fits a long (≤1.2e14) but the
-    // group sum can exceed Long.MaxValue beyond sf0.1 — accumulate as
-    // decimal(38,0) (exact, matches DuckDB's HUGEINT sum).
-    val s2 = sum((col("c") * col("c")).cast(DecimalType(38, 0)))
-    val aggCols: Seq[Column] =
-      max(col("n")).cast("long").as("n") +:
-        meanE.as("mean") +:
+    val quants = vals.groupBy("flag").agg(qAggs.head, qAggs.tail: _*)
+    val meanE = col("_sc").cast("double") / lit(1e2) / col("n").cast("double")
+    val outCols: Seq[Column] =
+      col("flag") +: col("n") +: meanE.as("mean") +:
         sqrt(greatest(
-          s2.cast("double") / lit(1e4) / max(col("n")).cast("double")
+          col("_sc2").cast("double") / lit(1e4) / col("n").cast("double")
             - meanE * meanE, lit(0.0))).as("stddev_pop") +:
-        qAggs
-    r.groupBy("flag")
-      .agg(aggCols.head, aggCols.tail: _*)
+        qdefs.map { case (_, nm) => col(nm) }
+    stats.join(quants, Seq("flag"))
+      .select(outCols: _*)
       .orderBy("flag")
   }
 
@@ -450,9 +482,13 @@ object RelationalQueries {
       .withColumn("bucket", expr("(c - mn) * 256 DIV (mx - mn + 1)"))
       .groupBy("bucket")
       .agg(max(col("total")).as("total"), count(lit(1)).as("cnt"))
-    val wcum = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // post-agg frame is ≤256 bucket rows — a deliberate (non-foldable)
+    // single-partition key keeps the window defined at identical semantics
+    val one = Ranks.onePartition(col("bucket"))
+    val wcum = Window.partitionBy(one).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withCum = h.withColumn("cum", sum(col("cnt")).over(wcum))
-      .withColumn("cmin", min(col("cum")).over(Window.partitionBy(lit(1))))
+      .withColumn("cmin", min(col("cum")).over(Window.partitionBy(one)))
     val cdf = (col("cum") - col("cmin")).cast("double") / (col("total") - col("cmin")).cast("double")
     withCum.select(col("bucket").cast("long").as("bucket"),
       col("cnt").cast("long").as("cnt"),
@@ -492,9 +528,12 @@ object RelationalQueries {
     val k = f
       .withColumn("nat1", regexp_extract(col("fname"), "([0-9]+)", 1).cast("long"))
       .withColumn("nat2", regexp_extract(col("fname"), "_f([0-9]+)", 1).cast("long"))
-    k.withColumn("slice_index", dense_rank().over(Window.orderBy(col("proj").desc)))
-      .withColumn("file_order", row_number().over(
-        Window.orderBy(col("nat1"), col("nat2"), col("p_partkey"))))
+    // slice_index: the projection domain is bounded (slice positions per
+    // series), so dense_rank = a driver-built value→rank map, no window.
+    // file_order: two-phase rank bucketed by the bounded leading key nat1.
+    val sliced = Ranks.globalDenseRank(k, col("proj"), descending = true, "slice_index")
+    Ranks.globalRowNumber(sliced, col("nat1"),
+        Seq(col("nat1"), col("nat2"), col("p_partkey")), "file_order")
       .orderBy("p_partkey")
   }
 
@@ -544,7 +583,11 @@ object RelationalQueries {
       .select(col("o_orderkey"), col("o_totalprice"), key.as("k"))
       .orderBy(col("k"), col("o_orderkey"))
       .limit(192) // 6 complete batches of 32 (drop_last on a 200-row draw)
-    top.withColumn("rn", row_number().over(Window.orderBy(col("k"), col("o_orderkey"))))
+    // rank only the 192 limit survivors (TakeOrdered upstream) — tiny
+    // window on a deliberate single-partition key
+    top.withColumn("rn", row_number().over(
+      Window.partitionBy(Ranks.onePartition(col("o_orderkey")))
+        .orderBy(col("k"), col("o_orderkey"))))
       .withColumn("batch_id", expr("(rn - 1) DIV 32"))
       .select("o_orderkey", "o_totalprice", "rn", "batch_id")
       .orderBy("o_orderkey")

@@ -12,11 +12,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes (100 TB): every query is a single scan + hash aggregation on
   * doc_id or a band key — no global sorts except the final declared ORDER BY
-  * (which a real pipeline drops). MinHash signatures are computed entirely
-  * with higher-order functions (no explode of the shingle stream), so the
-  * per-document work stays inside whole-stage codegen and the only shuffle
-  * is the band-bucket join. Hash functions are md5-string based so the
-  * DuckDB oracle reproduces them byte-for-byte.
+  * (which a real pipeline drops). MinHash signatures DO explode the shingle
+  * stream into (doc_id, shingle) rows and partial-min them — see the
+  * rationale at `minhashSignatures` (map-side combine keeps the shuffle to
+  * one row per (doc, hash-slot); the HOF alternative re-hashes every
+  * shingle per slot inside one task). The only other shuffle is the
+  * band-bucket join. Hash functions are md5-string based so the DuckDB
+  * oracle reproduces them byte-for-byte.
   */
 object TextQueries {
 
@@ -405,11 +407,15 @@ object TextQueries {
     * pair candidates into "keep one canonical doc per cluster" decisions.
     * cluster_id = min doc_id reachable through shared bands.
     *
-    * Spark side: iterative label propagation (converges in ≤ log₂ of the
-    * deepest component; the driver loop only checks a changed-count). The
-    * oracle computes the same fixpoint as a recursive reachability CTE.
-    * Scale: each iteration is one join + groupBy on (edge, label) — the
-    * standard Spark connected-components shape without GraphX. */
+    * Spark side: iterative min-label propagation — labels spread one hop
+    * per iteration, so rounds ≤ the deepest component's diameter (cap 50,
+    * hard failure if unconverged: silently wrong cluster ids are worse
+    * than a loud stop). The oracle computes the same fixpoint as a
+    * recursive reachability CTE.
+    * Scale/cost: edges are symmetrized ONCE and persisted; each iteration
+    * is ONE join+groupBy job (the previous label rides along into the
+    * eager localCheckpoint, so the convergence check is a scan of the
+    * checkpointed in-memory blocks, not a second join job). */
   val q39 = DeclaredQuery(
     "q39_dedup_clusters",
     Some(s"""${oracleShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
@@ -440,30 +446,41 @@ object TextQueries {
       .join(bands.select(col("doc_id").as("c"), col("band_idx"), col("band")),
         Seq("band_idx", "band"))
       .filter(col("a") < col("c"))
-      .select("a", "c").distinct().persist()
+      .select("a", "c").distinct()
+    val sym = edges.select(col("a").as("x"), col("c").as("nb"))
+      .unionByName(edges.select(col("c").as("x"), col("a").as("nb")))
+      .persist()
     var labels = docs(s, d).select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
-      // neighbor labels in both edge directions, then per-doc min
-      val viaA = edges.join(labels.withColumnRenamed("doc_id", "c")
-        .withColumnRenamed("cluster_id", "nl"), Seq("c"))
-        .select(col("a").as("doc_id"), col("nl"))
-      val viaC = edges.join(labels.withColumnRenamed("doc_id", "a")
-        .withColumnRenamed("cluster_id", "nl"), Seq("a"))
-        .select(col("c").as("doc_id"), col("nl"))
-      // eager localCheckpoint truncates the per-iteration lineage — without
-      // it each round re-plans (and re-runs) every previous round's joins
-      val next = labels.unionByName(viaA.withColumnRenamed("nl", "cluster_id"))
-        .unionByName(viaC.withColumnRenamed("nl", "cluster_id"))
+    val maxIter = 50
+    while (!converged && iter < maxIter) {
+      val prev = labels
+      val mins = sym
+        .join(labels.withColumnRenamed("doc_id", "nb").withColumnRenamed("cluster_id", "nl"),
+          Seq("nb"))
+        .select(col("x").as("doc_id"), col("nl").as("cluster_id"))
+        .unionByName(labels)
         .groupBy("doc_id").agg(min(col("cluster_id")).as("cluster_id"))
+      // eager localCheckpoint truncates the per-iteration lineage — without
+      // it each round re-plans (and re-runs) every previous round's joins.
+      // The previous label rides along so the convergence check below is a
+      // scan of the checkpointed blocks, not another join job.
+      val next = mins
+        .join(prev.withColumnRenamed("cluster_id", "_old"), "doc_id")
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-        .filter(col("cluster_id") =!= col("old")).count()
-      labels = next
+      val changed = next.filter(col("cluster_id") =!= col("_old")).count()
+      labels = next.select("doc_id", "cluster_id")
+      prev.unpersist()
       converged = changed == 0
       iter += 1
     }
+    sig.unpersist()
+    sym.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"q39 label propagation unconverged after $maxIter iterations — " +
+        "component diameter exceeds the cap; results would be wrong")
     val w = Window.partitionBy(col("cluster_id"))
     labels.withColumn("cluster_size", count(lit(1)).over(w))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))

@@ -86,44 +86,64 @@ object VectorQueries {
     val n = normed(s, d).filter(col("vec_id") % 5 === 0)
     val a = n.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = n.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    // top-20 via orderBy+limit → distributed TakeOrderedAndProject; the
+    // rank is then assigned over the surviving 20 rows only (constant
+    // partition key — partition defined, 20-row window, not a global sort)
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+      .limit(20)
       .withColumn("rk", row_number().over(
-        Window.orderBy(col("cosine").desc, col("id_a"), col("id_b"))))
-      .filter(col("rk") <= 20)
+        Window.partitionBy(graft.operators.Ranks.onePartition(col("id_a")))
+          .orderBy(col("cosine").desc, col("id_a"), col("id_b"))))
       .select("rk", "id_a", "id_b", "cosine")
       .orderBy("rk")
   }
 
   // ---------------------------------------------------------------- Q35
-  /** LSH-bucketed ANN (the 100 TB path): 16 seeded random hyperplanes →
-    * 16-bit sign signature per vector → candidates share a signature
-    * bucket; exact cosine only inside buckets. Hyperplane components are
-    * md5-derived ±1 (deterministic, engine-independent), so the bucketing
-    * itself is reproducible. Sign flips sit on a measure-zero boundary →
-    * no oracle; validated rows-only + by ScalaTest (bucket recall vs brute
-    * force on the sampled pairs). */
-  val q35 = DeclaredQuery("q35_lsh_buckets", None) { (s, d) =>
-    val dims = 64
-    val planes = 8 // 256 buckets — sized so sf0.01's 500 vectors collide; at
-    // corpus scale raise planes (buckets ≈ corpus/expected-candidates)
-    // plane j, dim k sign: high bit of first hex nibble of md5("hp:j:k")
-    val signs: Seq[Seq[Int]] = (0 until planes).map { j =>
-      (0 until dims).map { k =>
-        val hex = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"hp:$j:$k".getBytes("UTF-8"))
-        if ((hex(0) & 0x80) != 0) 1 else -1
-      }
+  /** LSH-bucketed ANN (the 100 TB path): seeded random hyperplanes → sign
+    * signature per vector → candidates share a signature bucket; exact
+    * cosine only inside buckets. Hyperplane components are md5-derived ±1
+    * (deterministic, engine-independent), so the bucketing is reproducible
+    * and oracle-checkable: both engines fold the same doubles left-to-right
+    * and no projection in the testdata lands exactly on zero. Members are
+    * exported as a sorted CSV string (array columns break the driver's
+    * pandas comparer). */
+  private val lshDims = 64
+  private val lshPlanes = 8 // 256 buckets — sized so sf0.01's 500 vectors
+  // collide; at corpus scale raise planes (buckets ≈ corpus/expected-cands)
+  // plane j, dim k sign: high bit of first md5 byte of "hp:j:k"
+  private val lshSigns: Seq[Seq[Int]] = (0 until lshPlanes).map { j =>
+    (0 until lshDims).map { k =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"hp:$j:$k".getBytes("UTF-8"))
+      if ((hex(0) & 0x80) != 0) 1 else -1
     }
+  }
+
+  val q35 = DeclaredQuery(
+    "q35_lsh_buckets",
+    Some {
+      val bits = (0 until lshPlanes).map { j =>
+        val arr = lshSigns(j).map(x => s"$x.0").mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $arr) >= 0 THEN '1' ELSE '0' END)"
+      }.mkString(" || ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, $bits AS bucket FROM e)
+         |SELECT bucket, COUNT(*) AS n_vectors,
+         |       string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY vec_id) AS members
+         |FROM b GROUP BY bucket HAVING COUNT(*) > 1 ORDER BY bucket""".stripMargin
+    }) { (s, d) =>
     val e = Tables.embeddings(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val sigBits: Seq[Column] = (0 until planes).map { j =>
-      val proj = dot(col("v"), array(signs(j).map(x => lit(x.toDouble)): _*))
+    val sigBits: Seq[Column] = (0 until lshPlanes).map { j =>
+      val proj = dot(col("v"), array(lshSigns(j).map(x => lit(x.toDouble)): _*))
       when(proj >= 0, lit("1")).otherwise(lit("0"))
     }
-    val sig = e.withColumn("bucket", concat(sigBits: _*))
-    sig.groupBy("bucket")
+    e.withColumn("bucket", concat(sigBits: _*))
+      .groupBy("bucket")
       .agg(count(lit(1)).as("n_vectors"),
-        array_sort(collect_list(col("vec_id"))).as("members"))
+        concat_ws(",",
+          transform(array_sort(collect_list(col("vec_id"))), _.cast("string"))).as("members"))
       .filter(col("n_vectors") > 1)
       .orderBy("bucket")
   }
@@ -164,10 +184,17 @@ object VectorQueries {
            |SELECT probe_id, rk, vec_id AS neighbor_id, cosine
            |FROM r WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin)) { (s, d) =>
     val n = normed(s, d)
+    // centroid pick: top-16 by seeded hash via orderBy+limit (distributed
+    // TakeOrdered over the corpus) — never a global row_number over all
+    // embeddings; cluster ids are then ranked over the 16 survivors only
+    val ckey = md5(concat_ws(":", col("vec_id").cast("string"), lit("centroid")))
     val cent = n
-      .withColumn("cluster_id", row_number().over(Window.orderBy(
-        md5(concat_ws(":", col("vec_id").cast("string"), lit("centroid"))), col("vec_id"))))
-      .filter(col("cluster_id") <= 16)
+      .withColumn("_ck", ckey)
+      .orderBy(col("_ck"), col("vec_id"))
+      .limit(16)
+      .withColumn("cluster_id", row_number().over(
+        Window.partitionBy(graft.operators.Ranks.onePartition(col("vec_id")))
+          .orderBy(col("_ck"), col("vec_id"))))
       .select(col("cluster_id"), col("v").as("cv"), col("nrm").as("cnrm"))
     val asgn0 = n.crossJoin(broadcast(cent))
       .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))

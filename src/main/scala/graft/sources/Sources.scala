@@ -44,11 +44,10 @@ object Sources {
       .drop("_path")
   }
 
-  /** S1/S2 binary volume scan: `binaryFile` source + decode kernel. The
-    * decode is a deterministic stub (container ships no NIfTI/DICOM codec)
-    * producing a (1,1,1,H,W) tensor + pixdim from the byte stream — swap
-    * for a real parser without touching callers. `pathGlobFilter` prunes at
-    * the file index, `binaryFile` streams content columns lazily. */
+  /** S2 DICOM stub decode (container ships no JVM DICOM codec — the
+    * grouping/ordering relational half of the DICOM path is real and
+    * q16-verified): deterministic fake (1,1,1,H,W) tensor + pixdim from
+    * the byte stream — swap for a real parser without touching callers. */
   val stubDecodeVolume: UserDefinedFunction =
     udf((content: Array[Byte], h: Int, w: Int) => {
       val data = new Array[Float](h * w)
@@ -68,14 +67,70 @@ object Sources {
       (Seq(1, 1, 1, h, w), data.toSeq, Seq(1.25f, 1.25f, 8.0f)) // (shape, data, pixdim)
     })
 
+  /** S1 real NIfTI-1 decode + S2 stub fallback in ONE kernel (evaluated
+    * once per row): `.nii`/`.nii.gz` content goes through the pure-JVM
+    * NIfTI-1 parser (graft.sources.Nifti), anything else (DICOM) through
+    * the stub. Returns (shape, data, pixdim, affine?). */
+  val decodeVolume: UserDefinedFunction =
+    udf((path: String, content: Array[Byte], h: Int, w: Int) => {
+      if (path != null && (path.endsWith(".nii") || path.endsWith(".nii.gz"))) {
+        val v = Nifti.decode(content)
+        (v.shape, v.data.toSeq, v.pixdim, Option(v.affine))
+      } else {
+        val data = new Array[Float](h * w)
+        var i = 0
+        while (i < data.length) {
+          var acc = 1125899906842597L ^ (i * 0x9E3779B185EBCA87L)
+          val n = math.min(content.length, 32)
+          var j = 0
+          while (j < n) {
+            acc = (acc ^ (content(j) + j * 131L)) * 0x9E3779B185EBCA87L
+            j += 1
+          }
+          acc ^= acc >>> 29
+          data(i) = (acc & 0x3ff).toFloat / 4f
+          i += 1
+        }
+        (Seq(1, 1, 1, h, w), data.toSeq, Seq(1.25f, 1.25f, 8.0f),
+          Option.empty[Seq[Float]])
+      }
+    })
+
+  /** S1/S2 binary volume scan: `binaryFile` source + decode kernel.
+    * `pathGlobFilter` prunes at the file index, `binaryFile` streams
+    * content columns lazily; decode is one task per file —
+    * embarrassingly parallel. */
   def scanVolumes(spark: SparkSession, dir: String, glob: String, h: Int, w: Int): DataFrame = {
-    val dec = stubDecodeVolume(col("content"), lit(h), lit(w))
+    val dec = decodeVolume(col("path"), col("content"), lit(h), lit(w))
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .load(dir)
       .select(col("path"), col("length"),
         struct(dec("_1").as("shape"), dec("_2").as("data")).as("volume"),
-        dec("_3").as("pixdim"))
+        dec("_3").as("pixdim"), dec("_4").as("affine"))
+  }
+
+  /** S7 NIfTI sink (`setup/reformat/mm1.py:69-70` `nib.save`): one
+    * `.nii.gz` per row via the pure-JVM encoder, written from executors
+    * through the Hadoop FS API (works on local/HDFS/object stores). */
+  def writeNiftiVolumes(df: DataFrame, volCol: String, nameCol: String,
+                        outDir: String): Unit = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    df.select(col(nameCol).cast("string").as("_name"),
+        col(s"$volCol.shape").as("_shape"), col(s"$volCol.data").as("_data"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val fs = new org.apache.hadoop.fs.Path(outDir)
+          .getFileSystem(conf.value)
+        rows.foreach { r =>
+          val shape = r.getSeq[Int](1)
+          val data = r.getSeq[Float](2).toArray
+          val bytes = Nifti.encode(shape, data, Seq(1f, 1f, 1f))
+          val p = new org.apache.hadoop.fs.Path(outDir, s"${r.getString(0)}.nii.gz")
+          val os = fs.create(p, true)
+          try os.write(bytes) finally os.close()
+        }
+      }
   }
 
   /** S8 prediction sink: parquet of the prediction column per subject. */

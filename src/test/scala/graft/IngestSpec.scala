@@ -6,7 +6,7 @@ import graft.tensor.Tensors
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
-/** End-to-end ingest: binary volume scan (S1 stub decode) → per-frame
+/** End-to-end ingest: binary volume scan (S2 stub decode) → per-frame
   * records → ED/ES detection → stack → canonicalize → DataModule lifecycle —
   * the full setup_cine → DataModule path (SURVEY §3.2 → §3.1) on synthetic
   * files, all as distributed DataFrame ops. */
@@ -16,12 +16,12 @@ class IngestSpec extends SparkSpec {
     // 1. fake raw files on disk
     val dir = Files.createTempDirectory("ingest").toString
     (0 until 6).foreach { i =>
-      Files.write(java.nio.file.Paths.get(f"$dir/mm1-s$i%02d.nii.gz"),
+      Files.write(java.nio.file.Paths.get(f"$dir/mm1-s$i%02d.dcm"),
         Array.tabulate[Byte](64)(j => ((i * 31 + j) % 127).toByte))
     }
 
-    // 2. S1 scan + decode to per-subject volumes
-    val vols = Sources.scanVolumes(spark, dir, "*.nii.gz", h = 4, w = 4)
+    // 2. S1/S2 scan + decode to per-subject volumes
+    val vols = Sources.scanVolumes(spark, dir, "*.dcm", h = 4, w = 4)
       .withColumn("subject_id",
         regexp_extract(col("path"), "mm1-(s[0-9]+)", 1))
       .withColumn("dataset", lit("mm1"))

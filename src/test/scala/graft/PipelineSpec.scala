@@ -70,11 +70,16 @@ class PipelineSpec extends SparkSpec {
     assert(firstBlock == Seq(0f, 1f, 2f, 3f))
     // stats meta present
     assert(out.select(col("image_meta.std")).head().getDouble(0) > 0)
-    // ed_only keeps frame 0 only
+    // ed_only keeps only the detected ED frame, renumbered to 0 (labels are
+    // identical across frames here → tiebreak picks acquisition frame 0)
     val edOnly = TransformPlanner.cachePlan(cfg.copy(specialMode = Some("ed_only")),
-      Seq("image"), Seq("label"))(records)
+      Seq("image"), Seq("label"), recordKeyCols = Seq("dataset", "subject_id"))(records)
     assert(edOnly.count() == 4)
     assert(edOnly.select("frame_nr").distinct().collect().map(_.getInt(0)).toSeq == Seq(0))
+    // es_only selects the detected ES frame (same data → also frame 0 here)
+    val esOnly = TransformPlanner.cachePlan(cfg.copy(specialMode = Some("es_only")),
+      Seq("image"), Seq("label"), recordKeyCols = Seq("dataset", "subject_id"))(records)
+    assert(esOnly.count() == 4)
   }
 
   test("servePlan: identity resample + standardize + one-hot") {
@@ -100,6 +105,11 @@ class PipelineSpec extends SparkSpec {
     val b = p(cached).orderBy("file_id", "copy_nr").select(col("image.data")).collect().map(_.getSeq[Float](0))
     assert(a.toSeq == b.toSeq, "augmented serve must be reproducible")
     assert(p(cached).count() == 16, "copies=1 doubles the stream")
+    // epoch folds into the augmentation key → different draws per epoch
+    val e1 = TransformPlanner.servePlan(aug, Seq("image"), Seq("label"), "file_id",
+      augmented = true, epoch = 1L)(cached)
+      .orderBy("file_id", "copy_nr").select(col("image.data")).collect().map(_.getSeq[Float](0))
+    assert(a.toSeq != e1.toSeq, "augmentation draws must vary across epochs")
   }
 
   test("DatasetCacher: fingerprint identity + cache hit skip") {
@@ -120,6 +130,15 @@ class PipelineSpec extends SparkSpec {
     val path2 = DatasetCacher.materialize(spark, recs,
       Seq("subject_id", "dataset", "frame_nr", "slice_nr"), dir, cfg, subj, "subject_id")
     assert(path2 == path)
+    // recursive delete (reformat_check overwrite flow) with path guard
+    assertThrows[IllegalArgumentException](DatasetCacher.deleteCache(spark, dir))
+    assert(DatasetCacher.deleteCache(spark, path))
+    assert(!DatasetCacher.isCached(spark, path))
+    // overwrite re-materializes through the delete-first flow
+    val path3 = DatasetCacher.materialize(spark, recs,
+      Seq("subject_id", "dataset", "frame_nr", "slice_nr"), dir, cfg, subj, "subject_id",
+      overwrite = true)
+    assert(DatasetCacher.isCached(spark, path3))
   }
 
   test("BatchServer: batches, drop_last, weights, weighted draw") {

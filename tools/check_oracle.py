@@ -56,6 +56,15 @@ def main():
             print(f"  {name}: ROWCOUNT MISMATCH spark={len(s)} oracle={len(o)}")
             n_fail += 1; continue
         bad = []
+        # The driver's hasher is dtype-sensitive: a DuckDB HUGEINT (windowed
+        # SUM of ints) comes back as float64 and hash-mismatches an int64
+        # Spark column even when values agree (q24c round 1). Flag it here.
+        dt = [c for c in s.columns
+              if {s[c].dtype.kind, o[c].dtype.kind} == {"f", "i"}]
+        if dt:
+            print(f"  {name}: DTYPE MISMATCH (int vs float — driver hash would fail): " +
+                  ", ".join(f"{c} spark={s[c].dtype} oracle={o[c].dtype}" for c in dt))
+            n_fail += 1; continue
         for c in s.columns:
             a, b = s[c], o[c]
             if a.dtype.kind == "f" or b.dtype.kind == "f":
