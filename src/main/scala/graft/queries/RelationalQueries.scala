@@ -339,24 +339,27 @@ object RelationalQueries {
       0.95 -> "q95", 0.99 -> "q99", 1.0 -> "q100")
     val base = li(s, d)
       .select(col("l_returnflag").as("flag"), Det.cents(col("l_extendedprice")).as("c"))
-    // moments from one hash-agg (no window). Sum of squared cents: per-row
-    // product fits a long (≤1.2e14) but the group sum can exceed
-    // Long.MaxValue beyond sf0.1 — accumulate as decimal(38,0) (exact,
-    // matches DuckDB's HUGEINT sum).
-    val stats = base.groupBy("flag").agg(
-      count(lit(1)).as("n"),
-      sum(col("c")).as("_sc"),
-      sum((col("c") * col("c")).cast(DecimalType(38, 0))).as("_sc2"))
     // Exact nearest-rank quantiles WITHOUT ranking whole per-flag
     // partitions (3 groups = 3 giant single-reducer sorts at scale).
     // Bucketed CDF: prices live in a bounded domain → $1000-wide cent
-    // buckets; per-(flag,bucket) counts give running offsets (a window
-    // over ≤~110 tiny rows per flag), the offsets locate which bucket
-    // holds each target rank, and only those buckets get row_number'd —
-    // every window here is partitioned and bounded.
+    // buckets. ONE scan builds the per-(flag,bucket) counts AND the exact
+    // moment sums (integer cents + decimal(38,0) squares are associative,
+    // so bucket-level partials roll up to identical totals); the ≤few
+    // hundred bucket rows are fetched and re-planted as a literal frame —
+    // offsets/targets/stats all derive from it without rescanning.
     val bucketed = base.withColumn("_b", floor(col("c").cast("double") / 1e5).cast("long"))
+    val baggPlan = bucketed.groupBy("flag", "_b").agg(
+      count(lit(1)).as("_bn"),
+      sum(col("c")).as("_bsc"),
+      sum((col("c") * col("c")).cast(DecimalType(38, 0))).as("_bsc2"))
+    val bagg = s.createDataFrame(
+      java.util.Arrays.asList(baggPlan.collect(): _*), baggPlan.schema)
+    val stats = bagg.groupBy("flag").agg(
+      sum(col("_bn")).as("n"),
+      sum(col("_bsc")).as("_sc"),
+      sum(col("_bsc2")).as("_sc2"))
     val wB = Window.partitionBy(col("flag")).orderBy(col("_b"))
-    val boffs = bucketed.groupBy("flag", "_b").agg(count(lit(1)).as("_bn"))
+    val boffs = bagg
       .withColumn("_off_lo", coalesce(
         sum(col("_bn")).over(wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("_off_hi", col("_off_lo") + col("_bn"))

@@ -181,17 +181,21 @@ object TextQueries {
            |SELECT doc_id,
            |       CAST(SUM(bit * CAST(ROUND(POWER(2.0, j)) AS BIGINT)) AS BIGINT) AS simhash16
            |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, d) =>
+    // bits fold into 16 aggregate columns over the 1-row-per-term stream —
+    // no ×16 row explode; map-side combine shrinks the shuffle to one row
+    // per doc. Same fixpoint as the oracle's per-(doc,j) grouping.
     val terms = docs(s, d)
       .select(col("doc_id"), explode(array_distinct(words)).as("term"))
       .withColumn("h", md5(col("term")))
-    val bits = terms
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0L), lit(15L))).as("j"))
-      .withColumn("contrib",
-        when(expr("instr('89abcdef', substring(h, CAST(j+1 AS INT), 1)) > 0"), 1).otherwise(-1))
-      .groupBy("doc_id", "j")
-      .agg(when(sum(col("contrib")) > 0, 1).otherwise(0).as("bit"))
-    bits.groupBy("doc_id")
-      .agg(sum(col("bit") * expr("CAST(ROUND(POWER(2.0, j)) AS BIGINT)")).cast("long").as("simhash16"))
+    val votes = (0 until 16).map { j =>
+      sum(when(expr(s"instr('89abcdef', substring(h, ${j + 1}, 1)) > 0"), 1)
+        .otherwise(-1)).as(s"_v$j")
+    }
+    val fp = (0 until 16).map(j =>
+      when(col(s"_v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    terms.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fp.cast("long").as("simhash16"))
       .orderBy("doc_id")
   }
 

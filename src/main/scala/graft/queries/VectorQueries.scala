@@ -186,9 +186,11 @@ object VectorQueries {
     val n = normed(s, d)
     // centroid pick: top-16 by seeded hash via orderBy+limit (distributed
     // TakeOrdered over the corpus) — never a global row_number over all
-    // embeddings; cluster ids are then ranked over the 16 survivors only
+    // embeddings. The 16 survivors are fetched once and re-planted as a
+    // literal frame: `cent` feeds two broadcasts below, and a lazy
+    // TakeOrdered would rescan the corpus per use.
     val ckey = md5(concat_ws(":", col("vec_id").cast("string"), lit("centroid")))
-    val cent = n
+    val centPicked = n
       .withColumn("_ck", ckey)
       .orderBy(col("_ck"), col("vec_id"))
       .limit(16)
@@ -196,12 +198,18 @@ object VectorQueries {
         Window.partitionBy(graft.operators.Ranks.onePartition(col("vec_id")))
           .orderBy(col("_ck"), col("vec_id"))))
       .select(col("cluster_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val asgn0 = n.crossJoin(broadcast(cent))
+    val cent = s.createDataFrame(
+      java.util.Arrays.asList(centPicked.collect(): _*), centPicked.schema)
+    def assignTo(base: DataFrame): DataFrame = base.crossJoin(broadcast(cent))
       .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
       .withColumn("ark", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cluster_id"))))
-    val asgn = asgn0.filter(col("ark") === 1).select(col("vec_id"), col("v"), col("nrm"), col("cluster_id"))
-    val probeClusters = asgn0.filter(col("vec_id") < 5 && col("ark") <= 2)
+    // one full-corpus assignment pass; the probes' nprobe=2 cluster list is
+    // a second pass over FIVE rows, not the corpus (ark per vec_id is
+    // independent of other vec_ids, so the subset rank is identical)
+    val asgn = assignTo(n).filter(col("ark") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cluster_id"))
+    val probeClusters = assignTo(n.filter(col("vec_id") < 5)).filter(col("ark") <= 2)
       .select(col("vec_id").as("probe_id"), col("cluster_id"))
     val probes = n.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pnrm"))
