@@ -11,12 +11,14 @@ import org.apache.spark.sql.types._
   * feature-extract / resize / frame-sample run as column UDFs over the
   * binary payload.
   *
-  * The decode step is a STUB by design — no image/audio codecs ship in this
-  * container — but a *deterministic* one (pixels derived from a rolling
-  * hash of the bytes), so the Spark-side plumbing (schema, partitioning,
-  * batch shape, downstream tensor ops) is real and tested end-to-end. Swap
-  * `fakeDecode*` for a real codec UDF (or `mapInPandas`+PIL on PySpark)
-  * without touching any caller.
+  * IMAGE decode is REAL for the JDK's raster formats (PNG/JPEG/BMP/GIF via
+  * javax.imageio — `decodeImage`, BT.601 luma → (1,1,1,H,W)). Audio and
+  * video decode remain deterministic STUBS (no such codecs ship in the
+  * JVM): pixels derived from a rolling hash of the bytes, so the
+  * Spark-side plumbing (schema, partitioning, batch shape, downstream
+  * tensor ops) is real and tested end-to-end. Swap `fakeDecode*` for a
+  * real codec UDF (or `mapInPandas`+PIL on PySpark) without touching any
+  * caller.
   *
   * Scale notes: binary payloads stay columnar in Parquet; decode is
   * embarrassingly parallel per record; `spark.sql.files.maxPartitionBytes`
@@ -47,8 +49,30 @@ object Multimodal {
     ((h >>> 40) & 0xff).toFloat
   }
 
-  /** STUB image decode: binary → (1,1,1,H,W) float tensor. Real impl:
-    * javax.imageio / PIL-under-mapInPandas. */
+  /** REAL image decode (pure JDK): PNG/JPEG/BMP/GIF binary →
+    * (1,1,1,H,W) float tensor of BT.601 luma values. Fails loudly on
+    * undecodable payloads — use [[fakeDecodeImage]] for synthetic bytes. */
+  val decodeImage: UserDefinedFunction =
+    udf((content: Array[Byte]) => {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      require(img != null, "payload is not a decodable raster image")
+      val h = img.getHeight; val w = img.getWidth
+      val data = new Array[Float](h * w)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+          data(y * w + x) = 0.299f * r + 0.587f * g + 0.114f * b
+          x += 1
+        }
+        y += 1
+      }
+      (Seq(1, 1, 1, h, w), data.toSeq)
+    })
+
+  /** STUB image decode for synthetic payloads (see header). */
   val fakeDecodeImage: UserDefinedFunction =
     udf((content: Array[Byte], h: Int, w: Int) => {
       val data = new Array[Float](h * w)
@@ -95,10 +119,13 @@ object Multimodal {
   }
 
   /** End-to-end demo plan used by tests: documents bytes → "images" →
-    * decode → resize → features. */
+    * decode → resize → features. `real = true` routes through the JDK
+    * imageio decode (content must be an actual raster image). */
   def imagePipeline(df: DataFrame, contentCol: String, h: Int, w: Int,
-                    oh: Int, ow: Int): DataFrame = {
-    val dec = fakeDecodeImage(col(contentCol), lit(h), lit(w))
+                    oh: Int, ow: Int, real: Boolean = false): DataFrame = {
+    val dec =
+      if (real) decodeImage(col(contentCol))
+      else fakeDecodeImage(col(contentCol), lit(h), lit(w))
     df.withColumn("img", struct(dec("_1").as("shape"), dec("_2").as("data")))
       .withColumn("img", resize(col("img"), oh, ow))
       .withColumn("features", features(col("img")))

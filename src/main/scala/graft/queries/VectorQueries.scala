@@ -38,7 +38,10 @@ object VectorQueries {
   /** Cosine top-5 neighbors of 5 probe vectors. Probes are a tiny side →
     * broadcast; the scan side streams once. At 100 TB this is the exact
     * "score a handful of queries against the corpus" shape: one pass, no
-    * shuffle except the final per-probe top-k (TakeOrdered-sized). */
+    * shuffle except the final per-probe top-k — and Catalyst's
+    * InferWindowGroupLimit turns the rank≤5 filter into a PARTIAL
+    * WindowGroupLimit before the exchange (verified in the plan), so each
+    * task ships only its local top-5 per probe, never the scored corpus. */
   val q25 = DeclaredQuery(
     "q25_cosine_topk",
     Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

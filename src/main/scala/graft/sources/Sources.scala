@@ -137,9 +137,37 @@ object Sources {
   def writePredictions(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
-  /** S7/S9 render sinks (NIfTI / PNG) are explicit non-goals (SURVEY §7.5):
-    * they need format codecs, not dataflow. The hook is a foreachPartition
-    * writer over the tensor column; kept as the documented extension point. */
+  /** S9 PNG sink (`pipeline/data_predictor.py:363-414`
+    * `save_example_slices`): one grayscale PNG per record slice — or a T17
+    * class-colored overlay when a label column is given — rendered with
+    * the pure-JDK encoder (graft.sources.Png) and written from executors
+    * through the Hadoop FS API. Expects exploded (·,·,1,H,W) records. */
+  def writePngSlices(df: DataFrame, volCol: String, nameCol: String,
+                     outDir: String, labelCol: Option[String] = None): Unit = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val cols = Seq(col(nameCol).cast("string").as("_name"),
+      col(s"$volCol.shape").as("_shape"), col(s"$volCol.data").as("_data")) ++
+      labelCol.map(l => col(s"$l.data").as("_label"))
+    df.select(cols: _*)
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(conf.value)
+        rows.foreach { r =>
+          val shape = r.getSeq[Int](1)
+          val (h, w) = (shape(3), shape(4))
+          val img = r.getSeq[Float](2).toArray
+          val bytes =
+            if (r.length > 3) Png.overlayPng(img, r.getSeq[Float](3).toArray, h, w)
+            else Png.grayPng(img, h, w)
+          val p = new org.apache.hadoop.fs.Path(outDir, s"${r.getString(0)}.png")
+          val os = fs.create(p, true)
+          try os.write(bytes) finally os.close()
+        }
+      }
+  }
+
+  /** Generic record sink hook: a foreachPartition writer over the tensor
+    * column — the documented extension point for further codecs. */
   def foreachRecordSink(df: DataFrame)(write: Iterator[org.apache.spark.sql.Row] => Unit): Unit =
     df.foreachPartition(write)
 }

@@ -24,6 +24,27 @@ class MultimodalSpec extends SparkSpec {
     assert(pooled.length == 16)
   }
 
+  test("real image decode: PNG bytes → luma tensor through the pipeline") {
+    // render real PNGs with the S9 encoder, decode with the JDK path
+    val pngs = Seq(
+      (1L, graft.sources.Png.grayPng(Array(0f, 1f, 2f, 3f), 2, 2)),
+      (2L, graft.sources.Png.grayPng(Array(3f, 2f, 1f, 0f), 2, 2)))
+    val df = spark.createDataFrame(pngs).toDF("media_id", "content")
+    val dec = Multimodal.decodeImage(col("content"))
+    val out = df.select(col("media_id"),
+      col("content"), dec("_1").as("shape"), dec("_2").as("data"))
+    val r = out.orderBy("media_id").collect()
+    assert(r(0).getSeq[Int](2) == Seq(1, 1, 1, 2, 2))
+    // gray ramp 0..3 normalizes to 0,85,170,255; luma of gray(v) ≈ v
+    val lums = r(0).getSeq[Float](3)
+    assert(math.abs(lums(0) - 0f) < 0.5f && math.abs(lums(3) - 255f) < 0.5f)
+    val rev = r(1).getSeq[Float](3)
+    assert(math.abs(rev(0) - 255f) < 0.5f && math.abs(rev(3) - 0f) < 0.5f)
+    // end-to-end real pipeline: decode → resize → features
+    val piped = Multimodal.imagePipeline(df, "content", 2, 2, 2, 2, real = true)
+    assert(piped.select(col("features.pooled16")).head().getSeq[Float](0).length == 16)
+  }
+
   test("video frame sampling emits requested frame count and indices") {
     val out = media.limit(3).select(col("media_id"),
       Multimodal.fakeSampleFrames(col("content"), lit(30), lit(4), lit(4), lit(4)).as("v"))

@@ -98,6 +98,30 @@ class SourcesSpec extends SparkSpec {
     assert(back.getAs[org.apache.spark.sql.Row]("volume").getSeq[Float](1) == data.toSeq)
   }
 
+  test("PNG sink renders grayscale and class overlay readable by imageio") {
+    import graft.sources.Png
+    // direct codec: 2x2 ramp normalizes to 0..255
+    val gray = Png.grayPng(Array(0f, 1f, 2f, 3f), 2, 2)
+    val gimg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gray))
+    assert(gimg.getWidth == 2 && gimg.getHeight == 2)
+    assert((gimg.getRGB(0, 0) & 0xff) == 0 && (gimg.getRGB(1, 1) & 0xff) == 255)
+    // overlay: class-1 pixel gains the red palette hue, class-0 stays gray
+    val over = Png.overlayPng(Array(0f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), 2, 2)
+    val oimg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(over))
+    val colored = oimg.getRGB(1, 0)
+    assert(((colored >> 16) & 0xff) > ((colored >> 8) & 0xff), "class 1 blends red")
+    assert((oimg.getRGB(0, 0) & 0xffffff) == 0, "class 0 stays grayscale")
+    // S9 sink end-to-end through the Spark writer
+    val outDir = Files.createTempDirectory("pngs").toString
+    val df = spark.range(2).select(
+      concat(lit("slice"), col("id")).as("name"),
+      Tensors.tensor(typedLit(Seq(1, 1, 1, 2, 2)),
+        typedLit(Seq(0f, 1f, 2f, 3f))).as("image"))
+    Sources.writePngSlices(df, "image", "name", outDir)
+    val f0 = javax.imageio.ImageIO.read(new java.io.File(s"$outDir/slice0.png"))
+    assert(f0.getWidth == 2 && f0.getHeight == 2)
+  }
+
   test("listRecords parses dataset-subject from filenames") {
     val dir = Files.createTempDirectory("recs").toString
     spark.range(2).select(col("id")).write.parquet(s"$dir/mm1-subjA.parquet")
