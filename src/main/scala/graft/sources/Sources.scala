@@ -44,10 +44,10 @@ object Sources {
       .drop("_path")
   }
 
-  /** S2 DICOM stub decode (container ships no JVM DICOM codec — the
-    * grouping/ordering relational half of the DICOM path is real and
-    * q16-verified): deterministic fake (1,1,1,H,W) tensor + pixdim from
-    * the byte stream — swap for a real parser without touching callers. */
+  /** Stub decode for formats without a pure-JVM codec (compressed DICOM,
+    * proprietary raws): deterministic fake (1,1,1,H,W) tensor + pixdim
+    * from the byte stream — swap for a real parser without touching
+    * callers. NIfTI and uncompressed DICOM use the REAL parsers below. */
   val stubDecodeVolume: UserDefinedFunction =
     udf((content: Array[Byte], h: Int, w: Int) => {
       val data = new Array[Float](h * w)
@@ -67,15 +67,21 @@ object Sources {
       (Seq(1, 1, 1, h, w), data.toSeq, Seq(1.25f, 1.25f, 8.0f)) // (shape, data, pixdim)
     })
 
-  /** S1 real NIfTI-1 decode + S2 stub fallback in ONE kernel (evaluated
-    * once per row): `.nii`/`.nii.gz` content goes through the pure-JVM
-    * NIfTI-1 parser (graft.sources.Nifti), anything else (DICOM) through
-    * the stub. Returns (shape, data, pixdim, affine?). */
+  /** S1/S2 real decode + stub fallback in ONE kernel (evaluated once per
+    * row): `.nii`/`.nii.gz` → pure-JVM NIfTI-1 parser, `.dcm` → pure-JVM
+    * uncompressed-DICOM parser (loud failure on compressed transfer
+    * syntaxes), anything else → the stub. Returns
+    * (shape, data, pixdim, affine?). */
   val decodeVolume: UserDefinedFunction =
     udf((path: String, content: Array[Byte], h: Int, w: Int) => {
       if (path != null && (path.endsWith(".nii") || path.endsWith(".nii.gz"))) {
         val v = Nifti.decode(content)
         (v.shape, v.data.toSeq, v.pixdim, Option(v.affine))
+      } else if (path != null && path.endsWith(".dcm")) {
+        val sl = Dicom.decode(content)
+        val pixdim = (sl.pixelSpacing ++ Seq(1f, 1f)).take(3)
+        (Seq(1, 1, 1, sl.rows, sl.cols), sl.data.toSeq, pixdim,
+          Option.empty[Seq[Float]])
       } else {
         val data = new Array[Float](h * w)
         var i = 0
@@ -108,6 +114,40 @@ object Sources {
       .select(col("path"), col("length"),
         struct(dec("_1").as("shape"), dec("_2").as("data")).as("volume"),
         dec("_3").as("pixdim"), dec("_4").as("affine"))
+  }
+
+  /** S2 real DICOM series scan (`setup/reformat/utils.py:132-215`): decode
+    * every uncompressed `.dcm` slice, then order slices WITHIN each series
+    * by the reference's projection scalar dot(position, cross(o1,o2))
+    * descending (instance number and path as tiebreaks) — the same
+    * ordering q16 verifies relationally on synthetic keys, here on real
+    * headers. The window partitions by series_uid: per-series work, never
+    * a global sort. */
+  val decodeDicomSlice: UserDefinedFunction =
+    udf((content: Array[Byte]) => {
+      val sl = Dicom.decode(content)
+      val proj =
+        if (sl.position.length == 3 && sl.orientation.length == 6)
+          Dicom.sliceProjection(sl)
+        else sl.instanceNumber.toDouble
+      (Seq(1, 1, 1, sl.rows, sl.cols), sl.data.toSeq,
+        (sl.pixelSpacing ++ Seq(1f, 1f)).take(3), sl.seriesUid,
+        sl.instanceNumber, proj)
+    })
+
+  def scanDicomSeries(spark: SparkSession, dir: String, glob: String = "*.dcm"): DataFrame = {
+    val dec = decodeDicomSlice(col("content"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("series_uid"))
+      .orderBy(col("proj").desc, col("instance_number"), col("path"))
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(col("path"),
+        struct(dec("_1").as("shape"), dec("_2").as("data")).as("volume"),
+        dec("_3").as("pixdim"), dec("_4").as("series_uid"),
+        dec("_5").as("instance_number"), dec("_6").as("proj"))
+      .withColumn("slice_index", row_number().over(w))
   }
 
   /** S7 NIfTI sink (`setup/reformat/mm1.py:69-70` `nib.save`): one

@@ -6,21 +6,22 @@ import graft.tensor.Tensors
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
-/** End-to-end ingest: binary volume scan (S2 stub decode) → per-frame
+/** End-to-end ingest: binary volume scan (S2 real DICOM decode) → per-frame
   * records → ED/ES detection → stack → canonicalize → DataModule lifecycle —
   * the full setup_cine → DataModule path (SURVEY §3.2 → §3.1) on synthetic
   * files, all as distributed DataFrame ops. */
 class IngestSpec extends SparkSpec {
 
   test("binary files to served batches") {
-    // 1. fake raw files on disk
+    // 1. real (encoded) DICOM slices on disk — one per subject
     val dir = Files.createTempDirectory("ingest").toString
     (0 until 6).foreach { i =>
+      val px = Array.tabulate(16)(j => ((i * 31 + j * 17) % 127).toFloat)
       Files.write(java.nio.file.Paths.get(f"$dir/mm1-s$i%02d.dcm"),
-        Array.tabulate[Byte](64)(j => ((i * 31 + j) % 127).toByte))
+        graft.sources.Dicom.encode(4, 4, px, position = Seq(0f, 0f, i.toFloat)))
     }
 
-    // 2. S1/S2 scan + decode to per-subject volumes
+    // 2. S1/S2 scan + real decode to per-subject volumes
     val vols = Sources.scanVolumes(spark, dir, "*.dcm", h = 4, w = 4)
       .withColumn("subject_id",
         regexp_extract(col("path"), "mm1-(s[0-9]+)", 1))

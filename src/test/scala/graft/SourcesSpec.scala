@@ -30,19 +30,52 @@ class SourcesSpec extends SparkSpec {
       Seq("000", "001", "002"))
   }
 
-  test("binary volume scan stub-decodes DICOM deterministically with glob pruning") {
+  test("binary volume scan stub-decodes codec-less formats with glob pruning") {
     val dir = Files.createTempDirectory("vols").toString
-    Files.write(java.nio.file.Paths.get(s"$dir/mm1-sub1.dcm"), Array[Byte](1, 2, 3, 4, 5))
-    Files.write(java.nio.file.Paths.get(s"$dir/mm1-sub2.dcm"), Array[Byte](9, 8, 7, 6, 5))
+    Files.write(java.nio.file.Paths.get(s"$dir/mm1-sub1.raw"), Array[Byte](1, 2, 3, 4, 5))
+    Files.write(java.nio.file.Paths.get(s"$dir/mm1-sub2.raw"), Array[Byte](9, 8, 7, 6, 5))
     Files.write(java.nio.file.Paths.get(s"$dir/notes.txt"), Array[Byte](0))
-    val v = Sources.scanVolumes(spark, dir, "*.dcm", h = 4, w = 4)
+    val v = Sources.scanVolumes(spark, dir, "*.raw", h = 4, w = 4)
     assert(v.count() == 2, "glob must prune the .txt")
     val a = v.orderBy("path").select(col("volume.data")).collect().map(_.getSeq[Float](0))
-    val b = Sources.scanVolumes(spark, dir, "*.dcm", 4, 4)
+    val b = Sources.scanVolumes(spark, dir, "*.raw", 4, 4)
       .orderBy("path").select(col("volume.data")).collect().map(_.getSeq[Float](0))
     assert(a.toSeq == b.toSeq)
     assert(a(0) != a(1), "different bytes decode differently")
     assert(v.select(col("pixdim")).head().getSeq[Float](0) == Seq(1.25f, 1.25f, 8.0f))
+  }
+
+  test("DICOM codec: round-trip, projection ordering, series scan") {
+    import graft.sources.Dicom
+    // encode → decode round-trip with geometry
+    val px = Array.tabulate(12)(i => (i * 3).toFloat)
+    val bytes = Dicom.encode(3, 4, px, position = Seq(0f, 0f, 10f),
+      orientation = Seq(1f, 0f, 0f, 0f, 1f, 0f), pixelSpacing = Seq(1.5f, 1.5f),
+      seriesUid = "1.2.3.9", instanceNumber = 7)
+    val sl = Dicom.decode(bytes)
+    assert(sl.rows == 3 && sl.cols == 4)
+    assert(sl.data.toSeq == px.toSeq, "uint16 voxels round-trip exactly")
+    assert(sl.seriesUid == "1.2.3.9" && sl.instanceNumber == 7)
+    assert(sl.pixelSpacing == Seq(1.5f, 1.5f))
+    // projection = dot(position, cross(o1,o2)) = z here
+    assert(math.abs(Dicom.sliceProjection(sl) - 10.0) < 1e-9)
+    // series scan orders slices by projection desc within a series
+    val dir = Files.createTempDirectory("dcms").toString
+    Seq(5f, 15f, 10f).zipWithIndex.foreach { case (z, i) =>
+      Files.write(java.nio.file.Paths.get(s"$dir/s$i.dcm"),
+        Dicom.encode(2, 2, Array(z, z, z, z), position = Seq(0f, 0f, z),
+          instanceNumber = i + 1))
+    }
+    val scanned = Sources.scanDicomSeries(spark, dir)
+    assert(scanned.count() == 3)
+    val ordered = scanned.orderBy("slice_index")
+      .select(col("proj"), col("slice_index")).collect()
+    assert(ordered.map(_.getDouble(0)).toSeq == Seq(15.0, 10.0, 5.0),
+      "slice_index follows projection descending")
+    // scanVolumes real-decodes .dcm too
+    val vols = Sources.scanVolumes(spark, dir, "*.dcm", 2, 2)
+    assert(vols.select(col("volume.data")).collect()
+      .map(_.getSeq[Float](0).head).toSet == Set(5f, 15f, 10f))
   }
 
   test("NIfTI-1 codec: header fields + voxel round-trip, both endiannesses of scl") {
