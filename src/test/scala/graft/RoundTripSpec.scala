@@ -88,6 +88,31 @@ class RoundTripSpec extends SparkSpec {
     }
   }
 
+  test("Ranks.globalRowNumber/globalDenseRank equal the single-window forms") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Ranks
+    import graft.util.Det
+    val df = Tables.customer(spark, sf0001)
+    val key = Det.seededKey("77", col("c_custkey"))
+    val twoPhase = Ranks.globalRowNumber(df, Ranks.hexBucket(key),
+      Seq(key, col("c_custkey")), "rn")
+      .select(col("c_custkey"), col("rn")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = df.withColumn("rn",
+      row_number().over(Window.orderBy(key, col("c_custkey"))))
+      .select(col("c_custkey"), col("rn")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(twoPhase == naive)
+    val dr = Ranks.globalDenseRank(df, col("c_nationkey"), descending = true, "dr")
+      .select(col("c_custkey"), col("dr")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val drNaive = df.withColumn("dr",
+      dense_rank().over(Window.orderBy(col("c_nationkey").desc)))
+      .select(col("c_custkey"), col("dr")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(dr == drNaive)
+  }
+
   test("inverse-frequency weight × group size = total (any grouping)") {
     val df = Tables.customer(spark, sf0001)
     val w = graft.pipeline.BatchServer.inverseFrequencyWeights(df, Seq("c_mktsegment", "c_nationkey"))
