@@ -491,6 +491,98 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- Q42
+  /** Corpus selection — the composite "build the training set" decision a
+    * real pipeline runs after the per-signal sweeps: keep a doc iff it is
+    * the exact-dedup canonical (q26), clears the quality threshold (q30's
+    * score ≥ 0.30, ~the corpus median), is not benchmark-contaminated
+    * (q38's trigram sweep), and is not itself a benchmark doc.
+    *
+    * Scale: ONE term-explode hash-agg serves both the quality features and
+    * the language ratios; canonical ids join on the content hash
+    * (co-partitioned, no broadcast of the corpus); the benchmark trigram
+    * set is tiny → broadcast. The threshold compare runs on bit-identical
+    * IEEE trees both sides, so the boolean is oracle-stable. */
+  val q42 = DeclaredQuery(
+    "q42_corpus_select",
+    Some("""WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+           |feats AS (
+           |  SELECT doc_id,
+           |         0.3*(CAST(SUM(CASE WHEN term IN ('the','a','of','and','to') THEN 1 ELSE 0 END) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE))
+           |         + 0.4*least((CAST(SUM(length(term)) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE))/8.0, 1.0)
+           |         + 0.3*(CAST(SUM(CASE WHEN length(term) >= 6 THEN 1 ELSE 0 END) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE)) AS quality_score,
+           |         CAST(SUM(CASE WHEN term IN ('the','a','of','and','to') THEN 1 ELSE 0 END) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS r_en,
+           |         CAST(SUM(CASE WHEN term IN ('der','die','das','und','ist') THEN 1 ELSE 0 END) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS r_de,
+           |         CAST(SUM(CASE WHEN term IN ('le','la','et','les','des') THEN 1 ELSE 0 END) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS r_fr,
+           |         CAST(SUM(CASE WHEN term IN ('el','los','y','de','un') THEN 1 ELSE 0 END) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS r_es
+           |  FROM t GROUP BY doc_id),
+           |canon AS (SELECT md5(text) AS ch, MIN(doc_id) AS canon_id FROM documents GROUP BY 1),
+           |g AS (
+           |  SELECT doc_id, string_split(text,' ')[CAST(i AS INTEGER)] || ' ' ||
+           |         string_split(text,' ')[CAST(i+1 AS INTEGER)] || ' ' ||
+           |         string_split(text,' ')[CAST(i+2 AS INTEGER)] AS tri
+           |  FROM (SELECT doc_id, text, unnest(range(1, len(string_split(text,' '))-1)) AS i
+           |        FROM documents)),
+           |btris AS (SELECT DISTINCT tri FROM g WHERE doc_id % 100 = 7),
+           |cont AS (SELECT DISTINCT g.doc_id FROM g JOIN btris USING (tri) WHERE g.doc_id % 100 <> 7)
+           |SELECT d.doc_id,
+           |       (d.doc_id = c.canon_id) AS is_canonical,
+           |       f.quality_score,
+           |       (f.quality_score >= 0.30) AS quality_ok,
+           |       CASE WHEN r_en >= r_de AND r_en >= r_fr AND r_en >= r_es THEN 'en'
+           |            WHEN r_de >= r_fr AND r_de >= r_es THEN 'de'
+           |            WHEN r_fr >= r_es THEN 'fr' ELSE 'es' END AS predicted_lang,
+           |       (ct.doc_id IS NOT NULL) AS contaminated,
+           |       (d.doc_id % 100 = 7) AS is_benchmark,
+           |       (d.doc_id = c.canon_id AND f.quality_score >= 0.30
+           |        AND ct.doc_id IS NULL AND d.doc_id % 100 <> 7) AS selected
+           |FROM documents d
+           |JOIN canon c ON md5(d.text) = c.ch
+           |JOIN feats f ON d.doc_id = f.doc_id
+           |LEFT JOIN cont ct ON d.doc_id = ct.doc_id
+           |ORDER BY d.doc_id""".stripMargin)) { (s, d) =>
+    val base = docs(s, d)
+    val t = base.select(col("doc_id"), explode(words).as("term"))
+    val nTok = count(lit(1)).cast("double")
+    def ratio(ws: Seq[String]) =
+      sum(when(col("term").isin(ws: _*), 1).otherwise(0)).cast("double") / nTok
+    val feats = t.groupBy("doc_id").agg(
+      (lit(0.3) * ratio(Seq("the", "a", "of", "and", "to"))
+        + lit(0.4) * least(sum(length(col("term"))).cast("double") / nTok / 8.0, lit(1.0))
+        + lit(0.3) * (sum(when(length(col("term")) >= 6, 1).otherwise(0)).cast("double") / nTok))
+        .as("quality_score"),
+      ratio(stopsets(0)._2).as("r_en"), ratio(stopsets(1)._2).as("r_de"),
+      ratio(stopsets(2)._2).as("r_fr"), ratio(stopsets(3)._2).as("r_es"))
+    val canon = base.groupBy(md5(col("text")).as("_ch"))
+      .agg(min(col("doc_id")).as("canon_id"))
+    val g = base.select(col("doc_id"), explode(ngrams(3)).as("tri"))
+    val btris = g.filter(col("doc_id") % 100 === 7).select("tri").distinct()
+    val cont = g.filter(col("doc_id") % 100 =!= 7)
+      .join(broadcast(btris), "tri")
+      .select("doc_id").distinct()
+      .withColumn("_cont", lit(true))
+    val predicted =
+      when(col("r_en") >= col("r_de") && col("r_en") >= col("r_fr") && col("r_en") >= col("r_es"), "en")
+        .when(col("r_de") >= col("r_fr") && col("r_de") >= col("r_es"), "de")
+        .when(col("r_fr") >= col("r_es"), "fr")
+        .otherwise("es")
+    base.select(col("doc_id"), md5(col("text")).as("_ch"))
+      .join(canon, "_ch")
+      .join(feats, "doc_id")
+      .join(cont, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("doc_id") === col("canon_id")).as("is_canonical"),
+        col("quality_score"),
+        (col("quality_score") >= 0.30).as("quality_ok"),
+        predicted.as("predicted_lang"),
+        coalesce(col("_cont"), lit(false)).as("contaminated"),
+        (col("doc_id") % 100 === 7).as("is_benchmark"),
+        (col("doc_id") === col("canon_id") && col("quality_score") >= 0.30
+          && coalesce(col("_cont"), lit(false)) === false
+          && col("doc_id") % 100 =!= 7).as("selected"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[DeclaredQuery] = Seq(q26, q26t, q27, q27p, q28, q29, q30, q31,
-    q32, q33, q37, q38, q39)
+    q32, q33, q37, q38, q39, q42)
 }
