@@ -110,6 +110,23 @@ class SourcesSpec extends SparkSpec {
     val scaled = Nifti.decode(bb.array())
     assert(scaled.shape == Seq(1, 1, 1, 2, 3))
     assert(scaled.data.toSeq == Seq(1f, 3f, 5f, 7f, 9f, 11f), "v*2-1 scaling")
+    // big-endian header is sniffed from sizeof_hdr and decodes identically
+    val be = java.nio.ByteBuffer.allocate(352 + 4 * 4)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    be.putInt(0, 348)
+    be.putShort(40, 2.toShort)
+    be.putShort(42, 2.toShort); be.putShort(44, 2.toShort); be.putShort(46, 1.toShort)
+    be.putShort(48, 1.toShort)
+    be.putShort(70, 16.toShort) // float32
+    be.putShort(72, 32.toShort)
+    be.putFloat(80, 2f); be.putFloat(84, 2f); be.putFloat(88, 2f)
+    be.putFloat(108, 352f)
+    be.put(344, 'n'.toByte); be.put(345, '+'.toByte); be.put(346, '1'.toByte)
+    (0 until 4).foreach(i => be.putFloat(352 + 4 * i, i * 1.5f))
+    val bev = Nifti.decode(be.array())
+    assert(bev.shape == Seq(1, 1, 1, 2, 2))
+    assert(bev.data.toSeq == Seq(0f, 1.5f, 3f, 4.5f))
+    assert(bev.pixdim == Seq(2f, 2f, 2f))
   }
 
   test("scanVolumes real-decodes .nii.gz and NIfTI sink writes readable files") {
