@@ -150,6 +150,26 @@ object Sources {
       .withColumn("slice_index", row_number().over(w))
   }
 
+  /** S2 series → volume stacking (`setup/reformat/utils.py:200-215`): the
+    * ordered slices of each series concatenate into one (1,D,1,H,W)
+    * tensor. sort_array on (slice_index, data) keeps the whole group
+    * reduction inside one hash-agg — no window, no per-slice shuffle
+    * beyond the series key. */
+  def stackDicomSeries(slices: org.apache.spark.sql.DataFrame): DataFrame =
+    slices
+      .groupBy("series_uid")
+      .agg(
+        sort_array(collect_list(struct(col("slice_index"), col("volume").as("v"))))
+          .as("_s"),
+        count(lit(1)).as("n_slices"),
+        first(col("pixdim")).as("pixdim"))
+      .withColumn("volume", struct(
+        concat(
+          array(lit(1), col("n_slices").cast("int"), lit(1)),
+          slice(element_at(col("_s"), 1)("v")("shape"), 4, 2)).as("shape"),
+        flatten(transform(col("_s"), s => s("v")("data"))).as("data")))
+      .drop("_s")
+
   /** S7 NIfTI sink (`setup/reformat/mm1.py:69-70` `nib.save`): one
     * `.nii.gz` per row via the pure-JVM encoder, written from executors
     * through the Hadoop FS API (works on local/HDFS/object stores). */

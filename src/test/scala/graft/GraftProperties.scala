@@ -73,4 +73,33 @@ object GraftProperties extends Properties("graft") {
       val x = c / 100.0 // a 2-decimal double
       math.round(x * 100).toLong == c
     }
+
+  // codec round-trip properties: arbitrary shapes/data through the pure-JVM
+  // NIfTI-1 and DICOM encoders must decode bit-identically
+  private val volGen: Gen[(Int, Int, Int, Int)] = for {
+    t <- Gen.choose(1, 3); d <- Gen.choose(1, 4)
+    h <- Gen.choose(1, 8); w <- Gen.choose(1, 8)
+  } yield (t, d, h, w)
+
+  property("NIfTI-1 encode/decode round-trips any (T,D,1,H,W) float volume") =
+    Prop.forAll(volGen, Gen.choose(0, 1000000)) { case ((t, d, h, w), seed) =>
+      val n = t * d * h * w
+      val data = Array.tabulate(n)(i => ((i * 2654435761L + seed) % 4096).toFloat / 8f - 200f)
+      val v = graft.sources.Nifti.decode(
+        graft.sources.Nifti.encode(Seq(t, d, 1, h, w), data, Seq(1f, 2f, 3f)))
+      v.shape == Seq(t, d, 1, h, w) && v.data.toSeq == data.toSeq &&
+        v.pixdim == Seq(1f, 2f, 3f)
+    }
+
+  property("DICOM encode/decode round-trips any uint16 slice + geometry") =
+    Prop.forAll(Gen.choose(1, 16), Gen.choose(1, 16), Gen.choose(0, 1000000)) {
+      (rows, cols, seed) =>
+        val data = Array.tabulate(rows * cols)(i => ((i * 131 + seed) % 65536).toFloat)
+        val pos = Seq(seed % 10 - 5f, seed % 7 - 3f, seed % 13 + 0f)
+        val sl = graft.sources.Dicom.decode(
+          graft.sources.Dicom.encode(rows, cols, data, position = pos,
+            instanceNumber = seed % 100))
+        sl.rows == rows && sl.cols == cols && sl.data.toSeq == data.toSeq &&
+          sl.position == pos && sl.instanceNumber == seed % 100
+    }
 }

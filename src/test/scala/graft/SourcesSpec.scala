@@ -76,6 +76,13 @@ class SourcesSpec extends SparkSpec {
     val vols = Sources.scanVolumes(spark, dir, "*.dcm", 2, 2)
     assert(vols.select(col("volume.data")).collect()
       .map(_.getSeq[Float](0).head).toSet == Set(5f, 15f, 10f))
+    // series stacking: ordered slices concatenate into one (1,D,1,H,W)
+    val stacked = Sources.stackDicomSeries(scanned).head()
+    assert(stacked.getAs[org.apache.spark.sql.Row]("volume").getSeq[Int](0) ==
+      Seq(1, 3, 1, 2, 2))
+    assert(stacked.getAs[org.apache.spark.sql.Row]("volume").getSeq[Float](1)
+      .grouped(4).map(_.head).toSeq == Seq(15f, 10f, 5f),
+      "slices stack in projection-descending order")
   }
 
   test("NIfTI-1 codec: header fields + voxel round-trip, both endiannesses of scl") {
