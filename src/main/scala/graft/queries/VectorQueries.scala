@@ -227,5 +227,124 @@ object VectorQueries {
       .orderBy("probe_id", "rk")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(q25, q34, q35, q36)
+  // ---------------------------------------------------------------- Q43
+  /** IVF with one k-means refinement iteration (the quality upgrade over
+    * q36's hash-picked centroids): seeded init → assign → recompute each
+    * centroid as its cluster's mean vector → reassign → nprobe=2 probe.
+    *
+    * FP parity for the means: a per-dimension SUM over doubles is
+    * partition-order-dependent in Spark, so each (cluster, dim) sum folds
+    * an explicitly vec_id-sorted list left-to-right — and the oracle folds
+    * `list(val ORDER BY vec_id)` the same way. Division and argmax then
+    * run on bit-identical doubles.
+    *
+    * Scale: assignment passes are one corpus scan each against a 16-row
+    * broadcast; the mean recompute shuffles (cluster, dim, value) triples
+    * — k·dims tiny aggregate state; refined centroids are collected
+    * (16×64 floats) and re-planted, like q36. The sorted fold buffers one
+    * cluster-dim's values per group — fine here, but a 100 TB deployment
+    * should swap it for plain `avg` (map-side combined, O(1) state) and
+    * accept last-ulp centroid drift: k-means itself doesn't need
+    * bit-reproducible means, only the declared-query oracle does. */
+  val q43 = DeclaredQuery(
+    "q43_ivf_kmeans",
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+           |cent0 AS (
+           |  SELECT row_number() OVER (ORDER BY md5(concat_ws(':', CAST(vec_id AS VARCHAR), 'centroid')), vec_id) AS cluster_id,
+           |         v AS cv, nrm AS cnrm
+           |  FROM n QUALIFY cluster_id <= 16),
+           |a1 AS (
+           |  SELECT vec_id, v, nrm, cluster_id FROM (
+           |    SELECT n.vec_id, n.v, n.nrm, cent0.cluster_id,
+           |           row_number() OVER (PARTITION BY n.vec_id
+           |             ORDER BY list_dot_product(n.v, cent0.cv)/(n.nrm*cent0.cnrm) DESC, cent0.cluster_id) AS ark
+           |    FROM n CROSS JOIN cent0) WHERE ark = 1),
+           |dims AS (
+           |  SELECT cluster_id, vec_id, i AS pos, v[CAST(i AS INTEGER)] AS val
+           |  FROM (SELECT cluster_id, vec_id, v, unnest(range(1, len(v)+1)) AS i FROM a1)),
+           |csum AS (
+           |  SELECT cluster_id, pos,
+           |         list_aggregate(list(val ORDER BY vec_id), 'sum') AS sv,
+           |         COUNT(*) AS cnt
+           |  FROM dims GROUP BY cluster_id, pos),
+           |cent1 AS (
+           |  SELECT cluster_id, list(sv/cnt ORDER BY pos) AS cv FROM csum GROUP BY cluster_id),
+           |cent1n AS (SELECT cluster_id, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM cent1),
+           |a2 AS (
+           |  SELECT n.vec_id, n.v, n.nrm, cent1n.cluster_id,
+           |         row_number() OVER (PARTITION BY n.vec_id
+           |           ORDER BY list_dot_product(n.v, cent1n.cv)/(n.nrm*cent1n.cnrm) DESC, cent1n.cluster_id) AS ark
+           |  FROM n CROSS JOIN cent1n),
+           |asgn AS (SELECT vec_id, v, nrm, cluster_id FROM a2 WHERE ark = 1),
+           |probe_clusters AS (SELECT vec_id AS probe_id, cluster_id FROM a2 WHERE vec_id < 5 AND ark <= 2),
+           |probes AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm FROM n WHERE vec_id < 5),
+           |cand AS (
+           |  SELECT pc.probe_id, a.vec_id,
+           |         list_dot_product(a.v, p.pv)/(a.nrm*p.pnrm) AS cosine
+           |  FROM asgn a JOIN probe_clusters pc ON a.cluster_id = pc.cluster_id
+           |              JOIN probes p ON p.probe_id = pc.probe_id
+           |  WHERE a.vec_id <> pc.probe_id),
+           |r AS (SELECT probe_id, vec_id, cosine,
+           |             row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rk
+           |      FROM cand)
+           |SELECT probe_id, rk, vec_id AS neighbor_id, cosine
+           |FROM r WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin)) { (s, d) =>
+    val n = normed(s, d)
+    val ckey = md5(concat_ws(":", col("vec_id").cast("string"), lit("centroid")))
+    val cent0Picked = n
+      .withColumn("_ck", ckey)
+      .orderBy(col("_ck"), col("vec_id"))
+      .limit(16)
+      .withColumn("cluster_id", row_number().over(
+        Window.partitionBy(graft.operators.Ranks.onePartition(col("vec_id")))
+          .orderBy(col("_ck"), col("vec_id"))))
+      .select(col("cluster_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val cent0 = s.createDataFrame(
+      java.util.Arrays.asList(cent0Picked.collect(): _*), cent0Picked.schema)
+    def assignTo(base: DataFrame, cent: DataFrame): DataFrame = base
+      .crossJoin(broadcast(cent))
+      .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cluster_id"))))
+    val a1 = assignTo(n, cent0).filter(col("ark") === 1)
+      .select(col("vec_id"), col("v"), col("cluster_id"))
+    // per-(cluster, dim) mean with a DETERMINISTIC fold order (vec_id):
+    // sum = left fold over the vec_id-sorted value list, exactly the
+    // oracle's list_aggregate(list(val ORDER BY vec_id), 'sum')
+    val dims = a1.select(col("cluster_id"), col("vec_id"),
+      posexplode(col("v")).as(Seq("pos", "val")))
+    val csum = dims.groupBy("cluster_id", "pos").agg(
+      aggregate(
+        transform(sort_array(collect_list(struct(col("vec_id"), col("val")))),
+          x => x("val")),
+        lit(0.0), (acc, x) => acc + x).as("sv"),
+      count(lit(1)).as("cnt"))
+    val cent1Plan = csum.groupBy("cluster_id").agg(
+      transform(sort_array(collect_list(struct(col("pos"), (col("sv") / col("cnt")).as("m")))),
+        x => x("m")).as("cv"))
+      .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
+      .select(col("cluster_id"), col("cv"), col("cnrm"))
+    val cent1 = s.createDataFrame(
+      java.util.Arrays.asList(cent1Plan.collect(): _*), cent1Plan.schema)
+    val a2 = assignTo(n, cent1)
+    val asgn = a2.filter(col("ark") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cluster_id"))
+    val probeClusters = assignTo(n.filter(col("vec_id") < 5), cent1)
+      .filter(col("ark") <= 2)
+      .select(col("vec_id").as("probe_id"), col("cluster_id"))
+    val probes = n.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pnrm"))
+    asgn.join(broadcast(probeClusters), "cluster_id")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .join(broadcast(probes), "probe_id")
+      .withColumn("cosine", dot(col("v"), col("pv")) / (col("nrm") * col("pnrm")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rk") <= 5)
+      .select(col("probe_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy("probe_id", "rk")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(q25, q34, q35, q36, q43)
 }
