@@ -95,14 +95,26 @@ object BatchServer {
     val units = df.withColumn("_wu", round(col("weight") * 1e6, 0).cast("long"))
     val cum = scalableCumSum(units, idCol, "_wu")
       .withColumn("_cum_lo", col("_cum_hi") - col("_wu"))
+      // same bucket function as scalableCumSum: each bucket owns a
+      // contiguous cumulative range, so a draw can be ROUTED to its bucket
+      // through the tiny boundary table and then equi-join on _b — a
+      // range-predicate join straight against `cum` would be a nested-loop
+      // over the corpus-sized table
+      .withColumn("_b", shiftright(xxhash64(col(idCol)), 54))
+    val bounds = cum.groupBy("_b")
+      .agg(min(col("_cum_lo")).as("_b_lo"), max(col("_cum_hi")).as("_b_hi"))
     val total = cum.agg(max(col("_cum_hi")).as("_w_total"))
     val drawsDf = spark.range(draws.toLong).select(col("id").as("draw_nr"))
       .crossJoin(broadcast(total))
       .withColumn("_u",
         floor((pmod(xxhash64(col("draw_nr"), lit(seed)), lit(1L << 24)).cast("double")
           / lit((1L << 24).toDouble)) * col("_w_total").cast("double")).cast("long"))
-    // interval containment join: _cum_lo <= u < _cum_hi (integer, exact)
-    drawsDf.join(cum, col("_u") >= col("_cum_lo") && col("_u") < col("_cum_hi"))
-      .drop("_u", "_cum_lo", "_cum_hi", "_w_total", "_wu")
+    val routed = drawsDf.join(broadcast(bounds),
+      col("_u") >= col("_b_lo") && col("_u") < col("_b_hi"))
+    // interval containment, now bucket-local: _cum_lo <= u < _cum_hi
+    // (integer, exact); the equi-key _b carries the join
+    routed.join(cum, Seq("_b"))
+      .filter(col("_u") >= col("_cum_lo") && col("_u") < col("_cum_hi"))
+      .drop("_u", "_b", "_b_lo", "_b_hi", "_cum_lo", "_cum_hi", "_w_total", "_wu")
   }
 }
