@@ -165,6 +165,20 @@ class PipelineSpec extends SparkSpec {
     assert(bySeg.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("weightedDraw intervals tile [0, W) exactly — every draw hits one row") {
+    // zero-weight rows and duplicate weights included: integer micro-unit
+    // cumsums must leave no gaps/overlaps, so N draws return exactly N rows
+    val df = spark.range(40).select(col("id").as("k"),
+      (when(col("id") % 7 === 0, 0.0).otherwise((col("id") % 5 + 1).cast("double") / 3.0))
+        .as("weight"))
+    val drawn = BatchServer.weightedDraw(df, "k", draws = 500, seed = 11L)
+    assert(drawn.count() == 500, "every draw must match exactly one interval")
+    assert(drawn.groupBy("draw_nr").count().filter(col("count") > 1).count() == 0,
+      "no draw may land in two intervals")
+    assert(drawn.filter(col("k") % 7 === 0).count() == 0,
+      "zero-weight rows are never drawn")
+  }
+
   test("Predictor: softmax + argmax + inverse warp round-trip") {
     val pred = records.select(col("subject_id"),
       Tensors.tensor(typedLit(Seq(1, 1, 3, 2, 2)),
