@@ -491,6 +491,75 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- Q44
+  /** SimHash near-dup pairs — the pairing step over q28's fingerprints,
+    * completing the SimHash path the way q27p completes MinHash: band the
+    * 16-bit fingerprint into two 8-bit halves (pigeonhole: hamming ≤ 1 ⇒
+    * at least one identical half), candidates share a (band, half) key,
+    * then the exact hamming filter bit_count(xor) ≤ 1 kills false
+    * positives. Scale: the shuffle carries (half-key, doc, fp) — never an
+    * all-pairs product; the exact check is integer bit math in codegen.
+    * Declared on a deterministic 1/100 sample of the pair space (doc_id ≡
+    * 0 mod 10 both sides): 16-bit fingerprints over the synthetic shared
+    * vocabulary collide heavily, and the full pair list would be
+    * quadratic noise rather than signal — real deployments size the
+    * fingerprint (64/128 bits) to the corpus instead. */
+  val q44 = DeclaredQuery(
+    "q44_simhash_pairs",
+    Some("""WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS term
+           |           FROM documents),
+           |b AS (
+           |  SELECT doc_id, j,
+           |         CASE WHEN SUM(CASE WHEN strpos('89abcdef', substr(md5(term), CAST(j+1 AS INTEGER), 1)) > 0
+           |                            THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+           |  FROM t CROSS JOIN (SELECT unnest(range(0, 16)) AS j)
+           |  GROUP BY doc_id, j),
+           |sh AS (
+           |  SELECT doc_id,
+           |         CAST(SUM(bit * CAST(ROUND(POWER(2.0, j)) AS BIGINT)) AS BIGINT) AS fp
+           |  FROM b GROUP BY doc_id),
+           |shs AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+           |bands AS (
+           |  SELECT doc_id, fp, 0 AS band_idx, fp % 256 AS half FROM shs
+           |  UNION ALL
+           |  SELECT doc_id, fp, 1, fp // 256 FROM shs),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.fp AS fp_a, y.fp AS fp_b
+           |  FROM bands x JOIN bands y
+           |    ON x.band_idx = y.band_idx AND x.half = y.half AND x.doc_id < y.doc_id)
+           |SELECT doc_a, doc_b,
+           |       CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+           |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 1
+           |ORDER BY doc_a, doc_b""".stripMargin)) { (s, d) =>
+    val terms = docs(s, d)
+      .select(col("doc_id"), explode(array_distinct(words)).as("term"))
+      .withColumn("h", md5(col("term")))
+    val votes = (0 until 16).map { j =>
+      sum(when(expr(s"instr('89abcdef', substring(h, ${j + 1}, 1)) > 0"), 1)
+        .otherwise(-1)).as(s"_v$j")
+    }
+    val fpCol = (0 until 16).map(j =>
+      when(col(s"_v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    val sh = terms.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fpCol.cast("long").as("fp"))
+      .filter(col("doc_id") % 10 === 0)
+    val bands = sh.select(col("doc_id"), col("fp"),
+        posexplode(array(col("fp") % 256, expr("fp DIV 256"))))
+      .toDF("doc_id", "fp", "band_idx", "half")
+    val cand = bands.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"),
+        col("band_idx"), col("half"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"),
+        col("band_idx"), col("half")), Seq("band_idx", "half"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "fp_a", "fp_b").distinct()
+    cand
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
+      .filter(col("hamming") <= 1)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ---------------------------------------------------------------- Q42
   /** Corpus selection — the composite "build the training set" decision a
     * real pipeline runs after the per-signal sweeps: keep a doc iff it is
@@ -584,5 +653,5 @@ object TextQueries {
   }
 
   val all: Seq[DeclaredQuery] = Seq(q26, q26t, q27, q27p, q28, q29, q30, q31,
-    q32, q33, q37, q38, q39, q42)
+    q32, q33, q37, q38, q39, q42, q44)
 }
