@@ -76,9 +76,14 @@ object TransformPlanner {
         val withVol = df.withColumn("_slice_vol", vol)
         val frameVol = withVol.groupBy(keyCols :+ col("frame_nr"): _*)
           .agg(sum(col("_slice_vol")).as("_gt_volume"))
-        // argmax (ED) / argmin (ES) with the reference's smallest-frame
-        // tiebreak, via lexicographic struct extremes — no row_number
-        val edes = frameVol.groupBy(keyCols: _*)
+        // argmax (ED) / argmin (ES) among *annotated* frames only — the
+        // reference first takes `idx = np.nonzero(sum(cine_gt))` and picks
+        // extremes within that set (`setup/reformat/utils.py:101-113`).
+        // Without the filter, realistic cine data (labels only on ED/ES)
+        // would make ES the first zero-label frame. Smallest-frame tiebreak
+        // via lexicographic struct extremes — no row_number. Records with
+        // no annotated frame drop out at the join (the reference raises).
+        val edes = frameVol.filter(col("_gt_volume") > 0).groupBy(keyCols: _*)
           .agg(max(struct(col("_gt_volume"), (-col("frame_nr")).as("_nf"))).as("_ed"),
             min(struct(col("_gt_volume"), col("frame_nr"))).as("_es"))
           .select(keyCols :+ (-col("_ed._nf")).as("_ed_frame")

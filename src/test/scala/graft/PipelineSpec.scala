@@ -82,6 +82,30 @@ class PipelineSpec extends SparkSpec {
     assert(esOnly.count() == 4)
   }
 
+  test("ED/ES detection restricts to annotated frames (reference get_ed_es_idxs)") {
+    // 4 frames, labels only on frames 1 (3 fg voxels → ED) and 3 (1 fg
+    // voxel → ES); frames 0/2 all-zero. The naive global argmin would pick
+    // frame 0 (volume 0) as ES — the reference first restricts to
+    // np.nonzero frames (`setup/reformat/utils.py:101-113`).
+    val lbl = Seq.fill(4)(0f) ++ Seq(1f, 1f, 1f, 0f) ++ Seq.fill(4)(0f) ++ Seq(1f, 0f, 0f, 0f)
+    val rec = spark.range(1).select(
+      lit("s0").as("subject_id"), lit("mm1").as("dataset"),
+      Tensors.tensor(typedLit(Seq(4, 1, 1, 2, 2)),
+        typedLit((1 to 16).map(_.toFloat))).as("image"),
+      Tensors.tensor(typedLit(Seq(4, 1, 1, 2, 2)), typedLit(lbl)).as("label"))
+    val keys = Seq("dataset", "subject_id")
+    val ed = TransformPlanner.cachePlan(cfg.copy(specialMode = Some("ed_only")),
+      Seq("image"), Seq("label"), recordKeyCols = keys)(rec)
+    // ED = frame 1 → image block (min-shifted by 1) is 4..7
+    assert(ed.count() == 1)
+    assert(ed.select(col("image.data")).head().getSeq[Float](0) == Seq(4f, 5f, 6f, 7f))
+    val es = TransformPlanner.cachePlan(cfg.copy(specialMode = Some("es_only")),
+      Seq("image"), Seq("label"), recordKeyCols = keys)(rec)
+    // ES = frame 3 (smallest *annotated* volume), NOT zero-label frame 0
+    assert(es.count() == 1)
+    assert(es.select(col("image.data")).head().getSeq[Float](0) == Seq(12f, 13f, 14f, 15f))
+  }
+
   test("servePlan: identity resample + standardize + one-hot") {
     val cached = TransformPlanner.cachePlan(cfg, Seq("image"), Seq("label"))(records)
       .withColumn("file_id", concat_ws("-", col("subject_id"), col("frame_nr"), col("slice_nr")))
