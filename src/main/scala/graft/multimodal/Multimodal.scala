@@ -12,13 +12,16 @@ import org.apache.spark.sql.types._
   * binary payload.
   *
   * IMAGE decode is REAL for the JDK's raster formats (PNG/JPEG/BMP/GIF via
-  * javax.imageio — `decodeImage`, BT.601 luma → (1,1,1,H,W)). Audio and
-  * video decode remain deterministic STUBS (no such codecs ship in the
-  * JVM): pixels derived from a rolling hash of the bytes, so the
+  * javax.imageio — `decodeImage`, BT.601 luma → (1,1,1,H,W); grayscale
+  * reads raw raster samples, no sRGB gamma). AUDIO decode is REAL for
+  * WAV/PCM (`decodeAudio`, javax.sound.sampled → (1,1,C,1,N) + sample_rate
+  * /n_frames meta); non-PCM encodings fail loudly (external-transcode
+  * posture). VIDEO decode remains a deterministic STUB (no JVM codec
+  * exists): pixels derived from a rolling hash of the bytes, so the
   * Spark-side plumbing (schema, partitioning, batch shape, downstream
-  * tensor ops) is real and tested end-to-end. Swap `fakeDecode*` for a
-  * real codec UDF (or `mapInPandas`+PIL on PySpark) without touching any
-  * caller.
+  * tensor ops) is real and tested end-to-end. Swap `fakeSampleFrames` for
+  * a real codec UDF (or `mapInPandas`+ffmpeg on PySpark) without touching
+  * any caller.
   *
   * Scale notes: binary payloads stay columnar in Parquet; decode is
   * embarrassingly parallel per record; `spark.sql.files.maxPartitionBytes`
@@ -58,18 +61,78 @@ object Multimodal {
       require(img != null, "payload is not a decodable raster image")
       val h = img.getHeight; val w = img.getWidth
       val data = new Array[Float](h * w)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
-          data(y * w + x) = 0.299f * r + 0.587f * g + 0.114f * b
-          x += 1
+      if (img.getRaster.getNumBands == 1) {
+        // grayscale: read raw raster samples — getRGB would run the stored
+        // linear-gray values through a gray→sRGB conversion (85 → 156 on
+        // this JDK), gamma-distorting the luma vs what PIL returns
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { data(y * w + x) = raster.getSample(x, y, 0).toFloat; x += 1 }
+          y += 1
         }
-        y += 1
+      } else {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+            data(y * w + x) = 0.299f * r + 0.587f * g + 0.114f * b
+            x += 1
+          }
+          y += 1
+        }
       }
       (Seq(1, 1, 1, h, w), data.toSeq)
+    })
+
+  /** REAL audio decode (pure JDK, `javax.sound.sampled`): WAV/PCM binary →
+    * ((1,1,C,1,N) float tensor, sample_rate, n_frames). Samples normalized
+    * to [-1, 1] by the format's full-scale value; channels interleave →
+    * channel-major planes. Fails loudly on non-PCM encodings (MP3/OGG have
+    * no JDK codec — external-transcode posture, like compressed DICOM). */
+  val decodeAudio: UserDefinedFunction =
+    udf((content: Array[Byte]) => {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(content))
+      try {
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        require(enc == AudioFormat.Encoding.PCM_SIGNED || enc == AudioFormat.Encoding.PCM_UNSIGNED,
+          s"unsupported audio encoding $enc: only PCM WAV decodes in the pure JVM; " +
+            "transcode externally (ffmpeg) first, as with compressed DICOM")
+        val ch = fmt.getChannels
+        val bytesPerSample = fmt.getSampleSizeInBits / 8
+        require(bytesPerSample == 1 || bytesPerSample == 2,
+          s"unsupported PCM sample size ${fmt.getSampleSizeInBits} bits (want 8 or 16)")
+        val raw = in.readAllBytes()
+        val n = raw.length / (bytesPerSample * ch)
+        val data = new Array[Float](ch * n)
+        var f = 0
+        while (f < n) {
+          var c = 0
+          while (c < ch) {
+            val off = (f * ch + c) * bytesPerSample
+            val v =
+              if (bytesPerSample == 1) {
+                if (enc == AudioFormat.Encoding.PCM_UNSIGNED) ((raw(off) & 0xff) - 128) / 128f
+                else raw(off) / 128f
+              } else {
+                val b0 = raw(off) & 0xff; val b1 = raw(off + 1) & 0xff
+                val s16 =
+                  if (fmt.isBigEndian) ((raw(off) << 8) | b1).toShort
+                  else ((raw(off + 1) << 8) | b0).toShort
+                s16 / 32768f
+              }
+            data(c * n + f) = v
+            c += 1
+          }
+          f += 1
+        }
+        (Seq(1, 1, ch, 1, n), data.toSeq, fmt.getSampleRate.toInt, n)
+      } finally in.close()
     })
 
   /** STUB image decode for synthetic payloads (see header). */

@@ -35,14 +35,47 @@ class MultimodalSpec extends SparkSpec {
       col("content"), dec("_1").as("shape"), dec("_2").as("data"))
     val r = out.orderBy("media_id").collect()
     assert(r(0).getSeq[Int](2) == Seq(1, 1, 1, 2, 2))
-    // gray ramp 0..3 normalizes to 0,85,170,255; luma of gray(v) ≈ v
+    // gray ramp 0..3 normalizes to 0,85,170,255; decode reads raw raster
+    // samples, so MID grays round-trip exactly — getRGB's gray→sRGB
+    // conversion would return 156 for stored 85 (endpoints are invariant
+    // under that conversion and would mask the distortion)
     val lums = r(0).getSeq[Float](3)
-    assert(math.abs(lums(0) - 0f) < 0.5f && math.abs(lums(3) - 255f) < 0.5f)
+    assert(lums == Seq(0f, 85f, 170f, 255f))
     val rev = r(1).getSeq[Float](3)
     assert(math.abs(rev(0) - 255f) < 0.5f && math.abs(rev(3) - 0f) < 0.5f)
     // end-to-end real pipeline: decode → resize → features
     val piped = Multimodal.imagePipeline(df, "content", 2, 2, 2, 2, real = true)
     assert(piped.select(col("features.pooled16")).head().getSeq[Float](0).length == 16)
+  }
+
+  test("real audio decode: 16-bit PCM WAV round-trips samples, rate, channels") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // stereo 16-bit LE PCM: L = [0, 16384, -16384, 32767], R = [100, -100, 200, -200]
+    val left = Array[Short](0, 16384, -16384, 32767)
+    val right = Array[Short](100, -100, 200, -200)
+    val pcm = new Array[Byte](left.length * 4)
+    for (i <- left.indices; (s, c) <- Seq((left(i), 0), (right(i), 1))) {
+      val off = (i * 2 + c) * 2
+      pcm(off) = (s & 0xff).toByte; pcm(off + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 2, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, left.length), AudioFileFormat.Type.WAVE, bos)
+    val df = spark.createDataFrame(Seq((1L, bos.toByteArray))).toDF("media_id", "content")
+    val dec = Multimodal.decodeAudio(col("content"))
+    val r = df.select(dec("_1").as("shape"), dec("_2").as("data"),
+      dec("_3").as("rate"), dec("_4").as("n")).head()
+    assert(r.getSeq[Int](0) == Seq(1, 1, 2, 1, 4))
+    assert(r.getInt(2) == 8000 && r.getInt(3) == 4)
+    val data = r.getSeq[Float](1)
+    // channel-major planes, full-scale = 32768
+    assert(data.take(4) == left.toSeq.map(_ / 32768f))
+    assert(data.drop(4) == right.toSeq.map(_ / 32768f))
+    // non-PCM payloads fail loudly
+    assertThrows[org.apache.spark.SparkException] {
+      df.select(Multimodal.decodeAudio(lit("not audio".getBytes))("_3")).head()
+    }
   }
 
   test("video frame sampling emits requested frame count and indices") {
