@@ -85,6 +85,31 @@ class SourcesSpec extends SparkSpec {
       "slices stack in projection-descending order")
   }
 
+  test("DICOM JPEG-baseline: encapsulated fragments decode via ImageIO") {
+    import graft.sources.Dicom
+    // smooth gradient: JPEG is lossy, so assert proximity, not equality
+    val rows = 16; val cols = 16
+    val px = Array.tabulate(rows * cols)(i => (40 + (i % cols) * 8).toFloat)
+    val bytes = Dicom.encodeJpegBaseline(rows, cols, px,
+      position = Seq(0f, 0f, 3f), seriesUid = "1.2.3.50", instanceNumber = 2)
+    val sl = Dicom.decode(bytes)
+    assert(sl.rows == rows && sl.cols == cols)
+    assert(sl.seriesUid == "1.2.3.50" && sl.instanceNumber == 2)
+    val maxErr = sl.data.zip(px).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxErr <= 8f, s"JPEG round-trip drifted $maxErr (> 8 gray levels)")
+    // a flat image survives DCT exactly
+    val flat = Array.fill(64)(128f)
+    assert(Dicom.decode(Dicom.encodeJpegBaseline(8, 8, flat)).data.toSeq == flat.toSeq)
+    // other encapsulated syntaxes still fail loudly by name
+    val other = bytes.clone()
+    val needle = "1.2.840.10008.1.2.4.50".getBytes("US-ASCII")
+    val at = bytes.indexOfSlice(needle)
+    "1.2.840.10008.1.2.4.90".getBytes("US-ASCII").zipWithIndex
+      .foreach { case (b, i) => other(at + i) = b }
+    val e = intercept[IllegalArgumentException](Dicom.decode(other))
+    assert(e.getMessage.contains("4.90") && e.getMessage.contains("transcode"))
+  }
+
   test("NIfTI-1 codec: header fields + voxel round-trip, both endiannesses of scl") {
     import graft.sources.Nifti
     // float32 .nii.gz round-trip through encode → decode
