@@ -239,13 +239,25 @@ object VectorQueries {
     * run on bit-identical doubles.
     *
     * Scale: assignment passes are one corpus scan each against a 16-row
-    * broadcast; the mean recompute shuffles (cluster, dim, value) triples
-    * — k·dims tiny aggregate state; refined centroids are collected
-    * (16×64 floats) and re-planted, like q36. The sorted fold buffers one
-    * cluster-dim's values per group — fine here, but a 100 TB deployment
-    * should swap it for plain `avg` (map-side combined, O(1) state) and
-    * accept last-ulp centroid drift: k-means itself doesn't need
-    * bit-reproducible means, only the declared-query oracle does. */
+    * broadcast; refined centroids are collected (16×64 floats) and
+    * re-planted, like q36. The deterministic centroid mean is a TWO-PHASE
+    * fold (the `scalableCumSum` shape): phase 1 folds each vec_id-range
+    * bucket's values in vec_id order (list ≤ [[MeanBucketWidth]] entries),
+    * phase 2 folds the bucket partials in bucket order (n/width entries) —
+    * never a corpus-proportional collect_list per (cluster, dim) group.
+    * The oracle computes the *same* bucketed fold, so parity is exact by
+    * construction. State is O(max(width, n/width)): size the width to ~√n
+    * for the target corpus. A 100 TB deployment that doesn't need
+    * bit-reproducible means should still prefer plain `avg` (map-side
+    * combined, O(1) state) — k-means itself doesn't care, only the
+    * declared-query oracle does. */
+  /** vec_id-range bucket width for q43's two-phase deterministic mean.
+    * State per (cluster, dim) group is O(max(width, nVecs/width)) — size
+    * to ~√nVecs for the target corpus. 1024 keeps the sf-scale oracle
+    * multi-bucket so the stitching is actually exercised; it is baked into
+    * the oracle SQL (`vec_id // 1024`), change both together. */
+  private val MeanBucketWidth = 1024
+
   val q43 = DeclaredQuery(
     "q43_ivf_kmeans",
     Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -263,11 +275,16 @@ object VectorQueries {
            |dims AS (
            |  SELECT cluster_id, vec_id, i AS pos, v[CAST(i AS INTEGER)] AS val
            |  FROM (SELECT cluster_id, vec_id, v, unnest(range(1, len(v)+1)) AS i FROM a1)),
+           |bsum AS (
+           |  SELECT cluster_id, pos, vec_id // 1024 AS b,
+           |         list_aggregate(list(val ORDER BY vec_id), 'sum') AS bs,
+           |         COUNT(*) AS cnt
+           |  FROM dims GROUP BY cluster_id, pos, b),
            |csum AS (
            |  SELECT cluster_id, pos,
-           |         list_aggregate(list(val ORDER BY vec_id), 'sum') AS sv,
-           |         COUNT(*) AS cnt
-           |  FROM dims GROUP BY cluster_id, pos),
+           |         list_aggregate(list(bs ORDER BY b), 'sum') AS sv,
+           |         CAST(SUM(cnt) AS BIGINT) AS cnt
+           |  FROM bsum GROUP BY cluster_id, pos),
            |cent1 AS (
            |  SELECT cluster_id, list(sv/cnt ORDER BY pos) AS cv FROM csum GROUP BY cluster_id),
            |cent1n AS (SELECT cluster_id, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM cent1),
@@ -309,17 +326,24 @@ object VectorQueries {
         Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cluster_id"))))
     val a1 = assignTo(n, cent0).filter(col("ark") === 1)
       .select(col("vec_id"), col("v"), col("cluster_id"))
-    // per-(cluster, dim) mean with a DETERMINISTIC fold order (vec_id):
-    // sum = left fold over the vec_id-sorted value list, exactly the
-    // oracle's list_aggregate(list(val ORDER BY vec_id), 'sum')
+    // per-(cluster, dim) mean with a DETERMINISTIC fold order (vec_id),
+    // two-phase so no group ever buffers a corpus-proportional list:
+    // phase 1 folds each vec_id-range bucket (≤ MeanBucketWidth values),
+    // phase 2 folds the bucket partials in bucket order. The oracle's
+    // bsum/csum CTEs are the identical fold, so parity is by construction.
     val dims = a1.select(col("cluster_id"), col("vec_id"),
       posexplode(col("v")).as(Seq("pos", "val")))
-    val csum = dims.groupBy("cluster_id", "pos").agg(
+      .withColumn("_b", expr(s"vec_id DIV $MeanBucketWidth"))
+    def orderedFold(sortKey: String, value: String): Column =
       aggregate(
-        transform(sort_array(collect_list(struct(col("vec_id"), col("val")))),
-          x => x("val")),
-        lit(0.0), (acc, x) => acc + x).as("sv"),
+        transform(sort_array(collect_list(struct(col(sortKey), col(value)))), x => x(value)),
+        lit(0.0), (acc, x) => acc + x)
+    val bsum = dims.groupBy("cluster_id", "pos", "_b").agg(
+      orderedFold("vec_id", "val").as("bs"),
       count(lit(1)).as("cnt"))
+    val csum = bsum.groupBy("cluster_id", "pos").agg(
+      orderedFold("_b", "bs").as("sv"),
+      sum(col("cnt")).as("cnt"))
     val cent1Plan = csum.groupBy("cluster_id").agg(
       transform(sort_array(collect_list(struct(col("pos"), (col("sv") / col("cnt")).as("m")))),
         x => x("m")).as("cv"))
