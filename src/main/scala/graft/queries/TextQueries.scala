@@ -118,8 +118,10 @@ object TextQueries {
 
   // ---------------------------------------------------------------- Q27
   /** X2: MinHash signature + LSH band keys per document (8 hashes, 4 bands
-    * of 2). The Spark side never explodes the shingle stream — signature
-    * computation is per-row HOFs inside codegen; only band joins shuffle. */
+    * of 2). Signatures come from [[minhashSignatures]], which deliberately
+    * explodes the shingle stream into a hash-agg (rationale at its
+    * definition: map-side combine beats per-row HOF loops on long docs);
+    * band keys are then per-row md5s — only band joins shuffle. */
   val q27 = DeclaredQuery(
     "q27_minhash_sig",
     Some(s"""$oracleShingleCte
@@ -411,15 +413,14 @@ object TextQueries {
     * pair candidates into "keep one canonical doc per cluster" decisions.
     * cluster_id = min doc_id reachable through shared bands.
     *
-    * Spark side: iterative min-label propagation — labels spread one hop
-    * per iteration, so rounds ≤ the deepest component's diameter (cap 50,
-    * hard failure if unconverged: silently wrong cluster ids are worse
-    * than a loud stop). The oracle computes the same fixpoint as a
-    * recursive reachability CTE.
-    * Scale/cost: edges are symmetrized ONCE and persisted; each iteration
-    * is ONE join+groupBy job (the previous label rides along into the
-    * eager localCheckpoint, so the convergence check is a scan of the
-    * checkpointed in-memory blocks, not a second join job). */
+    * Spark side: [[graft.operators.ConnectedComponents.minLabel]] —
+    * min-label propagation with pointer doubling, so rounds are
+    * O(log(component size)) instead of O(diameter) (hard failure if
+    * unconverged: silently wrong cluster ids are worse than a loud stop).
+    * The oracle computes the same fixpoint as a recursive reachability
+    * CTE. Scale/cost: edges are symmetrized ONCE and persisted; each round
+    * is two join jobs over checkpointed label frames (details at the
+    * operator). */
   val q39 = DeclaredQuery(
     "q39_dedup_clusters",
     Some(s"""${oracleShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
@@ -454,37 +455,13 @@ object TextQueries {
     val sym = edges.select(col("a").as("x"), col("c").as("nb"))
       .unionByName(edges.select(col("c").as("x"), col("a").as("nb")))
       .persist()
-    var labels = docs(s, d).select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .localCheckpoint(true)
-    var converged = false
-    var iter = 0
-    val maxIter = 50
-    while (!converged && iter < maxIter) {
-      val prev = labels
-      val mins = sym
-        .join(labels.withColumnRenamed("doc_id", "nb").withColumnRenamed("cluster_id", "nl"),
-          Seq("nb"))
-        .select(col("x").as("doc_id"), col("nl").as("cluster_id"))
-        .unionByName(labels)
-        .groupBy("doc_id").agg(min(col("cluster_id")).as("cluster_id"))
-      // eager localCheckpoint truncates the per-iteration lineage — without
-      // it each round re-plans (and re-runs) every previous round's joins.
-      // The previous label rides along so the convergence check below is a
-      // scan of the checkpointed blocks, not another join job.
-      val next = mins
-        .join(prev.withColumnRenamed("cluster_id", "_old"), "doc_id")
-        .localCheckpoint(true)
-      val changed = next.filter(col("cluster_id") =!= col("_old")).count()
-      labels = next.select("doc_id", "cluster_id")
-      prev.unpersist()
-      converged = changed == 0
-      iter += 1
-    }
+    val (labels, rounds) = graft.operators.ConnectedComponents.minLabel(
+      docs(s, d).select("doc_id"), "doc_id", sym, "x", "nb")
+    // surfaces in the bench log: rounds is O(log component size) under
+    // pointer doubling, not O(diameter)
+    System.err.println(s"[graft] q39 label propagation converged in $rounds rounds")
     sig.unpersist()
     sym.unpersist()
-    if (!converged) throw new IllegalStateException(
-      s"q39 label propagation unconverged after $maxIter iterations — " +
-        "component diameter exceeds the cap; results would be wrong")
     val w = Window.partitionBy(col("cluster_id"))
     labels.withColumn("cluster_size", count(lit(1)).over(w))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))

@@ -1,0 +1,35 @@
+package graft
+
+import graft.operators.ConnectedComponents
+import org.apache.spark.sql.functions._
+
+class ConnectedComponentsSpec extends SparkSpec {
+
+  test("deep chain converges in O(log n) rounds with correct min labels") {
+    // worst case for plain propagation: one 64-vertex path (diameter 63),
+    // plus a triangle component and an isolated vertex
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val edges = spark.createDataFrame(chain ++ tri).toDF("a", "b")
+    val sym = edges.select(col("a").as("x"), col("b").as("nb"))
+      .unionByName(edges.select(col("b").as("x"), col("a").as("nb")))
+    val vertices = spark.range(64).select(col("id"))
+      .unionByName(spark.createDataFrame(Seq(Tuple1(100L), Tuple1(101L), Tuple1(102L), Tuple1(999L))).toDF("id"))
+    val (labels, rounds) = ConnectedComponents.minLabel(vertices, "id", sym, "x", "nb")
+    val byId = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 64L).forall(byId(_) == 0L), "chain collapses to min id 0")
+    assert(Seq(100L, 101L, 102L).forall(byId(_) == 100L))
+    assert(byId(999L) == 999L, "isolated vertex keeps its own label")
+    // plain one-hop propagation would need 63 rounds here; doubling must
+    // stay within ceil(log2(64)) + 1
+    assert(rounds <= 7, s"expected <= 7 doubling rounds on a 64-chain, got $rounds")
+  }
+
+  test("empty edge list: every vertex is its own cluster in one round") {
+    val vertices = spark.range(5).select(col("id"))
+    val sym = spark.createDataFrame(Seq.empty[(Long, Long)]).toDF("x", "nb")
+    val (labels, rounds) = ConnectedComponents.minLabel(vertices, "id", sym, "x", "nb")
+    assert(labels.filter(col("id") =!= col("cluster_id")).count() == 0)
+    assert(rounds == 1)
+  }
+}
