@@ -88,11 +88,21 @@ object Ranks {
     * dense ranks on the driver, bake a value→rank map literal. No window
     * at all. For unbounded domains rank the distinct frame with
     * [[globalRowNumber]] and join instead. */
+  /** Hard cap on the driver-baked distinct-key map. Beyond this the map
+    * literal itself becomes the scale hazard this file exists to prevent. */
+  val DenseRankMaxKeys = 10000
+
   def globalDenseRank(df: DataFrame, key: Column, descending: Boolean,
                       out: String): DataFrame = {
     val distinctKeys = df.select(key.as("_dk")).distinct()
       .orderBy(if (descending) col("_dk").desc else col("_dk").asc)
+      .limit(DenseRankMaxKeys + 1) // orderBy+limit = distributed TakeOrdered
       .collect().map(_.get(0))
+    require(distinctKeys.length <= DenseRankMaxKeys,
+      s"globalDenseRank: key has > $DenseRankMaxKeys distinct values — the " +
+        "bounded-domain contract is violated and the driver-baked map " +
+        "literal would not scale. Rank the distinct frame with " +
+        "globalRowNumber and join it back instead.")
     val entries: Array[Column] = distinctKeys.zipWithIndex.flatMap {
       case (v, i) => Seq(lit(v), lit(i.toLong + 1L))
     }

@@ -535,7 +535,10 @@ object RelationalQueries {
     // series), so dense_rank = a driver-built value→rank map, no window.
     // file_order: two-phase rank bucketed by the bounded leading key nat1.
     val sliced = Ranks.globalDenseRank(k, col("proj"), descending = true, "slice_index")
-    Ranks.globalRowNumber(sliced, col("nat1"),
+    // bucket must be non-null (Ranks' offset map rejects null keys): a
+    // digitless fname extracts "" → null nat1. Coalesce to -1 so such rows
+    // sort first — the old Window.orderBy(nat1) nulls-first semantics.
+    Ranks.globalRowNumber(sliced, coalesce(col("nat1"), lit(-1L)),
         Seq(col("nat1"), col("nat2"), col("p_partkey")), "file_order")
       .orderBy("p_partkey")
   }

@@ -113,6 +113,16 @@ class RoundTripSpec extends SparkSpec {
     assert(dr == drNaive)
   }
 
+  test("Ranks.globalDenseRank fails loudly when the key domain is unbounded") {
+    import graft.operators.Ranks
+    val wide = spark.range(Ranks.DenseRankMaxKeys + 5).toDF("k")
+    val e = intercept[IllegalArgumentException] {
+      Ranks.globalDenseRank(wide, col("k"), descending = false, "dr")
+    }
+    assert(e.getMessage.contains("globalRowNumber"),
+      "guard message must name the join-based alternative")
+  }
+
   test("inverse-frequency weight × group size = total (any grouping)") {
     val df = Tables.customer(spark, sf0001)
     val w = graft.pipeline.BatchServer.inverseFrequencyWeights(df, Seq("c_mktsegment", "c_nationkey"))
