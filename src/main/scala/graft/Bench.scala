@@ -20,7 +20,9 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           -1L
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-22s $secs%8.2f s")
+      name -> secs
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -34,6 +34,13 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** pointer jumps per round: each is one more tiny shuffle join against
+    * the round's materialized label map, and one more chain hop contracted
+    * — rounds scale as log_{Jumps+2}(deepest chain), so a handful of jumps
+    * trades marginal per-round cost for several fewer (fixed-overhead)
+    * rounds. */
+  private val Jumps = 1
+
   /** @param vertices one row per vertex
     * @param idCol    vertex id column in `vertices` (orderable; min wins)
     * @param sym      SYMMETRIC edge list (caller unions both directions)
@@ -45,12 +52,25 @@ object ConnectedComponents {
                sym: DataFrame, srcCol: String, dstCol: String,
                labelCol: String = "cluster_id",
                maxIter: Int = 50): (DataFrame, Int) = {
+    val spark = vertices.sparkSession
     val edges = sym.select(col(srcCol).as("_x"), col(dstCol).as("_nb"))
-    var labels = vertices.select(col(idCol).as("_id"), col(idCol).as("_lbl"))
+    // localCheckpoint truncates LINEAGE but its LogicalRDD CARRIES the
+    // origin plan's sizeInBytes estimate. Joins multiply child estimates,
+    // so a loop that feeds each round's checkpoint into the next compounds
+    // the estimate exponentially — by round ~12 Catalyst's stats visitor is
+    // multiplying million-digit BigIntegers and planning time quadruples
+    // per round (observed at sf1). Re-basing the frame on the checkpointed
+    // RDD resets the estimate to the constant default, keeping per-round
+    // planning O(1). The row re-encode is linear in label rows — noise next
+    // to the round's joins.
+    def rebase(ck: DataFrame): DataFrame = spark.createDataFrame(ck.rdd, ck.schema)
+    var labelsCk = vertices.select(col(idCol).as("_id"), col(idCol).as("_lbl"))
       .localCheckpoint(true)
+    var labels = rebase(labelsCk)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      val prevCk = labelsCk
       val prev = labels
       // step 1: neighbor min — materialized so step 2's self-join reads
       // checkpoint blocks instead of re-running the join (the
@@ -61,18 +81,27 @@ object ConnectedComponents {
         .unionByName(labels)
         .groupBy("_id").agg(min(col("_lbl")).as("_lbl"))
         .localCheckpoint(true)
-      // step 2: pointer jump — a label is always a live vertex id (it is
-      // the min of vertex ids), so the lookup always matches; left join +
-      // coalesce only guards degenerate empty inputs
+      // step 2: chained pointer jumps — follow the representative's own
+      // label `Jumps` times off the one materialized mins frame, so each
+      // round contracts label chains by depth Jumps+1, not 2 (rounds ~
+      // log_{Jumps+2} of the deepest chain). A label is always a live
+      // vertex id (it is the min of vertex ids), so the lookup always
+      // matches; left join + coalesce only guards degenerate empty inputs
       val reps = mins.select(col("_id").as("_lbl"), col("_lbl").as("_ll"))
-      val next = mins.join(reps, Seq("_lbl"), "left")
-        .select(col("_id"),
-          least(col("_lbl"), coalesce(col("_ll"), col("_lbl"))).as("_lbl"))
+      var jumped = mins
+      for (_ <- 1 to Jumps)
+        jumped = jumped.join(reps, Seq("_lbl"), "left")
+          .select(col("_id"),
+            least(col("_lbl"), coalesce(col("_ll"), col("_lbl"))).as("_lbl"))
+      val nextCk = jumped
         .join(prev.withColumnRenamed("_lbl", "_old"), "_id")
         .localCheckpoint(true)
-      val changed = next.filter(col("_lbl") =!= col("_old")).count()
-      labels = next.select("_id", "_lbl")
-      prev.unpersist()
+      val changed = nextCk.filter(col("_lbl") =!= col("_old")).count()
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round ${iter + 1}: changed=$changed t=${System.nanoTime() / 1000000000L % 10000}")
+      labelsCk = nextCk
+      labels = rebase(nextCk).select("_id", "_lbl")
+      prevCk.unpersist()
       mins.unpersist()
       converged = changed == 0
       iter += 1

@@ -15,12 +15,16 @@ import java.nio.file.Files
   *
   * Run: SPARK_GRAFT_SUBJECTS=370 SPARK_GRAFT_CPUS=4 sbt 'runMain graft.tools.CacheBench'
   * (4 cpus mirrors the reference's num_workers: 4.)
+  * SPARK_GRAFT_RES picks the in-plane resolution: 256 = the reference's
+  * native geometry (the honest apples-to-apples anchor), 64 = 1/16 pixel
+  * count for quick iteration.
   */
 object CacheBench {
   def main(args: Array[String]): Unit = {
     val subjects = sys.env.getOrElse("SPARK_GRAFT_SUBJECTS", "370").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    val (t, d, h, w) = (25, 12, 64, 64) // reference cine geometry at 1/4 spatial res
+    val res = sys.env.getOrElse("SPARK_GRAFT_RES", "64").toInt
+    val (t, d, h, w) = (25, 12, res, res) // reference cine geometry: res=256 native
     val spark = graft.Session.local(cpus, "graft-cachebench")
     spark.sparkContext.setLogLevel("WARN")
 
@@ -60,7 +64,7 @@ object CacheBench {
     val nRecords = DatasetCacher.load(spark, path).count()
     val secs = (System.nanoTime() - t0) / 1e9
     val rate = subjects / secs
-    println(s"""{"metric":"cache_subjects_per_sec","value":$rate,"unit":"subj/sec","subjects":$subjects,"records":$nRecords,"seconds":$secs,"cpus":$cpus,"reference_anchor":0.70}""")
+    println(s"""{"metric":"cache_subjects_per_sec","value":$rate,"unit":"subj/sec","subjects":$subjects,"records":$nRecords,"seconds":$secs,"cpus":$cpus,"res":$res,"reference_anchor":0.70}""")
     spark.stop()
   }
 }

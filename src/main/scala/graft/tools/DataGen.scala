@@ -1,0 +1,183 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthetic-data generator matching TESTDATA.md's shapes, for
+  * scale runs ABOVE the driver-provided sf0.1 (the driver's /root/testdata is
+  * read-only; this writes under the repo, e.g. testdata_gen/sf1).
+  *
+  * Every value is a pure hash of (table, row id) — xxhash64-derived uniforms,
+  * no RNG, no time — so any scale factor regenerates bit-identically and two
+  * runs at different parallelism agree. Distributions mirror the driver data
+  * observed at sf0.1 (row-count ratios, key cardinalities, value ranges,
+  * vocab, duplicate rate) so per-query times are comparable across sf; they
+  * are NOT byte-identical to the driver's generator and live in a separate
+  * directory.
+  *
+  * Usage: runMain graft.tools.DataGen <sf> <outDir> — e.g. 1.0 testdata_gen/sf1
+  */
+object DataGen {
+
+  /** uniform in [0,1) from id + salt — pure, partition-invariant. */
+  private def u(id: Column, salt: String): Column =
+    (pmod(xxhash64(id, lit(salt)), lit(1000000L)).cast("double") / 1e6)
+
+  private def uint(id: Column, salt: String, n: Int): Column =
+    pmod(xxhash64(id, lit(salt)), lit(n.toLong)).cast("int")
+
+  private def pick(id: Column, salt: String, vals: Seq[String]): Column = {
+    val arr = array(vals.map(lit): _*)
+    element_at(arr, uint(id, salt, vals.size) + 1)
+  }
+
+  /** ~N(0, sigma) via Box–Muller on two hash uniforms. */
+  private def gauss(id: Column, salt: String, sigma: Double): Column = {
+    val u1 = (pmod(xxhash64(id, lit(salt + "#1")), lit(999999L)).cast("double") + 1.0) / 1e6
+    val u2 = u(id, salt + "#2")
+    sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2) * lit(sigma)
+  }
+
+  private val Segments = Seq("BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE")
+  private val Priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+  private val PTypes = Seq("LARGE", "ECONOMY", "SMALL", "STANDARD", "MEDIUM", "PROMO")
+  private val PAdjs = Seq("large", "hot", "blue", "small", "red", "green", "cold", "dim")
+  private val PNouns = Seq("ring", "bolt", "gear", "tube", "rod", "cap", "pin", "disc")
+  private val EventTypes = Seq("signup", "click", "error", "view", "purchase")
+  private val Vocab = Seq(
+    "spark", "table", "query", "hash", "line", "slow", "fast", "value", "filter",
+    "customer", "stream", "key", "group", "scan", "order", "window", "join",
+    "part", "vector", "small", "big", "data", "row", "sort", "column", "batch",
+    "agg", "merge", "the", "a")
+
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.map(_.toDouble).getOrElse(1.0)
+    val outDir = if (args.length > 1) args(1) else s"testdata_gen/sf$sf"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-datagen").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val nCust = (150000 * sf).toLong
+    val nSupp = (10000 * sf).toLong
+    val nPart = (200000 * sf).toLong
+    val nOrders = (1500000 * sf).toLong
+    val nDocs = (50000 * sf).toLong
+    val nVecs = (20000 * sf).toLong
+    val nEvents = (10000000 * sf / 10).toLong // 1M at sf1, like driver's 100k at sf0.1
+    val nUsers = (15000 * sf).toLong
+
+    def write(df: DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      println(s"[datagen] wrote $name")
+    }
+
+    val regions = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+    write(spark.range(5).select(col("id").cast("int").as("r_regionkey"),
+      element_at(array(regions.map(lit): _*), col("id").cast("int") + 1).as("r_name")),
+      "region")
+    write(spark.range(25).select(col("id").cast("int").as("n_nationkey"),
+      concat(lit("NATION_"), col("id")).as("n_name"),
+      (col("id") % 5).cast("int").as("n_regionkey")), "nation")
+
+    write(spark.range(nCust).select(
+      col("id").as("c_custkey"),
+      concat(lit("Customer#"), lpad(col("id").cast("string"), 9, "0")).as("c_name"),
+      uint(col("id"), "c_nat", 25).as("c_nationkey"),
+      round(u(col("id"), "c_bal") * 11000 - 1000, 2).as("c_acctbal"),
+      pick(col("id"), "c_seg", Segments).as("c_mktsegment")), "customer")
+
+    write(spark.range(nSupp).select(
+      col("id").as("s_suppkey"),
+      concat(lit("Supplier#"), lpad(col("id").cast("string"), 9, "0")).as("s_name"),
+      uint(col("id"), "s_nat", 25).as("s_nationkey"),
+      round(u(col("id"), "s_bal") * 11000 - 1000, 2).as("s_acctbal")), "supplier")
+
+    write(spark.range(nPart).select(
+      col("id").as("p_partkey"),
+      concat(pick(col("id"), "p_adj", PAdjs), lit(" "),
+        pick(col("id"), "p_noun", PNouns)).as("p_name"),
+      concat(lit("Brand#"), uint(col("id"), "p_brand", 25)).as("p_brand"),
+      pick(col("id"), "p_type", PTypes).as("p_type"),
+      (uint(col("id"), "p_size", 50) + 1).as("p_size"),
+      round(lit(900.0) + (col("id") % 1000) * 0.1, 2).as("p_retailprice")), "part")
+
+    // orders: dates 1995-01-01 .. 2001-08-01 (2404 days)
+    val epoch95 = lit(java.time.LocalDate.of(1995, 1, 1).toEpochDay * 86400L)
+    val orders = spark.range(nOrders).select(
+      col("id").as("o_orderkey"),
+      pmod(xxhash64(col("id"), lit("o_cust")), lit(nCust)).as("o_custkey"),
+      when(uint(col("id"), "o_st", 100) < 49, "F")
+        .when(uint(col("id"), "o_st", 100) < 98, "O").otherwise("P").as("o_orderstatus"),
+      round(u(col("id"), "o_total") * 400000 + 900, 2).as("o_totalprice"),
+      timestamp_seconds(epoch95 + uint(col("id"), "o_date", 2404).cast("long") * 86400L)
+        .as("o_orderdate"),
+      pick(col("id"), "o_prio", Priorities).as("o_orderpriority"))
+    write(orders, "orders")
+
+    // lineitem: 1..7 lines per order (avg 4 → ~4x orders)
+    val li = orders.select(col("o_orderkey"), col("o_orderdate"))
+      .withColumn("l_linenumber",
+        explode(sequence(lit(1), uint(col("o_orderkey"), "l_n", 7) + 1)))
+      .withColumn("_lid", col("o_orderkey") * 8 + col("l_linenumber"))
+    write(li.select(
+      col("o_orderkey").as("l_orderkey"),
+      pmod(xxhash64(col("_lid"), lit("l_part")), lit(nPart)).as("l_partkey"),
+      pmod(xxhash64(col("_lid"), lit("l_supp")), lit(nSupp)).as("l_suppkey"),
+      col("l_linenumber"),
+      (uint(col("_lid"), "l_qty", 50) + 1).cast("double").as("l_quantity"),
+      round(u(col("_lid"), "l_price") * 104100 + 900, 2).as("l_extendedprice"),
+      (uint(col("_lid"), "l_disc", 11).cast("double") / 100).as("l_discount"),
+      (uint(col("_lid"), "l_tax", 9).cast("double") / 100).as("l_tax"),
+      pick(col("_lid"), "l_rf", Seq("A", "N", "R")).as("l_returnflag"),
+      pick(col("_lid"), "l_ls", Seq("O", "F")).as("l_linestatus"),
+      (col("o_orderdate") + make_dt_interval(uint(col("_lid"), "l_ship", 120) + 1))
+        .as("l_shipdate")), "lineitem")
+
+    // documents: ~54-word texts over the 30-word vocab; ~0.2% exact dups
+    // (doc N*500 copies doc N*500-1, like the driver's handful of dups)
+    val baseId = when(col("id") % 500 === 0 && col("id") > 0, col("id") - 1)
+      .otherwise(col("id"))
+    val words = transform(
+      sequence(lit(0L), (uint(baseId, "d_len", 86) + 14).cast("long")),
+      i => element_at(array(Vocab.map(lit): _*),
+        pmod(xxhash64(baseId, i, lit("d_w")), lit(Vocab.size.toLong)).cast("int") + 1))
+    val docs = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      array_join(words, " ").as("text"),
+      when(uint(col("id"), "d_lang", 100) < 41, "en")
+        .when(uint(col("id"), "d_lang", 100) < 56, "zh")
+        .when(uint(col("id"), "d_lang", 100) < 71, "es")
+        .when(uint(col("id"), "d_lang", 100) < 86, "fr").otherwise("de").as("lang"),
+      concat(lit("src"), uint(col("id"), "d_src", 20)).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    write(docs, "documents")
+
+    // embeddings: 64-dim ~N(0, 0.12) floats, label 0..9
+    val dims = transform(sequence(lit(0L), lit(63L)),
+      i => gauss(col("id") * 64 + i, "e_v", 0.12).cast("float"))
+    write(spark.range(nVecs).select(
+      col("id").as("vec_id"), dims.as("embedding"),
+      uint(col("id"), "e_lbl", 10).as("label")), "embeddings")
+
+    // events: ts spread over Jan 2024 in event_id order with jitter, like
+    // the driver's stream (sessionization relies on realistic gaps)
+    val epoch24us = lit(java.time.LocalDate.of(2024, 1, 1).toEpochDay * 86400L * 1000000L)
+    val spanUs = 30L * 86400L * 1000000L
+    write(spark.range(nEvents).select(
+      col("id").as("event_id"),
+      timestamp_micros(epoch24us +
+        (col("id") * lit(spanUs) / lit(nEvents)).cast("long") +
+        pmod(xxhash64(col("id"), lit("ev_j")), lit(2000000L))).as("ts"),
+      pmod(xxhash64(col("id"), lit("ev_u")), lit(nUsers)).as("user_id"),
+      pick(col("id"), "ev_t", EventTypes).as("event_type"),
+      round(u(col("id"), "ev_v") * 560, 2).as("value"),
+      concat(lit("{\"k\": "), uint(col("id"), "ev_k", 100), lit("}")).as("props")),
+      "events")
+
+    println(s"[datagen] done: sf=$sf at $outDir")
+    spark.stop()
+  }
+}
