@@ -39,8 +39,13 @@ object Session {
     * one local JVM. Call before scanning tensor-record parquet
     * (DatasetCacher.load does this); the narrow-scan default is restored by
     * `narrowRows`. */
-  def wideRows(spark: SparkSession): Unit =
-    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "8")
+  /** Vectorized-reader batch sizing for multi-MB tensor rows: the reader
+    * materializes batchSize rows of EVERY projected column at once, so the
+    * per-task working set is batchSize × row bytes. 8 suits ~1 MB rows
+    * (64² cine); native 256² volumes are ~160 MB/row → batch 2 keeps a
+    * 4-task local run inside a few GB. */
+  def wideRows(spark: SparkSession, batch: Int = 8): Unit =
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", batch.toString)
 
   def narrowRows(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "4096")

@@ -3,6 +3,7 @@ package graft.tensor
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.graftshim.ColumnShim
 
 /** Scalar UDF kernels for the image operators that genuinely need imperative
   * per-pixel loops (SURVEY §7.3: "Custom UDFs (not Expressions initially)").
@@ -96,51 +97,30 @@ object Kernels {
     Seq(i0, i1, -(i0 * m(2) + i1 * m(5)), i3, i4, -(i3 * m(2) + i4 * m(5)))
   })
 
-  /** A4/T6 fast path for LARGE buffers: one-pass stats + shift as a
-    * primitive JVM loop. Spark's higher-order array functions are
-    * CodegenFallback (interpreted, boxed, per element — the `aggregate`
-    * fold even allocates a struct row per element); on megapixel cine
-    * buffers that is 10-100× slower than this loop. `Tensors.stats`/HOF
-    * intensity ops remain the right tool for small arrays (vectors,
-    * shingles, per-order groups) where they stay inside the relational
-    * plan. Rule of thumb: HOFs under ~10k elements, kernels above.
+  /** A4/T6 fast path for LARGE buffers: one-pass stats + shift as native
+    * Catalyst expressions over the UnsafeArrayData buffer. Spark's
+    * higher-order array functions are CodegenFallback (interpreted, boxed,
+    * per element — the `aggregate` fold even allocates a struct row per
+    * element), and a Scala UDF boxes the whole array at the boundary —
+    * at native 256² cine geometry (19.6M floats/volume) the UDF path was
+    * GC-bound. `Tensors.stats`/HOF intensity ops remain the right tool for
+    * small arrays (vectors, shingles, per-order groups) where they stay
+    * inside the relational plan. Rule of thumb: HOFs under ~10k elements,
+    * kernels above. Same arithmetic as the UDFs these replaced — stats
+    * fingerprints and oracle parity unaffected.
     */
-  val bufferStats: UserDefinedFunction = udf((data: Seq[Float]) => {
-    var mn = Double.MaxValue; var mx = Double.MinValue
-    var s1 = 0.0; var s2 = 0.0
-    val arr = data.toArray
-    var i = 0
-    while (i < arr.length) {
-      val x = arr(i).toDouble
-      if (x < mn) mn = x
-      if (x > mx) mx = x
-      s1 += x; s2 += x * x
-      i += 1
-    }
-    val n = arr.length
-    val mean = if (n > 0) s1 / n else 0.0
-    val variance = if (n > 0) math.max(s2 / n - mean * mean, 0.0) else 0.0
-    (mn, mx, mean, math.sqrt(variance), n.toLong)
-  })
+  def bufferStats(data: Column): Column =
+    ColumnShim.column(graft.expressions.BufferStats(ColumnShim.expression(data)))
 
-  /** x → (x + shift) * scale over the buffer, primitive loop. */
-  val shiftScale: UserDefinedFunction =
-    udf((data: Seq[Float], shift: Double, scale: Double) => {
-      val arr = data.toArray
-      val out = new Array[Float](arr.length)
-      var i = 0
-      while (i < arr.length) { out(i) = ((arr(i) + shift) * scale).toFloat; i += 1 }
-      out.toSeq
-    })
+  /** x → (x + shift) * scale over the buffer, codegen primitive loop. */
+  def shiftScale(data: Column, shift: Column, scale: Column): Column =
+    ColumnShim.column(graft.expressions.ShiftScale(
+      ColumnShim.expression(data), ColumnShim.expression(shift),
+      ColumnShim.expression(scale)))
 
   /** A7 fast path: sorted distinct rounded classes of a large label buffer. */
-  val presentClasses: UserDefinedFunction = udf((data: Seq[Float]) => {
-    val seen = scala.collection.mutable.SortedSet.empty[Int]
-    val arr = data.toArray
-    var i = 0
-    while (i < arr.length) { seen += math.round(arr(i)); i += 1 }
-    seen.toSeq
-  })
+  def presentClasses(data: Column): Column =
+    ColumnShim.column(graft.expressions.PresentClasses(ColumnShim.expression(data)))
 
   /** T9 separable Gaussian blur of every (t,d,c) plane, truncated at 3σ
     * (monai RandGaussianSmoothd semantics), reflect-free zero-sum-preserving

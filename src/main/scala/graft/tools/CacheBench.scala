@@ -53,7 +53,7 @@ object CacheBench {
     // stage the raw subject volumes to parquet UNTIMED — the reference's
     // 0.70 subj/s clock starts from reformatted volumes already on disk
     records.write.parquet(s"$root/raw")
-    graft.Session.wideRows(spark)
+    graft.Session.wideRows(spark, batch = if (res >= 128) 2 else 8)
     val raw = spark.read.parquet(s"$root/raw")
     val subjDf = raw.select("subject_id")
     val t0 = System.nanoTime()
