@@ -469,72 +469,99 @@ object TextQueries {
   }
 
   // ---------------------------------------------------------------- Q44
-  /** SimHash near-dup pairs — the pairing step over q28's fingerprints,
-    * completing the SimHash path the way q27p completes MinHash: band the
-    * 16-bit fingerprint into two 8-bit halves (pigeonhole: hamming ≤ 1 ⇒
-    * at least one identical half), candidates share a (band, half) key,
-    * then the exact hamming filter bit_count(xor) ≤ 1 kills false
-    * positives. Scale: the shuffle carries (half-key, doc, fp) — never an
-    * all-pairs product; the exact check is integer bit math in codegen.
-    * Declared on a deterministic 1/100 sample of the pair space (doc_id ≡
-    * 0 mod 10 both sides): 16-bit fingerprints over the synthetic shared
-    * vocabulary collide heavily, and the full pair list would be
-    * quadratic noise rather than signal — real deployments size the
-    * fingerprint (64/128 bits) to the corpus instead. */
+  /** SimHash near-dup pairs — the pairing step over SimHash fingerprints,
+    * completing the SimHash path the way q27p completes MinHash.
+    *
+    * The fingerprint is 64 bits, carried as FOUR 16-bit sub-fingerprints
+    * (band b's bits vote on nibbles of md5(term || '#b')) — no 64-bit
+    * arithmetic anywhere, so Spark longs and DuckDB integers agree
+    * trivially. Bands ARE the chunks: hamming ≤ 3 over four disjoint
+    * 16-bit chunks ⇒ at least one chunk identical (pigeonhole), so
+    * candidates share a (band_idx, chunk) key and the exact filter
+    * Σ bit_count(xor) ≤ 3 kills false positives.
+    *
+    * Output is the STAR pairing: each doc against its band-bucket
+    * representative (the bucket's min doc_id), not all pairs within a
+    * bucket. This synthetic corpus's distinct-term sets overlap so heavily
+    * that tens of percent of ALL doc pairs are true near-dups (39k
+    * hamming-0 pairs among 5k docs, measured) — enumerating them is
+    * quadratic in the DATA, no plan fixes that. Star edges are the
+    * linear-output primitive a dedup pipeline actually consumes: they
+    * carry the same connectivity into cluster formation (exactly how q39
+    * consumes q27p's bands), and each candidate still passes the exact
+    * Σ bit_count(xor) ≤ 3 verification.
+    *
+    * Scale history: this round's sf10 bench caught the previous 16-bit
+    * fingerprint red-handed — 500k docs over a 2⁸ half-key space made
+    * band buckets O(n/256) and the candidate join quadratic (1082 s at
+    * sf10, a 204× blowup for 10× data). Sizing the fingerprint to the
+    * corpus (the standard 64-bit SimHash posture, Manku et al.) plus the
+    * star output makes the whole path output-linear; the old 1/100
+    * pair-space sampling workaround is gone. */
   val q44 = DeclaredQuery(
     "q44_simhash_pairs",
     Some("""WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS term
            |           FROM documents),
            |b AS (
-           |  SELECT doc_id, j,
-           |         CASE WHEN SUM(CASE WHEN strpos('89abcdef', substr(md5(term), CAST(j+1 AS INTEGER), 1)) > 0
+           |  SELECT doc_id, band, j,
+           |         CASE WHEN SUM(CASE WHEN strpos('89abcdef', substr(md5(term || '#' || band), CAST(j+1 AS INTEGER), 1)) > 0
            |                            THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
-           |  FROM t CROSS JOIN (SELECT unnest(range(0, 16)) AS j)
-           |  GROUP BY doc_id, j),
+           |  FROM t CROSS JOIN (SELECT unnest(range(0, 4)) AS band)
+           |         CROSS JOIN (SELECT unnest(range(0, 16)) AS j)
+           |  GROUP BY doc_id, band, j),
            |sh AS (
-           |  SELECT doc_id,
-           |         CAST(SUM(bit * CAST(ROUND(POWER(2.0, j)) AS BIGINT)) AS BIGINT) AS fp
-           |  FROM b GROUP BY doc_id),
-           |shs AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
-           |bands AS (
-           |  SELECT doc_id, fp, 0 AS band_idx, fp % 256 AS half FROM shs
-           |  UNION ALL
-           |  SELECT doc_id, fp, 1, fp // 256 FROM shs),
+           |  SELECT doc_id, band,
+           |         CAST(SUM(bit * CAST(ROUND(POWER(2.0, j)) AS BIGINT)) AS BIGINT) AS chunk
+           |  FROM b GROUP BY doc_id, band),
+           |reps AS (SELECT band, chunk, MIN(doc_id) AS rep FROM sh GROUP BY band, chunk),
            |cand AS (
-           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.fp AS fp_a, y.fp AS fp_b
-           |  FROM bands x JOIN bands y
-           |    ON x.band_idx = y.band_idx AND x.half = y.half AND x.doc_id < y.doc_id)
-           |SELECT doc_a, doc_b,
-           |       CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
-           |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 1
+           |  SELECT DISTINCT r.rep AS doc_a, s.doc_id AS doc_b
+           |  FROM sh s JOIN reps r ON s.band = r.band AND s.chunk = r.chunk
+           |  WHERE s.doc_id <> r.rep),
+           |ham AS (
+           |  SELECT c.doc_a, c.doc_b,
+           |         CAST(SUM(bit_count(xor(a.chunk, b.chunk))) AS BIGINT) AS hamming
+           |  FROM cand c
+           |  JOIN sh a ON a.doc_id = c.doc_a
+           |  JOIN sh b ON b.doc_id = c.doc_b AND b.band = a.band
+           |  GROUP BY c.doc_a, c.doc_b)
+           |SELECT doc_a, doc_b, hamming
+           |FROM ham WHERE hamming <= 3
            |ORDER BY doc_a, doc_b""".stripMargin)) { (s, d) =>
+    // one term scan; per (band, bit) votes fold into 64 agg columns — the
+    // q28 shape, ×4 salted hashes; shuffle is still one row per doc
     val terms = docs(s, d)
       .select(col("doc_id"), explode(array_distinct(words)).as("term"))
-      .withColumn("h", md5(col("term")))
-    val votes = (0 until 16).map { j =>
-      sum(when(expr(s"instr('89abcdef', substring(h, ${j + 1}, 1)) > 0"), 1)
-        .otherwise(-1)).as(s"_v$j")
+    val withH = (0 until 4).foldLeft(terms) { (df, b) =>
+      df.withColumn(s"h$b", md5(concat(col("term"), lit(s"#$b"))))
     }
-    val fpCol = (0 until 16).map(j =>
-      when(col(s"_v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-    val sh = terms.groupBy("doc_id")
+    val votes = for (b <- 0 until 4; j <- 0 until 16) yield
+      sum(when(expr(s"instr('89abcdef', substring(h$b, ${j + 1}, 1)) > 0"), 1)
+        .otherwise(-1)).as(s"_v${b}_$j")
+    def chunkCol(b: Int) = (0 until 16).map(j =>
+      when(col(s"_v${b}_$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    val sh = withH.groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), fpCol.cast("long").as("fp"))
-      .filter(col("doc_id") % 10 === 0)
-    val bands = sh.select(col("doc_id"), col("fp"),
-        posexplode(array(col("fp") % 256, expr("fp DIV 256"))))
-      .toDF("doc_id", "fp", "band_idx", "half")
-    val cand = bands.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"),
-        col("band_idx"), col("half"))
-      .join(bands.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"),
-        col("band_idx"), col("half")), Seq("band_idx", "half"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "fp_a", "fp_b").distinct()
-    cand
-      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
-      .filter(col("hamming") <= 1)
+      .select(col("doc_id") +: (0 until 4).map(b => chunkCol(b).as(s"c$b")): _*)
+      // chunks travel as one row per doc; bands explode only for the join
+      .persist()
+    val bands = sh.select(col("doc_id"),
+        posexplode(array((0 until 4).map(b => col(s"c$b")): _*)))
+      .toDF("doc_id", "band", "chunk")
+    val reps = bands.groupBy("band", "chunk").agg(min(col("doc_id")).as("doc_a"))
+    val cand = bands.join(reps, Seq("band", "chunk"))
+      .filter(col("doc_id") =!= col("doc_a"))
+      .select(col("doc_a"), col("doc_id").as("doc_b")).distinct()
+    val ham = (0 until 4).map(b =>
+      bit_count(col(s"a.c$b").bitwiseXOR(col(s"b.c$b")))).reduce(_ + _)
+    val out = cand
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("doc_b") === col("b.doc_id"))
+      .withColumn("hamming", ham.cast("long"))
+      .filter(col("hamming") <= 3)
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
+    out
   }
 
   // ---------------------------------------------------------------- Q42

@@ -168,8 +168,9 @@ object DataGen {
     val spanUs = 30L * 86400L * 1000000L
     write(spark.range(nEvents).select(
       col("id").as("event_id"),
-      timestamp_micros(epoch24us +
-        (col("id") * lit(spanUs) / lit(nEvents)).cast("long") +
+      // per-event gap precomputed: id * spanUs overflows Long above ~3.5M
+      // events (ANSI catches it); id * gap stays far inside the range
+      timestamp_micros(epoch24us + col("id") * lit(spanUs / nEvents) +
         pmod(xxhash64(col("id"), lit("ev_j")), lit(2000000L))).as("ts"),
       pmod(xxhash64(col("id"), lit("ev_u")), lit(nUsers)).as("user_id"),
       pick(col("id"), "ev_t", EventTypes).as("event_type"),
