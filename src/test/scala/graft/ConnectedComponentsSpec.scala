@@ -25,6 +25,28 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(rounds <= 7, s"expected <= 7 doubling rounds on a 64-chain, got $rounds")
   }
 
+  test("many-round run keeps per-round plan stats constant (no compounding)") {
+    // regression guard for the sf1 planning hang: localCheckpoint's
+    // LogicalRDD carries the origin plan's sizeInBytes, and joins multiply
+    // child estimates, so an un-rebased loop compounds the estimate
+    // exponentially (million-digit BigIntegers in the stats visitor by
+    // round ~12). A 300-vertex chain forces ~10 doubling rounds; the
+    // returned frame's estimate must still be a plain leaf default, not a
+    // compounded product.
+    val n = 300L
+    val chain = (0L until n - 1).map(i => (i, i + 1))
+    val edges = spark.createDataFrame(chain).toDF("a", "b")
+    val sym = edges.select(col("a").as("x"), col("b").as("nb"))
+      .unionByName(edges.select(col("b").as("x"), col("a").as("nb")))
+    val (labels, rounds) = ConnectedComponents.minLabel(
+      spark.range(n).toDF("id"), "id", sym, "x", "nb")
+    assert(labels.filter(col("cluster_id") =!= 0L).count() == 0)
+    assert(rounds >= 8, s"a 300-chain should need many doubling rounds, got $rounds")
+    val size = labels.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(size.toString.length <= 25,
+      s"label-frame size estimate compounded across rounds: $size")
+  }
+
   test("empty edge list: every vertex is its own cluster in one round") {
     val vertices = spark.range(5).select(col("id"))
     val sym = spark.createDataFrame(Seq.empty[(Long, Long)]).toDF("x", "nb")
