@@ -22,6 +22,13 @@ object Bench {
       }
       val secs = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-22s $secs%8.2f s")
+      // a query may leave persisted/localCheckpointed blocks behind (e.g.
+      // q39's final label checkpoint, q44's signature persist — blocks the
+      // query itself cannot free because the caller materializes them);
+      // drop them so 50 queries in one JVM don't accumulate block-manager
+      // state. Untimed: cleanup is bookkeeping, not query work.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
       name -> secs
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -7,6 +7,17 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, Codege
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
+/** Null-element posture for every kernel in this file: the primitive loops
+  * read `getFloat(i)` without per-element null checks (that is the point —
+  * zero branches, zero boxing). A nullable-element array would silently
+  * read 0/undefined where the old UDF path surfaced the null, so when the
+  * input type is `containsNull=true` (provably-non-null arrays built via
+  * `transform` lambdas still type as nullable) the loops run an explicit
+  * null check and FAIL LOUDLY on the first null element; the checked branch
+  * is only taken when the static type demands it, so proven
+  * `containsNull=false` buffers keep the branch-free loop.
+  */
+
 /** Native kernels for multi-megabyte tensor buffers (A4/T6/A7 fast paths).
   *
   * These replace the Scala-UDF kernels for the cache/serve hot path. A UDF
@@ -32,6 +43,11 @@ object BufferKernels {
     StructField("_3", DoubleType, nullable = false),
     StructField("_4", DoubleType, nullable = false),
     StructField("_5", LongType, nullable = false)))
+
+  def nullElement(kernel: String, i: Int): RuntimeException =
+    new IllegalArgumentException(
+      s"$kernel: null element at index $i — tensor buffers must be fully " +
+        "populated (the kernel loops have no null semantics; fix the producer)")
 }
 
 /** One-pass buffer stats; CodegenFallback is fine — one eval call per row
@@ -45,6 +61,9 @@ case class BufferStats(child: Expression)
       s"buffer_stats expects array<float>, got ${other.sql}")
   }
 
+  private val checkNulls =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
   override def dataType: DataType = BufferKernels.statsType
   override def prettyName: String = "buffer_stats"
 
@@ -55,6 +74,8 @@ case class BufferStats(child: Expression)
     var s1 = 0.0; var s2 = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && a.isNullAt(i))
+        throw BufferKernels.nullElement(prettyName, i)
       val x = a.getFloat(i).toDouble
       if (x < mn) mn = x
       if (x > mx) mx = x
@@ -79,12 +100,15 @@ case class ShiftScale(data: Expression, shift: Expression, scale: Expression)
   override def second: Expression = shift
   override def third: Expression = scale
 
+  // containsNull=false for the same reason as BufferStats: the primitive
+  // loop has no per-element null checks by design.
   override def checkInputDataTypes(): TypeCheckResult =
     (data.dataType, shift.dataType, scale.dataType) match {
-      case (ArrayType(FloatType, _), DoubleType, DoubleType) =>
+      case (ArrayType(FloatType, false), DoubleType, DoubleType) =>
         TypeCheckResult.TypeCheckSuccess
       case (d, s, c) => TypeCheckResult.TypeCheckFailure(
-        s"shift_scale expects (array<float>, double, double), got (${d.sql}, ${s.sql}, ${c.sql})")
+        s"shift_scale expects (array<float> with containsNull=false, double, double), " +
+          s"got (${d.sql}, ${s.sql}, ${c.sql})")
     }
 
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)

@@ -107,6 +107,14 @@ object Multimodal {
         val bytesPerSample = fmt.getSampleSizeInBits / 8
         require(bytesPerSample == 1 || bytesPerSample == 2,
           s"unsupported PCM sample size ${fmt.getSampleSizeInBits} bits (want 8 or 16)")
+        // the 16-bit branch below decodes two's-complement; letting a
+        // 16-bit UNSIGNED stream through it would silently add a
+        // full-scale DC offset, so fail loudly instead (WAV convention is
+        // unsigned at 8 bits, signed at 16 — this rejects only malformed
+        // or exotic files)
+        require(enc == AudioFormat.Encoding.PCM_SIGNED || bytesPerSample == 1,
+          "16-bit unsigned PCM is not supported (WAV convention is signed at " +
+            "16 bits); transcode externally first")
         val raw = in.readAllBytes()
         val n = raw.length / (bytesPerSample * ch)
         val data = new Array[Float](ch * n)

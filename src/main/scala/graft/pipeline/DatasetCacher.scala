@@ -56,7 +56,12 @@ object DatasetCacher {
     if (needsMaterialize(spark, path, overwrite)) {
       records.write.mode(SaveMode.Overwrite)
         .partitionBy("dataset").parquet(s"$path/records")
-      records.select(metaCols.map(col): _*)
+      // manifest from the records JUST written, not from `records` again: a
+      // second reference re-executes the plan (even column-pruned it
+      // re-scans the source), and reading back the written files both
+      // avoids that and guarantees the manifest describes exactly what was
+      // materialized. Column-pruned scan — tensor data never leaves disk.
+      spark.read.parquet(s"$path/records").select(metaCols.map(col): _*)
         .write.mode(SaveMode.Overwrite).parquet(s"$path/_manifest")
     }
     path

@@ -536,10 +536,13 @@ object RelationalQueries {
     // file_order: two-phase rank bucketed by the bounded leading key nat1.
     val sliced = Ranks.globalDenseRank(k, col("proj"), descending = true, "slice_index")
     // bucket must be non-null (Ranks' offset map rejects null keys): a
-    // digitless fname extracts "" → null nat1. Coalesce to -1 so such rows
-    // sort first — the old Window.orderBy(nat1) nulls-first semantics.
-    Ranks.globalRowNumber(sliced, coalesce(col("nat1"), lit(-1L)),
-        Seq(col("nat1"), col("nat2"), col("p_partkey")), "file_order")
+    // digitless fname extracts "" → null nat1. Unreachable for this
+    // synthesized fname (always has digits), but align the guard with the
+    // ORACLE's semantics anyway: DuckDB's row_number ORDER BY nat1 sorts
+    // NULLS LAST, so bucket nulls to Long.MaxValue and order nulls-last —
+    // Spark and oracle agree even if a null ever becomes reachable.
+    Ranks.globalRowNumber(sliced, coalesce(col("nat1"), lit(Long.MaxValue)),
+        Seq(col("nat1").asc_nulls_last, col("nat2"), col("p_partkey")), "file_order")
       .orderBy("p_partkey")
   }
 
