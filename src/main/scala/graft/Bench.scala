@@ -26,8 +26,9 @@ object Bench {
       // q39's final label checkpoint, q44's signature persist — blocks the
       // query itself cannot free because the caller materializes them);
       // drop them so 50 queries in one JVM don't accumulate block-manager
-      // state. Untimed: cleanup is bookkeeping, not query work.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // state. Untimed: cleanup is bookkeeping, not query work. Blocking,
+      // so async block cleanup can't overlap the next query's timed region.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
       name -> secs
     }

@@ -61,7 +61,10 @@ case class BufferStats(child: Expression)
       s"buffer_stats expects array<float>, got ${other.sql}")
   }
 
-  private val checkNulls =
+  // lazy: expressions are constructed over unresolved columns (col("...")),
+  // whose dataType throws/returns NullType until analysis binds them. Only
+  // read the type at first eval, which is always post-resolution.
+  private lazy val checkNulls =
     child.dataType.asInstanceOf[ArrayType].containsNull
 
   override def dataType: DataType = BufferKernels.statsType
@@ -100,16 +103,20 @@ case class ShiftScale(data: Expression, shift: Expression, scale: Expression)
   override def second: Expression = shift
   override def third: Expression = scale
 
-  // containsNull=false for the same reason as BufferStats: the primitive
-  // loop has no per-element null checks by design.
+  // Nullable-TYPED arrays are accepted (transform()-built arrays type as
+  // containsNull=true even when provably non-null); null ELEMENTS fail
+  // loudly via a runtime guard taken only when the static type demands it.
   override def checkInputDataTypes(): TypeCheckResult =
     (data.dataType, shift.dataType, scale.dataType) match {
-      case (ArrayType(FloatType, false), DoubleType, DoubleType) =>
+      case (ArrayType(FloatType, _), DoubleType, DoubleType) =>
         TypeCheckResult.TypeCheckSuccess
       case (d, s, c) => TypeCheckResult.TypeCheckFailure(
-        s"shift_scale expects (array<float> with containsNull=false, double, double), " +
+        s"shift_scale expects (array<float>, double, double), " +
           s"got (${d.sql}, ${s.sql}, ${c.sql})")
     }
+
+  private lazy val checkNulls =
+    data.dataType.asInstanceOf[ArrayType].containsNull
 
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
   override def prettyName: String = "shift_scale"
@@ -121,7 +128,12 @@ case class ShiftScale(data: Expression, shift: Expression, scale: Expression)
     val n = a.numElements()
     val out = new Array[Float](n)
     var i = 0
-    while (i < n) { out(i) = ((a.getFloat(i) + shift) * scale).toFloat; i += 1 }
+    while (i < n) {
+      if (checkNulls && a.isNullAt(i))
+        throw BufferKernels.nullElement(prettyName, i)
+      out(i) = ((a.getFloat(i) + shift) * scale).toFloat
+      i += 1
+    }
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
@@ -130,10 +142,16 @@ case class ShiftScale(data: Expression, shift: Expression, scale: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val out = ctx.freshName("out")
+      val guard = if (checkNulls)
+        s"""if ($d.isNullAt($i)) {
+           |  throw graft.expressions.BufferKernels.nullElement("$prettyName", $i);
+           |}""".stripMargin
+      else ""
       s"""
          |int $n = $d.numElements();
          |float[] $out = new float[$n];
          |for (int $i = 0; $i < $n; $i++) {
+         |  $guard
          |  $out[$i] = (float)(((double)$d.getFloat($i) + $sh) * $sc);
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
@@ -155,6 +173,9 @@ case class PresentClasses(child: Expression)
       s"present_classes expects array<float>, got ${other.sql}")
   }
 
+  private lazy val checkNulls =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "present_classes"
 
@@ -163,7 +184,12 @@ case class PresentClasses(child: Expression)
     val n = a.numElements()
     val seen = new java.util.TreeSet[Int]()
     var i = 0
-    while (i < n) { seen.add(Math.round(a.getFloat(i))); i += 1 }
+    while (i < n) {
+      if (checkNulls && a.isNullAt(i))
+        throw BufferKernels.nullElement(prettyName, i)
+      seen.add(Math.round(a.getFloat(i)))
+      i += 1
+    }
     val out = new Array[Int](seen.size)
     val it = seen.iterator()
     var j = 0

@@ -61,7 +61,13 @@ object DatasetCacher {
       // re-scans the source), and reading back the written files both
       // avoids that and guarantees the manifest describes exactly what was
       // materialized. Column-pruned scan — tensor data never leaves disk.
-      spark.read.parquet(s"$path/records").select(metaCols.map(col): _*)
+      // Schema pinned from `records`: partition-column type inference would
+      // otherwise re-derive `dataset` from directory names, flipping a
+      // numeric-looking dataset name from string to int in the manifest.
+      val metaSchema = org.apache.spark.sql.types.StructType(
+        metaCols.map(c => records.schema(c)))
+      spark.read.schema(metaSchema).parquet(s"$path/records")
+        .select(metaCols.map(col): _*)
         .write.mode(SaveMode.Overwrite).parquet(s"$path/_manifest")
     }
     path
