@@ -76,5 +76,63 @@ object TensorQueries {
       .orderBy("l_orderkey", "frame_nr", "slice_nr")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(q40, q41)
+  // ---------------------------------------------------------------- Q45
+  /** The pipeline layer under the oracle gate: the REAL cachePlan →
+    * servePlan chain (ensure5d → BufferStats meta → min-shift → explode →
+    * identity warp → saved-stats standardize) over per-order (2,2,1,2,1)
+    * tensors. Round 4 broke exactly this path while the oracle stayed
+    * green, because every declared query routed around the kernels; this
+    * query makes the driver's correctness gate cover the ETL surface.
+    * Arithmetic is float32-bit-exact on both sides (same pattern as q10/
+    * q40: cents → float, one double op per step, cast back to float). */
+  val q45 = DeclaredQuery(
+    "q45_cache_serve",
+    Some("""WITH f AS (
+           |  SELECT l_orderkey,
+           |         CAST(CAST(CAST(ROUND(l_extendedprice*100) AS BIGINT) AS DOUBLE)/1e2 AS FLOAT) AS pf,
+           |         row_number() OVER (PARTITION BY l_orderkey
+           |           ORDER BY CAST(ROUND(l_extendedprice*100) AS BIGINT)) - 1 AS rn,
+           |         COUNT(*) OVER (PARTITION BY l_orderkey) AS n
+           |  FROM lineitem),
+           |t AS (SELECT l_orderkey, pf, rn FROM f WHERE n >= 8 AND rn < 8),
+           |s AS (SELECT l_orderkey,
+           |             MIN(CAST(pf AS DOUBLE)) AS mn,
+           |             SUM(CAST(pf AS DOUBLE))/8 AS mean,
+           |             sqrt(greatest(SUM(CAST(pf AS DOUBLE)*CAST(pf AS DOUBLE))/8
+           |                   - (SUM(CAST(pf AS DOUBLE))/8)*(SUM(CAST(pf AS DOUBLE))/8), 0.0)) AS std
+           |      FROM t GROUP BY l_orderkey),
+           |c AS (SELECT t.l_orderkey, t.rn,
+           |             CAST((CAST(t.pf AS DOUBLE) - s.mn) * 1.0 AS FLOAT) AS cf,
+           |             s.mean - s.mn AS mean_sh, s.std AS std
+           |      FROM t JOIN s USING (l_orderkey)),
+           |z AS (SELECT l_orderkey, rn,
+           |             CASE WHEN std > 0 THEN CAST((CAST(cf AS DOUBLE) - mean_sh) * (1.0/std) AS FLOAT)
+           |                  ELSE CAST(0.0 AS FLOAT) END AS cs
+           |      FROM c)
+           |SELECT l_orderkey,
+           |       CAST(rn // 4 AS INTEGER) AS frame_nr,
+           |       CAST((rn // 2) % 2 AS INTEGER) AS slice_nr,
+           |       MAX(CASE WHEN rn % 2 = 0 THEN cs END) AS v1,
+           |       MAX(CASE WHEN rn % 2 = 1 THEN cs END) AS v2
+           |FROM z GROUP BY 1, 2, 3
+           |ORDER BY l_orderkey, frame_nr, slice_nr""".stripMargin)) { (s, d) =>
+    import graft.pipeline.{GraftConfig, NormalizeConfig, TransformPlanner}
+    val cfg = GraftConfig(
+      datasetNames = Seq("synth"), keyPairs = Map("image" -> "none"),
+      dimensionality = "2D", targetSize = (2, 1),
+      normalize = NormalizeConfig(mode = "standardize", referenceLevel = "saved"))
+    val recs = orderTensors(s, d)
+      .filter(size(col("data")) >= 8)
+      .select(col("l_orderkey"),
+        Tensors.tensor(typedLit(Seq(2, 2, 1, 2, 1)), slice(col("data"), 1, 8)).as("image"))
+    val cached = TransformPlanner.cachePlan(cfg, Seq("image"), Nil)(recs)
+    val served = TransformPlanner.servePlan(cfg, Seq("image"), Nil,
+      keyCol = "l_orderkey", augmented = false)(cached)
+    served.select(col("l_orderkey"), col("frame_nr"), col("slice_nr"),
+      element_at(col("image.data"), 1).as("v1"),
+      element_at(col("image.data"), 2).as("v2"))
+      .orderBy("l_orderkey", "frame_nr", "slice_nr")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(q40, q41, q45)
 }

@@ -114,14 +114,28 @@ object VectorQueries {
     * pandas comparer). */
   private val lshDims = 64
   private val lshPlanes = 8 // 256 buckets — sized so sf0.01's 500 vectors
-  // collide; at corpus scale raise planes (buckets ≈ corpus/expected-cands)
+  // collide; at corpus scale raise planes (buckets ≈ corpus/expected-cands).
+  // tools/LshAudit measures bucket occupancy vs plane count at sf1+ — the
+  // knob is exercised, not just commented (BASELINE.md "LSH plane sizing").
   // plane j, dim k sign: high bit of first md5 byte of "hp:j:k"
-  private val lshSigns: Seq[Seq[Int]] = (0 until lshPlanes).map { j =>
-    (0 until lshDims).map { k =>
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"hp:$j:$k".getBytes("UTF-8"))
-      if ((hex(0) & 0x80) != 0) 1 else -1
+  private[graft] def lshSignsFor(planes: Int, dims: Int = lshDims): Seq[Seq[Int]] =
+    (0 until planes).map { j =>
+      (0 until dims).map { k =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"hp:$j:$k".getBytes("UTF-8"))
+        if ((hex(0) & 0x80) != 0) 1 else -1
+      }
     }
+  private val lshSigns: Seq[Seq[Int]] = lshSignsFor(lshPlanes)
+
+  /** Sign-LSH bucket id over a normalized double-vector column, `planes`
+    * bits wide — q35's bucketing, parameterized for scale sizing. */
+  private[graft] def lshBucket(v: Column, planes: Int): Column = {
+    val signs = lshSignsFor(planes)
+    concat((0 until planes).map { j =>
+      val proj = dot(v, array(signs(j).map(x => lit(x.toDouble)): _*))
+      when(proj >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
   }
 
   val q35 = DeclaredQuery(

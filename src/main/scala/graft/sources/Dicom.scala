@@ -10,10 +10,12 @@ import java.nio.{ByteBuffer, ByteOrder}
   * (1.2.840.10008.1.2) and Explicit VR Little Endian (1.2.840.10008.1.2.1)
   * — plus JPEG Baseline Process 1 (1.2.840.10008.1.2.4.50), the most
   * common compressed syntax, whose encapsulated fragments route through
-  * the JDK's own ImageIO JPEG reader. Other compressed syntaxes
-  * (JPEG-LS/2000/RLE) still fail loudly by name — no JVM codec ships;
-  * those files should go through an external transcode, which is what the
-  * reference's pydicom+gdcm stack does for them too.
+  * the JDK's own ImageIO JPEG reader, and RLE Lossless
+  * (1.2.840.10008.1.2.5), decoded by a pure-JVM PS3.5 Annex G codec
+  * below. The remaining compressed syntaxes (JPEG-LS/2000) still fail
+  * loudly by name — no JVM codec ships; those files should go through an
+  * external transcode, which is what the reference's pydicom+gdcm stack
+  * does for them too.
   *
   * Extracted surface mirrors what the reference reads for slice ordering
   * and stacking (`setup/reformat/utils.py:132-215`): Rows/Columns, pixel
@@ -33,6 +35,7 @@ object Dicom {
   private val ImplicitLE = "1.2.840.10008.1.2"
   private val ExplicitLE = "1.2.840.10008.1.2.1"
   private val JpegBaseline = "1.2.840.10008.1.2.4.50"
+  private val RleLossless = "1.2.840.10008.1.2.5"
 
   private def tag(group: Int, elem: Int): Long = (group.toLong << 16) | elem
 
@@ -54,6 +57,7 @@ object Dicom {
     var transferSyntax = ExplicitLE // file meta group is always explicit LE
     var pixelOff = -1; var pixelLen = -1
     var jpegBytes: Array[Byte] = null
+    var rleBytes: Array[Byte] = null
 
     def str(off: Int, len: Int): String =
       new String(bytes, off, len, "US-ASCII").trim
@@ -88,11 +92,13 @@ object Dicom {
       if (t == tag(0x7fe0, 0x0010)) {
         if (valueLen == -1) {
           // encapsulated PixelData: BOT item + fragment items + delimiter
-          require(transferSyntax == JpegBaseline,
+          require(transferSyntax == JpegBaseline || transferSyntax == RleLossless,
             s"encapsulated PixelData with transfer syntax $transferSyntax — " +
-              "only JPEG Baseline (1.2.840.10008.1.2.4.50) decodes in the " +
-              "pure JVM (ImageIO); transcode other syntaxes first")
-          jpegBytes = encapsulatedFragments(bb, bytes, valueOff)
+              "only JPEG Baseline (1.2.840.10008.1.2.4.50, via ImageIO) and " +
+              "RLE Lossless (1.2.840.10008.1.2.5, PS3.5 annex G codec) " +
+              "decode in the pure JVM; transcode other syntaxes first")
+          val frags = encapsulatedFragments(bb, bytes, valueOff)
+          if (transferSyntax == RleLossless) rleBytes = frags else jpegBytes = frags
           pixelOff = valueOff; pixelLen = 0
         } else { pixelOff = valueOff; pixelLen = valueLen }
       } else {
@@ -122,12 +128,30 @@ object Dicom {
       }
     }
     require(transferSyntax == ImplicitLE || transferSyntax == ExplicitLE ||
-      jpegBytes != null,
+      jpegBytes != null || rleBytes != null,
       s"unsupported transfer syntax $transferSyntax — transcode to little-endian first")
     require(rows > 0 && cols > 0, "missing Rows/Columns")
     require(pixelOff >= 0, "missing PixelData")
     val n = rows * cols
     val data = new Array[Float](n)
+    if (rleBytes != null) {
+      val planes = rleDecodeFrame(rleBytes, n, bitsAllocated / 8)
+      var i = 0
+      if (bitsAllocated == 8) {
+        while (i < n) {
+          val raw = if (pixelRepresentation == 1) planes(0)(i).toInt
+          else planes(0)(i) & 0xff
+          data(i) = raw * slope + intercept; i += 1
+        }
+      } else { // 16-bit: plane 0 = MSBs, plane 1 = LSBs (PS3.5 G.2)
+        while (i < n) {
+          val u = ((planes(0)(i) & 0xff) << 8) | (planes(1)(i) & 0xff)
+          val raw = if (pixelRepresentation == 1) u.toShort.toInt else u
+          data(i) = raw * slope + intercept; i += 1
+        }
+      }
+      return Slice(rows, cols, data, position, orientation, spacing, seriesUid, instanceNumber)
+    }
     if (jpegBytes != null) {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpegBytes))
       require(img != null, "ImageIO failed to decode JPEG-baseline PixelData")
@@ -200,6 +224,80 @@ object Dicom {
     out.toByteArray
   }
 
+  /** PS3.5 Annex G RLE Lossless frame decode: a 64-byte header of 16
+    * little-endian uint32s — {number of segments, 15 segment offsets
+    * counted from the first byte of the header} — followed by the
+    * PackBits-encoded segments. Segments are the big-endian byte planes of
+    * the composite pixel code (MSB plane first, G.2), independent of the
+    * dataset's endianness.
+    * @return one decoded byte plane per segment, each `nPixels` long */
+  private[sources] def rleDecodeFrame(frame: Array[Byte], nPixels: Int,
+                                      bytesPerSample: Int): Array[Array[Byte]] = {
+    require(frame.length >= 64, s"RLE frame shorter than its 64-byte header: ${frame.length}")
+    val bb = ByteBuffer.wrap(frame).order(ByteOrder.LITTLE_ENDIAN)
+    val nSeg = bb.getInt(0)
+    require(nSeg == bytesPerSample,
+      s"RLE header has $nSeg segments, expected $bytesPerSample for " +
+        s"${8 * bytesPerSample}-bit single-sample pixels")
+    val offsets = (0 until nSeg).map(i => bb.getInt(4 * (i + 1)))
+    Array.tabulate(nSeg) { i =>
+      val end = if (i + 1 < nSeg) offsets(i + 1) else frame.length
+      unpackBits(frame, offsets(i), end, nPixels)
+    }
+  }
+
+  /** PackBits (PS3.5 G.3.1): control byte n signed — 0..127 ⇒ copy the next
+    * n+1 bytes literally; -1..-127 ⇒ repeat the next byte 1-n times; -128 ⇒
+    * no-op. Stops once `expect` bytes are produced (trailing even-length
+    * padding is never read as a control byte). */
+  private def unpackBits(src: Array[Byte], start: Int, end: Int, expect: Int): Array[Byte] = {
+    val out = new Array[Byte](expect)
+    var p = start; var o = 0
+    while (o < expect) {
+      require(p < end, s"truncated RLE segment: $o of $expect bytes decoded")
+      val n = src(p); p += 1
+      if (n >= 0) {
+        val len = n + 1
+        require(p + len <= end && o + len <= expect,
+          s"RLE literal run overruns segment/plane at output offset $o")
+        System.arraycopy(src, p, out, o, len)
+        p += len; o += len
+      } else if (n != -128) {
+        val len = 1 - n
+        require(p < end && o + len <= expect,
+          s"RLE replicate run overruns segment/plane at output offset $o")
+        java.util.Arrays.fill(out, o, o + len, src(p))
+        p += 1; o += len
+      }
+    }
+    out
+  }
+
+  /** PackBits encode of one byte plane (decoder twin): runs of ≥2 identical
+    * bytes become replicate packets (≤128), everything else literal packets
+    * (≤128 bytes). */
+  private def packBits(plane: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < plane.length) {
+      var run = 1
+      while (i + run < plane.length && run < 128 && plane(i + run) == plane(i)) run += 1
+      if (run >= 2) {
+        out.write(1 - run) // -(run-1) as signed byte
+        out.write(plane(i))
+        i += run
+      } else {
+        var lit = 1
+        while (i + lit < plane.length && lit < 128 &&
+          !(i + lit + 1 < plane.length && plane(i + lit) == plane(i + lit + 1))) lit += 1
+        out.write(lit - 1)
+        out.write(plane, i, lit)
+        i += lit
+      }
+    }
+    out.toByteArray
+  }
+
   /** q16's projection key for real headers: dot(position, cross(o1, o2)) —
     * the reference's slice-ordering scalar (`utils.py:218-241`). */
   def sliceProjection(s: Slice): Double = {
@@ -256,6 +354,76 @@ object Dicom {
       i += 1
     }
     el(0x7fe0, 0x0010, "OW", px)
+    out.toByteArray
+  }
+
+  /** RLE Lossless encoder twin (single-frame 16-bit unsigned): pixel values
+    * split into MSB/LSB byte planes (PS3.5 G.2), each PackBits-encoded and
+    * even-padded, prefixed with the 64-byte segment-offset header, wrapped
+    * in encapsulated PixelData (empty BOT + one frame fragment + sequence
+    * delimiter). Lossless — [[decode]] round-trips it bit-exactly. */
+  def encodeRle(rows: Int, cols: Int, data: Array[Float],
+                position: Seq[Float] = Seq(0f, 0f, 0f),
+                orientation: Seq[Float] = Seq(1f, 0f, 0f, 0f, 1f, 0f),
+                pixelSpacing: Seq[Float] = Seq(1f, 1f),
+                seriesUid: String = "1.2.3.4", instanceNumber: Int = 1): Array[Byte] = {
+    require(data.length == rows * cols, "shape/data mismatch")
+    val n = data.length
+    val msb = new Array[Byte](n); val lsb = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val v = math.round(data(i)).max(0).min(0xffff)
+      msb(i) = ((v >> 8) & 0xff).toByte; lsb(i) = (v & 0xff).toByte
+      i += 1
+    }
+    def evenPad(b: Array[Byte]): Array[Byte] =
+      if (b.length % 2 == 0) b else b :+ 0.toByte
+    val segs = Seq(evenPad(packBits(msb)), evenPad(packBits(lsb)))
+    val frame = new java.io.ByteArrayOutputStream()
+    def le4(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    le4(frame, segs.length)
+    var off = 64
+    segs.foreach { s => le4(frame, off); off += s.length }
+    (segs.length until 15).foreach(_ => le4(frame, 0))
+    segs.foreach(s => frame.write(s, 0, s.length))
+    val frameBytes = frame.toByteArray
+
+    val out = new java.io.ByteArrayOutputStream()
+    def le2(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def even(s: String): Array[Byte] = {
+      val b = s.getBytes("US-ASCII")
+      if (b.length % 2 == 0) b else b :+ ' '.toByte
+    }
+    def el(group: Int, elem: Int, vr: String, value: Array[Byte]): Unit = {
+      out.write(le2(group)); out.write(le2(elem))
+      out.write(vr.getBytes("US-ASCII"))
+      out.write(le2(value.length))
+      out.write(value)
+    }
+    out.write(new Array[Byte](128)); out.write("DICM".getBytes("US-ASCII"))
+    el(0x0002, 0x0010, "UI", even(RleLossless))
+    el(0x0020, 0x000e, "UI", even(seriesUid))
+    el(0x0020, 0x0013, "IS", even(instanceNumber.toString))
+    el(0x0020, 0x0032, "DS", even(position.mkString("\\")))
+    el(0x0020, 0x0037, "DS", even(orientation.mkString("\\")))
+    el(0x0028, 0x0010, "US", le2(rows))
+    el(0x0028, 0x0011, "US", le2(cols))
+    el(0x0028, 0x0030, "DS", even(pixelSpacing.mkString("\\")))
+    el(0x0028, 0x0100, "US", le2(16))
+    el(0x0028, 0x0103, "US", le2(0)) // unsigned
+    el(0x0028, 0x1052, "DS", even("0"))
+    el(0x0028, 0x1053, "DS", even("1"))
+    // encapsulated PixelData: OB, undefined length
+    out.write(le2(0x7fe0)); out.write(le2(0x0010))
+    out.write("OB".getBytes("US-ASCII")); out.write(Array[Byte](0, 0))
+    le4(out, -1)
+    out.write(le2(0xfffe)); out.write(le2(0xe000)); le4(out, 0) // empty BOT
+    out.write(le2(0xfffe)); out.write(le2(0xe000)); le4(out, frameBytes.length)
+    out.write(frameBytes, 0, frameBytes.length)
+    out.write(le2(0xfffe)); out.write(le2(0xe0dd)); le4(out, 0)
     out.toByteArray
   }
 

@@ -14,6 +14,47 @@ class RoundTripSpec extends SparkSpec {
     spark.range(1).select(col("id").as("key"),
       tensor(typedLit(shape), typedLit(data)).as("t"))
 
+  test("cache → parquet → serve round-trip: serve standardize type-checks and computes on reloaded data") {
+    import graft.pipeline.{DatasetCacher, GraftConfig, NormalizeConfig, TransformPlanner}
+    val cfg = GraftConfig(
+      datasetNames = Seq("mm1"), keyPairs = Map("image" -> "label"),
+      dimensionality = "2D", targetSize = (2, 2), nrClasses = 3,
+      normalize = NormalizeConfig(mode = "standardize", referenceLevel = "saved"))
+    val n = 2 * 2 * 1 * 2 * 2
+    val records = spark.range(2).select(
+      concat(lit("subj"), col("id")).as("subject_id"),
+      lit("mm1").as("dataset"),
+      tensor(typedLit(Seq(2, 2, 1, 2, 2)),
+        transform(sequence(lit(1), lit(n)), i => (i + col("id") * 100).cast("float"))).as("image"),
+      tensor(typedLit(Seq(2, 2, 1, 2, 2)),
+        transform(sequence(lit(1), lit(n)), i => (i % 3).cast("float"))).as("label"))
+    val cached = TransformPlanner.cachePlan(cfg, Seq("image"), Seq("label"))(records)
+    val root = java.nio.file.Files.createTempDirectory("graft-rt").toString
+    val path = DatasetCacher.materialize(spark, cached,
+      Seq("subject_id", "dataset", "frame_nr", "slice_nr"),
+      root, cfg, records.select("subject_id"), "subject_id")
+    // the reload path is the point: parquet read-back types arrays as
+    // containsNull=true, and the serve-side kernels must accept that
+    val reloaded = DatasetCacher.load(spark, path)
+    val served = TransformPlanner.servePlan(cfg, Seq("image"), Seq("label"),
+      keyCol = "subject_id", augmented = false)(reloaded)
+    val rows = served.select(col("subject_id"), col("frame_nr"), col("slice_nr"),
+      col("image.data").as("data")).collect()
+    assert(rows.length == 8)
+    // standardized buffers: mean ≈ 0 across each record's source volume
+    // stats, values finite
+    rows.foreach { r =>
+      val data = r.getSeq[Float](3)
+      assert(data.length == 4)
+      assert(data.forall(v => !v.isNaN && !v.isInfinite))
+    }
+    // manifest read-back keeps the records schema (no partition-column
+    // type re-inference)
+    val mf = DatasetCacher.manifest(spark, path)
+    assert(mf.schema("dataset").dataType == org.apache.spark.sql.types.StringType)
+    assert(mf.count() == 8)
+  }
+
   test("normalize∘denormalize ≈ identity (random buffers)") {
     val rng = new Random(1)
     for (_ <- 1 to 10) {

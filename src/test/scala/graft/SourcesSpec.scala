@@ -85,6 +85,31 @@ class SourcesSpec extends SparkSpec {
       "slices stack in projection-descending order")
   }
 
+  test("DICOM RLE Lossless: PS3.5 annex G round-trips bit-exactly") {
+    import graft.sources.Dicom
+    // long runs + literal noise + >128 runs: exercises replicate packets,
+    // literal packets, and the 128-byte packet-length cap in one image
+    val rows = 20; val cols = 20
+    val rnd = new scala.util.Random(42)
+    val px = Array.tabulate(rows * cols) { i =>
+      if (i < 150) 1000f // run > 128 on both byte planes
+      else if (i < 300) (i % 7 * 331).toFloat // literal-ish noise
+      else 0f
+    }
+    val bytes = Dicom.encodeRle(rows, cols, px,
+      position = Seq(0f, 0f, 5f), seriesUid = "1.2.3.5", instanceNumber = 3)
+    val sl = Dicom.decode(bytes)
+    assert(sl.rows == rows && sl.cols == cols)
+    assert(sl.seriesUid == "1.2.3.5" && sl.instanceNumber == 3)
+    assert(sl.data.toSeq == px.toSeq, "RLE is lossless — bit-exact round-trip")
+    // random 16-bit data (worst case for PackBits: mostly literals)
+    val rand = Array.fill(33 * 17)(rnd.nextInt(0x10000).toFloat)
+    assert(Dicom.decode(Dicom.encodeRle(33, 17, rand)).data.toSeq == rand.toSeq)
+    // constant image (best case: pure replicate packets)
+    val flat = Array.fill(64)(777f)
+    assert(Dicom.decode(Dicom.encodeRle(8, 8, flat)).data.toSeq == flat.toSeq)
+  }
+
   test("DICOM JPEG-baseline: encapsulated fragments decode via ImageIO") {
     import graft.sources.Dicom
     // smooth gradient: JPEG is lossy, so assert proximity, not equality
