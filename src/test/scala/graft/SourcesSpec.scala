@@ -229,6 +229,28 @@ class SourcesSpec extends SparkSpec {
     assert(f0.getWidth == 2 && f0.getHeight == 2)
   }
 
+  test("prediction sink round-trips the inverse-warped prediction records (S8)") {
+    import graft.pipeline.Predictor
+    // a served-shaped frame: identity affine + a (1,1,2,2,2) prediction
+    val df = spark.range(2).select(
+      concat(lit("s"), col("id")).as("subject_id"),
+      typedLit(Seq(1.0, 0.0, 0.0, 0.0, 1.0, 0.0)).as("_affine"),
+      graft.tensor.Tensors.tensor(typedLit(Seq(1, 1, 2, 2, 2)),
+        transform(sequence(lit(1), lit(8)), i => (i + col("id") * 10).cast("float")))
+        .as("prediction"))
+    val inverted = Predictor.invertPredictions(df, 2, 2)
+    val dir = Files.createTempDirectory("preds").toString
+    Sources.writePredictions(inverted, s"$dir/preds")
+    val back = spark.read.parquet(s"$dir/preds")
+    assert(back.count() == 2)
+    assert(back.columns.toSet == Set("subject_id", "_affine", "prediction"))
+    // identity affine → inverse warp is the identity; buffers survive the
+    // parquet round-trip bit-exactly
+    val r = back.filter(col("subject_id") === "s0")
+      .select(col("prediction.data")).head().getSeq[Float](0)
+    assert(r == (1 to 8).map(_.toFloat))
+  }
+
   test("listRecords parses dataset-subject from filenames") {
     val dir = Files.createTempDirectory("recs").toString
     spark.range(2).select(col("id")).write.parquet(s"$dir/mm1-subjA.parquet")
