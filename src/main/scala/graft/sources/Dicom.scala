@@ -35,6 +35,7 @@ object Dicom {
   private val ImplicitLE = "1.2.840.10008.1.2"
   private val ExplicitLE = "1.2.840.10008.1.2.1"
   private val JpegBaseline = "1.2.840.10008.1.2.4.50"
+  private val JpegLsLossless = "1.2.840.10008.1.2.4.80"
   private val RleLossless = "1.2.840.10008.1.2.5"
 
   private def tag(group: Int, elem: Int): Long = (group.toLong << 16) | elem
@@ -57,6 +58,7 @@ object Dicom {
     var transferSyntax = ExplicitLE // file meta group is always explicit LE
     var pixelOff = -1; var pixelLen = -1
     var jpegBytes: Array[Byte] = null
+    var jlsBytes: Array[Byte] = null
     var rleBytes: Array[Byte] = null
 
     def str(off: Int, len: Int): String =
@@ -92,13 +94,17 @@ object Dicom {
       if (t == tag(0x7fe0, 0x0010)) {
         if (valueLen == -1) {
           // encapsulated PixelData: BOT item + fragment items + delimiter
-          require(transferSyntax == JpegBaseline || transferSyntax == RleLossless,
+          require(transferSyntax == JpegBaseline || transferSyntax == RleLossless ||
+            transferSyntax == JpegLsLossless,
             s"encapsulated PixelData with transfer syntax $transferSyntax — " +
-              "only JPEG Baseline (1.2.840.10008.1.2.4.50, via ImageIO) and " +
+              "only JPEG Baseline (1.2.840.10008.1.2.4.50, via ImageIO), " +
+              "JPEG-LS Lossless (1.2.840.10008.1.2.4.80, T.87 codec) and " +
               "RLE Lossless (1.2.840.10008.1.2.5, PS3.5 annex G codec) " +
               "decode in the pure JVM; transcode other syntaxes first")
           val frags = encapsulatedFragments(bb, bytes, valueOff)
-          if (transferSyntax == RleLossless) rleBytes = frags else jpegBytes = frags
+          if (transferSyntax == RleLossless) rleBytes = frags
+          else if (transferSyntax == JpegLsLossless) jlsBytes = frags
+          else jpegBytes = frags
           pixelOff = valueOff; pixelLen = 0
         } else { pixelOff = valueOff; pixelLen = valueLen }
       } else {
@@ -128,12 +134,27 @@ object Dicom {
       }
     }
     require(transferSyntax == ImplicitLE || transferSyntax == ExplicitLE ||
-      jpegBytes != null || rleBytes != null,
+      jpegBytes != null || rleBytes != null || jlsBytes != null,
       s"unsupported transfer syntax $transferSyntax — transcode to little-endian first")
     require(rows > 0 && cols > 0, "missing Rows/Columns")
     require(pixelOff >= 0, "missing PixelData")
     val n = rows * cols
     val data = new Array[Float](n)
+    if (jlsBytes != null) {
+      val img = JpegLs.decode(jlsBytes)
+      require(img.width == cols && img.height == rows,
+        s"JPEG-LS frame ${img.width}x${img.height} does not match header ${cols}x$rows")
+      var i = 0
+      while (i < n) {
+        // signed data: JPEG-LS codes the raw bit pattern; reinterpret per
+        // PixelRepresentation by sign-extending from the coded precision
+        val u = img.samples(i)
+        val raw = if (pixelRepresentation == 1)
+          (u << (32 - img.precision)) >> (32 - img.precision) else u
+        data(i) = raw * slope + intercept; i += 1
+      }
+      return Slice(rows, cols, data, position, orientation, spacing, seriesUid, instanceNumber)
+    }
     if (rleBytes != null) {
       val planes = rleDecodeFrame(rleBytes, n, bitsAllocated / 8)
       var i = 0
@@ -389,10 +410,42 @@ object Dicom {
     segs.foreach { s => le4(frame, off); off += s.length }
     (segs.length until 15).foreach(_ => le4(frame, 0))
     segs.foreach(s => frame.write(s, 0, s.length))
-    val frameBytes = frame.toByteArray
+    encodeEncapsulated(RleLossless, rows, cols, bitsAllocated = 16, frame.toByteArray,
+      position, orientation, pixelSpacing, seriesUid, instanceNumber)
+  }
 
+  /** JPEG-LS Lossless encoder twin (single-frame 16-bit unsigned): samples
+    * compressed by the pure-JVM T.87 codec ([[JpegLs.encode]]), wrapped in
+    * the encapsulated PixelData structure. Lossless — [[decode]]
+    * round-trips it bit-exactly. */
+  def encodeJpegLs(rows: Int, cols: Int, data: Array[Float],
+                   position: Seq[Float] = Seq(0f, 0f, 0f),
+                   orientation: Seq[Float] = Seq(1f, 0f, 0f, 0f, 1f, 0f),
+                   pixelSpacing: Seq[Float] = Seq(1f, 1f),
+                   seriesUid: String = "1.2.3.4", instanceNumber: Int = 1): Array[Byte] = {
+    require(data.length == rows * cols, "shape/data mismatch")
+    val samples = data.map(v => math.round(v).max(0).min(0xffff))
+    val payload0 = JpegLs.encode(JpegLs.Image(cols, rows, 16, samples))
+    val payload = if (payload0.length % 2 == 0) payload0 else payload0 :+ 0.toByte
+    encodeEncapsulated(JpegLsLossless, rows, cols, bitsAllocated = 16, payload,
+      position, orientation, pixelSpacing, seriesUid, instanceNumber)
+  }
+
+  /** Shared part-10 wrapper for encapsulated (compressed) PixelData: file
+    * meta + geometry/rescale attributes + OB undefined-length PixelData
+    * with an empty BOT item, one frame fragment, and the sequence
+    * delimiter (PS3.5 A.4). */
+  private def encodeEncapsulated(syntax: String, rows: Int, cols: Int,
+                                 bitsAllocated: Int, frameBytes: Array[Byte],
+                                 position: Seq[Float], orientation: Seq[Float],
+                                 pixelSpacing: Seq[Float], seriesUid: String,
+                                 instanceNumber: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def le2(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le4(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
     def even(s: String): Array[Byte] = {
       val b = s.getBytes("US-ASCII")
       if (b.length % 2 == 0) b else b :+ ' '.toByte
@@ -404,7 +457,7 @@ object Dicom {
       out.write(value)
     }
     out.write(new Array[Byte](128)); out.write("DICM".getBytes("US-ASCII"))
-    el(0x0002, 0x0010, "UI", even(RleLossless))
+    el(0x0002, 0x0010, "UI", even(syntax))
     el(0x0020, 0x000e, "UI", even(seriesUid))
     el(0x0020, 0x0013, "IS", even(instanceNumber.toString))
     el(0x0020, 0x0032, "DS", even(position.mkString("\\")))
@@ -412,18 +465,18 @@ object Dicom {
     el(0x0028, 0x0010, "US", le2(rows))
     el(0x0028, 0x0011, "US", le2(cols))
     el(0x0028, 0x0030, "DS", even(pixelSpacing.mkString("\\")))
-    el(0x0028, 0x0100, "US", le2(16))
+    el(0x0028, 0x0100, "US", le2(bitsAllocated))
     el(0x0028, 0x0103, "US", le2(0)) // unsigned
     el(0x0028, 0x1052, "DS", even("0"))
     el(0x0028, 0x1053, "DS", even("1"))
     // encapsulated PixelData: OB, undefined length
     out.write(le2(0x7fe0)); out.write(le2(0x0010))
     out.write("OB".getBytes("US-ASCII")); out.write(Array[Byte](0, 0))
-    le4(out, -1)
-    out.write(le2(0xfffe)); out.write(le2(0xe000)); le4(out, 0) // empty BOT
-    out.write(le2(0xfffe)); out.write(le2(0xe000)); le4(out, frameBytes.length)
+    le4(-1)
+    out.write(le2(0xfffe)); out.write(le2(0xe000)); le4(0) // empty BOT
+    out.write(le2(0xfffe)); out.write(le2(0xe000)); le4(frameBytes.length)
     out.write(frameBytes, 0, frameBytes.length)
-    out.write(le2(0xfffe)); out.write(le2(0xe0dd)); le4(out, 0)
+    out.write(le2(0xfffe)); out.write(le2(0xe0dd)); le4(0)
     out.toByteArray
   }
 

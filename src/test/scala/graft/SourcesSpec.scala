@@ -110,6 +110,25 @@ class SourcesSpec extends SparkSpec {
     assert(Dicom.decode(Dicom.encodeRle(8, 8, flat)).data.toSeq == flat.toSeq)
   }
 
+  test("DICOM JPEG-LS Lossless: T.87 codec round-trips bit-exactly") {
+    import graft.sources.Dicom
+    val rows = 24; val cols = 18
+    val rnd = new scala.util.Random(9)
+    // realistic CT-ish content: smooth ramp + noise + flat air region (runs)
+    val px = Array.tabulate(rows * cols) { i =>
+      if (i % cols < 4) 0f else (1000 + (i % cols) * 40 + rnd.nextInt(30)).toFloat
+    }
+    val bytes = Dicom.encodeJpegLs(rows, cols, px,
+      position = Seq(0f, 0f, 7f), seriesUid = "1.2.3.80", instanceNumber = 4)
+    val sl = Dicom.decode(bytes)
+    assert(sl.rows == rows && sl.cols == cols)
+    assert(sl.seriesUid == "1.2.3.80" && sl.instanceNumber == 4)
+    assert(sl.data.toSeq == px.toSeq, "JPEG-LS is lossless — bit-exact round-trip")
+    // full 16-bit random payload
+    val rand = Array.fill(10 * 11)(rnd.nextInt(0x10000).toFloat)
+    assert(Dicom.decode(Dicom.encodeJpegLs(10, 11, rand)).data.toSeq == rand.toSeq)
+  }
+
   test("DICOM JPEG-baseline: encapsulated fragments decode via ImageIO") {
     import graft.sources.Dicom
     // smooth gradient: JPEG is lossy, so assert proximity, not equality
