@@ -16,12 +16,12 @@ import org.apache.spark.sql.types._
   * reads raw raster samples, no sRGB gamma). AUDIO decode is REAL for
   * WAV/PCM (`decodeAudio`, javax.sound.sampled → (1,1,C,1,N) + sample_rate
   * /n_frames meta); non-PCM encodings fail loudly (external-transcode
-  * posture). VIDEO decode remains a deterministic STUB (no JVM codec
-  * exists): pixels derived from a rolling hash of the bytes, so the
-  * Spark-side plumbing (schema, partitioning, batch shape, downstream
-  * tensor ops) is real and tested end-to-end. Swap `fakeSampleFrames` for
-  * a real codec UDF (or `mapInPandas`+ffmpeg on PySpark) without touching
-  * any caller.
+  * posture). VIDEO decode is REAL for MJPEG-in-AVI (`decodeVideo`, the
+  * [[Avi]] demuxer + per-frame ImageIO JPEG decode → evenly-sampled
+  * (T,1,1,H,W) frames); other containers/codecs (H.264, VP9, …) have no
+  * JVM codec and fail loudly, same posture as non-PCM audio and
+  * JPEG-2000 DICOM. `fakeSampleFrames` remains for synthetic payloads
+  * where only the Spark-side plumbing is under test.
   *
   * Scale notes: binary payloads stay columnar in Parquet; decode is
   * embarrassingly parallel per record; `spark.sql.files.maxPartitionBytes`
@@ -59,34 +59,40 @@ object Multimodal {
     udf((content: Array[Byte]) => {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
       require(img != null, "payload is not a decodable raster image")
-      val h = img.getHeight; val w = img.getWidth
-      val data = new Array[Float](h * w)
-      if (img.getRaster.getNumBands == 1) {
-        // grayscale: read raw raster samples — getRGB would run the stored
-        // linear-gray values through a gray→sRGB conversion (85 → 156 on
-        // this JDK), gamma-distorting the luma vs what PIL returns
-        val raster = img.getRaster
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { data(y * w + x) = raster.getSample(x, y, 0).toFloat; x += 1 }
-          y += 1
-        }
-      } else {
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
-            data(y * w + x) = 0.299f * r + 0.587f * g + 0.114f * b
-            x += 1
-          }
-          y += 1
-        }
-      }
-      (Seq(1, 1, 1, h, w), data.toSeq)
+      val data = luma(img)
+      (Seq(1, 1, 1, img.getHeight, img.getWidth), data.toSeq)
     })
+
+  /** BT.601 luma plane of a decoded image; grayscale reads raw raster
+    * samples — getRGB would run the stored linear-gray values through a
+    * gray→sRGB conversion (85 → 156 on this JDK), gamma-distorting the
+    * luma vs what PIL returns. */
+  private def luma(img: java.awt.image.BufferedImage): Array[Float] = {
+    val h = img.getHeight; val w = img.getWidth
+    val data = new Array[Float](h * w)
+    if (img.getRaster.getNumBands == 1) {
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { data(y * w + x) = raster.getSample(x, y, 0).toFloat; x += 1 }
+        y += 1
+      }
+    } else {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+          data(y * w + x) = 0.299f * r + 0.587f * g + 0.114f * b
+          x += 1
+        }
+        y += 1
+      }
+    }
+    data
+  }
 
   /** REAL audio decode (pure JDK, `javax.sound.sampled`): WAV/PCM binary →
     * ((1,1,C,1,N) float tensor, sample_rate, n_frames). Samples normalized
@@ -150,6 +156,34 @@ object Multimodal {
       var i = 0
       while (i < data.length) { data(i) = pix(content, i); i += 1 }
       (Seq(1, 1, 1, h, w), data.toSeq)
+    })
+
+  /** REAL video frame-sample (pure JVM): MJPEG-in-AVI binary → `take`
+    * evenly-spaced frames decoded to luma as a (take,1,1,H,W) tensor,
+    * plus the sampled frame indices and the container frame rate. Uses
+    * the same `n/take` stride rule as [[fakeSampleFrames]] so callers
+    * can swap stub↔real without changing downstream expectations. Fails
+    * loudly on non-AVI containers and non-MJPEG codecs. */
+  val decodeVideo: UserDefinedFunction =
+    udf((content: Array[Byte], take: Int) => {
+      val v = Avi.demux(content)
+      val n = v.frames.length
+      val t = math.max(1, math.min(take, n))
+      val step = math.max(1, n / t)
+      val idx = (0 until t).map(_ * step)
+      val hw = v.height * v.width
+      val data = new Array[Float](t * hw)
+      var fi = 0
+      while (fi < t) {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(v.frames(idx(fi))))
+        require(img != null, s"frame ${idx(fi)} is not a decodable JPEG")
+        require(img.getHeight == v.height && img.getWidth == v.width,
+          s"frame ${idx(fi)} is ${img.getWidth}x${img.getHeight}, header says ${v.width}x${v.height}")
+        System.arraycopy(luma(img), 0, data, fi * hw, hw)
+        fi += 1
+      }
+      (Seq(t, 1, 1, v.height, v.width), data.toSeq, idx, v.fps)
     })
 
   /** STUB video frame-sample: binary → n evenly-spaced decoded frames as a

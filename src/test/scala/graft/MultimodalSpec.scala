@@ -78,6 +78,45 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real video decode: MJPEG-in-AVI round-trips geometry, fps, sampled frames") {
+    import graft.multimodal.Avi
+    // 12 solid-gray 16x16 frames, level = 20*i — JPEG is near-exact on
+    // constant blocks, so sampled means identify which frame was decoded
+    val jpegs = (0 until 12).map { i =>
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val g = img.getRaster
+      for (y <- 0 until 16; x <- 0 until 16) g.setSample(x, y, 0, 20 * i)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", bos)
+      bos.toByteArray
+    }
+    val avi = Avi.mux(16, 16, fps = 10, jpegs)
+    // demux twin: container fields survive the round-trip
+    val v = Avi.demux(avi)
+    assert(v.width == 16 && v.height == 16 && v.fps == 10.0 && v.frames.length == 12)
+    assert(v.frames.zip(jpegs).forall { case (a, b) => a.sameElements(b) })
+    // the Spark path: decode 4 evenly-spaced frames
+    val df = spark.createDataFrame(Seq((1L, avi))).toDF("media_id", "content")
+    val dec = Multimodal.decodeVideo(col("content"), lit(4))
+    val r = df.select(dec("_1").as("shape"), dec("_2").as("data"),
+      dec("_3").as("frames"), dec("_4").as("fps")).head()
+    assert(r.getSeq[Int](0) == Seq(4, 1, 1, 16, 16))
+    assert(r.getSeq[Int](2) == Seq(0, 3, 6, 9))
+    assert(r.getDouble(3) == 10.0)
+    val data = r.getSeq[Float](1)
+    assert(data.length == 4 * 256)
+    for (fi <- 0 until 4) {
+      val mean = data.slice(fi * 256, (fi + 1) * 256).sum / 256f
+      assert(math.abs(mean - 20f * (fi * 3)) < 2f,
+        s"sampled frame $fi mean $mean, expected ${20 * fi * 3}")
+    }
+    // non-AVI payloads fail loudly
+    assertThrows[org.apache.spark.SparkException] {
+      df.select(Multimodal.decodeVideo(lit("not a video".getBytes), lit(2))("_1")).head()
+    }
+  }
+
   test("video frame sampling emits requested frame count and indices") {
     val out = media.limit(3).select(col("media_id"),
       Multimodal.fakeSampleFrames(col("content"), lit(30), lit(4), lit(4), lit(4)).as("v"))
