@@ -10,12 +10,13 @@ import java.nio.{ByteBuffer, ByteOrder}
   * (1.2.840.10008.1.2) and Explicit VR Little Endian (1.2.840.10008.1.2.1)
   * — plus JPEG Baseline Process 1 (1.2.840.10008.1.2.4.50), the most
   * common compressed syntax, whose encapsulated fragments route through
-  * the JDK's own ImageIO JPEG reader, and RLE Lossless
+  * the JDK's own ImageIO JPEG reader, RLE Lossless
   * (1.2.840.10008.1.2.5), decoded by a pure-JVM PS3.5 Annex G codec
-  * below. The remaining compressed syntaxes (JPEG-LS/2000) still fail
-  * loudly by name — no JVM codec ships; those files should go through an
-  * external transcode, which is what the reference's pydicom+gdcm stack
-  * does for them too.
+  * below, JPEG-LS Lossless (1.2.840.10008.1.2.4.80) via the T.87 codec
+  * in [[JpegLs]], and JPEG 2000 Lossless (1.2.840.10008.1.2.4.90) via
+  * the T.800 codec in [[Jpeg2000]]. Only lossy JPEG 2000 (.4.91 with
+  * 9/7) and the retired/rare syntaxes remain external-transcode, which
+  * is what the reference's pydicom+gdcm stack does for them too.
   *
   * Extracted surface mirrors what the reference reads for slice ordering
   * and stacking (`setup/reformat/utils.py:132-215`): Rows/Columns, pixel
@@ -36,6 +37,7 @@ object Dicom {
   private val ExplicitLE = "1.2.840.10008.1.2.1"
   private val JpegBaseline = "1.2.840.10008.1.2.4.50"
   private val JpegLsLossless = "1.2.840.10008.1.2.4.80"
+  private val Jpeg2000Lossless = "1.2.840.10008.1.2.4.90"
   private val RleLossless = "1.2.840.10008.1.2.5"
 
   private def tag(group: Int, elem: Int): Long = (group.toLong << 16) | elem
@@ -59,6 +61,7 @@ object Dicom {
     var pixelOff = -1; var pixelLen = -1
     var jpegBytes: Array[Byte] = null
     var jlsBytes: Array[Byte] = null
+    var j2kBytes: Array[Byte] = null
     var rleBytes: Array[Byte] = null
 
     def str(off: Int, len: Int): String =
@@ -95,15 +98,17 @@ object Dicom {
         if (valueLen == -1) {
           // encapsulated PixelData: BOT item + fragment items + delimiter
           require(transferSyntax == JpegBaseline || transferSyntax == RleLossless ||
-            transferSyntax == JpegLsLossless,
+            transferSyntax == JpegLsLossless || transferSyntax == Jpeg2000Lossless,
             s"encapsulated PixelData with transfer syntax $transferSyntax — " +
               "only JPEG Baseline (1.2.840.10008.1.2.4.50, via ImageIO), " +
-              "JPEG-LS Lossless (1.2.840.10008.1.2.4.80, T.87 codec) and " +
+              "JPEG-LS Lossless (1.2.840.10008.1.2.4.80, T.87 codec), " +
+              "JPEG 2000 Lossless (1.2.840.10008.1.2.4.90, T.800 codec) and " +
               "RLE Lossless (1.2.840.10008.1.2.5, PS3.5 annex G codec) " +
               "decode in the pure JVM; transcode other syntaxes first")
           val frags = encapsulatedFragments(bb, bytes, valueOff)
           if (transferSyntax == RleLossless) rleBytes = frags
           else if (transferSyntax == JpegLsLossless) jlsBytes = frags
+          else if (transferSyntax == Jpeg2000Lossless) j2kBytes = frags
           else jpegBytes = frags
           pixelOff = valueOff; pixelLen = 0
         } else { pixelOff = valueOff; pixelLen = valueLen }
@@ -134,7 +139,7 @@ object Dicom {
       }
     }
     require(transferSyntax == ImplicitLE || transferSyntax == ExplicitLE ||
-      jpegBytes != null || rleBytes != null || jlsBytes != null,
+      jpegBytes != null || rleBytes != null || jlsBytes != null || j2kBytes != null,
       s"unsupported transfer syntax $transferSyntax — transcode to little-endian first")
     require(rows > 0 && cols > 0, "missing Rows/Columns")
     require(pixelOff >= 0, "missing PixelData")
@@ -153,6 +158,16 @@ object Dicom {
           (u << (32 - img.precision)) >> (32 - img.precision) else u
         data(i) = raw * slope + intercept; i += 1
       }
+      return Slice(rows, cols, data, position, orientation, spacing, seriesUid, instanceNumber)
+    }
+    if (j2kBytes != null) {
+      val img = Jpeg2000.decode(j2kBytes)
+      require(img.width == cols && img.height == rows,
+        s"JPEG 2000 frame ${img.width}x${img.height} does not match header ${cols}x$rows")
+      // the codestream's Ssiz sign bit is authoritative: samples arrive
+      // already sign-extended when signed, raw otherwise
+      var i = 0
+      while (i < n) { data(i) = img.samples(i) * slope + intercept; i += 1 }
       return Slice(rows, cols, data, position, orientation, spacing, seriesUid, instanceNumber)
     }
     if (rleBytes != null) {
@@ -428,6 +443,23 @@ object Dicom {
     val payload0 = JpegLs.encode(JpegLs.Image(cols, rows, 16, samples))
     val payload = if (payload0.length % 2 == 0) payload0 else payload0 :+ 0.toByte
     encodeEncapsulated(JpegLsLossless, rows, cols, bitsAllocated = 16, payload,
+      position, orientation, pixelSpacing, seriesUid, instanceNumber)
+  }
+
+  /** JPEG 2000 Lossless encoder twin (single-frame 16-bit unsigned):
+    * samples compressed by the pure-JVM T.800 codec ([[Jpeg2000.encode]],
+    * 5/3 reversible), wrapped in the encapsulated PixelData structure.
+    * Lossless — [[decode]] round-trips it bit-exactly. */
+  def encodeJpeg2000(rows: Int, cols: Int, data: Array[Float],
+                     position: Seq[Float] = Seq(0f, 0f, 0f),
+                     orientation: Seq[Float] = Seq(1f, 0f, 0f, 0f, 1f, 0f),
+                     pixelSpacing: Seq[Float] = Seq(1f, 1f),
+                     seriesUid: String = "1.2.3.4", instanceNumber: Int = 1): Array[Byte] = {
+    require(data.length == rows * cols, "shape/data mismatch")
+    val samples = data.map(v => math.round(v).max(0).min(0xffff))
+    val payload0 = Jpeg2000.encode(Jpeg2000.Image(cols, rows, 16, signed = false, samples))
+    val payload = if (payload0.length % 2 == 0) payload0 else payload0 :+ 0.toByte
+    encodeEncapsulated(Jpeg2000Lossless, rows, cols, bitsAllocated = 16, payload,
       position, orientation, pixelSpacing, seriesUid, instanceNumber)
   }
 

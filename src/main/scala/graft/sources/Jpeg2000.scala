@@ -1,0 +1,1119 @@
+package graft.sources
+
+/** Pure-JVM JPEG 2000 Part-1 codec (ITU-T T.800), lossless path only —
+  * the codec behind DICOM transfer syntax 1.2.840.10008.1.2.4.90
+  * ("JPEG 2000 Image Compression (Lossless Only)"), written from the
+  * public spec like the T.87 JPEG-LS codec in [[JpegLs]]. The reference
+  * handles this syntax via pydicom+gdcm
+  * (`/root/reference/src/qcardia_data/setup/reformat/utils.py:132-215`);
+  * with this codec the engine ingests it natively, closing the last
+  * external-transcode DICOM gap.
+  *
+  * Implemented surface (what lossless DICOM encoders actually emit):
+  * raw JPEG 2000 codestreams (SOC..EOC), single component, single tile,
+  * reversible 5/3 wavelet (T.800 F), no quantization (T.800 E, Sqcd
+  * style 0), one quality layer, default precincts (one per resolution),
+  * any progression order (with one layer/component/precinct every order
+  * degenerates to resolution order), EBCOT Tier-1 with the MQ coder
+  * (T.88 / T.800 C-D) and Tier-2 tag-tree packet headers (T.800 B.10).
+  * Multi-component, 9/7 irreversible, custom precincts, multiple
+  * layers/tiles, and coder-style extensions (bypass/termall/...) fail
+  * loudly by name — streams needing them go through an external
+  * transcode, the same posture the RLE/JPEG-LS codecs take for their
+  * out-of-scope variants.
+  *
+  * The encoder twin emits the same restricted profile (making
+  * round-trip tests self-contained, like [[JpegLs.encode]]); decode ∘
+  * encode is bit-exact for any precision 2..16, signed or unsigned.
+  */
+object Jpeg2000 {
+
+  /** One decoded codestream: raster-order samples (sign-extended when
+    * `signed`), as coded — no windowing/rescale applied. */
+  final case class Image(width: Int, height: Int, precision: Int,
+                         signed: Boolean, samples: Array[Int])
+
+  // ======================================================================
+  // MQ arithmetic coder (ITU-T T.88 annex E / T.800 annex C)
+  // ======================================================================
+
+  // Qe, NMPS, NLPS, SWITCH — T.88 Table E.1, row-major
+  private val Qe = Array(
+    0x5601, 0x3401, 0x1801, 0x0AC1, 0x0521, 0x0221, 0x5601, 0x5401,
+    0x4801, 0x3801, 0x3001, 0x2401, 0x1C01, 0x1601, 0x5601, 0x5401,
+    0x5101, 0x4801, 0x3801, 0x3401, 0x3001, 0x2801, 0x2401, 0x2201,
+    0x1C01, 0x1801, 0x1601, 0x1401, 0x1201, 0x1101, 0x0AC1, 0x09C1,
+    0x08A1, 0x0521, 0x0441, 0x02A1, 0x0221, 0x0141, 0x0111, 0x0085,
+    0x0049, 0x0025, 0x0015, 0x0009, 0x0005, 0x0001, 0x5601)
+  private val Nmps = Array(
+    1, 2, 3, 4, 5, 38, 7, 8, 9, 10, 11, 12, 13, 29, 15, 16,
+    17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32,
+    33, 34, 35, 36, 37, 38, 39, 40, 41, 42, 43, 44, 45, 45, 46)
+  private val Nlps = Array(
+    1, 6, 9, 12, 29, 33, 6, 14, 14, 14, 17, 18, 20, 21, 14, 14,
+    15, 16, 17, 18, 19, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29,
+    30, 31, 32, 33, 34, 35, 36, 37, 38, 39, 40, 41, 42, 43, 46)
+  private val Switch = Array(
+    1, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 1, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+
+  // T1 context slots: 0-8 zero coding, 9-13 sign coding, 14-16 magnitude
+  // refinement, 17 run-length, 18 uniform (T.800 Table D.7 initial states)
+  private val NumCtx = 19
+  private val CtxRl = 17
+  private val CtxUni = 18
+
+  private def initStates(): (Array[Int], Array[Int]) = {
+    val st = new Array[Int](NumCtx); val mps = new Array[Int](NumCtx)
+    st(CtxUni) = 46; st(CtxRl) = 3; st(0) = 4 // ZC context 0 starts at state 4
+    (st, mps)
+  }
+
+  /** MQ decoder over one code-block's codeword segment; reads past the
+    * segment end return 0xFF (T.88 marker-feeding convention). */
+  private[sources] final class MqDecoder(data: Array[Byte], start: Int, end: Int) {
+    private val (st, mps) = initStates()
+    private var bp = start
+    private var c = 0L
+    private var ct = 0
+    private var a = 0
+
+    private def byteAt(i: Int): Int = if (i < end) data(i) & 0xff else 0xff
+
+    private def byteIn(): Unit = {
+      if (byteAt(bp) == 0xff) {
+        if (byteAt(bp + 1) > 0x8f) { c += 0xff00; ct = 8 }
+        else { bp += 1; c += byteAt(bp).toLong << 9; ct = 7 }
+      } else { bp += 1; c += byteAt(bp).toLong << 8; ct = 8 }
+    }
+
+    // INITDEC
+    c = byteAt(bp).toLong << 16
+    byteIn()
+    c <<= 7; ct -= 7; a = 0x8000
+
+    def decode(cx: Int): Int = {
+      val q = Qe(st(cx))
+      a -= q
+      var d = 0
+      if (((c >>> 16) & 0xffff) < q) {
+        // LPS exchange
+        if (a < q) { d = mps(cx); st(cx) = Nmps(st(cx)) }
+        else {
+          d = 1 - mps(cx)
+          if (Switch(st(cx)) == 1) mps(cx) = 1 - mps(cx)
+          st(cx) = Nlps(st(cx))
+        }
+        a = q
+        renorm()
+      } else {
+        c -= q.toLong << 16
+        if ((a & 0x8000) == 0) {
+          // MPS exchange
+          if (a < q) {
+            d = 1 - mps(cx)
+            if (Switch(st(cx)) == 1) mps(cx) = 1 - mps(cx)
+            st(cx) = Nlps(st(cx))
+          } else { d = mps(cx); st(cx) = Nmps(st(cx)) }
+          renorm()
+        } else d = mps(cx)
+      }
+      d
+    }
+
+    private def renorm(): Unit = {
+      var go = true
+      while (go) {
+        if (ct == 0) byteIn()
+        a <<= 1; c = (c << 1) & 0xffffffffL; ct -= 1
+        go = (a & 0x8000) == 0
+      }
+    }
+
+    private[sources] def debugState: (Long, Int, Int, Int) = (c, a, ct, bp)
+  }
+
+  /** MQ encoder producing one terminated codeword segment. A leading
+    * carry byte (the T.88 "byte before BPST" receiving +1) is kept as
+    * the segment's first byte — the segment is standalone, so the carry
+    * bit must travel with it; the decoder's arithmetic absorbs it. */
+  private[sources] final class MqEncoder {
+    private val (st, mps) = initStates()
+    private val buf = scala.collection.mutable.ArrayBuffer[Int](0) // dummy carry byte
+    private var c = 0L
+    private var ct = 12
+    private var a = 0x8000
+
+    def encode(cx: Int, bit: Int): Unit = {
+      val q = Qe(st(cx))
+      if (bit == mps(cx)) { // CODEMPS
+        a -= q
+        if ((a & 0x8000) == 0) {
+          if (a < q) a = q else c += q
+          st(cx) = Nmps(st(cx))
+          renorm()
+        } else c += q
+      } else { // CODELPS
+        a -= q
+        if (a < q) c += q else a = q
+        if (Switch(st(cx)) == 1) mps(cx) = 1 - mps(cx)
+        st(cx) = Nlps(st(cx))
+        renorm()
+      }
+    }
+
+    private def renorm(): Unit = {
+      while ({
+        if (ct == 0) byteOut()
+        a <<= 1; c = (c << 1) & 0xfffffffL; ct -= 1
+        (a & 0x8000) == 0
+      }) ()
+    }
+
+    private def byteOut(): Unit = {
+      val last = buf.length - 1
+      if (buf(last) == 0xff) {
+        // stuffed byte: 7 payload bits PLUS the carry at the MSB (T.88
+        // writes B ← C >> 20 as a full byte — range 0x00..0x80; that is
+        // why the decoder's marker test after 0xFF is `> 0x8F`, not 0x7F)
+        buf += ((c >>> 20) & 0xff).toInt
+        c &= 0xfffff; ct = 7
+      } else {
+        if (c < 0x8000000L) {
+          buf += ((c >>> 19) & 0xff).toInt
+          c &= 0x7ffff; ct = 8
+        } else {
+          buf(last) += 1 // carry
+          if (buf(last) == 0xff) {
+            c &= 0x7ffffffL
+            buf += ((c >>> 20) & 0xff).toInt
+            c &= 0xfffff; ct = 7
+          } else {
+            buf += ((c >>> 19) & 0xff).toInt
+            c &= 0x7ffff; ct = 8
+          }
+        }
+      }
+    }
+
+    private[sources] def debugState: (Long, Int, Int) = (c, a, ct)
+
+    /** FLUSH (T.88 E.3.8) → the terminated segment bytes. */
+    def finish(): Array[Byte] = {
+      // SETBITS
+      val tempC = c + a
+      c |= 0xffff
+      if (c >= tempC) c -= 0x8000
+      c <<= ct; byteOut()
+      c <<= ct; byteOut()
+      // drop trailing 0xFF (decoder feeds 0xFF past the end anyway)
+      var n = buf.length
+      while (n > 1 && buf(n - 1) == 0xff) n -= 1
+      // drop the dummy byte unless it absorbed a carry
+      val from = if (buf(0) == 0) 1 else 0
+      val out = new Array[Byte](n - from)
+      var i = from
+      while (i < n) { out(i - from) = buf(i).toByte; i += 1 }
+      out
+    }
+  }
+
+  // ======================================================================
+  // Packet-header bit IO (T.800 B.10.1: MSB-first with 0xFF bit-stuffing —
+  // a byte following 0xFF carries only 7 payload bits, MSB forced 0)
+  // ======================================================================
+
+  private[sources] final class HeaderBitReader(data: Array[Byte], var pos: Int) {
+    private var cur = 0
+    private var bitsLeft = 0
+    private var lastByte = 0
+
+    def nextBit(): Int = {
+      if (bitsLeft == 0) {
+        require(pos < data.length, "truncated packet header")
+        cur = data(pos) & 0xff; pos += 1
+        bitsLeft = if (lastByte == 0xff) 7 else 8
+        lastByte = cur
+      }
+      bitsLeft -= 1
+      (cur >>> bitsLeft) & 1
+    }
+
+    def readBits(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | nextBit(); i += 1 }
+      v
+    }
+
+    /** Byte-align at end of header; consumes the stuffed 0x00 the writer
+      * appends when the final header byte is 0xFF. */
+    def align(): Unit = {
+      bitsLeft = 0
+      if (lastByte == 0xff) { pos += 1; lastByte = 0 }
+    }
+  }
+
+  private[sources] final class HeaderBitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var bits = 0
+    private var lastByte = 0
+
+    private def room: Int = if (lastByte == 0xff) 7 else 8
+
+    def writeBit(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1); bits += 1
+      if (bits == room) { out.write(cur); lastByte = cur; cur = 0; bits = 0 }
+    }
+
+    def writeBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { writeBit((v >>> i) & 1); i -= 1 }
+    }
+
+    def flush(): Array[Byte] = {
+      if (bits > 0) {
+        cur <<= (room - bits)
+        out.write(cur); lastByte = cur; cur = 0; bits = 0
+      }
+      if (lastByte == 0xff) { out.write(0); lastByte = 0 }
+      out.toByteArray
+    }
+  }
+
+  // ======================================================================
+  // Tag trees (T.800 B.10.2): quad-tree over code-blocks; each internal
+  // node's value is the min of its children, coded progressively.
+  // ======================================================================
+
+  private[sources] final class TagTree(w: Int, h: Int) {
+    // level sizes from leaves up to the 1x1 root
+    private val sizes = {
+      val b = IndexedSeq.newBuilder[(Int, Int)]
+      var cw = math.max(1, w); var ch = math.max(1, h)
+      b += ((cw, ch))
+      while (cw > 1 || ch > 1) { cw = (cw + 1) / 2; ch = (ch + 1) / 2; b += ((cw, ch)) }
+      b.result()
+    }
+    private val offs = sizes.scanLeft(0)((o, s) => o + s._1 * s._2)
+    private val n = offs.last
+    val value = new Array[Int](n) // encoder: set leaves via setValue, then build()
+    private val low = new Array[Int](n)
+    private val known = new Array[Boolean](n)
+
+    private def nodePath(i: Int, j: Int): IndexedSeq[Int] = {
+      val p = IndexedSeq.newBuilder[Int]
+      var x = i; var y = j
+      var lvl = 0
+      while (lvl < sizes.length) {
+        p += offs(lvl) + y * sizes(lvl)._1 + x
+        x >>= 1; y >>= 1; lvl += 1
+      }
+      p.result().reverse // root first
+    }
+
+    def setValue(i: Int, j: Int, v: Int): Unit = value(i + j * sizes(0)._1) = v
+
+    /** Fold leaf values up so internal nodes hold subtree minima. */
+    def build(): Unit = {
+      var lvl = 0
+      while (lvl + 1 < sizes.length) {
+        val (cw, ch) = sizes(lvl); val (pw, _) = sizes(lvl + 1)
+        var j = 0
+        while (j < ch) {
+          var i = 0
+          while (i < cw) {
+            val p = offs(lvl + 1) + (j >> 1) * pw + (i >> 1)
+            val c = offs(lvl) + j * cw + i
+            if ((i % 2 == 0 && j % 2 == 0) || value(c) < value(p)) {
+              if (i % 2 == 0 && j % 2 == 0) value(p) = value(c)
+              else value(p) = math.min(value(p), value(c))
+            }
+            i += 1
+          }
+          j += 1
+        }
+        lvl += 1
+      }
+    }
+
+    /** Decoder: is value(i,j) < threshold? (partial knowledge accrues) */
+    def decodeThreshold(i: Int, j: Int, threshold: Int, in: HeaderBitReader): Boolean = {
+      var lowBound = 0
+      val path = nodePath(i, j)
+      var k = 0
+      var leafKnownBelow = false
+      while (k < path.length) {
+        val nd = path(k)
+        if (low(nd) < lowBound) low(nd) = lowBound
+        while (!known(nd) && low(nd) < threshold) {
+          if (in.nextBit() == 1) { value(nd) = low(nd); known(nd) = true }
+          else low(nd) += 1
+        }
+        lowBound = if (known(nd)) value(nd) else low(nd)
+        if (k == path.length - 1) leafKnownBelow = known(nd) && value(nd) < threshold
+        k += 1
+      }
+      leafKnownBelow
+    }
+
+    /** Decoder: full value of leaf (i,j) — loops thresholds until known. */
+    def decodeValue(i: Int, j: Int, in: HeaderBitReader): Int = {
+      var t = 1
+      while (!decodeThreshold(i, j, t, in)) t += 1
+      value(offs(0) + j * sizes(0)._1 + i)
+    }
+
+    /** Encoder: emit the bits a decoder needs to answer decodeThreshold. */
+    def encodeThreshold(i: Int, j: Int, threshold: Int, out: HeaderBitWriter): Unit = {
+      var lowBound = 0
+      val path = nodePath(i, j)
+      var k = 0
+      while (k < path.length) {
+        val nd = path(k)
+        if (low(nd) < lowBound) low(nd) = lowBound
+        while (!known(nd) && low(nd) < threshold) {
+          if (low(nd) == value(nd)) { out.writeBit(1); known(nd) = true }
+          else { out.writeBit(0); low(nd) += 1 }
+        }
+        lowBound = if (known(nd)) value(nd) else low(nd)
+        k += 1
+      }
+    }
+
+    /** Encoder: emit all bits for the full value of leaf (i,j). */
+    def encodeValue(i: Int, j: Int, out: HeaderBitWriter): Unit =
+      encodeThreshold(i, j, value(offs(0) + j * sizes(0)._1 + i) + 1, out)
+  }
+
+  // ======================================================================
+  // EBCOT Tier-1 (T.800 annex D): per-code-block bitplane coding in
+  // stripe-of-4 column scan, three passes per plane (significance
+  // propagation, magnitude refinement, cleanup with run-length mode).
+  // State lives in (w+2)*(h+2)-padded flag planes so neighbor reads
+  // need no bounds checks.
+  // ======================================================================
+
+  private final class T1Block(w: Int, h: Int, orient: Int) {
+    val stride = w + 2
+    val mag = new Array[Int](w * h)
+    val neg = new Array[Boolean](stride * (h + 2)) // padded, aligned with sig
+    val sig = new Array[Boolean](stride * (h + 2))
+    val visited = new Array[Boolean](stride * (h + 2))
+    val refined = new Array[Boolean](w * h)
+
+    @inline def pad(x: Int, y: Int): Int = (y + 1) * stride + (x + 1)
+    @inline private def b2i(b: Boolean): Int = if (b) 1 else 0
+
+    def hCount(p: Int): Int = b2i(sig(p - 1)) + b2i(sig(p + 1))
+    def vCount(p: Int): Int = b2i(sig(p - stride)) + b2i(sig(p + stride))
+    def dCount(p: Int): Int =
+      b2i(sig(p - stride - 1)) + b2i(sig(p - stride + 1)) +
+        b2i(sig(p + stride - 1)) + b2i(sig(p + stride + 1))
+
+    /** Zero-coding context (T.800 Table D.1); 0 ⇔ no significant neighbor. */
+    def zcContext(p: Int): Int = {
+      val hN = hCount(p); val vN = vCount(p); val dN = dCount(p)
+      if (orient == 3) { // HH: keyed on D then H+V
+        val hv = hN + vN
+        if (dN >= 3) 8
+        else if (dN == 2) { if (hv >= 1) 7 else 6 }
+        else if (dN == 1) { if (hv >= 2) 5 else if (hv == 1) 4 else 3 }
+        else { if (hv >= 2) 2 else if (hv == 1) 1 else 0 }
+      } else {
+        // LL/LH use (H,V,D); HL is the same table with H and V swapped
+        val (hh, vv) = if (orient == 1) (vN, hN) else (hN, vN)
+        if (hh == 2) 8
+        else if (hh == 1) { if (vv >= 1) 7 else if (dN >= 1) 6 else 5 }
+        else {
+          if (vv == 2) 4 else if (vv == 1) 3
+          else if (dN >= 2) 2 else if (dN == 1) 1 else 0
+        }
+      }
+    }
+
+    /** Sign-coding context and XOR bit (T.800 Table D.3). */
+    def scContext(p: Int): (Int, Int) = {
+      @inline def contrib(q: Int): Int = if (!sig(q)) 0 else if (neg(q)) -1 else 1
+      val hC = math.max(-1, math.min(1, contrib(p - 1) + contrib(p + 1)))
+      val vC = math.max(-1, math.min(1, contrib(p - stride) + contrib(p + stride)))
+      (hC, vC) match {
+        case (1, 1) => (13, 0); case (1, 0) => (12, 0); case (1, -1) => (11, 0)
+        case (0, 1) => (10, 0); case (0, 0) => (9, 0); case (0, -1) => (10, 1)
+        case (-1, 1) => (11, 1); case (-1, 0) => (12, 1); case _ => (13, 1)
+      }
+    }
+
+    /** Magnitude-refinement context (T.800 Table D.4). */
+    def mrContext(p: Int, idx: Int): Int =
+      if (refined(idx)) 16
+      else if (hCount(p) + vCount(p) + dCount(p) > 0) 15 else 14
+
+    def clearVisited(): Unit = java.util.Arrays.fill(visited, false)
+  }
+
+  /** Decode one code-block's codeword segment → signed coefficients. */
+  private def t1Decode(w: Int, h: Int, orient: Int, data: Array[Byte],
+                       from: Int, until: Int, numPasses: Int,
+                       msbPlane: Int): Array[Int] = {
+    val t = new T1Block(w, h, orient)
+    val mq = new MqDecoder(data, from, until)
+    var pass = 0
+    while (pass < numPasses) {
+      val plane = if (pass == 0) msbPlane else msbPlane - 1 - (pass - 1) / 3
+      require(plane >= 0, s"coding pass $pass underruns bitplane 0 " +
+        s"($numPasses passes for ${msbPlane + 1} planes)")
+      val kind = if (pass == 0) 2 else (pass - 1) % 3
+      kind match {
+        case 0 => // significance propagation
+          var s = 0
+          while (s < h) {
+            var x = 0
+            while (x < w) {
+              var y = s
+              val yEnd = math.min(s + 4, h)
+              while (y < yEnd) {
+                val p = t.pad(x, y)
+                if (!t.sig(p)) {
+                  val ctx = t.zcContext(p)
+                  if (ctx != 0) {
+                    t.visited(p) = true
+                    if (mq.decode(ctx) == 1) {
+                      val (sc, xor) = t.scContext(p)
+                      t.neg(p) = (mq.decode(sc) ^ xor) == 1
+                      t.sig(p) = true
+                      t.mag(y * w + x) |= 1 << plane
+                    }
+                  }
+                }
+                y += 1
+              }
+              x += 1
+            }
+            s += 4
+          }
+        case 1 => // magnitude refinement
+          var s = 0
+          while (s < h) {
+            var x = 0
+            while (x < w) {
+              var y = s
+              val yEnd = math.min(s + 4, h)
+              while (y < yEnd) {
+                val p = t.pad(x, y)
+                if (t.sig(p) && !t.visited(p)) {
+                  val idx = y * w + x
+                  val bit = mq.decode(t.mrContext(p, idx))
+                  t.mag(idx) |= bit << plane
+                  t.refined(idx) = true
+                }
+                y += 1
+              }
+              x += 1
+            }
+            s += 4
+          }
+        case 2 => // cleanup (with run-length mode)
+          var s = 0
+          while (s < h) {
+            var x = 0
+            while (x < w) {
+              var y = s
+              val yEnd = math.min(s + 4, h)
+              if (s + 4 <= h) {
+                var rl = true
+                var yy = s
+                while (rl && yy < s + 4) {
+                  val p = t.pad(x, yy)
+                  rl = !t.sig(p) && !t.visited(p) && t.zcContext(p) == 0
+                  yy += 1
+                }
+                if (rl) {
+                  if (mq.decode(CtxRl) == 0) y = yEnd // whole column stays zero
+                  else {
+                    val k = (mq.decode(CtxUni) << 1) | mq.decode(CtxUni)
+                    y = s + k
+                    val p = t.pad(x, y)
+                    val (sc, xor) = t.scContext(p)
+                    t.neg(p) = (mq.decode(sc) ^ xor) == 1
+                    t.sig(p) = true
+                    t.mag(y * w + x) |= 1 << plane
+                    y += 1
+                  }
+                }
+              }
+              while (y < yEnd) {
+                val p = t.pad(x, y)
+                if (!t.sig(p) && !t.visited(p)) {
+                  if (mq.decode(t.zcContext(p)) == 1) {
+                    val (sc, xor) = t.scContext(p)
+                    t.neg(p) = (mq.decode(sc) ^ xor) == 1
+                    t.sig(p) = true
+                    t.mag(y * w + x) |= 1 << plane
+                  }
+                }
+                y += 1
+              }
+              x += 1
+            }
+            s += 4
+          }
+          t.clearVisited()
+      }
+      pass += 1
+    }
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val m = t.mag(y * w + x)
+        out(y * w + x) = if (t.neg(t.pad(x, y))) -m else m
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Encode one code-block → (terminated MQ segment, pass count). `k` is
+    * the number of coded bitplanes (MSB position + 1 over |coeffs|). */
+  private def t1Encode(w: Int, h: Int, orient: Int, coeffs: Array[Int],
+                       k: Int): (Array[Byte], Int) = {
+    val t = new T1Block(w, h, orient)
+    var i = 0
+    while (i < coeffs.length) {
+      val v = coeffs(i)
+      t.mag(i) = math.abs(v)
+      if (v < 0) t.neg(t.pad(i % w, i / w)) = true
+      i += 1
+    }
+    val mq = new MqEncoder
+    val numPasses = 3 * k - 2
+    var pass = 0
+    while (pass < numPasses) {
+      val plane = if (pass == 0) k - 1 else k - 2 - (pass - 1) / 3
+      val kind = if (pass == 0) 2 else (pass - 1) % 3
+      kind match {
+        case 0 => // significance propagation
+          var s = 0
+          while (s < h) {
+            var x = 0
+            while (x < w) {
+              var y = s
+              val yEnd = math.min(s + 4, h)
+              while (y < yEnd) {
+                val p = t.pad(x, y)
+                if (!t.sig(p)) {
+                  val ctx = t.zcContext(p)
+                  if (ctx != 0) {
+                    t.visited(p) = true
+                    val bit = (t.mag(y * w + x) >>> plane) & 1
+                    mq.encode(ctx, bit)
+                    if (bit == 1) {
+                      val (sc, xor) = t.scContext(p)
+                      mq.encode(sc, (if (t.neg(p)) 1 else 0) ^ xor)
+                      t.sig(p) = true
+                    }
+                  }
+                }
+                y += 1
+              }
+              x += 1
+            }
+            s += 4
+          }
+        case 1 => // magnitude refinement
+          var s = 0
+          while (s < h) {
+            var x = 0
+            while (x < w) {
+              var y = s
+              val yEnd = math.min(s + 4, h)
+              while (y < yEnd) {
+                val p = t.pad(x, y)
+                if (t.sig(p) && !t.visited(p)) {
+                  val idx = y * w + x
+                  mq.encode(t.mrContext(p, idx), (t.mag(idx) >>> plane) & 1)
+                  t.refined(idx) = true
+                }
+                y += 1
+              }
+              x += 1
+            }
+            s += 4
+          }
+        case 2 => // cleanup
+          var s = 0
+          while (s < h) {
+            var x = 0
+            while (x < w) {
+              var y = s
+              val yEnd = math.min(s + 4, h)
+              if (s + 4 <= h) {
+                var rl = true
+                var yy = s
+                while (rl && yy < s + 4) {
+                  val p = t.pad(x, yy)
+                  rl = !t.sig(p) && !t.visited(p) && t.zcContext(p) == 0
+                  yy += 1
+                }
+                if (rl) {
+                  var first = -1
+                  var j = 0
+                  while (first < 0 && j < 4) {
+                    if (((t.mag((s + j) * w + x) >>> plane) & 1) == 1) first = j
+                    j += 1
+                  }
+                  if (first < 0) { mq.encode(CtxRl, 0); y = yEnd }
+                  else {
+                    mq.encode(CtxRl, 1)
+                    mq.encode(CtxUni, (first >>> 1) & 1)
+                    mq.encode(CtxUni, first & 1)
+                    y = s + first
+                    val p = t.pad(x, y)
+                    val (sc, xor) = t.scContext(p)
+                    mq.encode(sc, (if (t.neg(p)) 1 else 0) ^ xor)
+                    t.sig(p) = true
+                    y += 1
+                  }
+                }
+              }
+              while (y < yEnd) {
+                val p = t.pad(x, y)
+                if (!t.sig(p) && !t.visited(p)) {
+                  val bit = (t.mag(y * w + x) >>> plane) & 1
+                  mq.encode(t.zcContext(p), bit)
+                  if (bit == 1) {
+                    val (sc, xor) = t.scContext(p)
+                    mq.encode(sc, (if (t.neg(p)) 1 else 0) ^ xor)
+                    t.sig(p) = true
+                  }
+                }
+                y += 1
+              }
+              x += 1
+            }
+            s += 4
+          }
+          t.clearVisited()
+      }
+      pass += 1
+    }
+    (mq.finish(), numPasses)
+  }
+
+  // ======================================================================
+  // Reversible 5/3 wavelet (T.800 annex F): lifting on interleaved
+  // signals (even = lowpass, odd = highpass) with symmetric extension.
+  // Forward = vertical then horizontal; inverse mirrors (F.3.5).
+  // ======================================================================
+
+  @inline private def refl(i: Int, n: Int): Int =
+    if (i < 0) -i else if (i >= n) 2 * n - 2 - i else i
+
+  /** In-place inverse 5/3 lifting on interleaved t(0 until n). */
+  private[sources] def inv53(t: Array[Int], n: Int): Unit = {
+    if (n <= 1) return
+    @inline def at(i: Int): Int = t(refl(i, n))
+    var i = 0
+    while (i < n) { t(i) -= (at(i - 1) + at(i + 1) + 2) >> 2; i += 2 }
+    i = 1
+    while (i < n) { t(i) += (at(i - 1) + at(i + 1)) >> 1; i += 2 }
+  }
+
+  /** In-place forward 5/3 lifting on interleaved t(0 until n). */
+  private[sources] def fwd53(t: Array[Int], n: Int): Unit = {
+    if (n <= 1) return
+    @inline def at(i: Int): Int = t(refl(i, n))
+    var i = 1
+    while (i < n) { t(i) -= (at(i - 1) + at(i + 1)) >> 1; i += 2 }
+    i = 0
+    while (i < n) { t(i) += (at(i - 1) + at(i + 1) + 2) >> 2; i += 2 }
+  }
+
+  /** One forward level: a (w×h, row-major) → (LL, HL, LH, HH). */
+  private def fdwtLevel(a: Array[Int], w: Int, h: Int)
+      : (Array[Int], Array[Int], Array[Int], Array[Int]) = {
+    val col = new Array[Int](h)
+    var x = 0
+    while (x < w) { // vertical pass
+      var y = 0
+      while (y < h) { col(y) = a(y * w + x); y += 1 }
+      fwd53(col, h)
+      y = 0
+      while (y < h) { a(y * w + x) = col(y); y += 1 }
+      x += 1
+    }
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) { // horizontal pass
+      System.arraycopy(a, y * w, row, 0, w)
+      fwd53(row, w)
+      System.arraycopy(row, 0, a, y * w, w)
+      y += 1
+    }
+    val lw = (w + 1) / 2; val hw = w / 2
+    val lh = (h + 1) / 2; val hh = h / 2
+    val ll = new Array[Int](lw * lh); val hl = new Array[Int](hw * lh)
+    val lhB = new Array[Int](lw * hh); val hhB = new Array[Int](hw * hh)
+    y = 0
+    while (y < h) {
+      var xx = 0
+      while (xx < w) {
+        val v = a(y * w + xx)
+        if (y % 2 == 0) { if (xx % 2 == 0) ll((y / 2) * lw + xx / 2) = v else hl((y / 2) * hw + xx / 2) = v }
+        else { if (xx % 2 == 0) lhB((y / 2) * lw + xx / 2) = v else hhB((y / 2) * hw + xx / 2) = v }
+        xx += 1
+      }
+      y += 1
+    }
+    (ll, hl, lhB, hhB)
+  }
+
+  /** One inverse level: subbands → the (w×h) parent plane. */
+  private def idwtLevel(ll: Array[Int], hl: Array[Int], lh: Array[Int],
+                        hh: Array[Int], w: Int, h: Int): Array[Int] = {
+    val lw = (w + 1) / 2; val hw = w / 2
+    val a = new Array[Int](w * h)
+    var y = 0
+    while (y < h) { // re-interleave
+      var x = 0
+      while (x < w) {
+        a(y * w + x) =
+          if (y % 2 == 0) { if (x % 2 == 0) ll((y / 2) * lw + x / 2) else hl((y / 2) * hw + x / 2) }
+          else { if (x % 2 == 0) lh((y / 2) * lw + x / 2) else hh((y / 2) * hw + x / 2) }
+        x += 1
+      }
+      y += 1
+    }
+    val row = new Array[Int](w)
+    y = 0
+    while (y < h) { // horizontal first (inverse of fdwt's order)
+      System.arraycopy(a, y * w, row, 0, w)
+      inv53(row, w)
+      System.arraycopy(row, 0, a, y * w, w)
+      y += 1
+    }
+    val col = new Array[Int](h)
+    var x = 0
+    while (x < w) {
+      var yy = 0
+      while (yy < h) { col(yy) = a(yy * w + x); yy += 1 }
+      inv53(col, h)
+      yy = 0
+      while (yy < h) { a(yy * w + x) = col(yy); yy += 1 }
+      x += 1
+    }
+    a
+  }
+
+  // ======================================================================
+  // Codestream (T.800 annex A markers, B.10 packets)
+  // ======================================================================
+
+  private val GainByOrient = Array(0, 1, 1, 2) // LL, HL, LH, HH (E.1)
+
+  /** One subband's geometry at a given resolution. */
+  private final case class Band(orient: Int, w: Int, h: Int, epsIdx: Int)
+
+  /** ws(k) = component width after k halvings; bands in packet order. */
+  private def bandsAt(r: Int, nl: Int, ws: Array[Int], hs: Array[Int]): Seq[Band] =
+    if (r == 0) Seq(Band(0, ws(nl), hs(nl), 0))
+    else {
+      val d = nl - r + 1 // decomposition level of this resolution's bands
+      val e = 3 * (r - 1) + 1
+      Seq(Band(1, ws(d - 1) - ws(d), hs(d), e),
+        Band(2, ws(d), hs(d - 1) - hs(d), e + 1),
+        Band(3, ws(d - 1) - ws(d), hs(d - 1) - hs(d), e + 2))
+    }
+
+  private def be2(b: Array[Byte], p: Int): Int = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+  private def be4(b: Array[Byte], p: Int): Int =
+    ((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) | ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+
+  private def log2floor(n: Int): Int = 31 - Integer.numberOfLeadingZeros(n)
+
+  private def decodePassCount(in: HeaderBitReader): Int = {
+    if (in.nextBit() == 0) return 1
+    if (in.nextBit() == 0) return 2
+    val v2 = in.readBits(2)
+    if (v2 < 3) return 3 + v2
+    val v5 = in.readBits(5)
+    if (v5 < 31) return 6 + v5
+    37 + in.readBits(7)
+  }
+
+  private def encodePassCount(n: Int, out: HeaderBitWriter): Unit = {
+    require(n >= 1 && n <= 164, s"pass count $n out of range")
+    if (n == 1) out.writeBit(0)
+    else if (n == 2) { out.writeBit(1); out.writeBit(0) }
+    else if (n <= 5) { out.writeBits(3, 2); out.writeBits(n - 3, 2) }
+    else if (n <= 36) { out.writeBits(0xf, 4); out.writeBits(n - 6, 5) }
+    else { out.writeBits(0x1ff, 9); out.writeBits(n - 37, 7) }
+  }
+
+  /** Decode a raw JPEG 2000 codestream (SOC..EOC). */
+  def decode(bytes: Array[Byte]): Image = {
+    require(bytes.length >= 4 && be2(bytes, 0) == 0xff4f, "not a JPEG 2000 codestream (no SOC)")
+    var pos = 2
+    var w = -1; var h = -1; var depth = -1; var signed = false
+    var nl = -1; var xcb = -1; var ycb = -1
+    var guard = -1; var eps: Array[Int] = null
+    var inTile = false
+    while (!inTile) {
+      require(pos + 4 <= bytes.length, "truncated codestream (no SOT/SOD)")
+      val marker = be2(bytes, pos)
+      val len = be2(bytes, pos + 2)
+      marker match {
+        case 0xff51 => // SIZ (any Rsiz capability accepted)
+          w = be4(bytes, pos + 6); h = be4(bytes, pos + 10)
+          require(be4(bytes, pos + 14) == 0 && be4(bytes, pos + 18) == 0,
+            "image offsets (XOsiz/YOsiz) unsupported — transcode first")
+          require(be4(bytes, pos + 22) >= w && be4(bytes, pos + 26) >= h &&
+            be4(bytes, pos + 30) == 0 && be4(bytes, pos + 34) == 0,
+            "multi-tile codestreams unsupported — transcode first")
+          require(be2(bytes, pos + 38) == 1,
+            "multi-component codestreams unsupported — transcode first")
+          val ssiz = bytes(pos + 40) & 0xff
+          depth = (ssiz & 0x7f) + 1; signed = (ssiz & 0x80) != 0
+          require(depth <= 16, s"precision $depth > 16 unsupported")
+          require((bytes(pos + 41) & 0xff) == 1 && (bytes(pos + 42) & 0xff) == 1,
+            "subsampled components unsupported — transcode first")
+        case 0xff52 => // COD
+          val scod = bytes(pos + 4) & 0xff
+          require(scod == 0,
+            "custom precincts / SOP / EPH (Scod != 0) unsupported — transcode first")
+          require(be2(bytes, pos + 6) == 1, "multi-layer codestreams unsupported")
+          require((bytes(pos + 8) & 0xff) == 0, "multi-component transform on 1 component")
+          nl = bytes(pos + 9) & 0xff
+          require(nl <= 32, s"implausible decomposition level count $nl")
+          xcb = ((bytes(pos + 10) & 0x0f) + 2); ycb = ((bytes(pos + 11) & 0x0f) + 2)
+          require(xcb + ycb <= 12, s"code-block ${1 << xcb}x${1 << ycb} exceeds 4096 samples")
+          require((bytes(pos + 12) & 0xff) == 0,
+            "code-block style extensions (bypass/termall/...) unsupported — transcode first")
+          require((bytes(pos + 13) & 0xff) == 1,
+            "9/7 irreversible transform is not lossless — only 5/3 decodes here")
+        case 0xff5c => // QCD
+          val sqcd = bytes(pos + 4) & 0xff
+          require((sqcd & 0x1f) == 0,
+            "quantized (lossy) codestream — only reversible no-quantization decodes here")
+          guard = sqcd >>> 5
+          eps = Array.tabulate(len - 3)(i => (bytes(pos + 5 + i) & 0xff) >>> 3)
+        case 0xff90 => // SOT: Isot(2) Psot(4) TPsot(1) TNsot(1)
+          require((bytes(pos + 10) & 0xff) == 0, "multiple tile-parts unsupported")
+        case 0xff93 => // SOD
+          inTile = true
+        case 0xff53 | 0xff5d | 0xff5e | 0xff5f | 0xff60 | 0xff61 =>
+          throw new IllegalArgumentException(
+            f"marker 0x$marker%04x (COC/QCC/RGN/POC/PPM/PPT) unsupported — transcode first")
+        case _ => () // COM, CRG, TLM, PLM, PLT, ... skipped
+      }
+      pos += (if (marker == 0xff93) 2 else 2 + len)
+    }
+    require(w > 0 && h > 0 && depth > 0, "missing SIZ before SOD")
+    require(nl >= 0, "missing COD before SOD")
+    require(eps != null && eps.length >= 3 * nl + 1, "missing/short QCD before SOD")
+
+    val ws = new Array[Int](nl + 1); val hs = new Array[Int](nl + 1)
+    ws(0) = w; hs(0) = h
+    for (k <- 1 to nl) { ws(k) = (ws(k - 1) + 1) / 2; hs(k) = (hs(k - 1) + 1) / 2 }
+    val cbw = 1 << xcb; val cbh = 1 << ycb
+
+    // bandKey (r, orientIdx) → coefficient plane
+    val planes = scala.collection.mutable.Map[(Int, Int), Array[Int]]()
+
+    for (r <- 0 to nl) {
+      val bands = bandsAt(r, nl, ws, hs)
+      bands.foreach(b => planes((r, b.orient)) = new Array[Int](math.max(0, b.w * b.h)))
+      val in = new HeaderBitReader(bytes, pos)
+      val blocks = scala.collection.mutable.ArrayBuffer[(Band, Int, Int, Int, Int, Int)]()
+      if (in.nextBit() == 1) {
+        for (b <- bands if b.w > 0 && b.h > 0) {
+          val nbx = (b.w + cbw - 1) / cbw; val nby = (b.h + cbh - 1) / cbh
+          val incl = new TagTree(nbx, nby); val zbp = new TagTree(nbx, nby)
+          for (cy <- 0 until nby; cx <- 0 until nbx) {
+            if (incl.decodeThreshold(cx, cy, 1, in)) {
+              val p = zbp.decodeValue(cx, cy, in)
+              val np = decodePassCount(in)
+              var lblock = 3
+              while (in.nextBit() == 1) lblock += 1
+              val segLen = in.readBits(lblock + log2floor(np))
+              blocks += ((b, cx, cy, p, np, segLen))
+            }
+          }
+        }
+      }
+      in.align()
+      pos = in.pos
+      for ((b, cx, cy, p, np, segLen) <- blocks) {
+        val mb = guard + eps(b.epsIdx) - 1
+        val msb = mb - p - 1
+        require(msb >= 0, s"zero-bitplane count $p exceeds Mb=$mb")
+        val bw = math.min(cbw, b.w - cx * cbw); val bh = math.min(cbh, b.h - cy * cbh)
+        val coeffs = t1Decode(bw, bh, b.orient, bytes, pos, pos + segLen, np, msb)
+        val plane = planes((r, b.orient))
+        var yy = 0
+        while (yy < bh) {
+          var xx = 0
+          while (xx < bw) {
+            plane((cy * cbh + yy) * b.w + cx * cbw + xx) = coeffs(yy * bw + xx)
+            xx += 1
+          }
+          yy += 1
+        }
+        pos += segLen
+      }
+    }
+
+    // inverse DWT from the coarsest level back to full resolution
+    var ll = planes((0, 0))
+    for (r <- 1 to nl) {
+      val d = nl - r + 1
+      ll = idwtLevel(ll, planes((r, 1)), planes((r, 2)), planes((r, 3)),
+        ws(d - 1), hs(d - 1))
+    }
+    if (!signed) {
+      val shift = 1 << (depth - 1); val max = (1 << depth) - 1
+      var i = 0
+      while (i < ll.length) { ll(i) = math.max(0, math.min(max, ll(i) + shift)); i += 1 }
+    }
+    Image(w, h, depth, signed, ll)
+  }
+
+  /** Encode an image as a raw lossless JPEG 2000 codestream (the
+    * decoder's restricted profile: 1 tile, 1 component, 1 layer, 5/3
+    * reversible, default precincts, 64×64 code-blocks, LRCP). */
+  def encode(img: Image): Array[Byte] = {
+    val w = img.width; val h = img.height; val depth = img.precision
+    require(w > 0 && h > 0 && img.samples.length == w * h, "shape/samples mismatch")
+    require(depth >= 2 && depth <= 16, s"precision $depth out of [2,16]")
+    val nl = math.max(0, math.min(5, log2floor(math.min(w, h))))
+    val xcb = 6; val ycb = 6 // 64×64 code-blocks
+    val cbw = 1 << xcb; val cbh = 1 << ycb
+
+    val ws = new Array[Int](nl + 1); val hs = new Array[Int](nl + 1)
+    ws(0) = w; hs(0) = h
+    for (k <- 1 to nl) { ws(k) = (ws(k - 1) + 1) / 2; hs(k) = (hs(k - 1) + 1) / 2 }
+
+    // DC level shift + forward DWT
+    var plane = new Array[Int](w * h)
+    val shift = if (img.signed) 0 else 1 << (depth - 1)
+    var i = 0
+    while (i < plane.length) { plane(i) = img.samples(i) - shift; i += 1 }
+    // planes keyed like the decoder: (resolution, orient)
+    val planes = scala.collection.mutable.Map[(Int, Int), Array[Int]]()
+    for (d <- 1 to nl) {
+      val r = nl - d + 1
+      val (ll, hl, lh, hh) = fdwtLevel(plane, ws(d - 1), hs(d - 1))
+      planes((r, 1)) = hl; planes((r, 2)) = lh; planes((r, 3)) = hh
+      plane = ll
+    }
+    planes((0, 0)) = plane
+
+    val eps = new Array[Int](3 * nl + 1)
+    eps(0) = depth + GainByOrient(0)
+    for (r <- 1 to nl; o <- 1 to 3) eps(3 * (r - 1) + o) = depth + GainByOrient(o)
+
+    // Tier-1 encode every code-block; collect per-resolution block lists
+    final case class Cb(band: Band, cx: Int, cy: Int, k: Int,
+                        numPasses: Int, seg: Array[Byte])
+    val byRes = Array.fill(nl + 1)(scala.collection.mutable.ArrayBuffer[Cb]())
+    var maxOver = 0 // max k - eps over all blocks, sizes the guard bits
+    for (r <- 0 to nl; b <- bandsAt(r, nl, ws, hs) if b.w > 0 && b.h > 0) {
+      val src = planes((r, b.orient))
+      val nbx = (b.w + cbw - 1) / cbw; val nby = (b.h + cbh - 1) / cbh
+      for (cy <- 0 until nby; cx <- 0 until nbx) {
+        val bw = math.min(cbw, b.w - cx * cbw); val bh = math.min(cbh, b.h - cy * cbh)
+        val cf = new Array[Int](bw * bh)
+        var maxMag = 0
+        var yy = 0
+        while (yy < bh) {
+          var xx = 0
+          while (xx < bw) {
+            val v = src((cy * cbh + yy) * b.w + cx * cbw + xx)
+            cf(yy * bw + xx) = v
+            val m = math.abs(v)
+            if (m > maxMag) maxMag = m
+            xx += 1
+          }
+          yy += 1
+        }
+        if (maxMag > 0) {
+          val k = log2floor(maxMag) + 1
+          maxOver = math.max(maxOver, k - eps(b.epsIdx))
+          val (seg, np) = t1Encode(bw, bh, b.orient, cf, k)
+          byRes(r) += Cb(b, cx, cy, k, np, seg)
+        } else byRes(r) += Cb(b, cx, cy, 0, 0, Array.emptyByteArray)
+      }
+    }
+    val guard = math.max(2, maxOver + 1) // Mb = guard + eps - 1 ≥ k
+
+    // Tier-2: one packet per resolution
+    val body = new java.io.ByteArrayOutputStream()
+    for (r <- 0 to nl) {
+      val cbs = byRes(r)
+      val anyIncluded = cbs.exists(_.k > 0)
+      val hw = new HeaderBitWriter
+      hw.writeBit(if (anyIncluded) 1 else 0)
+      if (anyIncluded) {
+        for (b <- bandsAt(r, nl, ws, hs) if b.w > 0 && b.h > 0) {
+          val nbx = (b.w + cbw - 1) / cbw; val nby = (b.h + cbh - 1) / cbh
+          val incl = new TagTree(nbx, nby); val zbp = new TagTree(nbx, nby)
+          val mine = cbs.filter(_.band == b)
+          mine.foreach { cb =>
+            incl.setValue(cb.cx, cb.cy, if (cb.k > 0) 0 else 1)
+            zbp.setValue(cb.cx, cb.cy,
+              if (cb.k > 0) guard + eps(b.epsIdx) - 1 - cb.k else 0)
+          }
+          incl.build(); zbp.build()
+          for (cy <- 0 until nby; cx <- 0 until nbx) {
+            val cb = mine.find(c => c.cx == cx && c.cy == cy).get
+            incl.encodeThreshold(cx, cy, 1, hw)
+            if (cb.k > 0) {
+              zbp.encodeValue(cx, cy, hw)
+              encodePassCount(cb.numPasses, hw)
+              val lenBits = math.max(1, 32 - Integer.numberOfLeadingZeros(cb.seg.length))
+              val extra = math.max(0, lenBits - log2floor(cb.numPasses) - 3)
+              var e = 0
+              while (e < extra) { hw.writeBit(1); e += 1 }
+              hw.writeBit(0)
+              hw.writeBits(cb.seg.length, 3 + extra + log2floor(cb.numPasses))
+            }
+          }
+        }
+      }
+      body.write(hw.flush())
+      cbs.foreach(cb => if (cb.k > 0) body.write(cb.seg, 0, cb.seg.length))
+    }
+
+    // markers
+    val out = new java.io.ByteArrayOutputStream()
+    def w2(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    def w4(v: Int): Unit = { w2(v >>> 16); w2(v & 0xffff) }
+    w2(0xff4f) // SOC
+    w2(0xff51); w2(41); w2(0) // SIZ
+    w4(w); w4(h); w4(0); w4(0) // image, offsets
+    w4(w); w4(h); w4(0); w4(0) // tile = image
+    w2(1) // one component
+    out.write((if (img.signed) 0x80 else 0) | (depth - 1)); out.write(1); out.write(1)
+    w2(0xff52); w2(12) // COD
+    out.write(0) // Scod: default precincts, no SOP/EPH
+    out.write(0); w2(1); out.write(0) // LRCP, 1 layer, no MCT
+    out.write(nl); out.write(xcb - 2); out.write(ycb - 2)
+    out.write(0); out.write(1) // no style extensions; 5/3 reversible
+    w2(0xff5c); w2(3 + eps.length) // QCD
+    out.write(guard << 5) // Sqcd: no quantization, `guard` guard bits
+    eps.foreach(e => out.write(e << 3))
+    val bodyBytes = body.toByteArray
+    w2(0xff90); w2(10) // SOT
+    w2(0) // Isot
+    w4(12 + 2 + bodyBytes.length) // Psot: SOT segment + SOD marker + packets
+    out.write(0); out.write(1) // TPsot, TNsot
+    w2(0xff93) // SOD
+    out.write(bodyBytes, 0, bodyBytes.length)
+    w2(0xffd9) // EOC
+    out.toByteArray
+  }
+}

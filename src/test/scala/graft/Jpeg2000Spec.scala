@@ -1,0 +1,130 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** JPEG 2000 codec (T.800 lossless profile): each layer round-trips —
+  * MQ coder, tag trees, 5/3 lifting — then the full codestream and the
+  * DICOM .4.90 wrap, plus the loud out-of-profile failures. */
+class Jpeg2000Spec extends AnyFunSuite {
+
+  test("MQ coder: random context/bit sequences round-trip") {
+    val rng = new scala.util.Random(42)
+    for (trial <- 0 until 20) {
+      val n = 1 + rng.nextInt(3000)
+      // biased bits exercise MPS/LPS paths; contexts exercise state table
+      val cxs = Array.fill(n)(rng.nextInt(19))
+      val bits = Array.fill(n)(if (rng.nextInt(10) == 0) rng.nextInt(2) else 0)
+      val enc = new Jpeg2000.MqEncoder
+      for (i <- 0 until n) enc.encode(cxs(i), bits(i))
+      val seg = enc.finish()
+      val dec = new Jpeg2000.MqDecoder(seg, 0, seg.length)
+      for (i <- 0 until n)
+        assert(dec.decode(cxs(i)) == bits(i), s"trial $trial, symbol $i of $n")
+    }
+  }
+
+  test("tag tree: random grids round-trip thresholds and values") {
+    val rng = new scala.util.Random(7)
+    for (trial <- 0 until 10) {
+      val w = 1 + rng.nextInt(7); val h = 1 + rng.nextInt(7)
+      val vals = Array.fill(h, w)(rng.nextInt(6))
+      val et = new Jpeg2000.TagTree(w, h)
+      for (y <- 0 until h; x <- 0 until w) et.setValue(x, y, vals(y)(x))
+      et.build()
+      val out = new Jpeg2000.HeaderBitWriter
+      for (y <- 0 until h; x <- 0 until w) et.encodeValue(x, y, out)
+      val bytes = out.flush()
+      val in = new Jpeg2000.HeaderBitReader(bytes, 0)
+      val dt = new Jpeg2000.TagTree(w, h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(dt.decodeValue(x, y, in) == vals(y)(x), s"trial $trial leaf ($x,$y)")
+    }
+  }
+
+  test("5/3 lifting: forward then inverse is identity (all parities)") {
+    val rng = new scala.util.Random(3)
+    for (n <- Seq(1, 2, 3, 4, 5, 8, 17, 64, 101)) {
+      val a = Array.fill(n)(rng.nextInt(1 << 16) - (1 << 15))
+      val t = a.clone()
+      Jpeg2000.fwd53(t, n)
+      Jpeg2000.inv53(t, n)
+      assert(t.toSeq == a.toSeq, s"n=$n")
+    }
+  }
+
+  private def roundTrip(img: Jpeg2000.Image, label: String): Unit = {
+    val bytes = Jpeg2000.encode(img)
+    val back = Jpeg2000.decode(bytes)
+    assert(back.width == img.width && back.height == img.height, label)
+    assert(back.precision == img.precision && back.signed == img.signed, label)
+    assert(back.samples.toSeq == img.samples.toSeq, s"$label: samples differ")
+  }
+
+  test("codec: random images round-trip bit-exactly across sizes and precisions") {
+    val rng = new scala.util.Random(11)
+    for ((w, h) <- Seq((64, 64), (65, 33), (13, 7), (128, 61), (1, 1), (1, 17), (300, 2))) {
+      for (prec <- Seq(8, 12, 16)) {
+        val samples = Array.fill(w * h)(rng.nextInt(1 << prec))
+        roundTrip(Jpeg2000.Image(w, h, prec, signed = false, samples), s"${w}x$h/$prec")
+      }
+    }
+  }
+
+  test("codec: signed samples round-trip") {
+    val rng = new scala.util.Random(13)
+    for ((w, h) <- Seq((32, 32), (21, 45))) {
+      val samples = Array.fill(w * h)(rng.nextInt(1 << 12) - (1 << 11))
+      roundTrip(Jpeg2000.Image(w, h, 12, signed = true, samples), s"signed ${w}x$h")
+    }
+  }
+
+  test("codec: constant and sparse images (empty packets, run-length mode)") {
+    roundTrip(Jpeg2000.Image(70, 70, 16, signed = false, Array.fill(4900)(0)), "all-zero")
+    roundTrip(Jpeg2000.Image(70, 70, 16, signed = false, Array.fill(4900)(0xffff)), "all-max")
+    roundTrip(Jpeg2000.Image(50, 50, 8, signed = false, Array.fill(2500)(127)), "mid-gray")
+    val rng = new scala.util.Random(17)
+    val sparse = Array.fill(96 * 96)(0)
+    for (_ <- 0 until 20) sparse(rng.nextInt(sparse.length)) = 1 + rng.nextInt(0xfffe)
+    roundTrip(Jpeg2000.Image(96, 96, 16, signed = false, sparse), "sparse spikes")
+    // smooth gradient: deep LL energy, high bands near-zero
+    val grad = Array.tabulate(80 * 80)(i => (i % 80) * 100 / 79 + (i / 80) * 100 / 79)
+    roundTrip(Jpeg2000.Image(80, 80, 8, signed = false, grad), "gradient")
+  }
+
+  test("codec: larger-than-code-block image exercises multi-block packets") {
+    val rng = new scala.util.Random(23)
+    val w = 200; val h = 150
+    val samples = Array.tabulate(w * h)(i =>
+      if ((i / w) < 40) 0 else rng.nextInt(1 << 16)) // one quiet band of blocks
+    roundTrip(Jpeg2000.Image(w, h, 16, signed = false, samples), "200x150/16")
+  }
+
+  test("out-of-profile codestreams fail loudly by name") {
+    val img = Jpeg2000.Image(16, 16, 8, signed = false, Array.fill(256)(5))
+    val good = Jpeg2000.encode(img)
+    // not a codestream at all
+    val e0 = intercept[IllegalArgumentException](Jpeg2000.decode("nope".getBytes))
+    assert(e0.getMessage.contains("SOC"))
+    // COD transform byte (offset: SOC 2 + SIZ 43 + COD header 13) → 9/7
+    val lossy = good.clone(); lossy(2 + 43 + 13) = 0
+    val e1 = intercept[IllegalArgumentException](Jpeg2000.decode(lossy))
+    assert(e1.getMessage.contains("9/7"))
+    // layers field → 2
+    val layered = good.clone(); layered(2 + 43 + 7) = 2
+    val e2 = intercept[IllegalArgumentException](Jpeg2000.decode(layered))
+    assert(e2.getMessage.contains("multi-layer"))
+  }
+
+  test("DICOM JPEG 2000 Lossless (.4.90) wrap round-trips bit-exactly") {
+    val rng = new scala.util.Random(29)
+    val rows = 37; val cols = 53
+    val data = Array.fill(rows * cols)(rng.nextInt(1 << 16).toFloat)
+    val file = Dicom.encodeJpeg2000(rows, cols, data,
+      position = Seq(1f, 2f, 3f), seriesUid = "9.8.7", instanceNumber = 4)
+    val s = Dicom.decode(file)
+    assert(s.rows == rows && s.cols == cols)
+    assert(s.seriesUid == "9.8.7" && s.instanceNumber == 4)
+    assert(s.position == Seq(1f, 2f, 3f))
+    assert(s.data.toSeq == data.toSeq, "pixel data must round-trip bit-exactly")
+  }
+}

@@ -144,14 +144,16 @@ class SourcesSpec extends SparkSpec {
     // a flat image survives DCT exactly
     val flat = Array.fill(64)(128f)
     assert(Dicom.decode(Dicom.encodeJpegBaseline(8, 8, flat)).data.toSeq == flat.toSeq)
-    // other encapsulated syntaxes still fail loudly by name
+    // out-of-scope encapsulated syntaxes still fail loudly by name
+    // (.4.90 now decodes via the T.800 codec — Jpeg2000Spec — so the
+    // loud-failure probe uses lossy JPEG 2000, .4.91)
     val other = bytes.clone()
     val needle = "1.2.840.10008.1.2.4.50".getBytes("US-ASCII")
     val at = bytes.indexOfSlice(needle)
-    "1.2.840.10008.1.2.4.90".getBytes("US-ASCII").zipWithIndex
+    "1.2.840.10008.1.2.4.91".getBytes("US-ASCII").zipWithIndex
       .foreach { case (b, i) => other(at + i) = b }
     val e = intercept[IllegalArgumentException](Dicom.decode(other))
-    assert(e.getMessage.contains("4.90") && e.getMessage.contains("transcode"))
+    assert(e.getMessage.contains("4.91") && e.getMessage.contains("transcode"))
   }
 
   test("NIfTI-1 codec: header fields + voxel round-trip, both endiannesses of scl") {
