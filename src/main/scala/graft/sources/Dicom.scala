@@ -31,7 +31,8 @@ object Dicom {
       position: Seq[Float], // (0020,0032) ImagePositionPatient, len 3 (or empty)
       orientation: Seq[Float], // (0020,0037) ImageOrientationPatient, len 6 (or empty)
       pixelSpacing: Seq[Float], // (0028,0030), len 2 (or empty)
-      seriesUid: String, instanceNumber: Int)
+      seriesUid: String, instanceNumber: Int,
+      frameIndex: Int = 0) // 0-based frame within a multi-frame file
 
   private val ImplicitLE = "1.2.840.10008.1.2"
   private val ExplicitLE = "1.2.840.10008.1.2.1"
@@ -42,8 +43,21 @@ object Dicom {
 
   private def tag(group: Int, elem: Int): Long = (group.toLong << 16) | elem
 
-  /** Decode one single-frame uncompressed DICOM file. */
+  /** Decode a single-frame DICOM file; multi-frame files fail loudly —
+    * use [[decodeFrames]] for those. */
   def decode(bytes: Array[Byte]): Slice = {
+    val frames = decodeFrames(bytes)
+    require(frames.length == 1,
+      s"${frames.length}-frame DICOM file: use decodeFrames for multi-frame cine")
+    frames.head
+  }
+
+  /** Decode every frame of a DICOM file (single- or multi-frame cine,
+    * (0028,0008) NumberOfFrames). Uncompressed frames are strided out of
+    * one PixelData value; encapsulated (compressed) multi-frame requires
+    * the standard one-fragment-per-frame layout (mandatory for RLE,
+    * PS3.5 A.4.2, and universal encoder practice for the JPEG family). */
+  def decodeFrames(bytes: Array[Byte]): IndexedSeq[Slice] = {
     require(bytes.length > 132 + 8, s"DICOM stream too short: ${bytes.length}")
     require(new String(bytes, 128, 4, "US-ASCII") == "DICM",
       "not a DICOM part-10 file (missing DICM magic)")
@@ -59,10 +73,8 @@ object Dicom {
     var seriesUid = ""; var instanceNumber = 0
     var transferSyntax = ExplicitLE // file meta group is always explicit LE
     var pixelOff = -1; var pixelLen = -1
-    var jpegBytes: Array[Byte] = null
-    var jlsBytes: Array[Byte] = null
-    var j2kBytes: Array[Byte] = null
-    var rleBytes: Array[Byte] = null
+    var nFrames = 1 // (0028,0008) NumberOfFrames
+    var encapFrags: IndexedSeq[Array[Byte]] = null // compressed fragments
 
     def str(off: Int, len: Int): String =
       new String(bytes, off, len, "US-ASCII").trim
@@ -105,11 +117,7 @@ object Dicom {
               "JPEG 2000 Lossless (1.2.840.10008.1.2.4.90, T.800 codec) and " +
               "RLE Lossless (1.2.840.10008.1.2.5, PS3.5 annex G codec) " +
               "decode in the pure JVM; transcode other syntaxes first")
-          val frags = encapsulatedFragments(bb, bytes, valueOff)
-          if (transferSyntax == RleLossless) rleBytes = frags
-          else if (transferSyntax == JpegLsLossless) jlsBytes = frags
-          else if (transferSyntax == Jpeg2000Lossless) j2kBytes = frags
-          else jpegBytes = frags
+          encapFrags = encapsulatedFragments(bb, bytes, valueOff)
           pixelOff = valueOff; pixelLen = 0
         } else { pixelOff = valueOff; pixelLen = valueLen }
       } else {
@@ -123,6 +131,7 @@ object Dicom {
             case x if x == tag(0x0002, 0x0010) => transferSyntax = str(valueOff, valueLen)
             case x if x == tag(0x0028, 0x0010) => rows = bb.getShort(valueOff) & 0xffff
             case x if x == tag(0x0028, 0x0011) => cols = bb.getShort(valueOff) & 0xffff
+            case x if x == tag(0x0028, 0x0008) => nFrames = str(valueOff, valueLen).toInt
             case x if x == tag(0x0028, 0x0100) => bitsAllocated = bb.getShort(valueOff) & 0xffff
             case x if x == tag(0x0028, 0x0103) => pixelRepresentation = bb.getShort(valueOff) & 0xffff
             case x if x == tag(0x0028, 0x1053) => slope = str(valueOff, valueLen).toFloat
@@ -139,108 +148,137 @@ object Dicom {
       }
     }
     require(transferSyntax == ImplicitLE || transferSyntax == ExplicitLE ||
-      jpegBytes != null || rleBytes != null || jlsBytes != null || j2kBytes != null,
+      encapFrags != null,
       s"unsupported transfer syntax $transferSyntax — transcode to little-endian first")
     require(rows > 0 && cols > 0, "missing Rows/Columns")
     require(pixelOff >= 0, "missing PixelData")
+    require(nFrames >= 1, s"bad NumberOfFrames $nFrames")
     val n = rows * cols
-    val data = new Array[Float](n)
-    if (jlsBytes != null) {
-      val img = JpegLs.decode(jlsBytes)
-      require(img.width == cols && img.height == rows,
-        s"JPEG-LS frame ${img.width}x${img.height} does not match header ${cols}x$rows")
-      var i = 0
-      while (i < n) {
-        // signed data: JPEG-LS codes the raw bit pattern; reinterpret per
-        // PixelRepresentation by sign-extending from the coded precision
-        val u = img.samples(i)
-        val raw = if (pixelRepresentation == 1)
-          (u << (32 - img.precision)) >> (32 - img.precision) else u
-        data(i) = raw * slope + intercept; i += 1
-      }
-      return Slice(rows, cols, data, position, orientation, spacing, seriesUid, instanceNumber)
-    }
-    if (j2kBytes != null) {
-      val img = Jpeg2000.decode(j2kBytes)
-      require(img.width == cols && img.height == rows,
-        s"JPEG 2000 frame ${img.width}x${img.height} does not match header ${cols}x$rows")
-      // the codestream's Ssiz sign bit is authoritative: samples arrive
-      // already sign-extended when signed, raw otherwise
-      var i = 0
-      while (i < n) { data(i) = img.samples(i) * slope + intercept; i += 1 }
-      return Slice(rows, cols, data, position, orientation, spacing, seriesUid, instanceNumber)
-    }
-    if (rleBytes != null) {
-      val planes = rleDecodeFrame(rleBytes, n, bitsAllocated / 8)
-      var i = 0
-      if (bitsAllocated == 8) {
-        while (i < n) {
-          val raw = if (pixelRepresentation == 1) planes(0)(i).toInt
-          else planes(0)(i) & 0xff
-          data(i) = raw * slope + intercept; i += 1
-        }
-      } else { // 16-bit: plane 0 = MSBs, plane 1 = LSBs (PS3.5 G.2)
-        while (i < n) {
-          val u = ((planes(0)(i) & 0xff) << 8) | (planes(1)(i) & 0xff)
-          val raw = if (pixelRepresentation == 1) u.toShort.toInt else u
-          data(i) = raw * slope + intercept; i += 1
-        }
-      }
-      return Slice(rows, cols, data, position, orientation, spacing, seriesUid, instanceNumber)
-    }
-    if (jpegBytes != null) {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpegBytes))
-      require(img != null, "ImageIO failed to decode JPEG-baseline PixelData")
-      require(img.getWidth == cols && img.getHeight == rows,
-        s"JPEG frame ${img.getWidth}x${img.getHeight} does not match header ${cols}x$rows")
-      val raster = img.getRaster
-      val gray = raster.getNumBands == 1
-      var y = 0
-      while (y < rows) {
-        var x = 0
-        while (x < cols) {
-          val raw =
-            if (gray) raster.getSample(x, y, 0).toFloat
-            else { // color JPEG (YBR→RGB by ImageIO): BT.601 luma
-              val rgb = img.getRGB(x, y)
-              0.299f * ((rgb >> 16) & 0xff) + 0.587f * ((rgb >> 8) & 0xff) + 0.114f * (rgb & 0xff)
-            }
-          data(y * cols + x) = raw * slope + intercept
-          x += 1
-        }
-        y += 1
-      }
-      return Slice(rows, cols, data, position, orientation, spacing, seriesUid, instanceNumber)
-    }
-    bitsAllocated match {
-      case 8 =>
-        require(pixelLen >= n, s"PixelData too short: $pixelLen < $n")
+
+    /** One compressed frame's codestream → rescaled floats. */
+    def decodeEncapFrame(stream: Array[Byte]): Array[Float] = {
+      val data = new Array[Float](n)
+      if (transferSyntax == JpegLsLossless) {
+        val img = JpegLs.decode(stream)
+        require(img.width == cols && img.height == rows,
+          s"JPEG-LS frame ${img.width}x${img.height} does not match header ${cols}x$rows")
         var i = 0
         while (i < n) {
-          val raw = if (pixelRepresentation == 1) bytes(pixelOff + i).toInt
-          else bytes(pixelOff + i) & 0xff
+          // signed data: JPEG-LS codes the raw bit pattern; reinterpret per
+          // PixelRepresentation by sign-extending from the coded precision
+          val u = img.samples(i)
+          val raw = if (pixelRepresentation == 1)
+            (u << (32 - img.precision)) >> (32 - img.precision) else u
           data(i) = raw * slope + intercept; i += 1
         }
-      case 16 =>
-        require(pixelLen >= 2 * n, s"PixelData too short: $pixelLen < ${2 * n}")
+      } else if (transferSyntax == Jpeg2000Lossless) {
+        val img = Jpeg2000.decode(stream)
+        require(img.width == cols && img.height == rows,
+          s"JPEG 2000 frame ${img.width}x${img.height} does not match header ${cols}x$rows")
+        // the codestream's Ssiz sign bit is authoritative: samples arrive
+        // already sign-extended when signed, raw otherwise
         var i = 0
-        while (i < n) {
-          val s = bb.getShort(pixelOff + 2 * i)
-          val raw = if (pixelRepresentation == 1) s.toInt else s & 0xffff
-          data(i) = raw * slope + intercept; i += 1
+        while (i < n) { data(i) = img.samples(i) * slope + intercept; i += 1 }
+      } else if (transferSyntax == RleLossless) {
+        val planes = rleDecodeFrame(stream, n, bitsAllocated / 8)
+        var i = 0
+        if (bitsAllocated == 8) {
+          while (i < n) {
+            val raw = if (pixelRepresentation == 1) planes(0)(i).toInt
+            else planes(0)(i) & 0xff
+            data(i) = raw * slope + intercept; i += 1
+          }
+        } else { // 16-bit: plane 0 = MSBs, plane 1 = LSBs (PS3.5 G.2)
+          while (i < n) {
+            val u = ((planes(0)(i) & 0xff) << 8) | (planes(1)(i) & 0xff)
+            val raw = if (pixelRepresentation == 1) u.toShort.toInt else u
+            data(i) = raw * slope + intercept; i += 1
+          }
         }
-      case other => throw new IllegalArgumentException(s"unsupported BitsAllocated $other")
+      } else { // JPEG baseline via ImageIO
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(stream))
+        require(img != null, "ImageIO failed to decode JPEG-baseline PixelData")
+        require(img.getWidth == cols && img.getHeight == rows,
+          s"JPEG frame ${img.getWidth}x${img.getHeight} does not match header ${cols}x$rows")
+        val raster = img.getRaster
+        val gray = raster.getNumBands == 1
+        var y = 0
+        while (y < rows) {
+          var x = 0
+          while (x < cols) {
+            val raw =
+              if (gray) raster.getSample(x, y, 0).toFloat
+              else { // color JPEG (YBR→RGB by ImageIO): BT.601 luma
+                val rgb = img.getRGB(x, y)
+                0.299f * ((rgb >> 16) & 0xff) + 0.587f * ((rgb >> 8) & 0xff) + 0.114f * (rgb & 0xff)
+              }
+            data(y * cols + x) = raw * slope + intercept
+            x += 1
+          }
+          y += 1
+        }
+      }
+      data
     }
-    Slice(rows, cols, data, position, orientation, spacing, seriesUid, instanceNumber)
+
+    /** One uncompressed frame at byte offset `off` → rescaled floats. */
+    def decodeRawFrame(off: Int): Array[Float] = {
+      val data = new Array[Float](n)
+      bitsAllocated match {
+        case 8 =>
+          var i = 0
+          while (i < n) {
+            val raw = if (pixelRepresentation == 1) bytes(off + i).toInt
+            else bytes(off + i) & 0xff
+            data(i) = raw * slope + intercept; i += 1
+          }
+        case 16 =>
+          var i = 0
+          while (i < n) {
+            val s = bb.getShort(off + 2 * i)
+            val raw = if (pixelRepresentation == 1) s.toInt else s & 0xffff
+            data(i) = raw * slope + intercept; i += 1
+          }
+        case other => throw new IllegalArgumentException(s"unsupported BitsAllocated $other")
+      }
+      data
+    }
+
+    def slice(data: Array[Float], fi: Int): Slice =
+      Slice(rows, cols, data, position, orientation, spacing, seriesUid,
+        instanceNumber, fi)
+
+    if (encapFrags != null) {
+      val streams: IndexedSeq[Array[Byte]] =
+        if (nFrames == 1) {
+          // a single frame may be split across fragments — concatenate
+          val out = new java.io.ByteArrayOutputStream()
+          encapFrags.foreach(f => out.write(f, 0, f.length))
+          IndexedSeq(out.toByteArray)
+        } else {
+          require(encapFrags.length == nFrames,
+            s"multi-frame encapsulated PixelData with ${encapFrags.length} " +
+              s"fragments for $nFrames frames — only the one-fragment-per-frame " +
+              "layout decodes (mandatory for RLE, universal for JPEG); transcode first")
+          encapFrags
+        }
+      streams.zipWithIndex.map { case (s, fi) => slice(decodeEncapFrame(s), fi) }
+    } else {
+      val frameBytes = n * (bitsAllocated / 8)
+      require(pixelLen >= nFrames * frameBytes,
+        s"PixelData too short: $pixelLen < ${nFrames * frameBytes}")
+      (0 until nFrames).map(fi => slice(decodeRawFrame(pixelOff + fi * frameBytes), fi))
+    }
   }
 
-  /** Concatenate the fragment items of an encapsulated PixelData value
+  /** Collect the fragment items of an encapsulated PixelData value
     * (PS3.5 A.4): first item is the Basic Offset Table (skipped), the rest
     * are codestream fragments, terminated by the (FFFE,E0DD) delimiter.
-    * Single-frame only — all fragments form one JPEG codestream. */
+    * Single-frame files may split one codestream across fragments (caller
+    * concatenates); multi-frame files carry one fragment per frame. */
   private def encapsulatedFragments(bb: ByteBuffer, bytes: Array[Byte],
-                                    start: Int): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
+                                    start: Int): IndexedSeq[Array[Byte]] = {
+    val out = IndexedSeq.newBuilder[Array[Byte]]
     var p = start
     var first = true
     var done = false
@@ -252,12 +290,12 @@ object Dicom {
       else {
         require(g == 0xfffe && e == 0xe000,
           f"bad encapsulated item tag ($g%04x,$e%04x)")
-        if (!first) out.write(bytes, p + 8, len)
+        if (!first) out += java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + len)
         first = false
         p += 8 + len
       }
     }
-    out.toByteArray
+    out.result()
   }
 
   /** PS3.5 Annex G RLE Lossless frame decode: a 64-byte header of 16
@@ -350,8 +388,21 @@ object Dicom {
              position: Seq[Float] = Seq(0f, 0f, 0f),
              orientation: Seq[Float] = Seq(1f, 0f, 0f, 0f, 1f, 0f),
              pixelSpacing: Seq[Float] = Seq(1f, 1f),
-             seriesUid: String = "1.2.3.4", instanceNumber: Int = 1): Array[Byte] = {
-    require(data.length == rows * cols, "shape/data mismatch")
+             seriesUid: String = "1.2.3.4", instanceNumber: Int = 1): Array[Byte] =
+    encodeFrames(rows, cols, Seq(data), position, orientation, pixelSpacing,
+      seriesUid, instanceNumber)
+
+  /** Multi-frame (cine) Explicit-VR-LE encoder twin of [[decodeFrames]]:
+    * 16-bit unsigned frames concatenated in one PixelData value with
+    * (0028,0008) NumberOfFrames. */
+  def encodeFrames(rows: Int, cols: Int, frames: Seq[Array[Float]],
+                   position: Seq[Float] = Seq(0f, 0f, 0f),
+                   orientation: Seq[Float] = Seq(1f, 0f, 0f, 0f, 1f, 0f),
+                   pixelSpacing: Seq[Float] = Seq(1f, 1f),
+                   seriesUid: String = "1.2.3.4", instanceNumber: Int = 1): Array[Byte] = {
+    require(frames.nonEmpty && frames.forall(_.length == rows * cols),
+      "shape/data mismatch")
+    val data = frames.reduce(_ ++ _)
     val out = new java.io.ByteArrayOutputStream()
     def le2(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
     def even(s: String): Array[Byte] = {
@@ -375,6 +426,8 @@ object Dicom {
     el(0x0020, 0x0013, "IS", even(instanceNumber.toString))
     el(0x0020, 0x0032, "DS", even(position.mkString("\\")))
     el(0x0020, 0x0037, "DS", even(orientation.mkString("\\")))
+    if (frames.length > 1) // ascending tag order: (0028,0008) before Rows
+      el(0x0028, 0x0008, "IS", even(frames.length.toString))
     el(0x0028, 0x0010, "US", le2(rows))
     el(0x0028, 0x0011, "US", le2(cols))
     el(0x0028, 0x0030, "DS", even(pixelSpacing.mkString("\\")))
@@ -425,7 +478,7 @@ object Dicom {
     segs.foreach { s => le4(frame, off); off += s.length }
     (segs.length until 15).foreach(_ => le4(frame, 0))
     segs.foreach(s => frame.write(s, 0, s.length))
-    encodeEncapsulated(RleLossless, rows, cols, bitsAllocated = 16, frame.toByteArray,
+    encodeEncapsulated(RleLossless, rows, cols, bitsAllocated = 16, Seq(frame.toByteArray),
       position, orientation, pixelSpacing, seriesUid, instanceNumber)
   }
 
@@ -442,7 +495,7 @@ object Dicom {
     val samples = data.map(v => math.round(v).max(0).min(0xffff))
     val payload0 = JpegLs.encode(JpegLs.Image(cols, rows, 16, samples))
     val payload = if (payload0.length % 2 == 0) payload0 else payload0 :+ 0.toByte
-    encodeEncapsulated(JpegLsLossless, rows, cols, bitsAllocated = 16, payload,
+    encodeEncapsulated(JpegLsLossless, rows, cols, bitsAllocated = 16, Seq(payload),
       position, orientation, pixelSpacing, seriesUid, instanceNumber)
   }
 
@@ -459,16 +512,35 @@ object Dicom {
     val samples = data.map(v => math.round(v).max(0).min(0xffff))
     val payload0 = Jpeg2000.encode(Jpeg2000.Image(cols, rows, 16, signed = false, samples))
     val payload = if (payload0.length % 2 == 0) payload0 else payload0 :+ 0.toByte
-    encodeEncapsulated(Jpeg2000Lossless, rows, cols, bitsAllocated = 16, payload,
+    encodeEncapsulated(Jpeg2000Lossless, rows, cols, bitsAllocated = 16, Seq(payload),
+      position, orientation, pixelSpacing, seriesUid, instanceNumber)
+  }
+
+  /** Multi-frame JPEG 2000 Lossless encoder twin: one T.800 codestream
+    * per frame, one encapsulated fragment per frame (the layout
+    * [[decodeFrames]] requires), (0028,0008) NumberOfFrames written. */
+  def encodeJpeg2000Frames(rows: Int, cols: Int, frames: Seq[Array[Float]],
+                           position: Seq[Float] = Seq(0f, 0f, 0f),
+                           orientation: Seq[Float] = Seq(1f, 0f, 0f, 0f, 1f, 0f),
+                           pixelSpacing: Seq[Float] = Seq(1f, 1f),
+                           seriesUid: String = "1.2.3.4", instanceNumber: Int = 1): Array[Byte] = {
+    require(frames.nonEmpty && frames.forall(_.length == rows * cols),
+      "shape/data mismatch")
+    val payloads = frames.map { data =>
+      val samples = data.map(v => math.round(v).max(0).min(0xffff))
+      val p = Jpeg2000.encode(Jpeg2000.Image(cols, rows, 16, signed = false, samples))
+      if (p.length % 2 == 0) p else p :+ 0.toByte
+    }
+    encodeEncapsulated(Jpeg2000Lossless, rows, cols, bitsAllocated = 16, payloads,
       position, orientation, pixelSpacing, seriesUid, instanceNumber)
   }
 
   /** Shared part-10 wrapper for encapsulated (compressed) PixelData: file
     * meta + geometry/rescale attributes + OB undefined-length PixelData
-    * with an empty BOT item, one frame fragment, and the sequence
-    * delimiter (PS3.5 A.4). */
+    * with an empty BOT item, one fragment per frame (NumberOfFrames
+    * written when multi-frame), and the sequence delimiter (PS3.5 A.4). */
   private def encodeEncapsulated(syntax: String, rows: Int, cols: Int,
-                                 bitsAllocated: Int, frameBytes: Array[Byte],
+                                 bitsAllocated: Int, frames: Seq[Array[Byte]],
                                  position: Seq[Float], orientation: Seq[Float],
                                  pixelSpacing: Seq[Float], seriesUid: String,
                                  instanceNumber: Int): Array[Byte] = {
@@ -494,6 +566,8 @@ object Dicom {
     el(0x0020, 0x0013, "IS", even(instanceNumber.toString))
     el(0x0020, 0x0032, "DS", even(position.mkString("\\")))
     el(0x0020, 0x0037, "DS", even(orientation.mkString("\\")))
+    if (frames.length > 1) // ascending tag order: (0028,0008) before Rows
+      el(0x0028, 0x0008, "IS", even(frames.length.toString))
     el(0x0028, 0x0010, "US", le2(rows))
     el(0x0028, 0x0011, "US", le2(cols))
     el(0x0028, 0x0030, "DS", even(pixelSpacing.mkString("\\")))
@@ -506,8 +580,10 @@ object Dicom {
     out.write("OB".getBytes("US-ASCII")); out.write(Array[Byte](0, 0))
     le4(-1)
     out.write(le2(0xfffe)); out.write(le2(0xe000)); le4(0) // empty BOT
-    out.write(le2(0xfffe)); out.write(le2(0xe000)); le4(frameBytes.length)
-    out.write(frameBytes, 0, frameBytes.length)
+    frames.foreach { fb =>
+      out.write(le2(0xfffe)); out.write(le2(0xe000)); le4(fb.length)
+      out.write(fb, 0, fb.length)
+    }
     out.write(le2(0xfffe)); out.write(le2(0xe0dd)); le4(0)
     out.toByteArray
   }

@@ -85,6 +85,31 @@ class SourcesSpec extends SparkSpec {
       "slices stack in projection-descending order")
   }
 
+  test("DICOM multi-frame cine: uncompressed and JPEG 2000 frames round-trip") {
+    import graft.sources.Dicom
+    val rng = new scala.util.Random(31)
+    val rows = 9; val cols = 11
+    val frames = IndexedSeq.fill(4)(Array.fill(rows * cols)(rng.nextInt(1 << 16).toFloat))
+    // uncompressed: frames strided out of one PixelData value
+    val raw = Dicom.encodeFrames(rows, cols, frames, seriesUid = "3.1.4")
+    val rawSlices = Dicom.decodeFrames(raw)
+    assert(rawSlices.map(_.frameIndex) == IndexedSeq(0, 1, 2, 3))
+    assert(rawSlices.forall(s => s.rows == rows && s.seriesUid == "3.1.4"))
+    for (fi <- frames.indices)
+      assert(rawSlices(fi).data.toSeq == frames(fi).toSeq, s"raw frame $fi")
+    // encapsulated: one J2K codestream fragment per frame
+    val j2k = Dicom.encodeJpeg2000Frames(rows, cols, frames)
+    val j2kSlices = Dicom.decodeFrames(j2k)
+    assert(j2kSlices.length == 4)
+    for (fi <- frames.indices)
+      assert(j2kSlices(fi).data.toSeq == frames(fi).toSeq, s"j2k frame $fi")
+    // single-frame decode() refuses multi-frame input loudly
+    val e = intercept[IllegalArgumentException](Dicom.decode(raw))
+    assert(e.getMessage.contains("decodeFrames"))
+    // single-frame files keep working through both paths
+    assert(Dicom.decodeFrames(Dicom.encode(rows, cols, frames.head)).length == 1)
+  }
+
   test("DICOM RLE Lossless: PS3.5 annex G round-trips bit-exactly") {
     import graft.sources.Dicom
     // long runs + literal noise + >128 runs: exercises replicate packets,
