@@ -395,65 +395,92 @@ object Jpeg2000 {
   // need no bounds checks.
   // ======================================================================
 
+  // Packed per-coefficient state word (openjpeg-style flags): context
+  // formation becomes a 256-entry LUT lookup on the own word instead of
+  // eight neighbor loads; setSig pushes direction bits into the eight
+  // neighbors' words. Padded (w+2)*(h+2) layout absorbs edge writes.
+  private val FSig = 1 << 0
+  private val FVis = 1 << 1
+  private val FRef = 1 << 2
+  // neighbor-significant bits 3-10: N,E,S,W,NE,SE,SW,NW (LUT index order)
+  private val FNbMask = 0xff << 3
+  // neighbor-sign bits 11-14: N,E,S,W negative
+  private val FNeg = 1 << 15 // own sign
+
+  /** Zero-coding context LUT per orientation (T.800 Table D.1), indexed
+    * by the 8 neighbor-significance bits. */
+  private val ZcLut: Array[Array[Int]] = Array.tabulate(4, 256) { (orient, bits) =>
+    val n = bits & 1; val e = (bits >> 1) & 1
+    val sS = (bits >> 2) & 1; val wW = (bits >> 3) & 1
+    val d = ((bits >> 4) & 1) + ((bits >> 5) & 1) + ((bits >> 6) & 1) + ((bits >> 7) & 1)
+    val hC = e + wW; val vC = n + sS
+    if (orient == 3) { // HH: keyed on D then H+V
+      val hv = hC + vC
+      if (d >= 3) 8
+      else if (d == 2) { if (hv >= 1) 7 else 6 }
+      else if (d == 1) { if (hv >= 2) 5 else if (hv == 1) 4 else 3 }
+      else { if (hv >= 2) 2 else if (hv == 1) 1 else 0 }
+    } else {
+      // LL/LH use (H,V,D); HL is the same table with H and V swapped
+      val (hh, vv) = if (orient == 1) (vC, hC) else (hC, vC)
+      if (hh == 2) 8
+      else if (hh == 1) { if (vv >= 1) 7 else if (d >= 1) 6 else 5 }
+      else {
+        if (vv == 2) 4 else if (vv == 1) 3
+        else if (d >= 2) 2 else if (d == 1) 1 else 0
+      }
+    }
+  }
+
+  /** Sign-coding LUT (T.800 Table D.3) packed `(ctx << 1) | xor`, indexed
+    * by NESW significance (low nibble) and NESW negative-sign (high). */
+  private val ScLut: Array[Int] = Array.tabulate(256) { bits =>
+    def contrib(sig: Int, sgn: Int): Int = if (sig == 0) 0 else if (sgn == 1) -1 else 1
+    val n = contrib(bits & 1, (bits >> 4) & 1)
+    val e = contrib((bits >> 1) & 1, (bits >> 5) & 1)
+    val sS = contrib((bits >> 2) & 1, (bits >> 6) & 1)
+    val wW = contrib((bits >> 3) & 1, (bits >> 7) & 1)
+    val hC = math.max(-1, math.min(1, e + wW))
+    val vC = math.max(-1, math.min(1, n + sS))
+    (hC: @unchecked) match {
+      case 1 => vC match { case 1 => 13 << 1; case 0 => 12 << 1; case _ => 11 << 1 }
+      case 0 => vC match { case 1 => 10 << 1; case 0 => 9 << 1; case _ => (10 << 1) | 1 }
+      case -1 => vC match { case 1 => (11 << 1) | 1; case 0 => (12 << 1) | 1; case _ => (13 << 1) | 1 }
+    }
+  }
+
   private final class T1Block(w: Int, h: Int, orient: Int) {
     val stride = w + 2
     val mag = new Array[Int](w * h)
-    val neg = new Array[Boolean](stride * (h + 2)) // padded, aligned with sig
-    val sig = new Array[Boolean](stride * (h + 2))
-    val visited = new Array[Boolean](stride * (h + 2))
-    val refined = new Array[Boolean](w * h)
+    val flags = new Array[Int](stride * (h + 2))
+    private val zcTab = ZcLut(orient)
 
     @inline def pad(x: Int, y: Int): Int = (y + 1) * stride + (x + 1)
-    @inline private def b2i(b: Boolean): Int = if (b) 1 else 0
+    @inline def zc(f: Int): Int = zcTab((f >>> 3) & 0xff)
+    @inline def sc(f: Int): Int = ScLut(((f >>> 3) & 0xf) | ((f >>> 7) & 0xf0))
 
-    def hCount(p: Int): Int = b2i(sig(p - 1)) + b2i(sig(p + 1))
-    def vCount(p: Int): Int = b2i(sig(p - stride)) + b2i(sig(p + stride))
-    def dCount(p: Int): Int =
-      b2i(sig(p - stride - 1)) + b2i(sig(p - stride + 1)) +
-        b2i(sig(p + stride - 1)) + b2i(sig(p + stride + 1))
-
-    /** Zero-coding context (T.800 Table D.1); 0 ⇔ no significant neighbor. */
-    def zcContext(p: Int): Int = {
-      val hN = hCount(p); val vN = vCount(p); val dN = dCount(p)
-      if (orient == 3) { // HH: keyed on D then H+V
-        val hv = hN + vN
-        if (dN >= 3) 8
-        else if (dN == 2) { if (hv >= 1) 7 else 6 }
-        else if (dN == 1) { if (hv >= 2) 5 else if (hv == 1) 4 else 3 }
-        else { if (hv >= 2) 2 else if (hv == 1) 1 else 0 }
-      } else {
-        // LL/LH use (H,V,D); HL is the same table with H and V swapped
-        val (hh, vv) = if (orient == 1) (vN, hN) else (hN, vN)
-        if (hh == 2) 8
-        else if (hh == 1) { if (vv >= 1) 7 else if (dN >= 1) 6 else 5 }
-        else {
-          if (vv == 2) 4 else if (vv == 1) 3
-          else if (dN >= 2) 2 else if (dN == 1) 1 else 0
-        }
-      }
+    /** Mark p significant (sign `negative`), updating the eight
+      * neighbors' cached direction bits. */
+    def setSig(p: Int, negative: Boolean): Unit = {
+      flags(p) |= (if (negative) FSig | FNeg else FSig)
+      val sgn = if (negative) 1 else 0
+      flags(p - stride) |= (1 << 5) | (sgn << 13) // I am its S
+      flags(p + stride) |= (1 << 3) | (sgn << 11) // I am its N
+      flags(p - 1) |= (1 << 4) | (sgn << 12) // I am its E
+      flags(p + 1) |= (1 << 6) | (sgn << 14) // I am its W
+      flags(p - stride - 1) |= 1 << 8 // its SE
+      flags(p - stride + 1) |= 1 << 9 // its SW
+      flags(p + stride - 1) |= 1 << 7 // its NE
+      flags(p + stride + 1) |= 1 << 10 // its NW
     }
 
-    /** Sign-coding context and XOR bit (T.800 Table D.3). */
-    def scContext(p: Int): (Int, Int) = {
-      @inline def contrib(q: Int): Int = if (!sig(q)) 0 else if (neg(q)) -1 else 1
-      val hC = math.max(-1, math.min(1, contrib(p - 1) + contrib(p + 1)))
-      val vC = math.max(-1, math.min(1, contrib(p - stride) + contrib(p + stride)))
-      (hC, vC) match {
-        case (1, 1) => (13, 0); case (1, 0) => (12, 0); case (1, -1) => (11, 0)
-        case (0, 1) => (10, 0); case (0, 0) => (9, 0); case (0, -1) => (10, 1)
-        case (-1, 1) => (11, 1); case (-1, 0) => (12, 1); case _ => (13, 1)
-      }
+    def clearVisited(): Unit = {
+      var i = 0
+      while (i < flags.length) { flags(i) &= ~FVis; i += 1 }
     }
-
-    /** Magnitude-refinement context (T.800 Table D.4). */
-    def mrContext(p: Int, idx: Int): Int =
-      if (refined(idx)) 16
-      else if (hCount(p) + vCount(p) + dCount(p) > 0) 15 else 14
-
-    def clearVisited(): Unit = java.util.Arrays.fill(visited, false)
   }
 
-  /** Decode one code-block's codeword segment → signed coefficients. */
+  /** Decode one code-block's codeword segment -> signed coefficients. */
   private def t1Decode(w: Int, h: Int, orient: Int, data: Array[Byte],
                        from: Int, until: Int, numPasses: Int,
                        msbPlane: Int): Array[Int] = {
@@ -475,16 +502,14 @@ object Jpeg2000 {
               val yEnd = math.min(s + 4, h)
               while (y < yEnd) {
                 val p = t.pad(x, y)
-                if (!t.sig(p)) {
-                  val ctx = t.zcContext(p)
-                  if (ctx != 0) {
-                    t.visited(p) = true
-                    if (mq.decode(ctx) == 1) {
-                      val (sc, xor) = t.scContext(p)
-                      t.neg(p) = (mq.decode(sc) ^ xor) == 1
-                      t.sig(p) = true
-                      t.mag(y * w + x) |= 1 << plane
-                    }
+                val f = t.flags(p)
+                if ((f & FSig) == 0 && (f & FNbMask) != 0) {
+                  t.flags(p) = f | FVis
+                  if (mq.decode(t.zc(f)) == 1) {
+                    val sx = t.sc(f)
+                    val neg = (mq.decode(sx >>> 1) ^ (sx & 1)) == 1
+                    t.setSig(p, neg)
+                    t.mag(y * w + x) |= 1 << plane
                   }
                 }
                 y += 1
@@ -502,11 +527,12 @@ object Jpeg2000 {
               val yEnd = math.min(s + 4, h)
               while (y < yEnd) {
                 val p = t.pad(x, y)
-                if (t.sig(p) && !t.visited(p)) {
-                  val idx = y * w + x
-                  val bit = mq.decode(t.mrContext(p, idx))
-                  t.mag(idx) |= bit << plane
-                  t.refined(idx) = true
+                val f = t.flags(p)
+                if ((f & (FSig | FVis)) == FSig) {
+                  val ctx = if ((f & FRef) != 0) 16
+                  else if ((f & FNbMask) != 0) 15 else 14
+                  t.mag(y * w + x) |= mq.decode(ctx) << plane
+                  t.flags(p) = f | FRef
                 }
                 y += 1
               }
@@ -521,35 +547,29 @@ object Jpeg2000 {
             while (x < w) {
               var y = s
               val yEnd = math.min(s + 4, h)
-              if (s + 4 <= h) {
-                var rl = true
-                var yy = s
-                while (rl && yy < s + 4) {
-                  val p = t.pad(x, yy)
-                  rl = !t.sig(p) && !t.visited(p) && t.zcContext(p) == 0
-                  yy += 1
-                }
-                if (rl) {
-                  if (mq.decode(CtxRl) == 0) y = yEnd // whole column stays zero
-                  else {
-                    val k = (mq.decode(CtxUni) << 1) | mq.decode(CtxUni)
-                    y = s + k
-                    val p = t.pad(x, y)
-                    val (sc, xor) = t.scContext(p)
-                    t.neg(p) = (mq.decode(sc) ^ xor) == 1
-                    t.sig(p) = true
-                    t.mag(y * w + x) |= 1 << plane
-                    y += 1
-                  }
+              if (s + 4 <= h &&
+                ((t.flags(t.pad(x, s)) | t.flags(t.pad(x, s + 1)) |
+                  t.flags(t.pad(x, s + 2)) | t.flags(t.pad(x, s + 3))) & 0x7ff) == 0) {
+                if (mq.decode(CtxRl) == 0) y = yEnd // whole column stays zero
+                else {
+                  val k = (mq.decode(CtxUni) << 1) | mq.decode(CtxUni)
+                  y = s + k
+                  val p = t.pad(x, y)
+                  val sx = t.sc(t.flags(p))
+                  val neg = (mq.decode(sx >>> 1) ^ (sx & 1)) == 1
+                  t.setSig(p, neg)
+                  t.mag(y * w + x) |= 1 << plane
+                  y += 1
                 }
               }
               while (y < yEnd) {
                 val p = t.pad(x, y)
-                if (!t.sig(p) && !t.visited(p)) {
-                  if (mq.decode(t.zcContext(p)) == 1) {
-                    val (sc, xor) = t.scContext(p)
-                    t.neg(p) = (mq.decode(sc) ^ xor) == 1
-                    t.sig(p) = true
+                val f = t.flags(p)
+                if ((f & (FSig | FVis)) == 0) {
+                  if (mq.decode(t.zc(f)) == 1) {
+                    val sx = t.sc(f)
+                    val neg = (mq.decode(sx >>> 1) ^ (sx & 1)) == 1
+                    t.setSig(p, neg)
                     t.mag(y * w + x) |= 1 << plane
                   }
                 }
@@ -569,7 +589,7 @@ object Jpeg2000 {
       var x = 0
       while (x < w) {
         val m = t.mag(y * w + x)
-        out(y * w + x) = if (t.neg(t.pad(x, y))) -m else m
+        out(y * w + x) = if ((t.flags(t.pad(x, y)) & FNeg) != 0) -m else m
         x += 1
       }
       y += 1
@@ -577,7 +597,7 @@ object Jpeg2000 {
     out
   }
 
-  /** Encode one code-block → (terminated MQ segment, pass count). `k` is
+  /** Encode one code-block -> (terminated MQ segment, pass count). `k` is
     * the number of coded bitplanes (MSB position + 1 over |coeffs|). */
   private def t1Encode(w: Int, h: Int, orient: Int, coeffs: Array[Int],
                        k: Int): (Array[Byte], Int) = {
@@ -586,7 +606,8 @@ object Jpeg2000 {
     while (i < coeffs.length) {
       val v = coeffs(i)
       t.mag(i) = math.abs(v)
-      if (v < 0) t.neg(t.pad(i % w, i / w)) = true
+      // own-sign bit only; neighbor sign bits propagate via setSig
+      if (v < 0) t.flags(t.pad(i % w, i / w)) |= FNeg
       i += 1
     }
     val mq = new MqEncoder
@@ -605,17 +626,16 @@ object Jpeg2000 {
               val yEnd = math.min(s + 4, h)
               while (y < yEnd) {
                 val p = t.pad(x, y)
-                if (!t.sig(p)) {
-                  val ctx = t.zcContext(p)
-                  if (ctx != 0) {
-                    t.visited(p) = true
-                    val bit = (t.mag(y * w + x) >>> plane) & 1
-                    mq.encode(ctx, bit)
-                    if (bit == 1) {
-                      val (sc, xor) = t.scContext(p)
-                      mq.encode(sc, (if (t.neg(p)) 1 else 0) ^ xor)
-                      t.sig(p) = true
-                    }
+                val f = t.flags(p)
+                if ((f & FSig) == 0 && (f & FNbMask) != 0) {
+                  t.flags(p) = f | FVis
+                  val bit = (t.mag(y * w + x) >>> plane) & 1
+                  mq.encode(t.zc(f), bit)
+                  if (bit == 1) {
+                    val neg = (f & FNeg) != 0
+                    val sx = t.sc(f)
+                    mq.encode(sx >>> 1, (if (neg) 1 else 0) ^ (sx & 1))
+                    t.setSig(p, neg)
                   }
                 }
                 y += 1
@@ -633,10 +653,12 @@ object Jpeg2000 {
               val yEnd = math.min(s + 4, h)
               while (y < yEnd) {
                 val p = t.pad(x, y)
-                if (t.sig(p) && !t.visited(p)) {
-                  val idx = y * w + x
-                  mq.encode(t.mrContext(p, idx), (t.mag(idx) >>> plane) & 1)
-                  t.refined(idx) = true
+                val f = t.flags(p)
+                if ((f & (FSig | FVis)) == FSig) {
+                  val ctx = if ((f & FRef) != 0) 16
+                  else if ((f & FNbMask) != 0) 15 else 14
+                  mq.encode(ctx, (t.mag(y * w + x) >>> plane) & 1)
+                  t.flags(p) = f | FRef
                 }
                 y += 1
               }
@@ -651,44 +673,41 @@ object Jpeg2000 {
             while (x < w) {
               var y = s
               val yEnd = math.min(s + 4, h)
-              if (s + 4 <= h) {
-                var rl = true
-                var yy = s
-                while (rl && yy < s + 4) {
-                  val p = t.pad(x, yy)
-                  rl = !t.sig(p) && !t.visited(p) && t.zcContext(p) == 0
-                  yy += 1
+              if (s + 4 <= h &&
+                ((t.flags(t.pad(x, s)) | t.flags(t.pad(x, s + 1)) |
+                  t.flags(t.pad(x, s + 2)) | t.flags(t.pad(x, s + 3))) & 0x7ff) == 0) {
+                var first = -1
+                var j = 0
+                while (first < 0 && j < 4) {
+                  if (((t.mag((s + j) * w + x) >>> plane) & 1) == 1) first = j
+                  j += 1
                 }
-                if (rl) {
-                  var first = -1
-                  var j = 0
-                  while (first < 0 && j < 4) {
-                    if (((t.mag((s + j) * w + x) >>> plane) & 1) == 1) first = j
-                    j += 1
-                  }
-                  if (first < 0) { mq.encode(CtxRl, 0); y = yEnd }
-                  else {
-                    mq.encode(CtxRl, 1)
-                    mq.encode(CtxUni, (first >>> 1) & 1)
-                    mq.encode(CtxUni, first & 1)
-                    y = s + first
-                    val p = t.pad(x, y)
-                    val (sc, xor) = t.scContext(p)
-                    mq.encode(sc, (if (t.neg(p)) 1 else 0) ^ xor)
-                    t.sig(p) = true
-                    y += 1
-                  }
+                if (first < 0) { mq.encode(CtxRl, 0); y = yEnd }
+                else {
+                  mq.encode(CtxRl, 1)
+                  mq.encode(CtxUni, (first >>> 1) & 1)
+                  mq.encode(CtxUni, first & 1)
+                  y = s + first
+                  val p = t.pad(x, y)
+                  val f = t.flags(p)
+                  val neg = (f & FNeg) != 0
+                  val sx = t.sc(f)
+                  mq.encode(sx >>> 1, (if (neg) 1 else 0) ^ (sx & 1))
+                  t.setSig(p, neg)
+                  y += 1
                 }
               }
               while (y < yEnd) {
                 val p = t.pad(x, y)
-                if (!t.sig(p) && !t.visited(p)) {
+                val f = t.flags(p)
+                if ((f & (FSig | FVis)) == 0) {
                   val bit = (t.mag(y * w + x) >>> plane) & 1
-                  mq.encode(t.zcContext(p), bit)
+                  mq.encode(t.zc(f), bit)
                   if (bit == 1) {
-                    val (sc, xor) = t.scContext(p)
-                    mq.encode(sc, (if (t.neg(p)) 1 else 0) ^ xor)
-                    t.sig(p) = true
+                    val neg = (f & FNeg) != 0
+                    val sx = t.sc(f)
+                    mq.encode(sx >>> 1, (if (neg) 1 else 0) ^ (sx & 1))
+                    t.setSig(p, neg)
                   }
                 }
                 y += 1
