@@ -102,13 +102,22 @@ object Multimodal {
   val decodeAudio: UserDefinedFunction =
     udf((content: Array[Byte]) => {
       import javax.sound.sampled.{AudioFormat, AudioSystem}
-      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(content))
+      val raw0 = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(content))
+      // μ-law/A-law (telephony WAVs) convert to 16-bit PCM inside the JDK
+      val in =
+        if (raw0.getFormat.getEncoding == AudioFormat.Encoding.ULAW ||
+          raw0.getFormat.getEncoding == AudioFormat.Encoding.ALAW) {
+          val f = raw0.getFormat
+          AudioSystem.getAudioInputStream(new AudioFormat(
+            AudioFormat.Encoding.PCM_SIGNED, f.getSampleRate, 16,
+            f.getChannels, f.getChannels * 2, f.getSampleRate, false), raw0)
+        } else raw0
       try {
         val fmt = in.getFormat
         val enc = fmt.getEncoding
         require(enc == AudioFormat.Encoding.PCM_SIGNED || enc == AudioFormat.Encoding.PCM_UNSIGNED,
-          s"unsupported audio encoding $enc: only PCM WAV decodes in the pure JVM; " +
-            "transcode externally (ffmpeg) first, as with compressed DICOM")
+          s"unsupported audio encoding $enc: only PCM and ULAW/ALAW WAV decode in " +
+            "the pure JVM; transcode externally (ffmpeg) first, as with compressed DICOM")
         val ch = fmt.getChannels
         val bytesPerSample = fmt.getSampleSizeInBits / 8
         require(bytesPerSample == 1 || bytesPerSample == 2,

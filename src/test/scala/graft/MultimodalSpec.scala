@@ -78,6 +78,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audio decode: u-law WAV converts to PCM inside the JDK") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // encode a known PCM ramp to u-law via the JDK, then decode through
+    // the UDF and check the round-trip within u-law quantization error
+    val pcm16 = Array[Short](0, 8000, -8000, 24000, -24000, 32000)
+    val pcmBytes = new Array[Byte](pcm16.length * 2)
+    for (i <- pcm16.indices) {
+      pcmBytes(2 * i) = (pcm16(i) & 0xff).toByte
+      pcmBytes(2 * i + 1) = ((pcm16(i) >> 8) & 0xff).toByte
+    }
+    val pcmFmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ulawFmt = new AudioFormat(AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false)
+    val ulawStream = AudioSystem.getAudioInputStream(ulawFmt,
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcmBytes), pcmFmt, pcm16.length))
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ulawStream, AudioFileFormat.Type.WAVE, bos)
+    val df = spark.createDataFrame(Seq((1L, bos.toByteArray))).toDF("media_id", "content")
+    val dec = Multimodal.decodeAudio(col("content"))
+    val r = df.select(dec("_1").as("shape"), dec("_2").as("data"), dec("_3").as("rate")).head()
+    assert(r.getSeq[Int](0) == Seq(1, 1, 1, 1, 6))
+    assert(r.getInt(2) == 8000)
+    val got = r.getSeq[Float](1)
+    for (i <- pcm16.indices) {
+      val want = pcm16(i) / 32768f
+      assert(math.abs(got(i) - want) < 0.04f, // u-law SNR bound at these levels
+        s"sample $i: got ${got(i)}, want ~$want")
+    }
+  }
+
   test("real video decode: MJPEG-in-AVI round-trips geometry, fps, sampled frames") {
     import graft.multimodal.Avi
     // 12 solid-gray 16x16 frames, level = 20*i — JPEG is near-exact on
