@@ -135,6 +135,43 @@ object Sources {
         sl.instanceNumber, proj)
     })
 
+  /** Multi-frame-aware twin of [[decodeDicomSlice]]: one element per
+    * frame ((0028,0008) NumberOfFrames), so multi-frame cine files and
+    * single-frame series flow through the same scan. */
+  val decodeDicomFrames: UserDefinedFunction =
+    udf((content: Array[Byte]) => {
+      Dicom.decodeFrames(content).map { sl =>
+        val proj =
+          if (sl.position.length == 3 && sl.orientation.length == 6)
+            Dicom.sliceProjection(sl)
+          else sl.instanceNumber.toDouble
+        (Seq(1, 1, 1, sl.rows, sl.cols), sl.data.toSeq,
+          (sl.pixelSpacing ++ Seq(1f, 1f)).take(3), sl.seriesUid,
+          sl.instanceNumber, proj, sl.frameIndex)
+      }
+    })
+
+  /** [[scanDicomSeries]] for archives that mix single- and multi-frame
+    * files: one output row per FRAME, ordered within each series by the
+    * projected slice position, then instance, then temporal frame index
+    * (the reference's slice-then-time ordering,
+    * `setup/reformat/utils.py:196-241`). */
+  def scanDicomFrames(spark: SparkSession, dir: String, glob: String = "*.dcm"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("series_uid"))
+      .orderBy(col("proj").desc, col("instance_number"), col("frame_index"), col("path"))
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(col("path"), explode(decodeDicomFrames(col("content"))).as("f"))
+      .select(col("path"),
+        struct(col("f._1").as("shape"), col("f._2").as("data")).as("volume"),
+        col("f._3").as("pixdim"), col("f._4").as("series_uid"),
+        col("f._5").as("instance_number"), col("f._6").as("proj"),
+        col("f._7").as("frame_index"))
+      .withColumn("slice_index", row_number().over(w))
+  }
+
   def scanDicomSeries(spark: SparkSession, dir: String, glob: String = "*.dcm"): DataFrame = {
     val dec = decodeDicomSlice(col("content"))
     val w = org.apache.spark.sql.expressions.Window

@@ -108,6 +108,23 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage.contains("decodeFrames"))
     // single-frame files keep working through both paths
     assert(Dicom.decodeFrames(Dicom.encode(rows, cols, frames.head)).length == 1)
+    // Spark scan surfaces one row per frame, ordered slice-then-time:
+    // one 4-frame cine at z=10 plus one single-frame slice at z=20
+    val dir = java.nio.file.Files.createTempDirectory("cine").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/cine.dcm"),
+      Dicom.encodeFrames(rows, cols, frames, position = Seq(0f, 0f, 10f),
+        instanceNumber = 2))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/top.dcm"),
+      Dicom.encode(rows, cols, frames.head, position = Seq(0f, 0f, 20f),
+        instanceNumber = 1))
+    val scanned = graft.sources.Sources.scanDicomFrames(spark, dir)
+    assert(scanned.count() == 5)
+    val ordered = scanned.orderBy("slice_index")
+      .select("proj", "frame_index").collect()
+    assert(ordered.map(_.getDouble(0)).toSeq == Seq(20.0, 10.0, 10.0, 10.0, 10.0),
+      "projection-descending across files")
+    assert(ordered.map(_.getInt(1)).toSeq == Seq(0, 0, 1, 2, 3),
+      "temporal frame order within the cine")
   }
 
   test("DICOM RLE Lossless: PS3.5 annex G round-trips bit-exactly") {
