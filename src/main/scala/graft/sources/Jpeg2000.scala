@@ -888,6 +888,11 @@ object Jpeg2000 {
       marker match {
         case 0xff51 => // SIZ (any Rsiz capability accepted)
           w = be4(bytes, pos + 6); h = be4(bytes, pos + 10)
+          // allocation guard ahead of the w*h coefficient arrays: a
+          // corrupt SIZ must throw, not OOM (64M samples is far beyond
+          // any single-tile frame this profile accepts)
+          require(w > 0 && h > 0 && w.toLong * h <= (1L << 26),
+            s"implausible image size ${w}x$h — corrupt SIZ or out-of-profile stream")
           require(be4(bytes, pos + 14) == 0 && be4(bytes, pos + 18) == 0,
             "image offsets (XOsiz/YOsiz) unsupported — transcode first")
           require(be4(bytes, pos + 22) >= w && be4(bytes, pos + 26) >= h &&

@@ -115,6 +115,27 @@ class Jpeg2000Spec extends AnyFunSuite {
     assert(e2.getMessage.contains("multi-layer"))
   }
 
+  test("decoder fails corrupt codestreams loudly — no hang, no huge alloc") {
+    val rng = new scala.util.Random(99)
+    val samples = Array.fill(32 * 32)(rng.nextInt(256))
+    val good = Jpeg2000.encode(Jpeg2000.Image(32, 32, 8, signed = false, samples))
+    var threw = 0
+    for (_ <- 0 until 300) {
+      val b = good.clone()
+      // corrupt 1-4 bytes anywhere after SOC (headers, packet, body)
+      for (_ <- 0 to rng.nextInt(4))
+        b(2 + rng.nextInt(b.length - 2)) = rng.nextInt(256).toByte
+      try { Jpeg2000.decode(b); () }
+      catch { case _: Exception => threw += 1 } // loud is fine; silence is fine; hanging is not
+    }
+    info(s"$threw/300 corruptions threw, rest decoded to garbage; none hung")
+    // truncation at every prefix length also terminates
+    for (cut <- 2 until good.length by 7) {
+      try { Jpeg2000.decode(java.util.Arrays.copyOf(good, cut)); () }
+      catch { case _: Exception => () }
+    }
+  }
+
   test("DICOM JPEG 2000 Lossless (.4.90) wrap round-trips bit-exactly") {
     val rng = new scala.util.Random(29)
     val rows = 37; val cols = 53
