@@ -13,11 +13,13 @@ object Bench {
     // untimed warmup: session/codegen/file-index initialization otherwise
     // lands on whichever query happens to run first
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    var failed = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failed += 1
           -1L
       }
       val secs = (System.nanoTime() - t0) / 1e9
@@ -35,7 +37,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    // a failed query's wall time is meaningless — a broken data dir must
+    // grade as a broken run, not as a fast one
+    if (failed > 0) {
+      System.err.println(s"[bench] $failed queries FAILED — total is not a valid benchmark")
+      sys.exit(1)
+    }
   }
 }
