@@ -21,13 +21,16 @@ import org.apache.spark.sql.functions._
   * vertex labeled with its component's minimum id — so callers' oracles
   * are unchanged.
   *
-  * Scale/cost: two join jobs per round (the jump self-join needs the
-  * neighbor-min frame materialized — an eager `localCheckpoint`, which
-  * also truncates per-round lineage; the previous label rides along so the
-  * convergence check is a scan of checkpointed blocks, not a third join).
-  * Shuffles key on vertex id / label only. Hot representative keys on
-  * giant components are one-row build side per key — AQE skew split
-  * territory, no driver state anywhere.
+  * Scale/cost: ONE Spark job per round. The neighbor-min frame is lazily
+  * `persist`ed (both jump-join references resolve to the same
+  * InMemoryRelation, so it computes once inside the round's job instead of
+  * needing its own eager-checkpoint job), the round result is a lazy
+  * `localCheckpoint` (truncates lineage), and the convergence count is the
+  * single action that materializes both. The previous label rides along so
+  * that count is a scan, not a third join. Shuffles key on vertex id /
+  * label only. Hot representative keys on giant components are one-row
+  * build side per key — AQE skew split territory, no driver state
+  * anywhere.
   *
   * Reference provenance: the reference has no graph step; this serves the
   * near-dup cluster formation the training-pipeline brief adds (q39).
@@ -38,8 +41,9 @@ object ConnectedComponents {
     * the round's materialized label map, and one more chain hop contracted
     * — rounds scale as log_{Jumps+2}(deepest chain), so a handful of jumps
     * trades marginal per-round cost for several fewer (fixed-overhead)
-    * rounds. */
-  private val Jumps = 1
+    * rounds. 2 measured best at sf0.1: vs 1 it cuts rounds ~one third for
+    * one extra tiny join inside the same job. */
+  private val Jumps = 2
 
   /** @param vertices one row per vertex
     * @param idCol    vertex id column in `vertices` (orderable; min wins)
@@ -72,17 +76,18 @@ object ConnectedComponents {
     while (!converged && iter < maxIter) {
       val prevCk = labelsCk
       val prev = labels
-      // step 1: neighbor min — materialized so step 2's self-join reads
-      // checkpoint blocks instead of re-running the join (the
-      // referenced-twice re-execution trap)
+      // step 1: neighbor min — lazily cached so step 2's self-join reads
+      // the InMemoryRelation instead of re-running the join (the
+      // referenced-twice re-execution trap), WITHOUT spending a separate
+      // eager-materialization job: the round's one action below computes it
       val mins = edges
         .join(labels.select(col("_id").as("_nb"), col("_lbl").as("_nl")), Seq("_nb"))
         .select(col("_x").as("_id"), col("_nl").as("_lbl"))
         .unionByName(labels)
         .groupBy("_id").agg(min(col("_lbl")).as("_lbl"))
-        .localCheckpoint(true)
+        .persist()
       // step 2: chained pointer jumps — follow the representative's own
-      // label `Jumps` times off the one materialized mins frame, so each
+      // label `Jumps` times off the one cached mins frame, so each
       // round contracts label chains by depth Jumps+1, not 2 (rounds ~
       // log_{Jumps+2} of the deepest chain). A label is always a live
       // vertex id (it is the min of vertex ids), so the lookup always
@@ -93,9 +98,12 @@ object ConnectedComponents {
         jumped = jumped.join(reps, Seq("_lbl"), "left")
           .select(col("_id"),
             least(col("_lbl"), coalesce(col("_ll"), col("_lbl"))).as("_lbl"))
+      // lazy checkpoint: the convergence count below is the round's SINGLE
+      // action — it computes the joins, fills the mins cache, persists the
+      // checkpoint blocks, and counts changed labels in one job
       val nextCk = jumped
         .join(prev.withColumnRenamed("_lbl", "_old"), "_id")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val changed = nextCk.filter(col("_lbl") =!= col("_old")).count()
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] round ${iter + 1}: changed=$changed t=${System.nanoTime() / 1000000000L % 10000}")

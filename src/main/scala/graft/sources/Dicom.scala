@@ -265,8 +265,10 @@ object Dicom {
       streams.zipWithIndex.map { case (s, fi) => slice(decodeEncapFrame(s), fi) }
     } else {
       val frameBytes = n * (bitsAllocated / 8)
-      require(pixelLen >= nFrames * frameBytes,
-        s"PixelData too short: $pixelLen < ${nFrames * frameBytes}")
+      // Long arithmetic: nFrames * frameBytes overflows Int for large cines
+      // (512x512x16-bit past ~4095 frames) and would silently pass this check
+      require(pixelLen >= nFrames.toLong * frameBytes,
+        s"PixelData too short: $pixelLen < ${nFrames.toLong * frameBytes}")
       (0 until nFrames).map(fi => slice(decodeRawFrame(pixelOff + fi * frameBytes), fi))
     }
   }

@@ -893,6 +893,11 @@ object Jpeg2000 {
           // any single-tile frame this profile accepts)
           require(w > 0 && h > 0 && w.toLong * h <= (1L << 26),
             s"implausible image size ${w}x$h — corrupt SIZ or out-of-profile stream")
+          // one-packet-per-resolution parsing assumes a single precinct:
+          // the default precinct is 2^15, so either dimension past 32768
+          // would yield multiple packets and misparse — fail by name instead
+          require(w <= 32768 && h <= 32768,
+            s"image ${w}x$h spans multiple precincts per resolution — transcode first")
           require(be4(bytes, pos + 14) == 0 && be4(bytes, pos + 18) == 0,
             "image offsets (XOsiz/YOsiz) unsupported — transcode first")
           require(be4(bytes, pos + 22) >= w && be4(bytes, pos + 26) >= h &&
@@ -973,6 +978,11 @@ object Jpeg2000 {
       pos = in.pos
       for ((b, cx, cy, p, np, segLen) <- blocks) {
         val mb = guard + eps(b.epsIdx) - 1
+        // a hostile QCD can push eps to 31 and guard to 7 → mb up to 37;
+        // '1 << plane' in t1Decode wraps past 31 (JVM shifts are mod 32),
+        // so bound Mb to what an Int coefficient plane can actually hold
+        require(mb <= 31,
+          s"Mb=$mb bitplanes exceed 32-bit coefficients — corrupt QCD/out-of-profile")
         val msb = mb - p - 1
         require(msb >= 0, s"zero-bitplane count $p exceeds Mb=$mb")
         val bw = math.min(cbw, b.w - cx * cbw); val bh = math.min(cbh, b.h - cy * cbh)

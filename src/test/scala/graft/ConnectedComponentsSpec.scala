@@ -30,10 +30,10 @@ class ConnectedComponentsSpec extends SparkSpec {
     // LogicalRDD carries the origin plan's sizeInBytes, and joins multiply
     // child estimates, so an un-rebased loop compounds the estimate
     // exponentially (million-digit BigIntegers in the stats visitor by
-    // round ~12). A 300-vertex chain forces ~10 doubling rounds; the
-    // returned frame's estimate must still be a plain leaf default, not a
-    // compounded product.
-    val n = 300L
+    // round ~12). A 5000-vertex chain forces many rounds even at the
+    // Jumps=2 contraction rate (log_4); the returned frame's estimate must
+    // still be a plain leaf default, not a compounded product.
+    val n = 5000L
     val chain = (0L until n - 1).map(i => (i, i + 1))
     val edges = spark.createDataFrame(chain).toDF("a", "b")
     val sym = edges.select(col("a").as("x"), col("b").as("nb"))
@@ -41,7 +41,7 @@ class ConnectedComponentsSpec extends SparkSpec {
     val (labels, rounds) = ConnectedComponents.minLabel(
       spark.range(n).toDF("id"), "id", sym, "x", "nb")
     assert(labels.filter(col("cluster_id") =!= 0L).count() == 0)
-    assert(rounds >= 8, s"a 300-chain should need many doubling rounds, got $rounds")
+    assert(rounds >= 6, s"a 5000-chain should need many doubling rounds, got $rounds")
     val size = labels.queryExecution.optimizedPlan.stats.sizeInBytes
     assert(size.toString.length <= 25,
       s"label-frame size estimate compounded across rounds: $size")
