@@ -13,10 +13,12 @@ import java.nio.{ByteBuffer, ByteOrder}
   * the JDK's own ImageIO JPEG reader, RLE Lossless
   * (1.2.840.10008.1.2.5), decoded by a pure-JVM PS3.5 Annex G codec
   * below, JPEG-LS Lossless (1.2.840.10008.1.2.4.80) via the T.87 codec
-  * in [[JpegLs]], and JPEG 2000 Lossless (1.2.840.10008.1.2.4.90) via
-  * the T.800 codec in [[Jpeg2000]]. Only lossy JPEG 2000 (.4.91 with
-  * 9/7) and the retired/rare syntaxes remain external-transcode, which
-  * is what the reference's pydicom+gdcm stack does for them too.
+  * in [[JpegLs]], and JPEG 2000 — both Lossless (1.2.840.10008.1.2.4.90,
+  * reversible 5/3) and lossy (.4.91, irreversible 9/7 + quantization) —
+  * via the T.800 codec in [[Jpeg2000]]. Only the retired/rare syntaxes
+  * (and codestreams outside the codec's single-tile/component profile)
+  * remain external-transcode, which is what the reference's
+  * pydicom+gdcm stack does for them too.
   *
   * Extracted surface mirrors what the reference reads for slice ordering
   * and stacking (`setup/reformat/utils.py:132-215`): Rows/Columns, pixel
@@ -39,6 +41,7 @@ object Dicom {
   private val JpegBaseline = "1.2.840.10008.1.2.4.50"
   private val JpegLsLossless = "1.2.840.10008.1.2.4.80"
   private val Jpeg2000Lossless = "1.2.840.10008.1.2.4.90"
+  private val Jpeg2000Lossy = "1.2.840.10008.1.2.4.91"
   private val RleLossless = "1.2.840.10008.1.2.5"
 
   private def tag(group: Int, elem: Int): Long = (group.toLong << 16) | elem
@@ -105,16 +108,23 @@ object Dicom {
         valueLen = bb.getInt(pos + 4)
         valueOff = pos + 8
       }
+      // -1 is the defined "undefined length" sentinel (encapsulated
+      // PixelData / SQ); any other negative length is a corrupt tag and,
+      // unchecked, stalls the scan (pos stops advancing) — fail loudly
+      require(valueLen == -1 || (valueLen >= 0 && valueOff + valueLen.toLong <= bytes.length),
+        s"tag (${group.toHexString},${elem.toHexString}) length $valueLen " +
+          "overruns the file — corrupt or truncated DICOM")
       val t = tag(group, elem)
       if (t == tag(0x7fe0, 0x0010)) {
         if (valueLen == -1) {
           // encapsulated PixelData: BOT item + fragment items + delimiter
           require(transferSyntax == JpegBaseline || transferSyntax == RleLossless ||
-            transferSyntax == JpegLsLossless || transferSyntax == Jpeg2000Lossless,
+            transferSyntax == JpegLsLossless || transferSyntax == Jpeg2000Lossless ||
+            transferSyntax == Jpeg2000Lossy,
             s"encapsulated PixelData with transfer syntax $transferSyntax — " +
               "only JPEG Baseline (1.2.840.10008.1.2.4.50, via ImageIO), " +
               "JPEG-LS Lossless (1.2.840.10008.1.2.4.80, T.87 codec), " +
-              "JPEG 2000 Lossless (1.2.840.10008.1.2.4.90, T.800 codec) and " +
+              "JPEG 2000 (1.2.840.10008.1.2.4.90/.91, T.800 codec) and " +
               "RLE Lossless (1.2.840.10008.1.2.5, PS3.5 annex G codec) " +
               "decode in the pure JVM; transcode other syntaxes first")
           encapFrags = encapsulatedFragments(bb, bytes, valueOff)
@@ -151,6 +161,12 @@ object Dicom {
       encapFrags != null,
       s"unsupported transfer syntax $transferSyntax — transcode to little-endian first")
     require(rows > 0 && cols > 0, "missing Rows/Columns")
+    // allocation guard ahead of the per-frame Float arrays: corrupt
+    // Rows/Columns (each a 16-bit US, so the product reaches 4.3e9 and
+    // overflows Int) must throw, not OOM — 64M samples/frame is far past
+    // any real modality
+    require(rows.toLong * cols <= (1L << 26),
+      s"implausible frame ${rows}x$cols — corrupt Rows/Columns")
     require(pixelOff >= 0, "missing PixelData")
     require(nFrames >= 1, s"bad NumberOfFrames $nFrames")
     val n = rows * cols
@@ -171,7 +187,7 @@ object Dicom {
             (u << (32 - img.precision)) >> (32 - img.precision) else u
           data(i) = raw * slope + intercept; i += 1
         }
-      } else if (transferSyntax == Jpeg2000Lossless) {
+      } else if (transferSyntax == Jpeg2000Lossless || transferSyntax == Jpeg2000Lossy) {
         val img = Jpeg2000.decode(stream)
         require(img.width == cols && img.height == rows,
           s"JPEG 2000 frame ${img.width}x${img.height} does not match header ${cols}x$rows")
@@ -292,6 +308,11 @@ object Dicom {
       else {
         require(g == 0xfffe && e == 0xe000,
           f"bad encapsulated item tag ($g%04x,$e%04x)")
+        // bound BEFORE copyOfRange: a corrupt item length would otherwise
+        // zero-pad-allocate up to 2 GB (copyOfRange allows to > length),
+        // and a negative one stalls the scan
+        require(len >= 0 && p + 8L + len <= bytes.length,
+          s"encapsulated fragment length $len overruns PixelData — corrupt or truncated")
         if (!first) out += java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + len)
         first = false
         p += 8 + len
@@ -515,6 +536,25 @@ object Dicom {
     val payload0 = Jpeg2000.encode(Jpeg2000.Image(cols, rows, 16, signed = false, samples))
     val payload = if (payload0.length % 2 == 0) payload0 else payload0 :+ 0.toByte
     encodeEncapsulated(Jpeg2000Lossless, rows, cols, bitsAllocated = 16, Seq(payload),
+      position, orientation, pixelSpacing, seriesUid, instanceNumber)
+  }
+
+  /** Lossy JPEG 2000 (.4.91) encoder twin (single-frame 16-bit
+    * unsigned): 9/7 irreversible + scalar-expounded quantization at step
+    * Δ = 2^deltaShift·(1+mu/2048) ([[Jpeg2000.encode97]]). [[decode]]
+    * reconstructs within the step-size error bound, not bit-exactly. */
+  def encodeJpeg2000Lossy(rows: Int, cols: Int, data: Array[Float],
+                          deltaShift: Int = 0, mu: Int = 0,
+                          position: Seq[Float] = Seq(0f, 0f, 0f),
+                          orientation: Seq[Float] = Seq(1f, 0f, 0f, 0f, 1f, 0f),
+                          pixelSpacing: Seq[Float] = Seq(1f, 1f),
+                          seriesUid: String = "1.2.3.4", instanceNumber: Int = 1): Array[Byte] = {
+    require(data.length == rows * cols, "shape/data mismatch")
+    val samples = data.map(v => math.round(v).max(0).min(0xffff))
+    val payload0 = Jpeg2000.encode97(
+      Jpeg2000.Image(cols, rows, 16, signed = false, samples), deltaShift, mu)
+    val payload = if (payload0.length % 2 == 0) payload0 else payload0 :+ 0.toByte
+    encodeEncapsulated(Jpeg2000Lossy, rows, cols, bitsAllocated = 16, Seq(payload),
       position, orientation, pixelSpacing, seriesUid, instanceNumber)
   }
 

@@ -1,30 +1,34 @@
 package graft.sources
 
-/** Pure-JVM JPEG 2000 Part-1 codec (ITU-T T.800), lossless path only —
-  * the codec behind DICOM transfer syntax 1.2.840.10008.1.2.4.90
-  * ("JPEG 2000 Image Compression (Lossless Only)"), written from the
-  * public spec like the T.87 JPEG-LS codec in [[JpegLs]]. The reference
-  * handles this syntax via pydicom+gdcm
+/** Pure-JVM JPEG 2000 Part-1 codec (ITU-T T.800) — the codec behind
+  * DICOM transfer syntaxes 1.2.840.10008.1.2.4.90 ("Lossless Only",
+  * reversible 5/3) and .4.91 (lossy, irreversible 9/7 + scalar
+  * quantization), written from the public spec like the T.87 JPEG-LS
+  * codec in [[JpegLs]]. The reference handles both syntaxes via
+  * pydicom+gdcm
   * (`/root/reference/src/qcardia_data/setup/reformat/utils.py:132-215`);
-  * with this codec the engine ingests it natively, closing the last
+  * with this codec the engine ingests them natively, closing the last
   * external-transcode DICOM gap.
   *
-  * Implemented surface (what lossless DICOM encoders actually emit):
-  * raw JPEG 2000 codestreams (SOC..EOC), single component, single tile,
-  * reversible 5/3 wavelet (T.800 F), no quantization (T.800 E, Sqcd
-  * style 0), one quality layer, default precincts (one per resolution),
-  * any progression order (with one layer/component/precinct every order
+  * Implemented surface (what DICOM encoders actually emit): raw
+  * JPEG 2000 codestreams (SOC..EOC), single component, single tile,
+  * reversible 5/3 wavelet with no quantization (Sqcd style 0) OR
+  * irreversible 9/7 wavelet (T.800 F.4.8) with scalar-derived or
+  * scalar-expounded quantization and midpoint dequantization (T.800
+  * E.1), one quality layer, default precincts (one per resolution), any
+  * progression order (with one layer/component/precinct every order
   * degenerates to resolution order), EBCOT Tier-1 with the MQ coder
   * (T.88 / T.800 C-D) and Tier-2 tag-tree packet headers (T.800 B.10).
-  * Multi-component, 9/7 irreversible, custom precincts, multiple
-  * layers/tiles, and coder-style extensions (bypass/termall/...) fail
-  * loudly by name — streams needing them go through an external
-  * transcode, the same posture the RLE/JPEG-LS codecs take for their
-  * out-of-scope variants.
+  * Multi-component, custom precincts, multiple layers/tiles, and
+  * coder-style extensions (bypass/termall/...) fail loudly by name —
+  * streams needing them go through an external transcode, the same
+  * posture the RLE/JPEG-LS codecs take for their out-of-scope variants.
   *
-  * The encoder twin emits the same restricted profile (making
-  * round-trip tests self-contained, like [[JpegLs.encode]]); decode ∘
-  * encode is bit-exact for any precision 2..16, signed or unsigned.
+  * The encoder twins emit the same restricted profile (making
+  * round-trip tests self-contained, like [[JpegLs.encode]]): decode ∘
+  * [[encode]] is bit-exact for any precision 2..16, signed or
+  * unsigned; decode ∘ [[encode97]] is bounded by the chosen step size
+  * (PSNR-tested in Jpeg2000Spec).
   */
 object Jpeg2000 {
 
@@ -829,6 +833,133 @@ object Jpeg2000 {
   }
 
   // ======================================================================
+  // Irreversible 9/7 wavelet (T.800 annex F, F.4.8): four lifting steps
+  // plus the K scaling, on doubles with the same symmetric extension as
+  // 5/3. Scaling convention: lowpass × 1/K, highpass × K — this is what
+  // makes the subband nominal gains come out as GainByOrient's 1/2/2/4
+  // (the unscaled lowpass DC gain on a constant signal is exactly K =
+  // 1.230174…, and the unscaled highpass Nyquist gain is 2/K).
+  // ======================================================================
+
+  private val W97a = -1.586134342059924 // step 1 (odd)
+  private val W97b = -0.052980118572961 // step 2 (even)
+  private val W97g = 0.882911075530934 // step 3 (odd)
+  private val W97d = 0.443506852043971 // step 4 (even)
+  private val W97k = 1.230174104914001 // scaling
+
+  /** In-place forward 9/7 lifting on interleaved t(0 until n). */
+  private[sources] def fwd97(t: Array[Double], n: Int): Unit = {
+    if (n <= 1) return
+    @inline def at(i: Int): Double = t(refl(i, n))
+    var i = 1
+    while (i < n) { t(i) += W97a * (at(i - 1) + at(i + 1)); i += 2 }
+    i = 0
+    while (i < n) { t(i) += W97b * (at(i - 1) + at(i + 1)); i += 2 }
+    i = 1
+    while (i < n) { t(i) += W97g * (at(i - 1) + at(i + 1)); i += 2 }
+    i = 0
+    while (i < n) { t(i) += W97d * (at(i - 1) + at(i + 1)); i += 2 }
+    i = 0
+    while (i < n) { t(i) /= W97k; i += 2 }
+    i = 1
+    while (i < n) { t(i) *= W97k; i += 2 }
+  }
+
+  /** In-place inverse 9/7 lifting on interleaved t(0 until n). */
+  private[sources] def inv97(t: Array[Double], n: Int): Unit = {
+    if (n <= 1) return
+    @inline def at(i: Int): Double = t(refl(i, n))
+    var i = 0
+    while (i < n) { t(i) *= W97k; i += 2 }
+    i = 1
+    while (i < n) { t(i) /= W97k; i += 2 }
+    i = 0
+    while (i < n) { t(i) -= W97d * (at(i - 1) + at(i + 1)); i += 2 }
+    i = 1
+    while (i < n) { t(i) -= W97g * (at(i - 1) + at(i + 1)); i += 2 }
+    i = 0
+    while (i < n) { t(i) -= W97b * (at(i - 1) + at(i + 1)); i += 2 }
+    i = 1
+    while (i < n) { t(i) -= W97a * (at(i - 1) + at(i + 1)); i += 2 }
+  }
+
+  /** One forward 9/7 level: a (w×h, row-major) → (LL, HL, LH, HH). */
+  private def fdwt97Level(a: Array[Double], w: Int, h: Int)
+      : (Array[Double], Array[Double], Array[Double], Array[Double]) = {
+    val col = new Array[Double](h)
+    var x = 0
+    while (x < w) { // vertical pass
+      var y = 0
+      while (y < h) { col(y) = a(y * w + x); y += 1 }
+      fwd97(col, h)
+      y = 0
+      while (y < h) { a(y * w + x) = col(y); y += 1 }
+      x += 1
+    }
+    val row = new Array[Double](w)
+    var y = 0
+    while (y < h) { // horizontal pass
+      System.arraycopy(a, y * w, row, 0, w)
+      fwd97(row, w)
+      System.arraycopy(row, 0, a, y * w, w)
+      y += 1
+    }
+    val lw = (w + 1) / 2; val hw = w / 2
+    val lh = (h + 1) / 2; val hh = h / 2
+    val ll = new Array[Double](lw * lh); val hl = new Array[Double](hw * lh)
+    val lhB = new Array[Double](lw * hh); val hhB = new Array[Double](hw * hh)
+    y = 0
+    while (y < h) {
+      var xx = 0
+      while (xx < w) {
+        val v = a(y * w + xx)
+        if (y % 2 == 0) { if (xx % 2 == 0) ll((y / 2) * lw + xx / 2) = v else hl((y / 2) * hw + xx / 2) = v }
+        else { if (xx % 2 == 0) lhB((y / 2) * lw + xx / 2) = v else hhB((y / 2) * hw + xx / 2) = v }
+        xx += 1
+      }
+      y += 1
+    }
+    (ll, hl, lhB, hhB)
+  }
+
+  /** One inverse 9/7 level: subbands → the (w×h) parent plane. */
+  private def idwt97Level(ll: Array[Double], hl: Array[Double], lh: Array[Double],
+                          hh: Array[Double], w: Int, h: Int): Array[Double] = {
+    val lw = (w + 1) / 2; val hw = w / 2
+    val a = new Array[Double](w * h)
+    var y = 0
+    while (y < h) { // re-interleave
+      var x = 0
+      while (x < w) {
+        a(y * w + x) =
+          if (y % 2 == 0) { if (x % 2 == 0) ll((y / 2) * lw + x / 2) else hl((y / 2) * hw + x / 2) }
+          else { if (x % 2 == 0) lh((y / 2) * lw + x / 2) else hh((y / 2) * hw + x / 2) }
+        x += 1
+      }
+      y += 1
+    }
+    val row = new Array[Double](w)
+    y = 0
+    while (y < h) { // horizontal first (inverse of fdwt's order)
+      System.arraycopy(a, y * w, row, 0, w)
+      inv97(row, w)
+      System.arraycopy(row, 0, a, y * w, w)
+      y += 1
+    }
+    val col = new Array[Double](h)
+    var x = 0
+    while (x < w) {
+      var yy = 0
+      while (yy < h) { col(yy) = a(yy * w + x); yy += 1 }
+      inv97(col, h)
+      yy = 0
+      while (yy < h) { a(yy * w + x) = col(yy); yy += 1 }
+      x += 1
+    }
+    a
+  }
+
+  // ======================================================================
   // Codestream (T.800 annex A markers, B.10 packets)
   // ======================================================================
 
@@ -879,7 +1010,8 @@ object Jpeg2000 {
     var pos = 2
     var w = -1; var h = -1; var depth = -1; var signed = false
     var nl = -1; var xcb = -1; var ycb = -1
-    var guard = -1; var eps: Array[Int] = null
+    var guard = -1; var eps: Array[Int] = null; var mus: Array[Int] = null
+    var qStyle = -1; var reversible = true
     var inTile = false
     while (!inTile) {
       require(pos + 4 <= bytes.length, "truncated codestream (no SOT/SOD)")
@@ -922,14 +1054,27 @@ object Jpeg2000 {
           require(xcb + ycb <= 12, s"code-block ${1 << xcb}x${1 << ycb} exceeds 4096 samples")
           require((bytes(pos + 12) & 0xff) == 0,
             "code-block style extensions (bypass/termall/...) unsupported — transcode first")
-          require((bytes(pos + 13) & 0xff) == 1,
-            "9/7 irreversible transform is not lossless — only 5/3 decodes here")
-        case 0xff5c => // QCD
+          val wt = bytes(pos + 13) & 0xff
+          require(wt == 0 || wt == 1, s"unknown wavelet transform $wt — corrupt COD")
+          reversible = wt == 1
+        case 0xff5c => // QCD (T.800 A.6.4): style 0 = no quantization
+          // (8-bit exponents, reversible 5/3), 1 = scalar derived (one
+          // 16-bit eps/mu pair), 2 = scalar expounded (one pair per band)
           val sqcd = bytes(pos + 4) & 0xff
-          require((sqcd & 0x1f) == 0,
-            "quantized (lossy) codestream — only reversible no-quantization decodes here")
+          qStyle = sqcd & 0x1f
           guard = sqcd >>> 5
-          eps = Array.tabulate(len - 3)(i => (bytes(pos + 5 + i) & 0xff) >>> 3)
+          qStyle match {
+            case 0 =>
+              eps = Array.tabulate(len - 3)(i => (bytes(pos + 5 + i) & 0xff) >>> 3)
+              mus = new Array[Int](eps.length)
+            case 1 | 2 =>
+              require((len - 3) % 2 == 0 && len - 3 >= 2, "malformed quantized QCD")
+              val vals = Array.tabulate((len - 3) / 2)(i => be2(bytes, pos + 5 + 2 * i))
+              eps = vals.map(_ >>> 11)
+              mus = vals.map(_ & 0x7ff)
+            case s => throw new IllegalArgumentException(
+              s"quantization style $s unsupported — transcode first")
+          }
         case 0xff90 => // SOT: Isot(2) Psot(4) TPsot(1) TNsot(1)
           require((bytes(pos + 10) & 0xff) == 0, "multiple tile-parts unsupported")
         case 0xff93 => // SOD
@@ -943,7 +1088,23 @@ object Jpeg2000 {
     }
     require(w > 0 && h > 0 && depth > 0, "missing SIZ before SOD")
     require(nl >= 0, "missing COD before SOD")
-    require(eps != null && eps.length >= 3 * nl + 1, "missing/short QCD before SOD")
+    require(eps != null, "missing QCD before SOD")
+    // quantization is defined for the irreversible transform only: a 9/7
+    // stream without it (or a 5/3 stream with it) is corrupt/out-of-profile
+    require(reversible == (qStyle == 0),
+      if (reversible) "5/3 reversible stream carries a quantized QCD — corrupt or out-of-profile"
+      else "9/7 irreversible stream without quantization (Sqcd style 0) — corrupt or out-of-profile")
+    if (qStyle == 1) {
+      // scalar derived (E.1, eq. E-5): one (eps, mu) pair; band exponents
+      // derive from the number of decomposition levels between it and LL
+      val e0 = eps(0); val m0 = mus(0)
+      eps = new Array[Int](3 * nl + 1); mus = Array.fill(3 * nl + 1)(m0)
+      eps(0) = e0
+      for (r <- 1 to nl; o <- 1 to 3) eps(3 * (r - 1) + o) = e0 + 1 - r
+      require(eps.forall(_ >= 0),
+        s"derived quantization exponent underflows at $nl levels — corrupt QCD")
+    }
+    require(eps.length >= 3 * nl + 1, "missing/short QCD before SOD")
 
     val ws = new Array[Int](nl + 1); val hs = new Array[Int](nl + 1)
     ws(0) = w; hs(0) = h
@@ -1001,25 +1162,82 @@ object Jpeg2000 {
       }
     }
 
-    // inverse DWT from the coarsest level back to full resolution
-    var ll = planes((0, 0))
-    for (r <- 1 to nl) {
-      val d = nl - r + 1
-      ll = idwtLevel(ll, planes((r, 1)), planes((r, 2)), planes((r, 3)),
-        ws(d - 1), hs(d - 1))
-    }
-    if (!signed) {
-      val shift = 1 << (depth - 1); val max = (1 << depth) - 1
+    if (reversible) {
+      // inverse DWT from the coarsest level back to full resolution
+      var ll = planes((0, 0))
+      for (r <- 1 to nl) {
+        val d = nl - r + 1
+        ll = idwtLevel(ll, planes((r, 1)), planes((r, 2)), planes((r, 3)),
+          ws(d - 1), hs(d - 1))
+      }
+      if (!signed) {
+        val shift = 1 << (depth - 1); val max = (1 << depth) - 1
+        var i = 0
+        while (i < ll.length) { ll(i) = math.max(0, math.min(max, ll(i) + shift)); i += 1 }
+      }
+      Image(w, h, depth, signed, ll)
+    } else {
+      // dequantize (E.1.2, midpoint reconstruction r = 0.5: the quantizer
+      // is a deadzone floor, so the decoded magnitude names the interval
+      // [qΔ, (q+1)Δ) and its midpoint minimizes reconstruction error),
+      // then the 9/7 inverse DWT on doubles
+      val dplanes = scala.collection.mutable.Map[(Int, Int), Array[Double]]()
+      for (r <- 0 to nl; b <- bandsAt(r, nl, ws, hs)) {
+        val q = planes((r, b.orient))
+        val rb = depth + GainByOrient(b.orient)
+        val delta = math.pow(2.0, rb - eps(b.epsIdx)) * (1.0 + mus(b.epsIdx) / 2048.0)
+        val dq = new Array[Double](q.length)
+        var i = 0
+        while (i < q.length) {
+          val v = q(i)
+          dq(i) = if (v == 0) 0.0
+          else if (v > 0) (v + 0.5) * delta
+          else (v - 0.5) * delta
+          i += 1
+        }
+        dplanes((r, b.orient)) = dq
+      }
+      var ll = dplanes((0, 0))
+      for (r <- 1 to nl) {
+        val d = nl - r + 1
+        ll = idwt97Level(ll, dplanes((r, 1)), dplanes((r, 2)), dplanes((r, 3)),
+          ws(d - 1), hs(d - 1))
+      }
+      val shift = if (signed) 0 else 1 << (depth - 1)
+      val lo = if (signed) -(1 << (depth - 1)) else 0
+      val hi = if (signed) (1 << (depth - 1)) - 1 else (1 << depth) - 1
+      val out = new Array[Int](ll.length)
       var i = 0
-      while (i < ll.length) { ll(i) = math.max(0, math.min(max, ll(i) + shift)); i += 1 }
+      while (i < out.length) {
+        out(i) = math.max(lo, math.min(hi, math.round(ll(i)).toInt + shift))
+        i += 1
+      }
+      Image(w, h, depth, signed, out)
     }
-    Image(w, h, depth, signed, ll)
   }
 
   /** Encode an image as a raw lossless JPEG 2000 codestream (the
     * decoder's restricted profile: 1 tile, 1 component, 1 layer, 5/3
     * reversible, default precincts, 64×64 code-blocks, LRCP). */
-  def encode(img: Image): Array[Byte] = {
+  def encode(img: Image): Array[Byte] = encodeImpl(img, -1, 0)
+
+  /** Encode with the 9/7 irreversible transform + scalar-expounded
+    * quantization (the `.4.91` lossy profile the decoder accepts):
+    * every band uses step size Δ = 2^deltaShift · (1 + mu/2048), i.e.
+    * band exponent εb = Rb − deltaShift, mantissa μb = mu. deltaShift=0,
+    * mu=0 quantizes DWT coefficients to unit steps (near-lossless);
+    * larger values are genuinely lossy. The twin exists so lossy decode
+    * is testable self-contained, like [[encode]] for the lossless path. */
+  def encode97(img: Image, deltaShift: Int = 0, mu: Int = 0): Array[Byte] = {
+    require(deltaShift >= 0 && deltaShift < img.precision,
+      s"deltaShift $deltaShift out of [0, ${img.precision})")
+    require(mu >= 0 && mu < 2048, s"mantissa $mu out of [0, 2048)")
+    encodeImpl(img, deltaShift, mu)
+  }
+
+  /** deltaShift < 0 → 5/3 reversible; otherwise 9/7 + quantization. */
+  private def encodeImpl(img: Image, deltaShift: Int, mu: Int): Array[Byte] = {
+    val reversible = deltaShift < 0
     val w = img.width; val h = img.height; val depth = img.precision
     require(w > 0 && h > 0 && img.samples.length == w * h, "shape/samples mismatch")
     require(depth >= 2 && depth <= 16, s"precision $depth out of [2,16]")
@@ -1031,24 +1249,56 @@ object Jpeg2000 {
     ws(0) = w; hs(0) = h
     for (k <- 1 to nl) { ws(k) = (ws(k - 1) + 1) / 2; hs(k) = (hs(k - 1) + 1) / 2 }
 
-    // DC level shift + forward DWT
-    var plane = new Array[Int](w * h)
+    // DC level shift + forward DWT; planes keyed like the decoder:
+    // (resolution, orient). Lossy path: double DWT, then deadzone floor
+    // quantization q = sign(y)·⌊|y|/Δ⌋ into the same integer planes the
+    // Tier-1 coder consumes.
     val shift = if (img.signed) 0 else 1 << (depth - 1)
-    var i = 0
-    while (i < plane.length) { plane(i) = img.samples(i) - shift; i += 1 }
-    // planes keyed like the decoder: (resolution, orient)
     val planes = scala.collection.mutable.Map[(Int, Int), Array[Int]]()
-    for (d <- 1 to nl) {
-      val r = nl - d + 1
-      val (ll, hl, lh, hh) = fdwtLevel(plane, ws(d - 1), hs(d - 1))
-      planes((r, 1)) = hl; planes((r, 2)) = lh; planes((r, 3)) = hh
-      plane = ll
+    if (reversible) {
+      var plane = new Array[Int](w * h)
+      var i = 0
+      while (i < plane.length) { plane(i) = img.samples(i) - shift; i += 1 }
+      for (d <- 1 to nl) {
+        val r = nl - d + 1
+        val (ll, hl, lh, hh) = fdwtLevel(plane, ws(d - 1), hs(d - 1))
+        planes((r, 1)) = hl; planes((r, 2)) = lh; planes((r, 3)) = hh
+        plane = ll
+      }
+      planes((0, 0)) = plane
+    } else {
+      val delta = math.pow(2.0, deltaShift) * (1.0 + mu / 2048.0)
+      def quantize(src: Array[Double]): Array[Int] = {
+        val out = new Array[Int](src.length)
+        var i = 0
+        while (i < src.length) {
+          val v = src(i)
+          val q = (math.abs(v) / delta).toInt
+          out(i) = if (v < 0) -q else q
+          i += 1
+        }
+        out
+      }
+      var plane = new Array[Double](w * h)
+      var i = 0
+      while (i < plane.length) { plane(i) = (img.samples(i) - shift).toDouble; i += 1 }
+      for (d <- 1 to nl) {
+        val r = nl - d + 1
+        val (ll, hl, lh, hh) = fdwt97Level(plane, ws(d - 1), hs(d - 1))
+        planes((r, 1)) = quantize(hl); planes((r, 2)) = quantize(lh)
+        planes((r, 3)) = quantize(hh)
+        plane = ll
+      }
+      planes((0, 0)) = quantize(plane)
     }
-    planes((0, 0)) = plane
 
+    // band exponents: Rb for the no-quantization style; Rb − deltaShift
+    // (i.e. Δ = 2^deltaShift·(1+mu/2048)) for scalar expounded
+    val qShift = if (reversible) 0 else deltaShift
     val eps = new Array[Int](3 * nl + 1)
-    eps(0) = depth + GainByOrient(0)
-    for (r <- 1 to nl; o <- 1 to 3) eps(3 * (r - 1) + o) = depth + GainByOrient(o)
+    eps(0) = depth + GainByOrient(0) - qShift
+    for (r <- 1 to nl; o <- 1 to 3) eps(3 * (r - 1) + o) = depth + GainByOrient(o) - qShift
+    require(eps.forall(e => e >= 0 && e <= 31), s"band exponent out of 5-bit range")
 
     // Tier-1 encode every code-block; collect per-resolution block lists
     final case class Cb(band: Band, cx: Int, cy: Int, k: Int,
@@ -1083,6 +1333,7 @@ object Jpeg2000 {
       }
     }
     val guard = math.max(2, maxOver + 1) // Mb = guard + eps - 1 ≥ k
+    require(guard <= 7, s"guard bits $guard exceed the 3-bit Sqcd field")
 
     // Tier-2: one packet per resolution
     val body = new java.io.ByteArrayOutputStream()
@@ -1136,10 +1387,17 @@ object Jpeg2000 {
     out.write(0) // Scod: default precincts, no SOP/EPH
     out.write(0); w2(1); out.write(0) // LRCP, 1 layer, no MCT
     out.write(nl); out.write(xcb - 2); out.write(ycb - 2)
-    out.write(0); out.write(1) // no style extensions; 5/3 reversible
-    w2(0xff5c); w2(3 + eps.length) // QCD
-    out.write(guard << 5) // Sqcd: no quantization, `guard` guard bits
-    eps.foreach(e => out.write(e << 3))
+    out.write(0) // no code-block style extensions
+    out.write(if (reversible) 1 else 0) // 5/3 reversible vs 9/7 irreversible
+    if (reversible) {
+      w2(0xff5c); w2(3 + eps.length) // QCD
+      out.write(guard << 5) // Sqcd: no quantization, `guard` guard bits
+      eps.foreach(e => out.write(e << 3))
+    } else {
+      w2(0xff5c); w2(3 + 2 * eps.length) // QCD
+      out.write((guard << 5) | 2) // Sqcd: scalar expounded
+      eps.foreach(e => w2((e << 11) | mu))
+    }
     val bodyBytes = body.toByteArray
     w2(0xff90); w2(10) // SOT
     w2(0) // Isot

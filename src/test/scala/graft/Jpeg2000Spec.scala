@@ -2,9 +2,10 @@ package graft.sources
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** JPEG 2000 codec (T.800 lossless profile): each layer round-trips —
-  * MQ coder, tag trees, 5/3 lifting — then the full codestream and the
-  * DICOM .4.90 wrap, plus the loud out-of-profile failures. */
+/** JPEG 2000 codec (T.800): each layer round-trips — MQ coder, tag
+  * trees, 5/3 and 9/7 lifting — then the full codestream (lossless
+  * bit-exact, lossy PSNR-bounded) and the DICOM .4.90/.4.91 wraps, plus
+  * the loud out-of-profile failures. */
 class Jpeg2000Spec extends AnyFunSuite {
 
   test("MQ coder: random context/bit sequences round-trip") {
@@ -99,6 +100,88 @@ class Jpeg2000Spec extends AnyFunSuite {
     roundTrip(Jpeg2000.Image(w, h, 16, signed = false, samples), "200x150/16")
   }
 
+  test("9/7 lifting: forward then inverse is identity to machine precision") {
+    val rng = new scala.util.Random(31)
+    for (n <- Seq(1, 2, 3, 4, 5, 8, 17, 64, 101)) {
+      val a = Array.fill(n)(rng.nextDouble() * 512 - 256)
+      val t = a.clone()
+      Jpeg2000.fwd97(t, n)
+      Jpeg2000.inv97(t, n)
+      for (i <- 0 until n)
+        assert(math.abs(t(i) - a(i)) < 1e-9, s"n=$n i=$i: ${t(i)} vs ${a(i)}")
+    }
+  }
+
+  test("9/7 lifting: subband nominal gains match GainByOrient (1x low DC, 2x high Nyquist)") {
+    // constant signal: lowpass must carry the constant unchanged (gain 1),
+    // highpass must vanish — that normalization is what makes Rb = depth +
+    // GainByOrient the right dynamic range for quantization
+    val n = 64
+    val const = Array.fill(n)(7.0)
+    Jpeg2000.fwd97(const, n)
+    for (i <- 0 until n by 2) assert(math.abs(const(i) - 7.0) < 1e-9, s"low $i")
+    for (i <- 1 until n by 2) assert(math.abs(const(i)) < 1e-9, s"high $i")
+    // Nyquist signal: all energy to highpass at gain 2
+    val nyq = Array.tabulate(n)(i => if (i % 2 == 0) 1.0 else -1.0)
+    Jpeg2000.fwd97(nyq, n)
+    for (i <- 0 until n by 2) assert(math.abs(nyq(i)) < 1e-9, s"low $i")
+    // interior odd samples (away from the symmetric boundary)
+    for (i <- 5 until n - 5 by 2) assert(math.abs(nyq(i) + 2.0) < 1e-9, s"high $i = ${nyq(i)}")
+  }
+
+  private def psnr(a: Array[Int], b: Array[Int], maxVal: Double): Double = {
+    var se = 0.0
+    for (i <- a.indices) { val d = (a(i) - b(i)).toDouble; se += d * d }
+    if (se == 0) Double.PositiveInfinity
+    else 10.0 * math.log10(maxVal * maxVal * a.length / se)
+  }
+
+  test("9/7 codec: near-lossless at unit step, PSNR-bounded when coarse") {
+    val rng = new scala.util.Random(37)
+    for ((w, h) <- Seq((64, 64), (65, 33), (128, 61))) {
+      val samples = Array.fill(w * h)(rng.nextInt(256))
+      val img = Jpeg2000.Image(w, h, 8, signed = false, samples)
+      // unit step (deltaShift=0, mu=0): error <= ~1 LSB per sample
+      val fine = Jpeg2000.decode(Jpeg2000.encode97(img))
+      assert(fine.width == w && fine.height == h && fine.precision == 8 && !fine.signed)
+      assert(psnr(samples, fine.samples, 255) > 40, s"fine ${w}x$h: ${psnr(samples, fine.samples, 255)}")
+      // coarse step (delta = 8 * 1.25 = 10): genuinely lossy but bounded
+      val coarse = Jpeg2000.decode(Jpeg2000.encode97(img, deltaShift = 3, mu = 512))
+      assert(psnr(samples, coarse.samples, 255) > 26, s"coarse ${w}x$h: ${psnr(samples, coarse.samples, 255)}")
+      assert(!(coarse.samples sameElements samples), "coarse step must actually quantize")
+    }
+    // 16-bit (the DICOM case) and signed data
+    val s16 = Array.fill(96 * 80)(rng.nextInt(1 << 16))
+    val d16 = Jpeg2000.decode(Jpeg2000.encode97(
+      Jpeg2000.Image(96, 80, 16, signed = false, s16), deltaShift = 2))
+    assert(psnr(s16, d16.samples, 65535) > 60, s"16-bit: ${psnr(s16, d16.samples, 65535)}")
+    val sSigned = Array.fill(48 * 48)(rng.nextInt(1 << 12) - (1 << 11))
+    val dSigned = Jpeg2000.decode(Jpeg2000.encode97(
+      Jpeg2000.Image(48, 48, 12, signed = true, sSigned)))
+    assert(dSigned.signed && psnr(sSigned, dSigned.samples, 4095) > 40)
+    // smooth gradient: deep LL energy concentrates, high bands near-zero
+    val grad = Array.tabulate(80 * 80)(i => (i % 80) * 3 + (i / 80) * 2)
+    val dGrad = Jpeg2000.decode(Jpeg2000.encode97(
+      Jpeg2000.Image(80, 80, 10, signed = false, grad), deltaShift = 2))
+    assert(psnr(grad, dGrad.samples, 1023) > 40)
+  }
+
+  test("9/7 codec: scalar-derived QCD (style 1) decodes") {
+    // nl=0 (one band): derived and expounded coincide, so flipping the
+    // Sqcd style byte of a 1-value expounded QCD yields a valid derived
+    // stream that must reconstruct identically
+    val rng = new scala.util.Random(41)
+    val samples = Array.fill(1 * 17)(rng.nextInt(256))
+    val img = Jpeg2000.Image(1, 17, 8, signed = false, samples)
+    val expounded = Jpeg2000.encode97(img)
+    val qcdOff = 2 + 43 + 14 // SOC + SIZ + COD
+    assert(((expounded(qcdOff) & 0xff) << 8 | (expounded(qcdOff + 1) & 0xff)) == 0xff5c)
+    val derived = expounded.clone()
+    derived(qcdOff + 4) = ((derived(qcdOff + 4) & 0xe0) | 1).toByte
+    val a = Jpeg2000.decode(expounded); val b = Jpeg2000.decode(derived)
+    assert(a.samples.toSeq == b.samples.toSeq)
+  }
+
   test("out-of-profile codestreams fail loudly by name") {
     val img = Jpeg2000.Image(16, 16, 8, signed = false, Array.fill(256)(5))
     val good = Jpeg2000.encode(img)
@@ -147,5 +230,42 @@ class Jpeg2000Spec extends AnyFunSuite {
     assert(s.seriesUid == "9.8.7" && s.instanceNumber == 4)
     assert(s.position == Seq(1f, 2f, 3f))
     assert(s.data.toSeq == data.toSeq, "pixel data must round-trip bit-exactly")
+  }
+
+  test("DICOM lossy JPEG 2000 (.4.91) wrap decodes within the step-size bound") {
+    val rng = new scala.util.Random(43)
+    val rows = 41; val cols = 59
+    val data = Array.fill(rows * cols)(rng.nextInt(1 << 12).toFloat)
+    val file = Dicom.encodeJpeg2000Lossy(rows, cols, data, deltaShift = 2, mu = 256,
+      position = Seq(4f, 5f, 6f), seriesUid = "3.2.1", instanceNumber = 9)
+    val s = Dicom.decode(file)
+    assert(s.rows == rows && s.cols == cols)
+    assert(s.seriesUid == "3.2.1" && s.instanceNumber == 9)
+    assert(s.position == Seq(4f, 5f, 6f))
+    // delta = 4 * 1.125 = 4.5; synthesis keeps per-sample error a small
+    // multiple of that — assert a loose but meaningful bound
+    val maxErr = data.indices.map(i => math.abs(s.data(i) - data(i))).max
+    assert(maxErr < 32, s"max abs error $maxErr for step 4.5")
+    assert(data.indices.exists(i => s.data(i) != data(i)), "must be genuinely lossy")
+  }
+
+  test("corrupt lossy codestreams fail loudly — no hang, no huge alloc") {
+    val rng = new scala.util.Random(101)
+    val samples = Array.fill(32 * 32)(rng.nextInt(256))
+    val good = Jpeg2000.encode97(
+      Jpeg2000.Image(32, 32, 8, signed = false, samples), deltaShift = 1)
+    var threw = 0
+    for (_ <- 0 until 300) {
+      val b = good.clone()
+      for (_ <- 0 to rng.nextInt(4))
+        b(2 + rng.nextInt(b.length - 2)) = rng.nextInt(256).toByte
+      try { Jpeg2000.decode(b); () }
+      catch { case _: Exception => threw += 1 }
+    }
+    info(s"$threw/300 corruptions threw, rest decoded to garbage; none hung")
+    for (cut <- 2 until good.length by 7) {
+      try { Jpeg2000.decode(java.util.Arrays.copyOf(good, cut)); () }
+      catch { case _: Exception => () }
+    }
   }
 }

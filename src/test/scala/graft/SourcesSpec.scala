@@ -187,15 +187,15 @@ class SourcesSpec extends SparkSpec {
     val flat = Array.fill(64)(128f)
     assert(Dicom.decode(Dicom.encodeJpegBaseline(8, 8, flat)).data.toSeq == flat.toSeq)
     // out-of-scope encapsulated syntaxes still fail loudly by name
-    // (.4.90 now decodes via the T.800 codec — Jpeg2000Spec — so the
-    // loud-failure probe uses lossy JPEG 2000, .4.91)
+    // (.4.90 AND .4.91 now decode via the T.800 codec — Jpeg2000Spec —
+    // so the loud-failure probe uses retired JPEG Lossless, .4.70)
     val other = bytes.clone()
     val needle = "1.2.840.10008.1.2.4.50".getBytes("US-ASCII")
     val at = bytes.indexOfSlice(needle)
-    "1.2.840.10008.1.2.4.91".getBytes("US-ASCII").zipWithIndex
+    "1.2.840.10008.1.2.4.70".getBytes("US-ASCII").zipWithIndex
       .foreach { case (b, i) => other(at + i) = b }
     val e = intercept[IllegalArgumentException](Dicom.decode(other))
-    assert(e.getMessage.contains("4.91") && e.getMessage.contains("transcode"))
+    assert(e.getMessage.contains("4.70") && e.getMessage.contains("transcode"))
   }
 
   test("NIfTI-1 codec: header fields + voxel round-trip, both endiannesses of scl") {
