@@ -134,5 +134,67 @@ object TensorQueries {
       .orderBy("l_orderkey", "frame_nr", "slice_nr")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(q40, q41, q45)
+  // ---------------------------------------------------------------- Q46
+  /** The predict-stage INVERSE path under the oracle gate (the last
+    * pipeline layer q45 left uncovered): records carry a recorded
+    * `_affine`, are warped through the REAL serve-side kernel
+    * ([[graft.tensor.Kernels.affineResample]], bilinear, to a smaller
+    * target geometry), then inverse-warped back to source geometry by the
+    * REAL `Predictor.invertPredictions` → `TransformPlanner.inversePlan` →
+    * `Kernels.invertAffine` chain.
+    *
+    * The affine is an exactly-invertible integer shift that varies per
+    * order (dx = k mod 2, dy = [k mod 4 ≥ 2]), so bilinear weights
+    * collapse to {0,1} and DuckDB can replay the round trip exactly:
+    * source (2,4) → target (2,2) keeps src(y, x) for x ∈ [dx+1, dx+2]
+    * (the centering offset cx−ocx = 1 plus the shift), y ≥ dy; the
+    * inverse restores those pixels in place and zero-fills the rest.
+    * A sign error in invertAffine or a centering error in the warp moves
+    * the surviving window and fails the hash. */
+  val q46 = DeclaredQuery(
+    "q46_predict_invert",
+    Some("""WITH f AS (
+           |  SELECT l_orderkey,
+           |         CAST(CAST(CAST(ROUND(l_extendedprice*100) AS BIGINT) AS DOUBLE)/1e2 AS FLOAT) AS pf,
+           |         row_number() OVER (PARTITION BY l_orderkey
+           |           ORDER BY CAST(ROUND(l_extendedprice*100) AS BIGINT)) - 1 AS rn,
+           |         COUNT(*) OVER (PARTITION BY l_orderkey) AS n
+           |  FROM lineitem),
+           |t AS (SELECT l_orderkey, pf, rn FROM f WHERE n >= 8 AND rn < 8),
+           |g AS (SELECT l_orderkey, pf,
+           |             CAST(rn // 4 AS INTEGER) AS row_nr,
+           |             CAST(rn % 4 AS INTEGER) AS col_nr,
+           |             CAST(l_orderkey % 2 AS INTEGER) AS dx,
+           |             CASE WHEN l_orderkey % 4 >= 2 THEN 1 ELSE 0 END AS dy
+           |      FROM t)
+           |SELECT l_orderkey, row_nr, col_nr,
+           |       CASE WHEN row_nr >= dy AND col_nr >= dx + 1 AND col_nr <= dx + 2
+           |            THEN pf ELSE CAST(0.0 AS FLOAT) END AS v
+           |FROM g ORDER BY l_orderkey, row_nr, col_nr""".stripMargin)) { (s, d) =>
+    import graft.pipeline.Predictor
+    import graft.tensor.Kernels
+    val dx = (col("l_orderkey") % 2).cast("double")
+    val dy = ((col("l_orderkey") % 4) >= 2).cast("int").cast("double")
+    val recs = orderTensors(s, d)
+      .filter(size(col("data")) >= 8)
+      .select(col("l_orderkey"),
+        Tensors.tensor(typedLit(Seq(1, 1, 1, 2, 4)), slice(col("data"), 1, 8)).as("prediction"),
+        array(lit(1.0), lit(0.0), dx, lit(0.0), lit(1.0), dy).as("_affine"))
+    // forward: the serve-side warp kernel at serve geometry (2,2)
+    val fw = Kernels.affineResample(col("prediction.shape"), col("prediction.data"),
+      col("_affine"), lit(2), lit(2), lit(true))
+    val scored = recs.withColumn("prediction",
+      struct(fw("_1").as("shape"), fw("_2").as("data")))
+    // inverse: the real predict chain back to source geometry (2,4)
+    val inverted = Predictor.invertPredictions(scored, sourceH = 2, sourceW = 4)
+    inverted
+      .select(col("l_orderkey"), posexplode(col("prediction.data")))
+      .select(col("l_orderkey"),
+        expr("pos DIV 4").cast("int").as("row_nr"),
+        (col("pos") % 4).cast("int").as("col_nr"),
+        col("col").as("v"))
+      .orderBy("l_orderkey", "row_nr", "col_nr")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(q40, q41, q45, q46)
 }
