@@ -74,12 +74,35 @@ object Jpeg2000 {
     (st, mps)
   }
 
+  // Decoder-side packed tables: per-context state is one Int `state |
+  // (MPS << 7)`, so a decode touches ONE state array slot and the
+  // Qe/transition lookups are single loads on the packed value. The
+  // LPS-switch MPS flip is folded into NextLps's bit 7.
+  // (index space is 0..255; only state <= 46 occurs — clamp the padding)
+  private val QeP = Array.tabulate(256)(s => Qe(math.min(46, s & 0x7f)))
+  private val NextMpsP = Array.tabulate(256)(s => (s & 0x80) | Nmps(math.min(46, s & 0x7f)))
+  private val NextLpsP = Array.tabulate(256) { s =>
+    val st = math.min(46, s & 0x7f)
+    (if (Switch(st) == 1) (s & 0x80) ^ 0x80 else s & 0x80) | Nlps(st)
+  }
+
   /** MQ decoder over one code-block's codeword segment; reads past the
-    * segment end return 0xFF (T.88 marker-feeding convention). */
+    * segment end return 0xFF (T.88 marker-feeding convention).
+    *
+    * Hot-loop shape (this is the ingest path's cycle budget): Int
+    * registers (T.88's C/A are 32/16-bit — the old Long register paid
+    * masking on every shift), a branch-light fast path for the common
+    * no-renormalization MPS decode, and renormalization batched by
+    * `numberOfLeadingZeros` instead of one-bit-at-a-time (shifts between
+    * byte feeds collapse to one shift). Decision-identical to the
+    * one-bit reference loop — MqStressSpec's 300k-symbol round-trips and
+    * the codec round-trip suite pin that. */
   private[sources] final class MqDecoder(data: Array[Byte], start: Int, end: Int) {
-    private val (st, mps) = initStates()
+    // packed per-context (state, MPS); T.800 Table D.7 initial states
+    private val sm = new Array[Int](NumCtx)
+    sm(CtxUni) = 46; sm(CtxRl) = 3; sm(0) = 4
     private var bp = start
-    private var c = 0L
+    private var c = 0
     private var ct = 0
     private var a = 0
 
@@ -88,54 +111,45 @@ object Jpeg2000 {
     private def byteIn(): Unit = {
       if (byteAt(bp) == 0xff) {
         if (byteAt(bp + 1) > 0x8f) { c += 0xff00; ct = 8 }
-        else { bp += 1; c += byteAt(bp).toLong << 9; ct = 7 }
-      } else { bp += 1; c += byteAt(bp).toLong << 8; ct = 8 }
+        else { bp += 1; c += byteAt(bp) << 9; ct = 7 }
+      } else { bp += 1; c += byteAt(bp) << 8; ct = 8 }
     }
 
     // INITDEC
-    c = byteAt(bp).toLong << 16
+    c = byteAt(bp) << 16
     byteIn()
     c <<= 7; ct -= 7; a = 0x8000
 
     def decode(cx: Int): Int = {
-      val q = Qe(st(cx))
+      val s = sm(cx)
+      val q = QeP(s)
       a -= q
-      var d = 0
-      if (((c >>> 16) & 0xffff) < q) {
+      if ((c >>> 16) >= q) {
+        c -= q << 16
+        if ((a & 0x8000) != 0) return s >>> 7 // no-renorm MPS: the hot path
+        // MPS exchange
+        val mps = s >>> 7
+        if (a < q) { sm(cx) = NextLpsP(s); renorm(); 1 - mps }
+        else { sm(cx) = NextMpsP(s); renorm(); mps }
+      } else {
         // LPS exchange
-        if (a < q) { d = mps(cx); st(cx) = Nmps(st(cx)) }
-        else {
-          d = 1 - mps(cx)
-          if (Switch(st(cx)) == 1) mps(cx) = 1 - mps(cx)
-          st(cx) = Nlps(st(cx))
-        }
+        val mps = s >>> 7
+        val d = if (a < q) { sm(cx) = NextMpsP(s); mps }
+        else { sm(cx) = NextLpsP(s); 1 - mps }
         a = q
         renorm()
-      } else {
-        c -= q.toLong << 16
-        if ((a & 0x8000) == 0) {
-          // MPS exchange
-          if (a < q) {
-            d = 1 - mps(cx)
-            if (Switch(st(cx)) == 1) mps(cx) = 1 - mps(cx)
-            st(cx) = Nlps(st(cx))
-          } else { d = mps(cx); st(cx) = Nmps(st(cx)) }
-          renorm()
-        } else d = mps(cx)
+        d
       }
-      d
     }
 
     private def renorm(): Unit = {
-      var go = true
-      while (go) {
+      var n = Integer.numberOfLeadingZeros(a) - 16 // shifts until bit 15 set
+      while (n > 0) {
         if (ct == 0) byteIn()
-        a <<= 1; c = (c << 1) & 0xffffffffL; ct -= 1
-        go = (a & 0x8000) == 0
+        val k = if (n < ct) n else ct
+        a <<= k; c <<= k; ct -= k; n -= k
       }
     }
-
-    private[sources] def debugState: (Long, Int, Int, Int) = (c, a, ct, bp)
   }
 
   /** MQ encoder producing one terminated codeword segment. A leading
@@ -496,90 +510,113 @@ object Jpeg2000 {
       require(plane >= 0, s"coding pass $pass underruns bitplane 0 " +
         s"($numPasses passes for ${msbPlane + 1} planes)")
       val kind = if (pass == 0) 2 else (pass - 1) % 3
+      // Pass loops walk stripe columns additively (no pad() multiply per
+      // visit) and skip a whole column of 4 with one OR+test when it can
+      // code nothing — EXACT skips, not heuristics: in SPP a column with
+      // no significant neighbor bits at entry cannot become eligible
+      // during its own scan (eligibility comes from prior-in-scan-order
+      // setSig, which this column didn't do), and FSig never changes
+      // during MRP. ~45 sweeps/block on 16-bit data make this sweep cost
+      // the decode throughput floor (CodecBench).
+      val flags = t.flags; val mag = t.mag; val stride = t.stride
       kind match {
         case 0 => // significance propagation
           var s = 0
           while (s < h) {
+            val rows = math.min(4, h - s)
             var x = 0
+            var p0 = t.pad(x, s)
+            var m0 = s * w + x
             while (x < w) {
-              var y = s
-              val yEnd = math.min(s + 4, h)
-              while (y < yEnd) {
-                val p = t.pad(x, y)
-                val f = t.flags(p)
-                if ((f & FSig) == 0 && (f & FNbMask) != 0) {
-                  t.flags(p) = f | FVis
-                  if (mq.decode(t.zc(f)) == 1) {
-                    val sx = t.sc(f)
-                    val neg = (mq.decode(sx >>> 1) ^ (sx & 1)) == 1
-                    t.setSig(p, neg)
-                    t.mag(y * w + x) |= 1 << plane
+              var any = flags(p0)
+              var r = 1
+              while (r < rows) { any |= flags(p0 + r * stride); r += 1 }
+              if ((any & FNbMask) != 0) {
+                var p = p0; var m = m0; var r2 = 0
+                while (r2 < rows) {
+                  val f = flags(p)
+                  if ((f & FSig) == 0 && (f & FNbMask) != 0) {
+                    flags(p) = f | FVis
+                    if (mq.decode(t.zc(f)) == 1) {
+                      val sx = t.sc(f)
+                      val neg = (mq.decode(sx >>> 1) ^ (sx & 1)) == 1
+                      t.setSig(p, neg)
+                      mag(m) |= 1 << plane
+                    }
                   }
+                  p += stride; m += w; r2 += 1
                 }
-                y += 1
               }
-              x += 1
+              x += 1; p0 += 1; m0 += 1
             }
             s += 4
           }
         case 1 => // magnitude refinement
           var s = 0
           while (s < h) {
+            val rows = math.min(4, h - s)
             var x = 0
+            var p0 = t.pad(x, s)
+            var m0 = s * w + x
             while (x < w) {
-              var y = s
-              val yEnd = math.min(s + 4, h)
-              while (y < yEnd) {
-                val p = t.pad(x, y)
-                val f = t.flags(p)
-                if ((f & (FSig | FVis)) == FSig) {
-                  val ctx = if ((f & FRef) != 0) 16
-                  else if ((f & FNbMask) != 0) 15 else 14
-                  t.mag(y * w + x) |= mq.decode(ctx) << plane
-                  t.flags(p) = f | FRef
+              var any = flags(p0)
+              var r = 1
+              while (r < rows) { any |= flags(p0 + r * stride); r += 1 }
+              if ((any & FSig) != 0) {
+                var p = p0; var m = m0; var r2 = 0
+                while (r2 < rows) {
+                  val f = flags(p)
+                  if ((f & (FSig | FVis)) == FSig) {
+                    val ctx = if ((f & FRef) != 0) 16
+                    else if ((f & FNbMask) != 0) 15 else 14
+                    mag(m) |= mq.decode(ctx) << plane
+                    flags(p) = f | FRef
+                  }
+                  p += stride; m += w; r2 += 1
                 }
-                y += 1
               }
-              x += 1
+              x += 1; p0 += 1; m0 += 1
             }
             s += 4
           }
         case 2 => // cleanup (with run-length mode)
           var s = 0
           while (s < h) {
+            val rows = math.min(4, h - s)
             var x = 0
+            var p0 = t.pad(x, s)
+            var m0 = s * w + x
             while (x < w) {
-              var y = s
-              val yEnd = math.min(s + 4, h)
-              if (s + 4 <= h &&
-                ((t.flags(t.pad(x, s)) | t.flags(t.pad(x, s + 1)) |
-                  t.flags(t.pad(x, s + 2)) | t.flags(t.pad(x, s + 3))) & 0x7ff) == 0) {
-                if (mq.decode(CtxRl) == 0) y = yEnd // whole column stays zero
+              var y = 0
+              if (rows == 4 &&
+                ((flags(p0) | flags(p0 + stride) | flags(p0 + 2 * stride) |
+                  flags(p0 + 3 * stride)) & 0x7ff) == 0) {
+                if (mq.decode(CtxRl) == 0) y = rows // whole column stays zero
                 else {
                   val k = (mq.decode(CtxUni) << 1) | mq.decode(CtxUni)
-                  y = s + k
-                  val p = t.pad(x, y)
-                  val sx = t.sc(t.flags(p))
+                  y = k
+                  val p = p0 + y * stride
+                  val sx = t.sc(flags(p))
                   val neg = (mq.decode(sx >>> 1) ^ (sx & 1)) == 1
                   t.setSig(p, neg)
-                  t.mag(y * w + x) |= 1 << plane
+                  mag(m0 + y * w) |= 1 << plane
                   y += 1
                 }
               }
-              while (y < yEnd) {
-                val p = t.pad(x, y)
-                val f = t.flags(p)
+              var p = p0 + y * stride; var m = m0 + y * w
+              while (y < rows) {
+                val f = flags(p)
                 if ((f & (FSig | FVis)) == 0) {
                   if (mq.decode(t.zc(f)) == 1) {
                     val sx = t.sc(f)
                     val neg = (mq.decode(sx >>> 1) ^ (sx & 1)) == 1
                     t.setSig(p, neg)
-                    t.mag(y * w + x) |= 1 << plane
+                    mag(m) |= 1 << plane
                   }
                 }
-                y += 1
+                p += stride; m += w; y += 1
               }
-              x += 1
+              x += 1; p0 += 1; m0 += 1
             }
             s += 4
           }

@@ -70,6 +70,24 @@ object CodecBench {
       bench("jpeg2000_codec_only", 10, () => {
         val s = frame.map(v => math.round(v))
         Jpeg2000.encode(Jpeg2000.Image(cols, rows, 16, signed = false, s))
+      }, b => Jpeg2000.decode(b)),
+      // same codec on a low-noise frame: J2K decode rate is CONTENT-bound
+      // (it runs at the MQ coder's decision rate — ~73 Msym/s measured in
+      // MqStressSpec — and smooth content codes far fewer decisions/sample
+      // than the speckle frame above); real cine sits between the two rows
+      bench("jpeg2000_smooth", 10, () => {
+        val smooth = Array.tabulate(rows * cols) { i =>
+          val y = i / cols; val x = i % cols
+          val dx = (x - 128) / 128.0; val dy = (y - 128) / 128.0
+          math.max(0, (12000 * (1 - (dx * dx + dy * dy) / 2)).toInt)
+        }
+        Jpeg2000.encode(Jpeg2000.Image(cols, rows, 16, signed = false, smooth))
+      }, b => Jpeg2000.decode(b)),
+      // and the lossy 9/7 path at a clinically-typical step (delta = 4):
+      // quantization drops the noisiest planes, so lossy decode is FASTER
+      bench("jpeg2000_lossy_97", 10, () => {
+        val s = frame.map(v => math.round(v))
+        Jpeg2000.encode97(Jpeg2000.Image(cols, rows, 16, signed = false, s), deltaShift = 2)
       }, b => Jpeg2000.decode(b)))
 
     val fields = results.map(r =>
