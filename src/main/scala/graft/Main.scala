@@ -1,0 +1,160 @@
+package graft
+
+import graft.pipeline._
+import graft.sources.Sources
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths => JPaths}
+import scala.jdk.CollectionConverters._
+
+/** Config-driven entry point: the reference's user runs
+  * `DataModule(config).setup()` from one YAML (`README.md:85-100`,
+  * `demo/data-config.yaml`); this main gives the engine the same
+  * no-code-required surface — one YAML plus a command.
+  *
+  * Usage: `runMain graft.Main <data-config.yaml> <command>` with command
+  * one of:
+  *   - `cache`   — split subjects, materialize the fingerprinted cache
+  *                 (or hit an existing one), print its path
+  *   - `serve`   — cache + one epoch of train (augmented) and valid
+  *                 batches; writes `output/train_epoch0` when set
+  *   - `explore` — dataset-wide descriptive statistics (A5/A6 sweep),
+  *                 one CSV per feature under `output/`
+  *   - `predict` — serve validation records, run the (stub identity)
+  *                 scorer, inverse-warp predictions to cached geometry,
+  *                 write `output/predictions`
+  *
+  * The YAML is the reference's config shape (`GraftConfig.fromYaml`) plus
+  * a `paths` section naming the inputs:
+  * {{{
+  * paths:
+  *   records: /data/ingested.parquet   # OR dicom_dir: /data/dicoms
+  *   subjects: /data/subjects.csv      # S3 schema; optional
+  *   cache_root: /data/cache
+  *   output: /data/out                 # optional, command outputs
+  * }}}
+  */
+object Main {
+
+  final case class IoPaths(records: Option[String], dicomDir: Option[String],
+                           subjects: Option[String], cacheRoot: String,
+                           output: Option[String])
+
+  /** `paths` section of the same YAML GraftConfig.fromYaml reads (same
+    * SafeConstructor posture — YAML tags must not instantiate classes). */
+  def ioPaths(configPath: String): IoPaths = {
+    val yaml = new org.yaml.snakeyaml.Yaml(
+      new org.yaml.snakeyaml.constructor.SafeConstructor(
+        new org.yaml.snakeyaml.LoaderOptions()))
+    val root = Option(yaml.load[java.util.Map[String, Object]](
+      Files.readString(JPaths.get(configPath))))
+      .map(_.asScala.toMap).getOrElse(Map.empty[String, Object])
+    val p = root.get("paths") match {
+      case Some(m: java.util.Map[_, _]) =>
+        m.asInstanceOf[java.util.Map[String, Object]].asScala.toMap
+      case _ => Map.empty[String, Object]
+    }
+    def s(k: String): Option[String] = p.get(k).map(_.toString).filter(_.nonEmpty)
+    IoPaths(s("records"), s("dicom_dir"), s("subjects"),
+      s("cache_root").getOrElse(Files.createTempDirectory("graft-cache").toString),
+      s("output"))
+  }
+
+  /** Run one command; returns a small summary map (printed by main, and
+    * asserted on by PipelineSpec's end-to-end test). */
+  def run(spark: SparkSession, configPath: String, command: String): Map[String, String] = {
+    val cfg = GraftConfig.fromYaml(configPath)
+    val p = ioPaths(configPath)
+    val imageCols = cfg.keyPairs.keys.toSeq.sorted
+    val labelCols = cfg.keyPairs.values.filter(_ != "none").toSeq.distinct.sorted
+
+    lazy val records: DataFrame = (p.records, p.dicomDir) match {
+      case (Some(r), _) => spark.read.parquet(r)
+      case (None, Some(d)) =>
+        // raw-archive on-ramp: scan + decode + stack series to volumes;
+        // series uid stands in for the subject id
+        Sources.stackDicomSeries(Sources.scanDicomFrames(spark, d))
+          .select(col("series_uid").as("subject_id"),
+            lit(cfg.datasetNames.head).as("dataset"),
+            col("volume").as(imageCols.head))
+      case _ => throw new IllegalArgumentException(
+        "config needs paths.records (ingested parquet) or paths.dicom_dir")
+    }
+    lazy val subjects: DataFrame = p.subjects match {
+      case Some(s) if s.endsWith(".csv") =>
+        Sources.subjectCsv(spark, s).select(
+          col("SubjectID").as("subject_id"),
+          coalesce(col("Vendor"), lit("unknown")).as("vendor"),
+          col("Pathology").as("pathology"))
+      case Some(s) => spark.read.parquet(s)
+      case None => // subject list derivable from the records themselves
+        records.select("subject_id").distinct().withColumn("vendor", lit("all"))
+    }
+    def dataModule(): DataModule =
+      DataModule(spark, cfg, subjects, records, p.cacheRoot,
+        imageCols = imageCols, labelCols = labelCols).setup()
+
+    command match {
+      case "cache" =>
+        val dm = dataModule()
+        val n = DatasetCacher.load(spark, dm.cachePath).count()
+        Map("cache_path" -> dm.cachePath, "cached_records" -> n.toString)
+
+      case "serve" =>
+        val dm = dataModule()
+        val train = dm.dataloader("train", epoch = 0L)
+        val valid = dm.dataloader("valid", epoch = 0L)
+        p.output.foreach { o =>
+          train.write.mode("overwrite").parquet(s"$o/train_epoch0")
+        }
+        Map("cache_path" -> dm.cachePath,
+          "train_rows" -> train.count().toString,
+          "valid_rows" -> valid.count().toString)
+
+      case "explore" =>
+        val sweeps = Exploration.explore(records, imageCols.head, "dataset")
+        p.output.foreach(o => sweeps.foreach { case (ft, df) =>
+          Sources.writeCsv(df, s"$o/exploration_$ft")
+        })
+        sweeps.map { case (ft, df) => s"explore_$ft" -> df.count().toString }
+
+      case "predict" =>
+        val dm = dataModule()
+        // source geometry = cached (pre-warp) record geometry
+        val cached = DatasetCacher.load(spark, dm.cachePath)
+        val shape = cached.select(col(s"${imageCols.head}.shape")).head().getSeq[Int](0)
+        val (srcH, srcW) = (shape(3), shape(4))
+        // stub scorer (the reference's GPU forward_model hole, SURVEY
+        // §7.5): prediction := served image; the inverse path is real
+        val served = dm.dataloader("valid", epoch = 0L)
+          .withColumn("prediction", col(imageCols.head))
+        val inverted = Predictor.invertPredictions(served, srcH, srcW)
+        val out = inverted.select(
+          col("file_id"), col("subject_id"), col("dataset"),
+          col("frame_nr"), col("slice_nr"), col("prediction"))
+        p.output.foreach(o => out.write.mode("overwrite").parquet(s"$o/predictions"))
+        Map("predictions" -> out.count().toString,
+          "source_geometry" -> s"${srcH}x$srcW")
+
+      case other => throw new IllegalArgumentException(
+        s"unknown command '$other' — expected cache|serve|explore|predict")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2,
+      "usage: graft.Main <data-config.yaml> <cache|serve|explore|predict>")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .appName("graft")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args(0), args(1)).toSeq.sortBy(_._1)
+      .foreach { case (k, v) => println(s"$k: $v") }
+    finally spark.stop()
+  }
+}

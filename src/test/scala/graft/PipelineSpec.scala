@@ -223,4 +223,63 @@ class PipelineSpec extends SparkSpec {
     val cc = Predictor.classCounts(am, "prediction", 3).head()
     assert(cc.getAs[Long]("class_2") == 4 && cc.getAs[Long]("class_0") == 0)
   }
+
+  test("graft.Main: YAML-driven cache/serve/explore/predict end-to-end") {
+    // demo-shaped inputs: 8 subjects over 2 vendors, (2,2,1,4,4) tensors
+    val root = Files.createTempDirectory("graft-main").toString
+    val n = 2 * 2 * 1 * 4 * 4
+    spark.range(8).select(
+      concat(lit("subj"), col("id")).as("subject_id"),
+      lit("demo").as("dataset"),
+      Tensors.tensor(typedLit(Seq(2, 2, 1, 4, 4)),
+        transform(sequence(lit(1), lit(n)), i => (i + col("id") * 100).cast("float"))).as("image"),
+      Tensors.tensor(typedLit(Seq(2, 2, 1, 4, 4)),
+        transform(sequence(lit(1), lit(n)), i => (i % 3).cast("float"))).as("label"))
+      .write.parquet(s"$root/records")
+    val csv = ("SubjectID,Pathology,Vendor" +:
+      (0 until 8).map(i => s"subj$i,healthy,${if (i % 2 == 0) "A" else "B"}"))
+      .mkString("\n")
+    Files.writeString(java.nio.file.Paths.get(s"$root/subjects.csv"), csv)
+    val yaml =
+      s"""dataset:
+         |  names: [demo]
+         |  key_pairs: {image: label}
+         |cache:
+         |  dimensionality: 2D
+         |  target_size: [4, 4]
+         |  nr_classes: 3
+         |normalize: {mode: standardize}
+         |split: {test_per_group: 1, valid_fraction: 0.5, seed: 11, group_col: vendor}
+         |dataloader: {batch_size: 4, drop_last: false}
+         |paths:
+         |  records: $root/records
+         |  subjects: $root/subjects.csv
+         |  cache_root: $root/cache
+         |  output: $root/out
+         |""".stripMargin
+    Files.writeString(java.nio.file.Paths.get(s"$root/config.yaml"), yaml)
+
+    val cache = Main.run(spark, s"$root/config.yaml", "cache")
+    // 2 test subjects (1/vendor) leave 6 dev subjects × T2×D2 slices
+    assert(cache("cached_records") == "24", cache.toString)
+    assert(cache("cache_path").startsWith(s"$root/cache/"), cache.toString)
+
+    val serve = Main.run(spark, s"$root/config.yaml", "serve")
+    assert(serve("train_rows").toInt + serve("valid_rows").toInt == 24, serve.toString)
+    assert(serve("train_rows").toInt > 0 && serve("valid_rows").toInt > 0)
+    assert(Files.exists(java.nio.file.Paths.get(s"$root/out/train_epoch0")))
+
+    val explore = Main.run(spark, s"$root/config.yaml", "explore")
+    assert(explore("explore_rec_mean") == "1", explore.toString) // one dataset row
+    assert(Files.exists(java.nio.file.Paths.get(s"$root/out/exploration_rec_mean")))
+
+    val predict = Main.run(spark, s"$root/config.yaml", "predict")
+    assert(predict("source_geometry") == "4x4", predict.toString)
+    assert(predict("predictions").toInt == serve("valid_rows").toInt, predict.toString)
+    assert(Files.exists(java.nio.file.Paths.get(s"$root/out/predictions")))
+
+    val bad = intercept[IllegalArgumentException](
+      Main.run(spark, s"$root/config.yaml", "frobnicate"))
+    assert(bad.getMessage.contains("unknown command"))
+  }
 }
