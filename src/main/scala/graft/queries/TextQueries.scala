@@ -656,6 +656,89 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- Q47
+  /** Sequence chunking for context-window packing — the step a pretraining
+    * pipeline runs on every selected document: split the token stream into
+    * fixed W=64-token windows at stride S=48 (16-token overlap so no
+    * boundary n-gram is lost), keyed and content-hashed per chunk.
+    *
+    * Scale shape: pure per-row explode + array slice — NO shuffle at all
+    * except the declared ORDER BY (which a real pipeline drops); chunk
+    * count is (n−1)/S + 1 per doc, so output is linear in corpus tokens.
+    * The slice operates on the already-split token array, one pass. */
+  val q47 = DeclaredQuery(
+    "q47_seq_chunks",
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |c AS (SELECT doc_id, toks,
+           |             CAST(unnest(range(0, (len(toks)-1)//48 + 1)) AS INTEGER) AS chunk_idx
+           |      FROM t),
+           |s AS (SELECT doc_id, chunk_idx,
+           |             toks[(chunk_idx*48+1):(chunk_idx*48+64)] AS chunk
+           |      FROM c)
+           |SELECT doc_id, chunk_idx, CAST(len(chunk) AS INTEGER) AS n_tokens,
+           |       chunk[1] AS first_token, chunk[len(chunk)] AS last_token,
+           |       md5(array_to_string(chunk, ' ')) AS chunk_hash
+           |FROM s ORDER BY doc_id, chunk_idx""".stripMargin)) { (s, d) =>
+    val chunked = docs(s, d)
+      .select(col("doc_id"), words.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), expr("(size(toks)-1) DIV 48").cast("int"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("toks"), col("chunk_idx") * 48 + 1, lit(64)).as("chunk"))
+    chunked.select(col("doc_id"), col("chunk_idx"),
+      size(col("chunk")).as("n_tokens"),
+      element_at(col("chunk"), 1).as("first_token"),
+      element_at(col("chunk"), size(col("chunk"))).as("last_token"),
+      md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  // ---------------------------------------------------------------- Q48
+  /** TF-IDF corpus scoring (X4 family): per-document top-3 terms by
+    * tf·ln((N+1)/(df+1)) — the classic relevance/keyword-extraction pass a
+    * corpus-selection pipeline runs alongside quality scores.
+    *
+    * Scale shape: one term explode → (doc, term) hash-agg for tf, one
+    * (term) hash-agg for df (both map-side combined), the corpus size N is
+    * a broadcast single row, and the final top-3 is a rank window
+    * PARTITIONED BY doc_id — bounded per-partition state, no global sort
+    * before the declared ORDER BY. */
+  val q48 = DeclaredQuery(
+    "q48_tfidf",
+    Some("""WITH tf AS (
+           |  SELECT doc_id, term, COUNT(*) AS tf
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+           |  GROUP BY doc_id, term),
+           |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+           |n AS (SELECT COUNT(*) AS n FROM documents),
+           |scored AS (
+           |  SELECT tf.doc_id, tf.term,
+           |         CAST(tf.tf AS DOUBLE) * ln((n.n + 1.0) / (df.df + 1.0)) AS score
+           |  FROM tf JOIN df USING (term) CROSS JOIN n),
+           |ranked AS (
+           |  SELECT doc_id, term, score,
+           |         row_number() OVER (PARTITION BY doc_id
+           |                            ORDER BY score DESC, term) AS rnk
+           |  FROM scored)
+           |SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, term, score
+           |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)) { (s, d) =>
+    val tf = docs(s, d)
+      .select(col("doc_id"), explode(words).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs(s, d).agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        (col("tf").cast("double") *
+          log((col("n") + 1.0) / (col("df") + 1.0))).as("score"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("score"))
+      .orderBy("doc_id", "rnk")
+  }
+
   val all: Seq[DeclaredQuery] = Seq(q26, q26t, q27, q27p, q28, q29, q30, q31,
-    q32, q33, q37, q38, q39, q42, q44)
+    q32, q33, q37, q38, q39, q42, q44, q47, q48)
 }
