@@ -268,6 +268,12 @@ object TextQueries {
            |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, avg_token_len, stop_ratio, long_ratio,
            |       0.3*stop_ratio + 0.4*least(avg_token_len/8.0, 1.0) + 0.3*long_ratio AS quality_score
            |FROM f ORDER BY doc_id""".stripMargin)) { (s, d) =>
+    qualityFeatures(s, d).orderBy("doc_id")
+  }
+
+  /** per-doc quality features + composite score (q30's arithmetic; shared
+    * with q50's keep-best selection — one term-explode hash-agg). */
+  private def qualityFeatures(s: SparkSession, d: String): DataFrame = {
     val t = docs(s, d).select(col("doc_id"), explode(words).as("term"))
     val f = t.groupBy("doc_id").agg(
       count(lit(1)).as("n_tokens"),
@@ -281,7 +287,6 @@ object TextQueries {
       (lit(0.3) * col("stop_ratio")
         + lit(0.4) * least(col("avg_token_len") / 8.0, lit(1.0))
         + lit(0.3) * col("long_ratio")).as("quality_score"))
-      .orderBy("doc_id")
   }
 
   // ---------------------------------------------------------------- Q31
@@ -421,27 +426,30 @@ object TextQueries {
     * CTE. Scale/cost: edges are symmetrized ONCE and persisted; each round
     * is two join jobs over checkpointed label frames (details at the
     * operator). */
-  val q39 = DeclaredQuery(
-    "q39_dedup_clusters",
-    Some(s"""${oracleShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-            |b AS (
-            |  SELECT doc_id, 0 AS band_idx, md5(mh0 || mh1) AS band FROM m
-            |  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM m
-            |  UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM m
-            |  UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM m),
-            |e AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS c
-            |      FROM b x JOIN b y ON x.band_idx = y.band_idx AND x.band = y.band
-            |                        AND x.doc_id < y.doc_id),
-            |sym AS (SELECT a AS x, c AS nb FROM e UNION ALL SELECT c, a FROM e),
-            |r(doc_id, seen) AS (
-            |  SELECT doc_id, doc_id FROM documents
-            |  UNION
-            |  SELECT sym.nb, r.seen FROM r JOIN sym ON sym.x = r.doc_id),
-            |reach AS (SELECT doc_id, MIN(seen) AS cluster_id FROM r GROUP BY doc_id)
-            |SELECT doc_id, cluster_id,
-            |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
-            |       (doc_id = cluster_id) AS is_canonical
-            |FROM reach ORDER BY doc_id""".stripMargin)) { (s, d) =>
+  /** oracle twin of [[nearDupClusters]]: band keys → candidate edges →
+    * recursive reachability fixpoint, `reach(doc_id, cluster_id)`. */
+  private val oracleClusterCtes =
+    """b AS (
+      |  SELECT doc_id, 0 AS band_idx, md5(mh0 || mh1) AS band FROM m
+      |  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM m
+      |  UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM m
+      |  UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM m),
+      |e AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS c
+      |      FROM b x JOIN b y ON x.band_idx = y.band_idx AND x.band = y.band
+      |                        AND x.doc_id < y.doc_id),
+      |sym AS (SELECT a AS x, c AS nb FROM e UNION ALL SELECT c, a FROM e),
+      |r(doc_id, seen) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT sym.nb, r.seen FROM r JOIN sym ON sym.x = r.doc_id),
+      |reach AS (SELECT doc_id, MIN(seen) AS cluster_id FROM r GROUP BY doc_id)""".stripMargin
+
+  /** Near-dup cluster labels (doc_id, cluster_id): MinHash band-bucket
+    * candidate edges → distributed connected components. The edge list is
+    * symmetrized ONCE and persisted; rounds are one Spark job each
+    * (operator scaladoc). Shared by q39 (cluster formation) and q50
+    * (keep-best selection). */
+  private def nearDupClusters(s: SparkSession, d: String): DataFrame = {
     val sig = minhashSignatures(docs(s, d)).persist()
     val bands = sig.select(col("doc_id"),
       posexplode(array((0 until 4).map(b =>
@@ -457,11 +465,23 @@ object TextQueries {
       .persist()
     val (labels, rounds) = graft.operators.ConnectedComponents.minLabel(
       docs(s, d).select("doc_id"), "doc_id", sym, "x", "nb")
-    // surfaces in the bench log: rounds is O(log component size) under
-    // pointer doubling, not O(diameter)
-    System.err.println(s"[graft] q39 label propagation converged in $rounds rounds")
+    // surfaces in the bench log: rounds track the widest component's
+    // diameter (BASELINE.md round-6 finding), one job per round
+    System.err.println(s"[graft] label propagation converged in $rounds rounds")
     sig.unpersist()
     sym.unpersist()
+    labels
+  }
+
+  val q39 = DeclaredQuery(
+    "q39_dedup_clusters",
+    Some(s"""${oracleShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+            |$oracleClusterCtes
+            |SELECT doc_id, cluster_id,
+            |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+            |       (doc_id = cluster_id) AS is_canonical
+            |FROM reach ORDER BY doc_id""".stripMargin)) { (s, d) =>
+    val labels = nearDupClusters(s, d)
     val w = Window.partitionBy(col("cluster_id"))
     labels.withColumn("cluster_size", count(lit(1)).over(w))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
@@ -739,6 +759,98 @@ object TextQueries {
       .orderBy("doc_id", "rnk")
   }
 
+  // ---------------------------------------------------------------- Q49
+  /** Sequence PACKING offsets — the concat-then-chunk step that turns a
+    * corpus into fixed 2048-token training windows: documents are laid
+    * end-to-end in a deterministic order and each gets its global token
+    * offset, from which its first/last context-window bins follow.
+    *
+    * Scale shape: the global running sum is the TWO-PHASE bucketed prefix
+    * sum (same shape as BatchServer.scalableCumSum — per-bucket window +
+    * a ≤256-row offsets frame), never a single-reducer global window. The
+    * order key is md5(doc_id) rather than xxhash64 so the DuckDB oracle
+    * reproduces the exact order (md5 hex compares identically as a string
+    * in both engines) — and a hash order is also what a real packing run
+    * wants: it decorrelates document length from position. */
+  val q49 = DeclaredQuery(
+    "q49_pack_offsets",
+    Some("""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n,
+           |                  md5(CAST(doc_id AS VARCHAR)) AS ord FROM documents),
+           |c AS (SELECT doc_id, n,
+           |             CAST(SUM(n) OVER (ORDER BY ord, doc_id) AS BIGINT) AS cum FROM t)
+           |SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+           |       cum - n AS start_offset,
+           |       CAST((cum - n) // 2048 AS INTEGER) AS first_bin,
+           |       CAST((cum - 1) // 2048 AS INTEGER) AS last_bin
+           |FROM c ORDER BY doc_id""".stripMargin)) { (s, d) =>
+    val t = docs(s, d).select(col("doc_id"),
+      size(words).cast("long").as("n"),
+      md5(col("doc_id").cast("string")).as("_ord"))
+    // two-phase cumsum: 256 md5-prefix buckets (the numeric value of the
+    // first two hex chars — monotone in the order key), per-bucket
+    // window, tiny broadcast offsets frame
+    val withB = t.withColumn("_b",
+      conv(substring(col("_ord"), 1, 2), 16, 10).cast("int"))
+    val totals = withB.groupBy("_b").agg(sum(col("n")).as("_b_sum"))
+    val offsets = totals.withColumn("_b_off",
+      coalesce(sum(col("_b_sum")).over(
+        Window.partitionBy(graft.operators.Ranks.onePartition(col("_b")))
+          .orderBy(col("_b")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_b"), col("_b_off"))
+    val wIn = Window.partitionBy(col("_b")).orderBy(col("_ord"), col("doc_id"))
+    withB.join(broadcast(offsets), Seq("_b"))
+      .withColumn("cum", col("_b_off") + sum(col("n")).over(wIn))
+      .select(col("doc_id"), col("n").cast("int").as("n_tokens"),
+        (col("cum") - col("n")).as("start_offset"),
+        expr("(cum - n) DIV 2048").cast("int").as("first_bin"),
+        expr("(cum - 1) DIV 2048").cast("int").as("last_bin"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- Q50
+  /** Near-dup SELECTION: the decision step after cluster formation — keep
+    * exactly one document per near-dup cluster, the one with the highest
+    * quality score (lowest doc_id on ties), instead of q39's naive
+    * min-id canonical. Composes [[nearDupClusters]] with
+    * [[qualityFeatures]]; the rank window is PARTITIONED BY cluster_id
+    * (bounded per-cluster state). */
+  val q50 = DeclaredQuery(
+    "q50_cluster_select",
+    Some(s"""${oracleShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+            |$oracleClusterCtes,
+            |t2 AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+            |f AS (
+            |  SELECT doc_id,
+            |         CAST(SUM(length(term)) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS avg_token_len,
+            |         CAST(SUM(CASE WHEN term IN ('the','a','of','and','to') THEN 1 ELSE 0 END) AS DOUBLE)
+            |           / CAST(COUNT(*) AS DOUBLE) AS stop_ratio,
+            |         CAST(SUM(CASE WHEN length(term) >= 6 THEN 1 ELSE 0 END) AS DOUBLE)
+            |           / CAST(COUNT(*) AS DOUBLE) AS long_ratio
+            |  FROM t2 GROUP BY doc_id),
+            |q AS (SELECT doc_id,
+            |             0.3*stop_ratio + 0.4*least(avg_token_len/8.0, 1.0) + 0.3*long_ratio AS quality_score
+            |      FROM f),
+            |k AS (SELECT reach.doc_id, reach.cluster_id, q.quality_score,
+            |             row_number() OVER (PARTITION BY cluster_id
+            |                                ORDER BY quality_score DESC, reach.doc_id) AS rn,
+            |             COUNT(*) OVER (PARTITION BY cluster_id) AS csize
+            |      FROM reach JOIN q ON reach.doc_id = q.doc_id)
+            |SELECT doc_id, cluster_id, quality_score,
+            |       CAST(csize AS INTEGER) AS cluster_size, (rn = 1) AS is_kept
+            |FROM k ORDER BY doc_id""".stripMargin)) { (s, d) =>
+    val labels = nearDupClusters(s, d)
+    val quality = qualityFeatures(s, d).select(col("doc_id"), col("quality_score"))
+    val j = labels.join(quality, "doc_id")
+    val wc = Window.partitionBy(col("cluster_id"))
+    j.withColumn("cluster_size", count(lit(1)).over(wc).cast("int"))
+      .withColumn("_rn", row_number().over(
+        wc.orderBy(col("quality_score").desc, col("doc_id"))))
+      .withColumn("is_kept", col("_rn") === 1)
+      .select(col("doc_id"), col("cluster_id"), col("quality_score"),
+        col("cluster_size"), col("is_kept"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[DeclaredQuery] = Seq(q26, q26t, q27, q27p, q28, q29, q30, q31,
-    q32, q33, q37, q38, q39, q42, q44, q47, q48)
+    q32, q33, q37, q38, q39, q42, q44, q47, q48, q49, q50)
 }
