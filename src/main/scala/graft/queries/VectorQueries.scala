@@ -384,5 +384,52 @@ object VectorQueries {
       .orderBy("probe_id", "rk")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(q25, q34, q35, q36, q43)
+  // ---------------------------------------------------------------- Q51
+  /** Int8 embedding quantization — the standard 4× memory cut before ANN
+    * at scale: per-dimension symmetric scale s_d = max|v_d|/127, codes
+    * q = ⌊v/s + 0.5⌋ clamped to [−127,127], plus per-vector reconstruction
+    * error stats. `q_l1 = Σ|q|` is an INTEGER checksum of the actual
+    * codes, so the oracle pins the quantized values exactly (no float
+    * tolerance), while max-abs-err/MSE document the quality loss.
+    *
+    * Rounding is spelled ⌊x+0.5⌋ in BOTH engines rather than round():
+    * Spark rounds HALF_UP via BigDecimal and DuckDB half-away-from-zero —
+    * they disagree on negative ties, floor never does. Scale shape: one
+    * explode → 64-row per-dim agg (map-side combined) → broadcast join →
+    * per-vector hash agg; the quantize itself is embarrassingly parallel. */
+  val q51 = DeclaredQuery(
+    "q51_embed_quantize",
+    Some("""WITH u AS (
+           |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+           |         generate_subscripts(embedding, 1) AS dim
+           |  FROM embeddings),
+           |s AS (SELECT dim, greatest(greatest(MAX(v), -MIN(v)) / 127.0, 1e-30) AS scale
+           |      FROM u GROUP BY dim),
+           |q AS (SELECT vec_id, v, scale,
+           |             greatest(-127, least(127,
+           |               CAST(floor(v / scale + 0.5) AS INTEGER))) AS qv
+           |      FROM u JOIN s USING (dim))
+           |SELECT vec_id, COUNT(*) AS n_dims,
+           |       CAST(SUM(abs(qv)) AS BIGINT) AS q_l1,
+           |       MAX(abs(v - qv*scale)) AS max_abs_err,
+           |       SUM((v - qv*scale)*(v - qv*scale))/COUNT(*) AS mse
+           |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin)) { (s, d) =>
+    val u = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"), col("col").cast("double").as("v"))
+    val scales = u.groupBy("dim").agg(
+      greatest(greatest(max(col("v")), -min(col("v"))) / 127.0, lit(1e-30)).as("scale"))
+    val q = u.join(broadcast(scales), "dim")
+      .withColumn("qv", greatest(lit(-127), least(lit(127),
+        floor(col("v") / col("scale") + 0.5).cast("int"))))
+    q.groupBy("vec_id").agg(
+      count(lit(1)).as("n_dims"),
+      sum(abs(col("qv"))).cast("long").as("q_l1"),
+      max(abs(col("v") - col("qv") * col("scale"))).as("max_abs_err"),
+      (sum((col("v") - col("qv") * col("scale")) * (col("v") - col("qv") * col("scale")))
+        / count(lit(1))).as("mse"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(q25, q34, q35, q36, q43, q51)
 }

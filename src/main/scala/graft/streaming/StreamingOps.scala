@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** Structured Streaming surface (SURVEY §2.11): the reference has no
   * streaming; the engine declares event-time windowing + sessionization +
@@ -45,4 +46,72 @@ object StreamingOps {
                   keyCols: Seq[String]): DataFrame =
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** one (doc, band) hit flowing into the stateful bucket op. */
+  final case class BandHit(docId: Long, bandIdx: Int, band: String)
+
+  /** one emitted candidate: `canonicalId < docId` ⇔ this band bucket
+    * already held an earlier document — a near-dup candidate edge. */
+  final case class NearDupCandidate(docId: Long, bandIdx: Int, band: String,
+                                    canonicalId: Long)
+
+  /** Per-row MinHash LSH band keys — the SAME hash scheme as the batch
+    * MinHash path (word-3-shingles; 8 hash functions = the 8-hex-char
+    * slices of md5(shingle) and md5(shingle#); 4 bands of 2), but computed
+    * as nested higher-order functions INSIDE one row instead of
+    * explode+hash-agg: a streaming doc is one row, so the per-row fold is
+    * shuffle-free and needs no streaming aggregation state. (The batch
+    * path deliberately chooses explode+agg — see minhashSignatures in
+    * TextQueries — because there the shuffle exists anyway and map-side
+    * combine wins; each shape is right for its execution mode.) */
+  def minhashBands(textCol: Column): Column = {
+    val toks = split(textCol, " ")
+    val sh = when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2))))
+      .otherwise(array(textCol))
+    def mh(h: Int): Column =
+      if (h < 4) array_min(transform(sh, g => substring(md5(g), 8 * h + 1, 8)))
+      else array_min(transform(sh, g =>
+        substring(md5(concat(g, lit("#"))), 8 * (h - 4) + 1, 8)))
+    array((0 until 4).map(b => md5(concat(mh(2 * b), mh(2 * b + 1)))): _*)
+  }
+
+  /** Streaming near-dedup (X2's streaming twin): dedup NEW documents
+    * against the whole history seen so far. Each doc fans out to its 4
+    * LSH band buckets; a `flatMapGroupsWithState` keyed on the bucket
+    * keeps ONE long (the minimum doc id ever seen there) and emits each
+    * hit with that bucket's canonical id — `canonicalId < docId` marks a
+    * near-dup candidate, exactly the batch band-join's edge relation, but
+    * incremental.
+    *
+    * Scale/state posture: state is 8 bytes per DISTINCT band bucket —
+    * O(corpus), like any dedup-against-history must be; at 100 TB that
+    * state lives in the RocksDB state store, and a deployment that only
+    * needs recency-bounded dedup adds a timeout (the watermark analog of
+    * dropDuplicatesWithinWatermark). Within a micro-batch, hits are
+    * processed in doc-id order so results are batch-boundary-invariant.
+    * Works identically on a batch frame (empty initial state) — the spec
+    * pins streaming-vs-batch parity. */
+  def nearDupCandidates(docs: DataFrame, idCol: String, textCol: String): Dataset[NearDupCandidate] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hits = docs
+      .select(col(idCol).cast("long").as("docId"),
+        posexplode(minhashBands(col(textCol))))
+      .toDF("docId", "bandIdx", "band")
+      .as[BandHit]
+    hits.groupByKey(h => s"${h.bandIdx}#${h.band}")
+      .flatMapGroupsWithState[Long, NearDupCandidate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) { (_, rows, state) =>
+        var cur = state.getOption.getOrElse(Long.MaxValue)
+        val out = rows.toSeq.sortBy(_.docId).map { h =>
+          cur = math.min(cur, h.docId)
+          NearDupCandidate(h.docId, h.bandIdx, h.band, cur)
+        }
+        state.update(cur)
+        out.iterator
+      }
+  }
 }

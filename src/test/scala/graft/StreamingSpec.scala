@@ -113,4 +113,48 @@ class StreamingSpec extends SparkSpec {
         s"late event must not be counted: ${w0.toSeq}")
     } finally q.stop()
   }
+
+  test("streaming near-dup: band-bucket state dedups new docs against history") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val textA = "the quick brown fox jumps over the lazy dog again and again today"
+    val textB = "completely different content with many unique words present here indeed now"
+    val textC = "a third body of text sharing nothing with the other documents at all"
+    val input = MemoryStream[(Long, String)]
+    val cands = StreamingOps.nearDupCandidates(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = cands.writeStream.format("memory")
+      .queryName("neardup_out").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, textA), (2L, textB))
+      q.processAllAvailable()
+      // doc 3 repeats doc 1's text in a LATER micro-batch: every band
+      // bucket must remember doc 1 and name it canonical
+      input.addData((3L, textA))
+      q.processAllAvailable()
+      // docs 6 and 7 share NEW text within ONE batch: within-batch doc-id
+      // order makes 6 canonical for both
+      input.addData((6L, textC), (7L, textC))
+      q.processAllAvailable()
+      val rows = spark.table("neardup_out")
+        .as[StreamingOps.NearDupCandidate].collect()
+      assert(rows.count(_.docId == 1L) == 4, "4 band hits per doc")
+      assert(rows.filter(_.docId == 1L).forall(_.canonicalId == 1L), "first doc is canonical")
+      assert(rows.filter(_.docId == 2L).forall(_.canonicalId == 2L), "unique doc is its own canonical")
+      assert(rows.filter(_.docId == 3L).forall(_.canonicalId == 1L),
+        s"cross-batch duplicate must resolve to doc 1: ${rows.filter(_.docId == 3L).toSeq}")
+      assert(rows.filter(_.docId == 6L).forall(_.canonicalId == 6L))
+      assert(rows.filter(_.docId == 7L).forall(_.canonicalId == 6L),
+        "within-batch duplicate resolves to the batch's min doc id")
+    } finally q.stop()
+
+    // batch parity: the same op over the whole corpus as one static frame
+    // (empty initial state) yields the same canonical relation
+    val static = Seq((1L, textA), (2L, textB), (3L, textA), (6L, textC), (7L, textC))
+      .toDF("doc_id", "text")
+    val batch = StreamingOps.nearDupCandidates(static, "doc_id", "text").collect()
+    assert(batch.filter(_.docId == 3L).forall(_.canonicalId == 1L))
+    assert(batch.filter(_.docId == 7L).forall(_.canonicalId == 6L))
+    assert(batch.filter(_.docId == 2L).forall(_.canonicalId == 2L))
+  }
 }
