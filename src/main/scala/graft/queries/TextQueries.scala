@@ -851,6 +851,46 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- Q52
+  /** Quality-weighted mix sampling — the data-mixing step that up-weights
+    * high-quality documents: keep probability p = (q/qmax)², decided by a
+    * SEEDED md5 uniform per doc (never rand(): partition- and
+    * retry-invariant, the Det discipline). The uniform is the first 8 hex
+    * chars of the seeded key as an integer over 2³², bit-identical in
+    * both engines (Spark conv(,16,10) / DuckDB CAST('0x…')). Scale shape:
+    * quality agg + a broadcast 1-row max + a stateless per-row decision. */
+  val q52 = DeclaredQuery(
+    "q52_mix_sample",
+    Some(s"""WITH t2 AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+            |f AS (
+            |  SELECT doc_id,
+            |         CAST(SUM(length(term)) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS avg_token_len,
+            |         CAST(SUM(CASE WHEN term IN ('the','a','of','and','to') THEN 1 ELSE 0 END) AS DOUBLE)
+            |           / CAST(COUNT(*) AS DOUBLE) AS stop_ratio,
+            |         CAST(SUM(CASE WHEN length(term) >= 6 THEN 1 ELSE 0 END) AS DOUBLE)
+            |           / CAST(COUNT(*) AS DOUBLE) AS long_ratio
+            |  FROM t2 GROUP BY doc_id),
+            |q AS (SELECT doc_id,
+            |             0.3*stop_ratio + 0.4*least(avg_token_len/8.0, 1.0) + 0.3*long_ratio AS quality_score
+            |      FROM f),
+            |mx AS (SELECT MAX(quality_score) AS qmax FROM q),
+            |s AS (SELECT doc_id, quality_score,
+            |             (quality_score/qmax)*(quality_score/qmax) AS p,
+            |             CAST(CAST('0x' || substr(${graft.util.Det.sql.seededKey("mix42", "doc_id")}, 1, 8) AS BIGINT) AS DOUBLE)/4294967296.0 AS u
+            |      FROM q CROSS JOIN mx)
+            |SELECT doc_id, quality_score, p, u, (u < p) AS kept
+            |FROM s ORDER BY doc_id""".stripMargin)) { (s, d) =>
+    val q = qualityFeatures(s, d).select(col("doc_id"), col("quality_score"))
+    val mx = q.agg(max(col("quality_score")).as("qmax"))
+    val key = graft.util.Det.seededKey("mix42", col("doc_id"))
+    q.crossJoin(broadcast(mx))
+      .withColumn("p", (col("quality_score") / col("qmax")) * (col("quality_score") / col("qmax")))
+      .withColumn("u", conv(substring(key, 1, 8), 16, 10).cast("double") / 4294967296.0)
+      .select(col("doc_id"), col("quality_score"), col("p"), col("u"),
+        (col("u") < col("p")).as("kept"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[DeclaredQuery] = Seq(q26, q26t, q27, q27p, q28, q29, q30, q31,
-    q32, q33, q37, q38, q39, q42, q44, q47, q48, q49, q50)
+    q32, q33, q37, q38, q39, q42, q44, q47, q48, q49, q50, q52)
 }
