@@ -73,7 +73,10 @@ object Avi {
       while (p + 8 <= to) {
         val cc = bb.getInt(p)
         val len = bb.getInt(p + 4)
-        require(len >= 0 && p + 8 + len <= bytes.length, s"AVI chunk overruns file at offset $p")
+        // Long arithmetic: a hostile len near Int.MaxValue wraps p+8+len
+        // negative, sails past an Int bound, and copyOfRange would
+        // zero-pad-allocate 2 GB (same class as the DICOM fragment guard)
+        require(len >= 0 && p + 8L + len <= bytes.length, s"AVI chunk overruns file at offset $p")
         if (cc == LIST) {
           val kind = bb.getInt(p + 8)
           if (kind == HDRL || kind == MOVI || kind == REC) walk(p + 12, p + 8 + len, inStrl = false)

@@ -37,7 +37,15 @@ object Nifti {
       val out = new ByteArrayOutputStream(math.max(1024, b.length * 4))
       val buf = new Array[Byte](1 << 16)
       var n = in.read(buf)
-      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      while (n > 0) {
+        out.write(buf, 0, n)
+        // decompression bomb guard: gzip compresses ~1000:1 at best on
+        // real data; a tiny stream expanding past 1 GB is hostile, not a
+        // volume — fail loudly instead of buffering toward OOM
+        require(out.size() <= (1 << 30),
+          s"gzip payload expanded past 1 GiB from ${b.length} input bytes — decompression bomb")
+        n = in.read(buf)
+      }
       out.toByteArray
     } finally in.close()
   }
@@ -65,9 +73,18 @@ object Nifti {
     val affine = (0 until 12).map(i => bb.getFloat(280 + 4 * i))
     val nx = dims(0); val ny = dims(1); val nz = dims(2); val nt = dims(3)
     val n = nx.toLong * ny * nz * nt
-    require(n > 0 && n <= Int.MaxValue, s"unsupported voxel count $n")
+    // allocation guard: four 16-bit dims multiply to 2^60 — a corrupt
+    // header must throw, not allocate toward Int.MaxValue floats (8 GiB);
+    // 2^28 voxels (1 GiB as float) is far past any real cine volume
+    require(n > 0 && n <= (1L << 28), s"implausible voxel count $n — corrupt dim[]")
     val off = if (voxOffset >= 348f) voxOffset.toInt else 352
     require(bytes.length >= off, s"vox_offset $off beyond stream")
+    val bytesPerVoxel = datatype match {
+      case 2 => 1; case 4 | 512 => 2; case 8 | 16 => 4; case 64 => 8
+      case other => throw new IllegalArgumentException(s"unsupported NIfTI datatype $other")
+    }
+    require(bytes.length - off >= n * bytesPerVoxel,
+      s"data section holds ${bytes.length - off} bytes, header claims ${n * bytesPerVoxel} — truncated/corrupt")
     val data = new Array[Float](n.toInt)
     val len = data.length
     datatype match {
