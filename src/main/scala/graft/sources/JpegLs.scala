@@ -206,6 +206,10 @@ object JpegLs {
           require(near == 0, s"JPEG-LS: near-lossless (NEAR=$near) not supported — lossless only")
           require(ilv == 0, s"JPEG-LS: interleave mode $ilv not supported")
           require(width > 0 && height > 0 && precision >= 2, "JPEG-LS: SOS before valid SOF55")
+          // allocation guard: width/height are 16-bit fields, so a corrupt
+          // SOF55 reaches 2^32 samples (an 8 GiB Int plane) — throw, not OOM
+          require(width.toLong * height <= (1L << 26),
+            s"implausible image size ${width}x$height — corrupt SOF55")
           val maxval = if (presetMaxval > 0) presetMaxval else (1 << precision) - 1
           val p = new Params(maxval, presetT1, presetT2, presetT3, presetReset)
           val br = new BitReader(bytes, pos + 2 + len)

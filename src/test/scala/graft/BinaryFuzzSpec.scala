@@ -69,6 +69,30 @@ class BinaryFuzzSpec extends AnyFunSuite {
     assert(e.getMessage.contains("decompression bomb"), e.getMessage)
   }
 
+  test("JPEG-LS: random corruption, hostile u16 fields, truncation terminate promptly") {
+    val rng = new scala.util.Random(631)
+    val samples = Array.fill(24 * 18)(rng.nextInt(1 << 12))
+    val good = JpegLs.encode(JpegLs.Image(24, 18, 12, samples))
+    var threw = 0
+    for (_ <- 0 until 200) {
+      val b = good.clone()
+      for (_ <- 0 to rng.nextInt(4))
+        b(2 + rng.nextInt(b.length - 2)) = rng.nextInt(256).toByte
+      if (attempt(JpegLs.decode(b), "jls")) threw += 1
+    }
+    info(s"jls: $threw/200 corruptions threw, rest decoded to garbage; none hung")
+    // every 2-byte window gets hostile big-endian shorts — covers the
+    // SOF55 width/height (2^32-sample allocs), LSE presets, segment lengths
+    for (hostile <- Seq(0xffff, 0x8001, 0x0001); off <- 2 until math.min(64, good.length - 2)) {
+      val b = good.clone()
+      b(off) = ((hostile >> 8) & 0xff).toByte
+      b(off + 1) = (hostile & 0xff).toByte
+      attempt(JpegLs.decode(b), s"jls@$off=$hostile")
+    }
+    for (cut <- 0 until good.length by 7)
+      attempt(JpegLs.decode(java.util.Arrays.copyOf(good, cut)), s"jls cut=$cut")
+  }
+
   test("AVI: random corruption, hostile chunk lengths, truncation terminate promptly") {
     val jpegs = (0 until 6).map { i =>
       val img = new java.awt.image.BufferedImage(8, 8,
