@@ -891,6 +891,42 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- Q53
+  /** Unigram surprisal scoring — a model-free perplexity proxy: per-doc
+    * mean −ln(tf_corpus/T) over its tokens. Low surprisal = formulaic/
+    * boilerplate text, high = rare-vocabulary text; pipelines use it as a
+    * quality/novelty axis next to q30's shape features and q48's TF-IDF.
+    *
+    * Scale shape: one term explode feeding TWO hash-aggs (corpus term
+    * frequencies ~vocab-sized, per-(doc,term) counts) + a broadcast
+    * 1-row total; the join keys on term. Double sums ARE order-sensitive
+    * at the 1e-15 level — the oracle compare rounds to 6 decimals, same
+    * contract as every mean in the suite. */
+  val q53 = DeclaredQuery(
+    "q53_surprisal",
+    Some("""WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, COUNT(*) AS k FROM t GROUP BY doc_id, term),
+           |cf AS (SELECT term, CAST(SUM(k) AS BIGINT) AS c FROM tf GROUP BY term),
+           |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM cf)
+           |SELECT tf.doc_id,
+           |       CAST(SUM(tf.k) AS BIGINT) AS n_tokens,
+           |       SUM(-ln(CAST(cf.c AS DOUBLE) / total) * tf.k) / SUM(tf.k) AS mean_surprisal
+           |FROM tf JOIN cf USING (term) CROSS JOIN tot
+           |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin)) { (s, d) =>
+    val tf = docs(s, d)
+      .select(col("doc_id"), explode(words).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("k"))
+    val cf = tf.groupBy("term").agg(sum(col("k")).as("c"))
+    val tot = cf.agg(sum(col("c")).as("total"))
+    tf.join(cf, "term")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(sum(col("k")).as("n_tokens"),
+        (sum(-log(col("c").cast("double") / col("total")) * col("k")) / sum(col("k")))
+          .as("mean_surprisal"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[DeclaredQuery] = Seq(q26, q26t, q27, q27p, q28, q29, q30, q31,
-    q32, q33, q37, q38, q39, q42, q44, q47, q48, q49, q50, q52)
+    q32, q33, q37, q38, q39, q42, q44, q47, q48, q49, q50, q52, q53)
 }
