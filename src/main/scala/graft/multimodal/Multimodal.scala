@@ -60,7 +60,7 @@ object Multimodal {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
       require(img != null, "payload is not a decodable raster image")
       val data = luma(img)
-      (Seq(1, 1, 1, img.getHeight, img.getWidth), data.toSeq)
+      (Seq(1, 1, 1, img.getHeight, img.getWidth), data)
     })
 
   /** BT.601 luma plane of a decoded image; grayscale reads raw raster
@@ -154,7 +154,7 @@ object Multimodal {
           }
           f += 1
         }
-        (Seq(1, 1, ch, 1, n), data.toSeq, fmt.getSampleRate.toInt, n)
+        (Seq(1, 1, ch, 1, n), data, fmt.getSampleRate.toInt, n)
       } finally in.close()
     })
 
@@ -164,7 +164,7 @@ object Multimodal {
       val data = new Array[Float](h * w)
       var i = 0
       while (i < data.length) { data(i) = pix(content, i); i += 1 }
-      (Seq(1, 1, 1, h, w), data.toSeq)
+      (Seq(1, 1, 1, h, w), data)
     })
 
   /** REAL video frame-sample (pure JVM): MJPEG-in-AVI binary → `take`
@@ -192,7 +192,7 @@ object Multimodal {
         System.arraycopy(luma(img), 0, data, fi * hw, hw)
         fi += 1
       }
-      (Seq(t, 1, 1, v.height, v.width), data.toSeq, idx, v.fps)
+      (Seq(t, 1, 1, v.height, v.width), data, idx, v.fps)
     })
 
   /** STUB video frame-sample: binary → n evenly-spaced decoded frames as a
@@ -211,7 +211,7 @@ object Multimodal {
         }
         fi += 1
       }
-      (Seq(take, 1, 1, h, w), data.toSeq, frames)
+      (Seq(take, 1, 1, h, w), data, frames)
     })
 
   /** Average-pool resize (real, not a stub): runs on the decoded tensor via

@@ -64,7 +64,7 @@ object Sources {
         data(i) = (acc & 0x3ff).toFloat / 4f
         i += 1
       }
-      (Seq(1, 1, 1, h, w), data.toSeq, Seq(1.25f, 1.25f, 8.0f)) // (shape, data, pixdim)
+      (Seq(1, 1, 1, h, w), data, Seq(1.25f, 1.25f, 8.0f)) // (shape, data, pixdim)
     })
 
   /** S1/S2 real decode + stub fallback in ONE kernel (evaluated once per
@@ -76,11 +76,11 @@ object Sources {
     udf((path: String, content: Array[Byte], h: Int, w: Int) => {
       if (path != null && (path.endsWith(".nii") || path.endsWith(".nii.gz"))) {
         val v = Nifti.decode(content)
-        (v.shape, v.data.toSeq, v.pixdim, Option(v.affine))
+        (v.shape, v.data, v.pixdim, Option(v.affine))
       } else if (path != null && path.endsWith(".dcm")) {
         val sl = Dicom.decode(content)
         val pixdim = (sl.pixelSpacing ++ Seq(1f, 1f)).take(3)
-        (Seq(1, 1, 1, sl.rows, sl.cols), sl.data.toSeq, pixdim,
+        (Seq(1, 1, 1, sl.rows, sl.cols), sl.data, pixdim,
           Option.empty[Seq[Float]])
       } else {
         val data = new Array[Float](h * w)
@@ -97,7 +97,7 @@ object Sources {
           data(i) = (acc & 0x3ff).toFloat / 4f
           i += 1
         }
-        (Seq(1, 1, 1, h, w), data.toSeq, Seq(1.25f, 1.25f, 8.0f),
+        (Seq(1, 1, 1, h, w), data, Seq(1.25f, 1.25f, 8.0f),
           Option.empty[Seq[Float]])
       }
     })
@@ -130,7 +130,7 @@ object Sources {
         if (sl.position.length == 3 && sl.orientation.length == 6)
           Dicom.sliceProjection(sl)
         else sl.instanceNumber.toDouble
-      (Seq(1, 1, 1, sl.rows, sl.cols), sl.data.toSeq,
+      (Seq(1, 1, 1, sl.rows, sl.cols), sl.data,
         (sl.pixelSpacing ++ Seq(1f, 1f)).take(3), sl.seriesUid,
         sl.instanceNumber, proj)
     })
@@ -145,7 +145,7 @@ object Sources {
           if (sl.position.length == 3 && sl.orientation.length == 6)
             Dicom.sliceProjection(sl)
           else sl.instanceNumber.toDouble
-        (Seq(1, 1, 1, sl.rows, sl.cols), sl.data.toSeq,
+        (Seq(1, 1, 1, sl.rows, sl.cols), sl.data,
           (sl.pixelSpacing ++ Seq(1f, 1f)).take(3), sl.seriesUid,
           sl.instanceNumber, proj, sl.frameIndex)
       }
