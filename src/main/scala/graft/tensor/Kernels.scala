@@ -70,21 +70,23 @@ object Kernels {
   /** T4/T5 warp over the whole record: applies the same 2-D affine to every
     * (t,d,c) plane; returns struct(shape, data). */
   val affineResample: UserDefinedFunction =
-    udf((shape: Seq[Int], data: Seq[Float], m: Seq[Double],
+    udf((shape: Seq[Int], data: Array[Float], m: Seq[Double],
          targetH: Int, targetW: Int, bilinear: Boolean) => {
+      // Array[Float] at the boundary: Spark bulk-copies the primitive
+      // UnsafeArrayData instead of boxing every pixel — the warp reads
+      // each source sample up to 4× (bilinear), so boxed access dominated
       val Seq(t, d, c, h, w) = shape
       val planes = t * d * c
-      val src = data.toArray
       val out = new Array[Float](planes * targetH * targetW)
       val mm = m.toArray
       var p = 0
       while (p < planes) {
-        val plane = java.util.Arrays.copyOfRange(src, p * h * w, (p + 1) * h * w)
+        val plane = java.util.Arrays.copyOfRange(data, p * h * w, (p + 1) * h * w)
         System.arraycopy(warpPlane(plane, h, w, targetH, targetW, mm, bilinear),
           0, out, p * targetH * targetW, targetH * targetW)
         p += 1
       }
-      (Seq(t, d, c, targetH, targetW), out.toSeq)
+      (Seq(t, d, c, targetH, targetW), out)
     })
 
   /** invert a 6-coefficient affine (for T5's exact inverse pipeline,
@@ -126,12 +128,12 @@ object Kernels {
     * (monai RandGaussianSmoothd semantics), reflect-free zero-sum-preserving
     * normalization at borders. */
   val gaussianBlur: UserDefinedFunction =
-    udf((shape: Seq[Int], data: Seq[Float], sigma: Double) => {
+    udf((shape: Seq[Int], data: Array[Float], sigma: Double) => {
       val Seq(t, d, c, h, w) = shape
       val radius = math.max(1, math.ceil(3 * sigma).toInt)
       val k = Array.tabulate(2 * radius + 1)(i => math.exp(-0.5 * math.pow((i - radius) / sigma, 2)))
       val planes = t * d * c
-      val src = data.toArray
+      val src = data
       val out = new Array[Float](src.length)
       var p = 0
       while (p < planes) {
@@ -171,7 +173,7 @@ object Kernels {
         }
         p += 1
       }
-      (shape, out.toSeq)
+      (shape, out)
     })
 
   /** T13 reorientation: permute the 5 axes (perm(i) = source axis feeding
@@ -179,7 +181,7 @@ object Kernels {
     * the flat buffer (`setup/reformat/utils.py:56-72`'s io_orientation
     * fixups generalized). */
   val reorient: UserDefinedFunction =
-    udf((shape: Seq[Int], data: Seq[Float], perm: Seq[Int], flip: Seq[Boolean]) => {
+    udf((shape: Seq[Int], data: Array[Float], perm: Seq[Int], flip: Seq[Boolean]) => {
       val n = shape.length
       val srcStrides = new Array[Int](n)
       var acc = 1
@@ -187,7 +189,7 @@ object Kernels {
       while (i >= 0) { srcStrides(i) = acc; acc *= shape(i); i -= 1 }
       val outShape = perm.map(shape).toArray
       val out = new Array[Float](data.length)
-      val src = data.toArray
+      val src = data
       val idx = new Array[Int](n)
       var flat = 0
       val total = data.length
