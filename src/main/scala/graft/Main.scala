@@ -56,8 +56,15 @@ object Main {
       case _ => Map.empty[String, Object]
     }
     def s(k: String): Option[String] = p.get(k).map(_.toString).filter(_.nonEmpty)
+    // default cache_root must be STABLE across invocations (the cache
+    // command's contract is "build or hit an existing one"): a sibling
+    // `.graft-cache` next to the config, not a fresh temp dir per run
     IoPaths(s("records"), s("dicom_dir"), s("subjects"),
-      s("cache_root").getOrElse(Files.createTempDirectory("graft-cache").toString),
+      s("cache_root").getOrElse {
+        val cfgDir = Option(JPaths.get(configPath).toAbsolutePath.getParent)
+          .getOrElse(JPaths.get("."))
+        cfgDir.resolve(".graft-cache").toString
+      },
       s("output"))
   }
 

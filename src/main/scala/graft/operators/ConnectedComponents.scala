@@ -4,22 +4,28 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components by min-label propagation with pointer
-  * doubling.
+  * jumping.
   *
-  * Plain neighbor-min propagation converges in O(component diameter)
-  * rounds — fine for compact near-dup clusters, unbounded for chain-shaped
-  * components. Each round here runs TWO steps, the classic doubling trick
-  * (Shiloach–Vishkin / Hash-to-Min family, also GraphX's strategy):
+  * Each round runs a neighbor-min step plus `Jumps` pointer jumps:
   *
   *   1. neighbor min:  m(x) = min(l(x), min over neighbors l(nb))
   *   2. pointer jump:  l'(x) = min(m(x), m(m(x)))  — follow the current
-  *      representative's own label, halving pointer chains
+  *      representative's own label, contracting label chains
   *
-  * so label distances shrink geometrically and convergence is
-  * O(log(component size)) rounds (the spec asserts ≤ ⌈log₂ n⌉ + 1 on a
-  * deep chain). The fixed point is the same as plain propagation — every
-  * vertex labeled with its component's minimum id — so callers' oracles
-  * are unchanged.
+  * Measured behavior (round 6, sf1): rounds track the widest component's
+  * DIAMETER, not its size — the min label floods the graph one edge-hop
+  * per neighbor-min round, and the jumps only contract the label-pointer
+  * chains that flood leaves behind (log_{Jumps+2} contraction of chain
+  * depth, which is why ConnectedComponentsSpec's deep-chain bound holds).
+  * True per-round pointer doubling (re-deriving the rep map each jump) ran
+  * the same round count with identical changed-counts: on this edge
+  * topology more jumps cannot beat the flood. Changing the ROUND complexity
+  * would need edge contraction (large-star/small-star re-keying edges by
+  * label each round) — at ~1 s/round here that extra edges-sized
+  * join+distinct isn't worth it for near-dup cluster graphs, whose
+  * diameters are small. The fixed point is the same as plain propagation —
+  * every vertex labeled with its component's minimum id — so callers'
+  * oracles are unchanged.
   *
   * Scale/cost: ONE Spark job per round. The neighbor-min frame is lazily
   * `persist`ed (both jump-join references resolve to the same

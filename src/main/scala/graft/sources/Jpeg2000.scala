@@ -1106,6 +1106,11 @@ object Jpeg2000 {
               mus = new Array[Int](eps.length)
             case 1 | 2 =>
               require((len - 3) % 2 == 0 && len - 3 >= 2, "malformed quantized QCD")
+              // scalar DERIVED means exactly one (eps, mu) pair (T.800
+              // A.6.4); extra trailing pairs are a malformed stream — fail
+              // by name rather than silently decoding from a partial read
+              require(qStyle != 1 || len - 3 == 2,
+                s"scalar-derived QCD (Sqcd style 1) carries ${(len - 3) / 2} (eps,mu) pairs, want exactly 1 — corrupt QCD")
               val vals = Array.tabulate((len - 3) / 2)(i => be2(bytes, pos + 5 + 2 * i))
               eps = vals.map(_ >>> 11)
               mus = vals.map(_ & 0x7ff)

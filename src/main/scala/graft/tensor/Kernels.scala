@@ -181,13 +181,18 @@ object Kernels {
     * the flat buffer (`setup/reformat/utils.py:56-72`'s io_orientation
     * fixups generalized). */
   val reorient: UserDefinedFunction =
-    udf((shape: Seq[Int], data: Array[Float], perm: Seq[Int], flip: Seq[Boolean]) => {
+    udf((shapeS: Seq[Int], data: Array[Float], permS: Seq[Int], flipS: Seq[Boolean]) => {
+      // copy the small Seq params to primitive arrays once: they are indexed
+      // n times PER ELEMENT below, and Seq#apply boxes per access
+      val shape = shapeS.toArray
+      val perm = permS.toArray
+      val flip = flipS.toArray
       val n = shape.length
       val srcStrides = new Array[Int](n)
       var acc = 1
       var i = n - 1
       while (i >= 0) { srcStrides(i) = acc; acc *= shape(i); i -= 1 }
-      val outShape = perm.map(shape).toArray
+      val outShape = perm.map(shape)
       val out = new Array[Float](data.length)
       val src = data
       val idx = new Array[Int](n)
@@ -211,7 +216,7 @@ object Kernels {
         out(flat) = src(srcOff)
         flat += 1
       }
-      (outShape.toSeq, out.toSeq)
+      (outShape, out)
     })
 }
 
