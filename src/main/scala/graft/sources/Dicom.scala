@@ -70,6 +70,8 @@ object Dicom {
     // collected attributes
     var rows = -1; var cols = -1
     var bitsAllocated = 16; var pixelRepresentation = 0
+    var bitsStored = -1 // (0028,0101); defaults to bitsAllocated when absent
+    var photometric = "" // (0028,0004) PhotometricInterpretation
     var slope = 1f; var intercept = 0f
     var position: Seq[Float] = Nil; var orientation: Seq[Float] = Nil
     var spacing: Seq[Float] = Nil
@@ -143,6 +145,8 @@ object Dicom {
             case x if x == tag(0x0028, 0x0011) => cols = bb.getShort(valueOff) & 0xffff
             case x if x == tag(0x0028, 0x0008) => nFrames = str(valueOff, valueLen).toInt
             case x if x == tag(0x0028, 0x0100) => bitsAllocated = bb.getShort(valueOff) & 0xffff
+            case x if x == tag(0x0028, 0x0101) => bitsStored = bb.getShort(valueOff) & 0xffff
+            case x if x == tag(0x0028, 0x0004) => photometric = str(valueOff, valueLen)
             case x if x == tag(0x0028, 0x0103) => pixelRepresentation = bb.getShort(valueOff) & 0xffff
             case x if x == tag(0x0028, 0x1053) => slope = str(valueOff, valueLen).toFloat
             case x if x == tag(0x0028, 0x1052) => intercept = str(valueOff, valueLen).toFloat
@@ -170,6 +174,42 @@ object Dicom {
     require(pixelOff >= 0, "missing PixelData")
     require(nFrames >= 1, s"bad NumberOfFrames $nFrames")
     val n = rows * cols
+
+    // PhotometricInterpretation (0028,0004), PS3.3 C.7.6.3.1.2. MONOCHROME1
+    // (min value displays white) is inverted below so downstream always sees
+    // MONOCHROME2 polarity — the last silent real-archive wrongness in this
+    // path (the reference reads it via pydicom, setup/reformat/utils.py).
+    // Color photometrics only carry meaning on the JPEG-baseline route,
+    // where ImageIO converts and the BT.601 luma collapse below applies;
+    // PALETTE COLOR needs its lookup-table tags — fail all of those by name.
+    val monochrome1 = photometric == "MONOCHROME1"
+    photometric match {
+      case "" | "MONOCHROME1" | "MONOCHROME2" => ()
+      case c @ ("RGB" | "YBR_FULL" | "YBR_FULL_422") =>
+        require(transferSyntax == JpegBaseline,
+          s"PhotometricInterpretation $c only decodes on the JPEG-baseline " +
+            "path (ImageIO color conversion) — transcode first")
+      case other => throw new IllegalArgumentException(
+        s"PhotometricInterpretation $other unsupported " +
+          "(PALETTE COLOR needs its lookup table) — transcode first")
+    }
+    require(!(monochrome1 && pixelRepresentation == 1),
+      "MONOCHROME1 with signed PixelRepresentation has no standard raw-range " +
+        "inversion — transcode first")
+    // invert on the RAW scale within the stored-bit range — deterministic
+    // and identical for every frame of a cine (a per-frame observed-max
+    // inversion would remap intensities inconsistently across frames):
+    //   raw' = (2^BitsStored - 1) - raw
+    // applied post-rescale as data' = maxStored*slope + 2*intercept - data
+    def applyPhotometric(data: Array[Float]): Array[Float] = {
+      if (monochrome1) {
+        val maxStored = (1 << (if (bitsStored > 0) bitsStored else bitsAllocated)) - 1
+        val c = maxStored * slope + 2 * intercept
+        var i = 0
+        while (i < data.length) { data(i) = c - data(i); i += 1 }
+      }
+      data
+    }
 
     /** One compressed frame's codestream → rescaled floats. */
     def decodeEncapFrame(stream: Array[Byte]): Array[Float] = {
@@ -261,8 +301,8 @@ object Dicom {
     }
 
     def slice(data: Array[Float], fi: Int): Slice =
-      Slice(rows, cols, data, position, orientation, spacing, seriesUid,
-        instanceNumber, fi)
+      Slice(rows, cols, applyPhotometric(data), position, orientation, spacing,
+        seriesUid, instanceNumber, fi)
 
     if (encapFrags != null) {
       val streams: IndexedSeq[Array[Byte]] =
@@ -411,9 +451,10 @@ object Dicom {
              position: Seq[Float] = Seq(0f, 0f, 0f),
              orientation: Seq[Float] = Seq(1f, 0f, 0f, 0f, 1f, 0f),
              pixelSpacing: Seq[Float] = Seq(1f, 1f),
-             seriesUid: String = "1.2.3.4", instanceNumber: Int = 1): Array[Byte] =
+             seriesUid: String = "1.2.3.4", instanceNumber: Int = 1,
+             photometric: String = "MONOCHROME2"): Array[Byte] =
     encodeFrames(rows, cols, Seq(data), position, orientation, pixelSpacing,
-      seriesUid, instanceNumber)
+      seriesUid, instanceNumber, photometric)
 
   /** Multi-frame (cine) Explicit-VR-LE encoder twin of [[decodeFrames]]:
     * 16-bit unsigned frames concatenated in one PixelData value with
@@ -422,7 +463,8 @@ object Dicom {
                    position: Seq[Float] = Seq(0f, 0f, 0f),
                    orientation: Seq[Float] = Seq(1f, 0f, 0f, 0f, 1f, 0f),
                    pixelSpacing: Seq[Float] = Seq(1f, 1f),
-                   seriesUid: String = "1.2.3.4", instanceNumber: Int = 1): Array[Byte] = {
+                   seriesUid: String = "1.2.3.4", instanceNumber: Int = 1,
+                   photometric: String = "MONOCHROME2"): Array[Byte] = {
     require(frames.nonEmpty && frames.forall(_.length == rows * cols),
       "shape/data mismatch")
     val data = frames.reduce(_ ++ _)
@@ -449,12 +491,14 @@ object Dicom {
     el(0x0020, 0x0013, "IS", even(instanceNumber.toString))
     el(0x0020, 0x0032, "DS", even(position.mkString("\\")))
     el(0x0020, 0x0037, "DS", even(orientation.mkString("\\")))
+    el(0x0028, 0x0004, "CS", even(photometric))
     if (frames.length > 1) // ascending tag order: (0028,0008) before Rows
       el(0x0028, 0x0008, "IS", even(frames.length.toString))
     el(0x0028, 0x0010, "US", le2(rows))
     el(0x0028, 0x0011, "US", le2(cols))
     el(0x0028, 0x0030, "DS", even(pixelSpacing.mkString("\\")))
     el(0x0028, 0x0100, "US", le2(16))
+    el(0x0028, 0x0101, "US", le2(16)) // BitsStored
     el(0x0028, 0x0103, "US", le2(0)) // unsigned
     el(0x0028, 0x1052, "DS", even("0"))
     el(0x0028, 0x1053, "DS", even("1"))

@@ -60,6 +60,13 @@ object IngestBench {
             Files.write(Paths.get(f"$dir/s$s%03d-f$f%02d.dcm"), b)
             bytes += b.length
           }
+        case 2 => // uncompressed Explicit-LE MONOCHROME1 cine (archives carry
+          // inverted-polarity uncompressed series too; exercises the
+          // photometric invert pass at measured throughput)
+          val b = Dicom.encodeFrames(rows, cols, frames, seriesUid = uid,
+            photometric = "MONOCHROME1")
+          Files.write(Paths.get(f"$dir/s$s%03d.dcm"), b)
+          bytes += b.length
         case 3 => // per-frame lossy JPEG 2000 (.4.91) singles
           frames.zipWithIndex.foreach { case (fr, f) =>
             val b = Dicom.encodeJpeg2000Lossy(rows, cols, fr, deltaShift = 2,

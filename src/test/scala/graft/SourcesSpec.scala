@@ -85,6 +85,34 @@ class SourcesSpec extends SparkSpec {
       "slices stack in projection-descending order")
   }
 
+  test("DICOM PhotometricInterpretation: MONOCHROME1 inverts, color fails by name") {
+    import graft.sources.Dicom
+    val px = Array.tabulate(12)(i => (i * 1000).toFloat)
+    // MONOCHROME1: raw' = (2^BitsStored - 1) - raw, applied identically to
+    // every frame (deterministic, not observed-max)
+    val m1 = Dicom.decode(Dicom.encode(3, 4, px, photometric = "MONOCHROME1"))
+    assert(m1.data.toSeq == px.map(65535f - _).toSeq,
+      "MONOCHROME1 inverts within the stored-bit range")
+    // explicit MONOCHROME2 and absent photometric both pass through
+    val m2 = Dicom.decode(Dicom.encode(3, 4, px, photometric = "MONOCHROME2"))
+    assert(m2.data.toSeq == px.toSeq)
+    // multi-frame cine: same inversion constant on every frame
+    val frames = Seq(Array.fill(4)(100f), Array.fill(4)(60000f))
+    val cine = Dicom.decodeFrames(
+      Dicom.encodeFrames(2, 2, frames, photometric = "MONOCHROME1"))
+    assert(cine.map(_.data.head).toSeq == Seq(65435f, 5535f))
+    // PALETTE COLOR / unknown values fail loudly by name
+    val pal = intercept[IllegalArgumentException] {
+      Dicom.decode(Dicom.encode(3, 4, px, photometric = "PALETTE COLOR"))
+    }
+    assert(pal.getMessage.contains("PALETTE COLOR"))
+    // color photometrics are only meaningful on the JPEG-baseline path
+    val rgb = intercept[IllegalArgumentException] {
+      Dicom.decode(Dicom.encode(3, 4, px, photometric = "RGB"))
+    }
+    assert(rgb.getMessage.contains("RGB") && rgb.getMessage.contains("JPEG"))
+  }
+
   test("DICOM multi-frame cine: uncompressed and JPEG 2000 frames round-trip") {
     import graft.sources.Dicom
     val rng = new scala.util.Random(31)
