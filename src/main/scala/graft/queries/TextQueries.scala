@@ -783,14 +783,25 @@ object TextQueries {
            |       CAST((cum - n) // 2048 AS INTEGER) AS first_bin,
            |       CAST((cum - 1) // 2048 AS INTEGER) AS last_bin
            |FROM c ORDER BY doc_id""".stripMargin)) { (s, d) =>
-    val t = docs(s, d).select(col("doc_id"),
-      size(words).cast("long").as("n"),
-      md5(col("doc_id").cast("string")).as("_ord"))
-    // two-phase cumsum: 256 md5-prefix buckets (the numeric value of the
-    // first two hex chars — monotone in the order key), per-bucket
-    // window, tiny broadcast offsets frame
-    val withB = t.withColumn("_b",
-      conv(substring(col("_ord"), 1, 2), 16, 10).cast("int"))
+    val t = docs(s, d).select(col("doc_id"), size(words).cast("long").as("n"))
+    withStartOffset(t)
+      .select(col("doc_id"), col("n").cast("int").as("n_tokens"),
+        col("start_offset"),
+        expr("start_offset DIV 2048").cast("int").as("first_bin"),
+        expr("(start_offset + n - 1) DIV 2048").cast("int").as("last_bin"))
+      .orderBy("doc_id")
+  }
+
+  /** q49/q54 shared: append each document's global pack `start_offset` —
+    * the two-phase bucketed prefix sum over the md5(doc_id) order — to a
+    * frame carrying (doc_id, n = token count); extra columns ride along.
+    * 256 md5-prefix buckets (the numeric value of the first two hex chars,
+    * monotone in the order key), per-bucket window, tiny broadcast offsets
+    * frame — never a single-reducer global window. */
+  private def withStartOffset(t: DataFrame): DataFrame = {
+    val withB = t
+      .withColumn("_ord", md5(col("doc_id").cast("string")))
+      .withColumn("_b", conv(substring(col("_ord"), 1, 2), 16, 10).cast("int"))
     val totals = withB.groupBy("_b").agg(sum(col("n")).as("_b_sum"))
     val offsets = totals.withColumn("_b_off",
       coalesce(sum(col("_b_sum")).over(
@@ -799,12 +810,9 @@ object TextQueries {
       .select(col("_b"), col("_b_off"))
     val wIn = Window.partitionBy(col("_b")).orderBy(col("_ord"), col("doc_id"))
     withB.join(broadcast(offsets), Seq("_b"))
-      .withColumn("cum", col("_b_off") + sum(col("n")).over(wIn))
-      .select(col("doc_id"), col("n").cast("int").as("n_tokens"),
-        (col("cum") - col("n")).as("start_offset"),
-        expr("(cum - n) DIV 2048").cast("int").as("first_bin"),
-        expr("(cum - 1) DIV 2048").cast("int").as("last_bin"))
-      .orderBy("doc_id")
+      .withColumn("start_offset",
+        col("_b_off") + sum(col("n")).over(wIn) - col("n"))
+      .drop("_ord", "_b", "_b_off")
   }
 
   // ---------------------------------------------------------------- Q50
@@ -927,6 +935,53 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- Q54
+  /** Packed training WINDOWS — the materialization step on top of q49's
+    * offsets: the corpus laid end-to-end in the md5(doc_id) order is cut
+    * into fixed 2048-token windows that cross document boundaries, and each
+    * window is assembled (count, boundary tokens, content hash) — the
+    * actual output a pretraining pipeline ships to the trainer.
+    *
+    * Scale shape: offsets ride the q49 two-phase bucketed prefix sum (the
+    * token arrays ride along through the per-bucket window); then ONE
+    * posexplode to (global position, token) rows — linear in corpus
+    * tokens — and ONE hash-shuffle keyed on bin. Per-bin state is bounded
+    * at exactly 2048 (slot, token) pairs, so `sort_array(collect_list)`
+    * is a fixed-size in-memory sort per group, never a global sort; no
+    * single-reducer window anywhere. Output is corpus_tokens/2048 rows. */
+  val q54 = DeclaredQuery(
+    "q54_pack_windows",
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+           |                  md5(CAST(doc_id AS VARCHAR)) AS ord FROM documents),
+           |c AS (SELECT doc_id, toks,
+           |             SUM(len(toks)) OVER (ORDER BY ord, doc_id) - len(toks) AS start_offset
+           |      FROM t),
+           |e AS (SELECT start_offset + i - 1 AS gpos, tok
+           |      FROM (SELECT start_offset, unnest(toks) AS tok,
+           |                   unnest(range(1, len(toks) + 1)) AS i FROM c)),
+           |w AS (SELECT CAST(gpos // 2048 AS INTEGER) AS bin,
+           |             list(tok ORDER BY gpos) AS wtoks, COUNT(*) AS n
+           |      FROM e GROUP BY 1)
+           |SELECT bin, CAST(n AS INTEGER) AS n_tokens,
+           |       wtoks[1] AS first_token, wtoks[len(wtoks)] AS last_token,
+           |       md5(array_to_string(wtoks, ' ')) AS window_hash
+           |FROM w ORDER BY bin""".stripMargin)) { (s, d) =>
+    val t = docs(s, d).select(col("doc_id"), words.as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+    val e = withStartOffset(t)
+      .select(col("start_offset"), posexplode(col("toks")).as(Seq("i", "tok")))
+      .select((col("start_offset") + col("i")).as("gpos"), col("tok"))
+    e.withColumn("bin", expr("gpos DIV 2048").cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        sort_array(collect_list(struct(col("gpos"), col("tok")))).as("_sw"))
+      .select(col("bin"), col("n_tokens"),
+        element_at(col("_sw.tok"), 1).as("first_token"),
+        element_at(col("_sw.tok"), -1).as("last_token"),
+        md5(concat_ws(" ", col("_sw.tok"))).as("window_hash"))
+      .orderBy("bin")
+  }
+
   val all: Seq[DeclaredQuery] = Seq(q26, q26t, q27, q27p, q28, q29, q30, q31,
-    q32, q33, q37, q38, q39, q42, q44, q47, q48, q49, q50, q52, q53)
+    q32, q33, q37, q38, q39, q42, q44, q47, q48, q49, q50, q52, q53, q54)
 }
