@@ -272,6 +272,14 @@ object VectorQueries {
     * the oracle SQL (`vec_id // 1024`), change both together. */
   private val MeanBucketWidth = 1024
 
+  /** left-to-right double fold of `value` in `sortKey` order — the
+    * deterministic per-group sum q43/q55's oracle replays exactly (group
+    * size is bounded by the two-phase bucketing, never corpus-sized). */
+  private def orderedFold(sortKey: String, value: String): Column =
+    aggregate(
+      transform(sort_array(collect_list(struct(col(sortKey), col(value)))), x => x(value)),
+      lit(0.0), (acc, x) => acc + x)
+
   val q43 = DeclaredQuery(
     "q43_ivf_kmeans",
     Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -348,10 +356,6 @@ object VectorQueries {
     val dims = a1.select(col("cluster_id"), col("vec_id"),
       posexplode(col("v")).as(Seq("pos", "val")))
       .withColumn("_b", expr(s"vec_id DIV $MeanBucketWidth"))
-    def orderedFold(sortKey: String, value: String): Column =
-      aggregate(
-        transform(sort_array(collect_list(struct(col(sortKey), col(value)))), x => x(value)),
-        lit(0.0), (acc, x) => acc + x)
     val bsum = dims.groupBy("cluster_id", "pos", "_b").agg(
       orderedFold("vec_id", "val").as("bs"),
       count(lit(1)).as("cnt"))
@@ -431,5 +435,132 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(q25, q34, q35, q36, q43, q51)
+  // ---------------------------------------------------------------- Q55
+  /** Product quantization (IVF-PQ's code stage) — the 100 TB ANN standard
+    * beyond q51's scalar int8: the 64-dim space splits into 4 subvectors of
+    * 16 dims, each subspace trains its own 16-codeword codebook (seeded
+    * init → assign → deterministic mean → reassign, the q43 recipe run
+    * per subspace), and every vector compresses to 4 byte-sized codes
+    * (64 floats → 4 bytes, 64×) plus its exact squared reconstruction
+    * error ‖v − ĉ‖² = Σ_s (vs·vs − 2·vs·c_s + c_s·c_s).
+    *
+    * Determinism/parity: codeword means use the same two-phase vec_id-
+    * bucketed fold as q43 (oracle replays it exactly); assignment distance
+    * is pure dot-product arithmetic (VecDot ≡ list_dot_product
+    * bit-identically), ties broken by codeword id. Scale shape: both
+    * assignment passes are one corpus scan against a broadcast 4×16
+    * codebook (64 candidate rows per vector); codebooks collect to the
+    * driver as 64 rows of 16 doubles and re-plant as a literal frame. An
+    * asymmetric-distance query stage would reuse the same codebook
+    * broadcast — the training side here is the hard deterministic part. */
+  val q55 = DeclaredQuery(
+    "q55_product_quantize",
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |subs AS (
+           |  SELECT vec_id, s.s AS sub, v[(s.s*16+1):(s.s*16+16)] AS vs
+           |  FROM e CROSS JOIN (SELECT unnest([0,1,2,3]) AS s) s),
+           |seeds AS (
+           |  SELECT row_number() OVER (ORDER BY md5(concat_ws(':', CAST(vec_id AS VARCHAR), 'pqseed')), vec_id) AS code,
+           |         vec_id
+           |  FROM e QUALIFY code <= 16),
+           |c0 AS (SELECT sb.sub, sd.code, sb.vs AS cv
+           |       FROM seeds sd JOIN subs sb ON sb.vec_id = sd.vec_id),
+           |a1 AS (
+           |  SELECT vec_id, sub, vs, code FROM (
+           |    SELECT subs.vec_id, subs.sub, subs.vs, c0.code,
+           |           row_number() OVER (PARTITION BY subs.vec_id, subs.sub
+           |             ORDER BY list_dot_product(subs.vs, subs.vs)
+           |                      - 2*list_dot_product(subs.vs, c0.cv)
+           |                      + list_dot_product(c0.cv, c0.cv) ASC, c0.code) AS ark
+           |    FROM subs JOIN c0 USING (sub)) WHERE ark = 1),
+           |dims AS (
+           |  SELECT sub, code, vec_id, i AS pos, vs[CAST(i AS INTEGER)] AS val
+           |  FROM (SELECT sub, code, vec_id, vs, unnest(range(1, len(vs)+1)) AS i FROM a1)),
+           |bsum AS (
+           |  SELECT sub, code, pos, vec_id // 1024 AS b,
+           |         list_aggregate(list(val ORDER BY vec_id), 'sum') AS bs,
+           |         COUNT(*) AS cnt
+           |  FROM dims GROUP BY sub, code, pos, b),
+           |csum AS (
+           |  SELECT sub, code, pos,
+           |         list_aggregate(list(bs ORDER BY b), 'sum') AS sv,
+           |         CAST(SUM(cnt) AS BIGINT) AS cnt
+           |  FROM bsum GROUP BY sub, code, pos),
+           |c1 AS (SELECT sub, code, list(sv/cnt ORDER BY pos) AS cv
+           |       FROM csum GROUP BY sub, code),
+           |a2 AS (
+           |  SELECT vec_id, sub, code, dist FROM (
+           |    SELECT subs.vec_id, subs.sub, c1.code,
+           |           list_dot_product(subs.vs, subs.vs)
+           |             - 2*list_dot_product(subs.vs, c1.cv)
+           |             + list_dot_product(c1.cv, c1.cv) AS dist,
+           |           row_number() OVER (PARTITION BY subs.vec_id, subs.sub
+           |             ORDER BY list_dot_product(subs.vs, subs.vs)
+           |                      - 2*list_dot_product(subs.vs, c1.cv)
+           |                      + list_dot_product(c1.cv, c1.cv) ASC, c1.code) AS ark
+           |    FROM subs JOIN c1 USING (sub)) WHERE ark = 1)
+           |SELECT vec_id,
+           |       CAST(MAX(CASE WHEN sub = 0 THEN code END) AS INTEGER) AS code0,
+           |       CAST(MAX(CASE WHEN sub = 1 THEN code END) AS INTEGER) AS code1,
+           |       CAST(MAX(CASE WHEN sub = 2 THEN code END) AS INTEGER) AS code2,
+           |       CAST(MAX(CASE WHEN sub = 3 THEN code END) AS INTEGER) AS code3,
+           |       SUM(dist) AS sq_err
+           |FROM a2 GROUP BY vec_id ORDER BY vec_id""".stripMargin)) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val subs = e
+      .select(col("vec_id"), col("v"),
+        explode(array((0 until 4).map(lit): _*)).as("sub"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("v"), col("sub") * 16 + 1, lit(16)).as("vs"))
+    // seeded init: the 16 md5-picked vectors donate their subvectors as
+    // each subspace's initial codebook (same pick trick as q43)
+    val skey = md5(concat_ws(":", col("vec_id").cast("string"), lit("pqseed")))
+    val seedsPlan = e.withColumn("_sk", skey)
+      .orderBy(col("_sk"), col("vec_id"))
+      .limit(16)
+      .withColumn("code", row_number().over(
+        Window.partitionBy(graft.operators.Ranks.onePartition(col("vec_id")))
+          .orderBy(col("_sk"), col("vec_id"))))
+      .select(col("code"), col("vec_id"))
+    val seeds = s.createDataFrame(
+      java.util.Arrays.asList(seedsPlan.collect(): _*), seedsPlan.schema)
+    val c0 = subs.join(broadcast(seeds), "vec_id")
+      .select(col("sub"), col("code"), col("vs").as("cv"))
+    def assignTo(cent: DataFrame): DataFrame = subs
+      .join(broadcast(cent), Seq("sub"))
+      .withColumn("dist",
+        dot(col("vs"), col("vs")) - lit(2) * dot(col("vs"), col("cv"))
+          + dot(col("cv"), col("cv")))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy(col("vec_id"), col("sub"))
+          .orderBy(col("dist").asc, col("code"))))
+      .filter(col("ark") === 1)
+    val a1 = assignTo(c0).select(col("vec_id"), col("sub"), col("code"), col("vs"))
+    val dims = a1.select(col("sub"), col("code"), col("vec_id"),
+      posexplode(col("vs")).as(Seq("pos", "val")))
+      .withColumn("_b", expr(s"vec_id DIV $MeanBucketWidth"))
+    val bsum = dims.groupBy("sub", "code", "pos", "_b").agg(
+      orderedFold("vec_id", "val").as("bs"),
+      count(lit(1)).as("cnt"))
+    val csum = bsum.groupBy("sub", "code", "pos").agg(
+      orderedFold("_b", "bs").as("sv"),
+      sum(col("cnt")).as("cnt"))
+    val c1Plan = csum.groupBy("sub", "code").agg(
+      transform(sort_array(collect_list(struct(col("pos"), (col("sv") / col("cnt")).as("m")))),
+        x => x("m")).as("cv"))
+    val c1 = s.createDataFrame(
+      java.util.Arrays.asList(c1Plan.collect(): _*), c1Plan.schema)
+    assignTo(c1)
+      .groupBy("vec_id")
+      .agg(
+        max(when(col("sub") === 0, col("code"))).cast("int").as("code0"),
+        max(when(col("sub") === 1, col("code"))).cast("int").as("code1"),
+        max(when(col("sub") === 2, col("code"))).cast("int").as("code2"),
+        max(when(col("sub") === 3, col("code"))).cast("int").as("code3"),
+        sum(col("dist")).as("sq_err"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(q25, q34, q35, q36, q43, q51, q55)
 }
