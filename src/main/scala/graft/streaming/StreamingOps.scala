@@ -78,23 +78,35 @@ object StreamingOps {
     array((0 until 4).map(b => md5(concat(mh(2 * b), mh(2 * b + 1)))): _*)
   }
 
+  /** band-bucket state: canonical (minimum) doc id + the processing-time
+    * of the last hit, for the optional recency TTL. */
+  final case class BucketState(minId: Long, lastMs: Long)
+
   /** Streaming near-dedup (X2's streaming twin): dedup NEW documents
-    * against the whole history seen so far. Each doc fans out to its 4
+    * against the history seen so far. Each doc fans out to its 4
     * LSH band buckets; a `flatMapGroupsWithState` keyed on the bucket
-    * keeps ONE long (the minimum doc id ever seen there) and emits each
-    * hit with that bucket's canonical id — `canonicalId < docId` marks a
-    * near-dup candidate, exactly the batch band-join's edge relation, but
+    * keeps the minimum doc id ever seen there and emits each hit with
+    * that bucket's canonical id — `canonicalId < docId` marks a near-dup
+    * candidate, exactly the batch band-join's edge relation, but
     * incremental.
     *
-    * Scale/state posture: state is 8 bytes per DISTINCT band bucket —
-    * O(corpus), like any dedup-against-history must be; at 100 TB that
-    * state lives in the RocksDB state store, and a deployment that only
-    * needs recency-bounded dedup adds a timeout (the watermark analog of
-    * dropDuplicatesWithinWatermark). Within a micro-batch, hits are
-    * processed in doc-id order so results are batch-boundary-invariant.
-    * Works identically on a batch frame (empty initial state) — the spec
-    * pins streaming-vs-batch parity. */
-  def nearDupCandidates(docs: DataFrame, idCol: String, textCol: String): Dataset[NearDupCandidate] = {
+    * Scale/state posture: state is one tiny record per DISTINCT band
+    * bucket — O(corpus) with `ttlMs = None`, like any dedup-against-ALL-
+    * history must be; at 100 TB that state lives in the RocksDB state
+    * store. `ttlMs = Some(t)` bounds it to recently-seen buckets (the
+    * watermark analog of dropDuplicatesWithinWatermark): a bucket idle
+    * longer than `t` of processing time is dropped via
+    * ProcessingTimeTimeout, and a later re-arrival re-establishes the
+    * bucket fresh (becomes its own canonical). Staleness is ALSO checked
+    * against the stored last-hit time when new data arrives, so expiry
+    * does not depend on an intermediate micro-batch having run the
+    * timeout cleanup. Within a micro-batch, hits are processed in doc-id
+    * order so results are batch-boundary-invariant. Works identically on
+    * a batch frame (empty initial state; a batch job is one processing
+    * instant, so a TTL never expires mid-batch) — the spec pins
+    * streaming-vs-batch parity. */
+  def nearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        ttlMs: Option[Long] = None): Dataset[NearDupCandidate] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val hits = docs
@@ -102,16 +114,30 @@ object StreamingOps {
         posexplode(minhashBands(col(textCol))))
       .toDF("docId", "bandIdx", "band")
       .as[BandHit]
+    val timeoutConf =
+      if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     hits.groupByKey(h => s"${h.bandIdx}#${h.band}")
-      .flatMapGroupsWithState[Long, NearDupCandidate](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) { (_, rows, state) =>
-        var cur = state.getOption.getOrElse(Long.MaxValue)
-        val out = rows.toSeq.sortBy(_.docId).map { h =>
-          cur = math.min(cur, h.docId)
-          NearDupCandidate(h.docId, h.bandIdx, h.band, cur)
+      .flatMapGroupsWithState[BucketState, NearDupCandidate](
+        OutputMode.Append(), timeoutConf) { (_, rows, state) =>
+        if (state.hasTimedOut) {
+          // idle past the TTL and no new data this batch: drop the bucket
+          state.remove()
+          Iterator.empty
+        } else {
+          val nowMs = if (ttlMs.isDefined) state.getCurrentProcessingTimeMs() else 0L
+          var cur = state.getOption match {
+            case Some(s) if ttlMs.forall(t => nowMs - s.lastMs <= t) => s.minId
+            case _ => Long.MaxValue // absent, or stale past the TTL
+          }
+          val out = rows.toSeq.sortBy(_.docId).map { h =>
+            cur = math.min(cur, h.docId)
+            NearDupCandidate(h.docId, h.bandIdx, h.band, cur)
+          }
+          state.update(BucketState(cur, nowMs))
+          ttlMs.foreach(state.setTimeoutDuration)
+          out.iterator
         }
-        state.update(cur)
-        out.iterator
       }
   }
 }

@@ -13,6 +13,12 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // Spark 4.1's checksummed checkpoint writer can deadlock state-store
+    // commits under rapid micro-batches (executor tasks park forever in
+    // ChecksumCancellableFSDataOutputStream.close while the checksum pool
+    // sits idle — observed with flatMapGroupsWithState +
+    // ProcessingTimeTimeout); tests don't need corruption detection
+    .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
     .getOrCreate()
 }
 

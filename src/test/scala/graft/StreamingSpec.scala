@@ -157,4 +157,55 @@ class StreamingSpec extends SparkSpec {
     assert(batch.filter(_.docId == 7L).forall(_.canonicalId == 6L))
     assert(batch.filter(_.docId == 2L).forall(_.canonicalId == 2L))
   }
+
+  test("streaming near-dup TTL: idle bucket expires, late re-arrival re-establishes it") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val textA = "the quick brown fox jumps over the lazy dog again and again today"
+    val textD = "yet another entirely unrelated passage to tick the processing clock forward"
+    val ttlMs = 2000L
+    val input = MemoryStream[(Long, String)]
+    val cands = StreamingOps.nearDupCandidates(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", ttlMs = Some(ttlMs))
+    // a processing-time trigger paces the engine: with ProcessingTimeTimeout
+    // the default ASAP trigger re-fires empty micro-batches continuously
+    // (every batch schedules future timeouts), burning a checkpoint write
+    // per spin
+    val q = cands.writeStream.format("memory")
+      .queryName("neardup_ttl_out").outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+    // processAllAvailable CANNOT be used here: with ProcessingTimeTimeout
+    // every batch schedules future timeouts, so the engine always "requires
+    // another batch" and the no-new-data signal that processAllAvailable
+    // waits on never fires. Poll the sink for the expected rows instead.
+    def awaitDoc(id: Long, hits: Int = 4): Unit = {
+      val t0 = System.currentTimeMillis
+      def n() = spark.table("neardup_ttl_out").filter(col("docId") === id).count()
+      while (n() < hits && System.currentTimeMillis - t0 < 60000) Thread.sleep(100)
+      assert(n() == hits, s"doc $id: expected $hits band hits in the sink")
+    }
+    try {
+      input.addData((1L, textA))
+      awaitDoc(1L)
+      // within the TTL: the bucket remembers doc 1
+      input.addData((3L, textA))
+      awaitDoc(3L)
+      // idle past the TTL; intervening trigger batches run the timeout
+      // cleanup (and the in-function staleness check covers the rest)
+      Thread.sleep(ttlMs + 600)
+      input.addData((5L, textD))
+      awaitDoc(5L)
+      // late re-arrival: the expired bucket re-establishes with doc 9 as
+      // its own fresh canonical (history before the TTL is forgotten)
+      input.addData((9L, textA))
+      awaitDoc(9L)
+      val rows = spark.table("neardup_ttl_out")
+        .as[StreamingOps.NearDupCandidate].collect()
+      assert(rows.filter(_.docId == 3L).forall(_.canonicalId == 1L),
+        s"within-TTL duplicate resolves to doc 1: ${rows.filter(_.docId == 3L).toSeq}")
+      assert(rows.filter(_.docId == 9L).forall(_.canonicalId == 9L),
+        s"post-TTL re-arrival must be its own canonical: ${rows.filter(_.docId == 9L).toSeq}")
+    } finally q.stop()
+  }
 }
