@@ -39,7 +39,8 @@ object Main {
 
   final case class IoPaths(records: Option[String], dicomDir: Option[String],
                            subjects: Option[String], cacheRoot: String,
-                           output: Option[String])
+                           output: Option[String],
+                           scorer: String)
 
   /** `paths` section of the same YAML GraftConfig.fromYaml reads (same
     * SafeConstructor posture — YAML tags must not instantiate classes). */
@@ -65,7 +66,9 @@ object Main {
           .getOrElse(JPaths.get("."))
         cfgDir.resolve(".graft-cache").toString
       },
-      s("output"))
+      s("output"),
+      // root-level `scorer` key: the predict command's model plug-point
+      root.get("scorer").map(_.toString).filter(_.nonEmpty).getOrElse("identity"))
   }
 
   /** Run one command; returns a small summary map (printed by main, and
@@ -132,17 +135,19 @@ object Main {
         val cached = DatasetCacher.load(spark, dm.cachePath)
         val shape = cached.select(col(s"${imageCols.head}.shape")).head().getSeq[Int](0)
         val (srcH, srcW) = (shape(3), shape(4))
-        // stub scorer (the reference's GPU forward_model hole, SURVEY
-        // §7.5): prediction := served image; the inverse path is real
-        val served = dm.dataloader("valid", epoch = 0L)
-          .withColumn("prediction", col(imageCols.head))
+        // scorer from config (identity | expr:<sql> | class:<fqcn> — the
+        // reference's GPU forward_model hole, SURVEY §7.5); the inverse
+        // path is real either way
+        val served = Predictor.resolveScorer(p.scorer)(
+          dm.dataloader("valid", epoch = 0L), imageCols.head)
         val inverted = Predictor.invertPredictions(served, srcH, srcW)
         val out = inverted.select(
           col("file_id"), col("subject_id"), col("dataset"),
           col("frame_nr"), col("slice_nr"), col("prediction"))
         p.output.foreach(o => out.write.mode("overwrite").parquet(s"$o/predictions"))
         Map("predictions" -> out.count().toString,
-          "source_geometry" -> s"${srcH}x$srcW")
+          "source_geometry" -> s"${srcH}x$srcW",
+          "scorer" -> p.scorer)
 
       case other => throw new IllegalArgumentException(
         s"unknown command '$other' — expected cache|serve|explore|predict")

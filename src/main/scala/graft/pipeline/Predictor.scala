@@ -4,6 +4,14 @@ import graft.tensor.{Kernels, Tensors}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+/** Pluggable model boundary for the predict stage: anything that adds a
+  * `prediction` tensor column (same struct(shape, data) type as the image)
+  * to the served frame. Implementations need a no-arg constructor to be
+  * loadable by name from config (`scorer: class:<fqcn>`). */
+trait Scorer {
+  def score(served: DataFrame, imageCol: String): DataFrame
+}
+
 /** The predict stage (`pipeline/data_predictor.py:120-414`): run a scoring
   * function over served records, inverse-resample predictions back to
   * original geometry (T5 `BatchInverseTransform` → `resampler.py:194-212`),
@@ -12,6 +20,29 @@ import org.apache.spark.sql.functions._
   * `DataFrame => DataFrame` that adds a `prediction` tensor column.
   */
 object Predictor {
+
+  /** Resolve a scorer spec from config — the model plug-point usable
+    * without recompiling (`data_predictor.py`'s forward_model boundary):
+    *  - `identity`        — prediction := served image (the test stub)
+    *  - `expr:<sql>`      — any SQL expression over the served frame that
+    *    yields a tensor struct, e.g.
+    *    `expr:named_struct('shape', image.shape, 'data', transform(image.data, x -> -x))`
+    *  - `class:<fqcn>`    — a [[Scorer]] implementation with a no-arg
+    *    constructor, loaded reflectively (a real model runner's entry)
+    * Unknown specs fail by name. */
+  def resolveScorer(spec: String): (DataFrame, String) => DataFrame = spec match {
+    case "identity" =>
+      (df, imageCol) => df.withColumn("prediction", col(imageCol))
+    case s if s.startsWith("expr:") =>
+      val e = s.stripPrefix("expr:")
+      (df, _) => df.withColumn("prediction", expr(e))
+    case s if s.startsWith("class:") =>
+      val inst = Class.forName(s.stripPrefix("class:"))
+        .getDeclaredConstructor().newInstance().asInstanceOf[Scorer]
+      (df, imageCol) => inst.score(df, imageCol)
+    case other => throw new IllegalArgumentException(
+      s"unknown scorer spec '$other' — expected identity | expr:<sql> | class:<fqcn>")
+  }
 
   /** Inverse-warp the `prediction` column through the recorded `_affine`
     * back to (sourceH, sourceW) — the invertible-transform contract:

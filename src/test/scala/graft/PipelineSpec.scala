@@ -281,5 +281,40 @@ class PipelineSpec extends SparkSpec {
     val bad = intercept[IllegalArgumentException](
       Main.run(spark, s"$root/config.yaml", "frobnicate"))
     assert(bad.getMessage.contains("unknown command"))
+
+    // non-identity scorer via config (the model plug-point): prediction :=
+    // negated image. The inverse warp is linear in intensities, so the
+    // inverted predictions must be exactly the negation of the identity
+    // run's — same rows, same source geometry, sign-flipped data.
+    val yaml2 = yaml.replace(s"output: $root/out", s"output: $root/out2") +
+      "scorer: \"expr:named_struct('shape', image.shape, " +
+      "'data', transform(image.data, x -> CAST(-x AS FLOAT)))\"\n"
+    Files.writeString(java.nio.file.Paths.get(s"$root/config2.yaml"), yaml2)
+    val predict2 = Main.run(spark, s"$root/config2.yaml", "predict")
+    assert(predict2("source_geometry") == "4x4", predict2.toString)
+    assert(predict2("scorer").startsWith("expr:"), predict2.toString)
+    assert(predict2("predictions") == predict("predictions"), predict2.toString)
+    val idPred = spark.read.parquet(s"$root/out/predictions")
+      .select(col("file_id"), col("frame_nr"), col("slice_nr"),
+        col("prediction.shape").as("shp"), col("prediction.data").as("d1"))
+    val negPred = spark.read.parquet(s"$root/out2/predictions")
+      .select(col("file_id"), col("frame_nr"), col("slice_nr"),
+        col("prediction.shape").as("shp2"), col("prediction.data").as("d2"))
+    val joined = idPred.join(negPred, Seq("file_id", "frame_nr", "slice_nr")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getSeq[Int](r.fieldIndex("shp")) == r.getSeq[Int](r.fieldIndex("shp2")),
+        "inverse geometry must match the identity run")
+      val d1 = r.getSeq[Float](r.fieldIndex("d1"))
+      val d2 = r.getSeq[Float](r.fieldIndex("d2"))
+      assert(d1.length == d2.length)
+      d1.zip(d2).foreach { case (a, b) =>
+        assert(math.abs(a + b) < 1e-4, s"expected sign-flip, got $a vs $b") }
+    }
+
+    // unknown scorer specs fail by name
+    val badScorer = intercept[IllegalArgumentException](
+      graft.pipeline.Predictor.resolveScorer("magic"))
+    assert(badScorer.getMessage.contains("magic"))
   }
 }
