@@ -453,59 +453,60 @@ object VectorQueries {
     * driver as 64 rows of 16 doubles and re-plant as a literal frame. An
     * asymmetric-distance query stage would reuse the same codebook
     * broadcast — the training side here is the hard deterministic part. */
-  val q55 = DeclaredQuery(
-    "q55_product_quantize",
-    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |subs AS (
-           |  SELECT vec_id, s.s AS sub, v[(s.s*16+1):(s.s*16+16)] AS vs
-           |  FROM e CROSS JOIN (SELECT unnest([0,1,2,3]) AS s) s),
-           |seeds AS (
-           |  SELECT row_number() OVER (ORDER BY md5(concat_ws(':', CAST(vec_id AS VARCHAR), 'pqseed')), vec_id) AS code,
-           |         vec_id
-           |  FROM e QUALIFY code <= 16),
-           |c0 AS (SELECT sb.sub, sd.code, sb.vs AS cv
-           |       FROM seeds sd JOIN subs sb ON sb.vec_id = sd.vec_id),
-           |a1 AS (
-           |  SELECT vec_id, sub, vs, code FROM (
-           |    SELECT subs.vec_id, subs.sub, subs.vs, c0.code,
-           |           row_number() OVER (PARTITION BY subs.vec_id, subs.sub
-           |             ORDER BY list_dot_product(subs.vs, subs.vs)
-           |                      - 2*list_dot_product(subs.vs, c0.cv)
-           |                      + list_dot_product(c0.cv, c0.cv) ASC, c0.code) AS ark
-           |    FROM subs JOIN c0 USING (sub)) WHERE ark = 1),
-           |dims AS (
-           |  SELECT sub, code, vec_id, i AS pos, vs[CAST(i AS INTEGER)] AS val
-           |  FROM (SELECT sub, code, vec_id, vs, unnest(range(1, len(vs)+1)) AS i FROM a1)),
-           |bsum AS (
-           |  SELECT sub, code, pos, vec_id // 1024 AS b,
-           |         list_aggregate(list(val ORDER BY vec_id), 'sum') AS bs,
-           |         COUNT(*) AS cnt
-           |  FROM dims GROUP BY sub, code, pos, b),
-           |csum AS (
-           |  SELECT sub, code, pos,
-           |         list_aggregate(list(bs ORDER BY b), 'sum') AS sv,
-           |         CAST(SUM(cnt) AS BIGINT) AS cnt
-           |  FROM bsum GROUP BY sub, code, pos),
-           |c1 AS (SELECT sub, code, list(sv/cnt ORDER BY pos) AS cv
-           |       FROM csum GROUP BY sub, code),
-           |a2 AS (
-           |  SELECT vec_id, sub, code, dist FROM (
-           |    SELECT subs.vec_id, subs.sub, c1.code,
-           |           list_dot_product(subs.vs, subs.vs)
-           |             - 2*list_dot_product(subs.vs, c1.cv)
-           |             + list_dot_product(c1.cv, c1.cv) AS dist,
-           |           row_number() OVER (PARTITION BY subs.vec_id, subs.sub
-           |             ORDER BY list_dot_product(subs.vs, subs.vs)
-           |                      - 2*list_dot_product(subs.vs, c1.cv)
-           |                      + list_dot_product(c1.cv, c1.cv) ASC, c1.code) AS ark
-           |    FROM subs JOIN c1 USING (sub)) WHERE ark = 1)
-           |SELECT vec_id,
-           |       CAST(MAX(CASE WHEN sub = 0 THEN code END) AS INTEGER) AS code0,
-           |       CAST(MAX(CASE WHEN sub = 1 THEN code END) AS INTEGER) AS code1,
-           |       CAST(MAX(CASE WHEN sub = 2 THEN code END) AS INTEGER) AS code2,
-           |       CAST(MAX(CASE WHEN sub = 3 THEN code END) AS INTEGER) AS code3,
-           |       SUM(dist) AS sq_err
-           |FROM a2 GROUP BY vec_id ORDER BY vec_id""".stripMargin)) { (s, d) =>
+  /** q55/q56 shared oracle prefix: the PQ training chain through the final
+    * per-(vec, sub) code assignment `a2` (the CTE names match the Scala
+    * stages 1:1; `dist` in a2 is the exact squared subspace residual). */
+  private val PqOracleCte =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |subs AS (
+      |  SELECT vec_id, s.s AS sub, v[(s.s*16+1):(s.s*16+16)] AS vs
+      |  FROM e CROSS JOIN (SELECT unnest([0,1,2,3]) AS s) s),
+      |seeds AS (
+      |  SELECT row_number() OVER (ORDER BY md5(concat_ws(':', CAST(vec_id AS VARCHAR), 'pqseed')), vec_id) AS code,
+      |         vec_id
+      |  FROM e QUALIFY code <= 16),
+      |c0 AS (SELECT sb.sub, sd.code, sb.vs AS cv
+      |       FROM seeds sd JOIN subs sb ON sb.vec_id = sd.vec_id),
+      |a1 AS (
+      |  SELECT vec_id, sub, vs, code FROM (
+      |    SELECT subs.vec_id, subs.sub, subs.vs, c0.code,
+      |           row_number() OVER (PARTITION BY subs.vec_id, subs.sub
+      |             ORDER BY list_dot_product(subs.vs, subs.vs)
+      |                      - 2*list_dot_product(subs.vs, c0.cv)
+      |                      + list_dot_product(c0.cv, c0.cv) ASC, c0.code) AS ark
+      |    FROM subs JOIN c0 USING (sub)) WHERE ark = 1),
+      |dims AS (
+      |  SELECT sub, code, vec_id, i AS pos, vs[CAST(i AS INTEGER)] AS val
+      |  FROM (SELECT sub, code, vec_id, vs, unnest(range(1, len(vs)+1)) AS i FROM a1)),
+      |bsum AS (
+      |  SELECT sub, code, pos, vec_id // 1024 AS b,
+      |         list_aggregate(list(val ORDER BY vec_id), 'sum') AS bs,
+      |         COUNT(*) AS cnt
+      |  FROM dims GROUP BY sub, code, pos, b),
+      |csum AS (
+      |  SELECT sub, code, pos,
+      |         list_aggregate(list(bs ORDER BY b), 'sum') AS sv,
+      |         CAST(SUM(cnt) AS BIGINT) AS cnt
+      |  FROM bsum GROUP BY sub, code, pos),
+      |c1 AS (SELECT sub, code, list(sv/cnt ORDER BY pos) AS cv
+      |       FROM csum GROUP BY sub, code),
+      |a2 AS (
+      |  SELECT vec_id, sub, code, dist FROM (
+      |    SELECT subs.vec_id, subs.sub, c1.code,
+      |           list_dot_product(subs.vs, subs.vs)
+      |             - 2*list_dot_product(subs.vs, c1.cv)
+      |             + list_dot_product(c1.cv, c1.cv) AS dist,
+      |           row_number() OVER (PARTITION BY subs.vec_id, subs.sub
+      |             ORDER BY list_dot_product(subs.vs, subs.vs)
+      |                      - 2*list_dot_product(subs.vs, c1.cv)
+      |                      + list_dot_product(c1.cv, c1.cv) ASC, c1.code) AS ark
+      |    FROM subs JOIN c1 USING (sub)) WHERE ark = 1)""".stripMargin
+
+  /** q55/q56 shared Spark stages: the per-(vec, subspace) subvector frame
+    * and the trained 4×16 codebook (collected to 64 literal rows, like
+    * q43's centroids). Training = seeded md5 init → L2 assign →
+    * deterministic two-phase mean → the caller reassigns. */
+  private def pqTrain(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val subs = e
@@ -527,16 +528,7 @@ object VectorQueries {
       java.util.Arrays.asList(seedsPlan.collect(): _*), seedsPlan.schema)
     val c0 = subs.join(broadcast(seeds), "vec_id")
       .select(col("sub"), col("code"), col("vs").as("cv"))
-    def assignTo(cent: DataFrame): DataFrame = subs
-      .join(broadcast(cent), Seq("sub"))
-      .withColumn("dist",
-        dot(col("vs"), col("vs")) - lit(2) * dot(col("vs"), col("cv"))
-          + dot(col("cv"), col("cv")))
-      .withColumn("ark", row_number().over(
-        Window.partitionBy(col("vec_id"), col("sub"))
-          .orderBy(col("dist").asc, col("code"))))
-      .filter(col("ark") === 1)
-    val a1 = assignTo(c0).select(col("vec_id"), col("sub"), col("code"), col("vs"))
+    val a1 = pqAssign(subs, c0).select(col("vec_id"), col("sub"), col("code"), col("vs"))
     val dims = a1.select(col("sub"), col("code"), col("vec_id"),
       posexplode(col("vs")).as(Seq("pos", "val")))
       .withColumn("_b", expr(s"vec_id DIV $MeanBucketWidth"))
@@ -551,7 +543,35 @@ object VectorQueries {
         x => x("m")).as("cv"))
     val c1 = s.createDataFrame(
       java.util.Arrays.asList(c1Plan.collect(): _*), c1Plan.schema)
-    assignTo(c1)
+    (subs, c1)
+  }
+
+  /** nearest codeword per (vec, subspace): one corpus scan against the
+    * broadcast codebook, L2 via the dot-product identity, ties to the
+    * lower code. `dist` is the exact squared subspace residual. */
+  private def pqAssign(subs: DataFrame, cent: DataFrame): DataFrame = subs
+    .join(broadcast(cent), Seq("sub"))
+    .withColumn("dist",
+      dot(col("vs"), col("vs")) - lit(2) * dot(col("vs"), col("cv"))
+        + dot(col("cv"), col("cv")))
+    .withColumn("ark", row_number().over(
+      Window.partitionBy(col("vec_id"), col("sub"))
+        .orderBy(col("dist").asc, col("code"))))
+    .filter(col("ark") === 1)
+
+  val q55 = DeclaredQuery(
+    "q55_product_quantize",
+    Some(PqOracleCte +
+      """
+        |SELECT vec_id,
+        |       CAST(MAX(CASE WHEN sub = 0 THEN code END) AS INTEGER) AS code0,
+        |       CAST(MAX(CASE WHEN sub = 1 THEN code END) AS INTEGER) AS code1,
+        |       CAST(MAX(CASE WHEN sub = 2 THEN code END) AS INTEGER) AS code2,
+        |       CAST(MAX(CASE WHEN sub = 3 THEN code END) AS INTEGER) AS code3,
+        |       SUM(dist) AS sq_err
+        |FROM a2 GROUP BY vec_id ORDER BY vec_id""".stripMargin)) { (s, d) =>
+    val (subs, c1) = pqTrain(s, d)
+    pqAssign(subs, c1)
       .groupBy("vec_id")
       .agg(
         max(when(col("sub") === 0, col("code"))).cast("int").as("code0"),
@@ -562,5 +582,68 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(q25, q34, q35, q36, q43, q51, q55)
+  // ---------------------------------------------------------------- Q56
+  /** PQ asymmetric-distance search (ADC) — the query stage that completes
+    * IVF-PQ: 5 probe vectors score the ENTIRE corpus through its 4-byte
+    * codes without touching a single original vector. Per probe, a
+    * 4×16-entry lookup table of exact subspace distances to every codeword
+    * is built once (‖p_s − c‖² via the dot identity); a database vector's
+    * approximate distance is then the sum of its 4 table lookups.
+    *
+    * Scale shape: the LUT is 5 probes × 64 rows — broadcast; the corpus
+    * side is the codes frame (4 rows/vector), one broadcast-hash join on
+    * (sub, code), one hash-agg per (probe, vec), and a per-probe top-k
+    * window (partitioned, rank ≤ 5 → WindowGroupLimit ships only local
+    * top-5s). At 100 TB this is exactly the serving plan: codes fit in
+    * ~1/64th the corpus bytes and the scan never reads embeddings.
+    *
+    * Parity: equal codes ⇒ equal ADC distance, so ties are COMMON — the
+    * per-(probe, vec) sum folds its 4 lookups in sub order (orderedFold /
+    * list ORDER BY sub) so both engines compute bit-identical doubles and
+    * break ties by vec_id identically. */
+  val q56 = DeclaredQuery(
+    "q56_pq_adc_search",
+    Some(PqOracleCte +
+      """,
+        |codes AS (SELECT vec_id, sub, code FROM a2),
+        |probes AS (SELECT vec_id AS probe_id, sub, vs AS ps FROM subs WHERE vec_id < 5),
+        |lut AS (
+        |  SELECT p.probe_id, p.sub, c1.code,
+        |         list_dot_product(p.ps, p.ps)
+        |           - 2*list_dot_product(p.ps, c1.cv)
+        |           + list_dot_product(c1.cv, c1.cv) AS pd
+        |  FROM probes p JOIN c1 USING (sub)),
+        |pa AS (
+        |  SELECT l.probe_id, cd.vec_id,
+        |         list_aggregate(list(l.pd ORDER BY l.sub), 'sum') AS adc_dist
+        |  FROM codes cd JOIN lut l ON l.sub = cd.sub AND l.code = cd.code
+        |  GROUP BY l.probe_id, cd.vec_id),
+        |r AS (
+        |  SELECT probe_id, vec_id, adc_dist,
+        |         row_number() OVER (PARTITION BY probe_id
+        |                            ORDER BY adc_dist, vec_id) AS rk
+        |  FROM pa WHERE vec_id <> probe_id)
+        |SELECT probe_id, CAST(rk AS INTEGER) AS rk, vec_id AS neighbor_id, adc_dist
+        |FROM r WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin)) { (s, d) =>
+    val (subs, c1) = pqTrain(s, d)
+    val codes = pqAssign(subs, c1).select(col("vec_id"), col("sub"), col("code"))
+    val probes = subs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("sub"), col("vs").as("ps"))
+    val lut = probes.join(broadcast(c1), Seq("sub"))
+      .select(col("probe_id"), col("sub"), col("code"),
+        (dot(col("ps"), col("ps")) - lit(2) * dot(col("ps"), col("cv"))
+          + dot(col("cv"), col("cv"))).as("pd"))
+    codes.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy("probe_id", "vec_id")
+      .agg(orderedFold("sub", "pd").as("adc_dist"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("adc_dist").asc, col("vec_id")))
+        .cast("int"))
+      .filter(col("rk") <= 5)
+      .select(col("probe_id"), col("rk"), col("vec_id").as("neighbor_id"), col("adc_dist"))
+      .orderBy("probe_id", "rk")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(q25, q34, q35, q36, q43, q51, q55, q56)
 }
