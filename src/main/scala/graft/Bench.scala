@@ -40,8 +40,20 @@ object Bench {
     // extra wall cost stays bounded.
     val benchReps = math.max(1,
       sys.env.getOrElse("GRAFT_BENCH_REPS", "2").toInt)
+    // GRAFT_BENCH_ONLY=q55_x,q56_y restricts the run (same harness/warmup
+    // as the full suite — for adding single rows to the scale table
+    // without re-measuring everything)
+    val only = sys.env.get("GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) =>
+        val missing = names -- SparkEntry.queries.keySet
+        require(missing.isEmpty, s"GRAFT_BENCH_ONLY names unknown queries: $missing")
+        SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
     val diag = scala.collection.mutable.LinkedHashMap.empty[String, (Seq[Double], Seq[Double])]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
