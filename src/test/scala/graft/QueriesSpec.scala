@@ -110,4 +110,43 @@ class QueriesSpec extends SparkSpec {
     val bad = run("q28_simhash").filter(col("simhash16") < 0 || col("simhash16") > 65535).count()
     assert(bad == 0)
   }
+
+  test("q54 pack windows: token conservation, every bin full except the last") {
+    val df = run("q54_pack_windows").orderBy("bin").collect()
+    val corpusTokens = Tables.documents(spark, sf0001)
+      .select(sum(size(split(col("text"), " ")))).head().getLong(0)
+    assert(df.map(_.getAs[Int]("n_tokens").toLong).sum == corpusTokens,
+      "window token counts must sum to the corpus token count")
+    assert(df.map(_.getAs[Int]("bin")).toSeq == df.indices.map(identity),
+      "bins are contiguous from 0")
+    df.dropRight(1).foreach(r =>
+      assert(r.getAs[Int]("n_tokens") == 2048, "every bin but the last is full"))
+    assert(df.last.getAs[Int]("n_tokens") <= 2048)
+  }
+
+  test("q55 product quantization: codes in range, exact nonnegative error, full coverage") {
+    val df = run("q55_product_quantize")
+    val nVecs = Tables.embeddings(spark, sf0001).count()
+    assert(df.count() == nVecs, "one row per vector")
+    val badCode = df.filter(
+      (0 to 3).map(i => col(s"code$i") < 1 || col(s"code$i") > 16).reduce(_ || _)).count()
+    assert(badCode == 0, "codes are 1..16 in each subspace")
+    assert(df.filter(col("sq_err") < -1e-9).count() == 0, "squared error nonnegative")
+  }
+
+  test("q56 ADC search: ranks 1..5 per probe, distances ascend, never self") {
+    val df = run("q56_pq_adc_search").collect()
+    val byProbe = df.groupBy(_.getAs[Long]("probe_id"))
+    byProbe.foreach { case (pid, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rk"))
+      assert(sorted.map(_.getAs[Int]("rk")).toSeq == (1 to rows.length),
+        s"probe $pid ranks contiguous from 1")
+      val dists = sorted.map(_.getAs[Double]("adc_dist"))
+      assert(dists.zip(dists.tail).forall { case (a, b) => a <= b },
+        s"probe $pid distances ascend")
+      assert(rows.forall(_.getAs[Long]("neighbor_id") != pid), "self excluded")
+      assert(dists.forall(_ >= -1e-9), "ADC distance nonnegative")
+    }
+    assert(byProbe.size == 5 && byProbe.values.forall(_.length == 5))
+  }
 }
