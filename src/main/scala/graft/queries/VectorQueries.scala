@@ -645,5 +645,83 @@ object VectorQueries {
       .orderBy("probe_id", "rk")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(q25, q34, q35, q36, q43, q51, q55, q56)
+  // ---------------------------------------------------------------- Q57
+  /** Embedding-cosine near-dup at SCALE — the linear-path twin of q34's
+    * declared-quadratic sampled pair join: vectors hash into sign-LSH
+    * buckets (q35's hyperplane family), exact cosine runs only INSIDE a
+    * bucket, and each bucket emits its top-3 most-similar pairs. Total
+    * pair work is Σ(bucket size²) instead of n².
+    *
+    * The plane count SELF-SIZES to the corpus: smallest p in [8, 20] with
+    * 4·2^p ≥ n, targeting ~4 vectors/bucket at any scale (a fixed 8 planes
+    * measured 14× wall for 10× data at sf10 — ~780 vectors/bucket made the
+    * in-bucket join quadratic; self-sized it is 16 planes there). The
+    * formula is INTEGER arithmetic (shift + compare), so both engines pick
+    * the same p with no FP-at-the-boundary risk; the DuckDB oracle computes
+    * it from COUNT(*) and substrings the same 20-bit signature. The [8,20]
+    * cap is bench-scale — a 10⁹-vector deployment raises the ceiling
+    * (buckets ≈ corpus/occupancy), same knob, measured by tools/LshAudit.
+    *
+    * Scale shape: one scan computes the sign projections (codegen'd VecDot
+    * folds), ONE hash-shuffle on bucket, an in-bucket self-join bounded by
+    * occupancy, and a per-bucket top-3 rank window (partitioned →
+    * WindowGroupLimit ships local winners only). Cosines are bit-identical
+    * across engines (same left-fold dot), so rank ties cannot diverge. */
+  private val lshMaxPlanes = 20
+
+  val q57 = DeclaredQuery(
+    "q57_embed_neardup_lsh",
+    Some {
+      val signs20 = lshSignsFor(lshMaxPlanes)
+      val bits = (0 until lshMaxPlanes).map { j =>
+        val arr = signs20(j).map(x => s"$x.0").mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $arr) >= 0 THEN '1' ELSE '0' END)"
+      }.mkString(" || ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |pl AS (
+         |  SELECT COALESCE(MIN(p), $lshMaxPlanes) AS planes
+         |  FROM (SELECT CAST(unnest(range(8, ${lshMaxPlanes + 1})) AS INTEGER) AS p)
+         |  WHERE 4 * (CAST(1 AS BIGINT) << p) >= (SELECT COUNT(*) FROM embeddings)),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |b AS (SELECT vec_id, v, nrm,
+         |             substr($bits, 1, (SELECT planes FROM pl)) AS bucket FROM n),
+         |p AS (
+         |  SELECT a.bucket, a.vec_id AS id_a, bb.vec_id AS id_b,
+         |         list_dot_product(a.v, bb.v)/(a.nrm*bb.nrm) AS cosine
+         |  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id),
+         |r AS (
+         |  SELECT bucket, id_a, id_b, cosine,
+         |         row_number() OVER (PARTITION BY bucket
+         |                            ORDER BY cosine DESC, id_a, id_b) AS rk
+         |  FROM p)
+         |SELECT bucket, CAST(rk AS INTEGER) AS rk, id_a, id_b, cosine
+         |FROM r WHERE rk <= 3 ORDER BY bucket, rk""".stripMargin
+    }) { (s, d) =>
+    val n = normed(s, d)
+    // integer self-sizing: smallest p in [8, lshMaxPlanes] with 4*2^p >= n
+    // (one tiny count job, like q43/q55's codebook collects)
+    val nv = Tables.embeddings(s, d).count()
+    val planes = (8 to lshMaxPlanes).find(p => (4L << p) >= nv).getOrElse(lshMaxPlanes)
+    val signs = lshSignsFor(lshMaxPlanes)
+    val sigBits: Seq[Column] = (0 until planes).map { j =>
+      val proj = dot(col("v"), array(signs(j).map(x => lit(x.toDouble)): _*))
+      when(proj >= 0, lit("1")).otherwise(lit("0"))
+    }
+    val b = n.withColumn("bucket", concat(sigBits: _*))
+    val left = b.select(col("bucket"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val right = b.select(col("bucket"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    left.join(right, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("bucket"))
+          .orderBy(col("cosine").desc, col("id_a"), col("id_b"))).cast("int"))
+      .filter(col("rk") <= 3)
+      .select(col("bucket"), col("rk"), col("id_a"), col("id_b"), col("cosine"))
+      .orderBy("bucket", "rk")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(q25, q34, q35, q36, q43, q51, q55, q56, q57)
 }

@@ -134,6 +134,14 @@ class QueriesSpec extends SparkSpec {
     assert(df.filter(col("sq_err") < -1e-9).count() == 0, "squared error nonnegative")
   }
 
+  test("q57 LSH near-dup pairs: ordered ids, per-bucket top-3, cosine in range") {
+    val df = run("q57_embed_neardup_lsh")
+    assert(df.filter(col("id_a") >= col("id_b")).count() == 0, "pairs ordered id_a < id_b")
+    assert(df.filter(col("rk") < 1 || col("rk") > 3).count() == 0, "top-3 per bucket")
+    assert(df.filter(abs(col("cosine")) > 1.0 + 1e-9).count() == 0, "cosine in [-1, 1]")
+    assert(df.count() > 0)
+  }
+
   test("q56 ADC search: ranks 1..5 per probe, distances ascend, never self") {
     val df = run("q56_pq_adc_search").collect()
     val byProbe = df.groupBy(_.getAs[Long]("probe_id"))
