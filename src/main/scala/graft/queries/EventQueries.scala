@@ -143,5 +143,67 @@ object EventQueries {
       .orderBy("user_id", "start_epoch")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(q24a, q24b, q24c, q24d, q26j)
+  // ---------------------------------------------------------------- Q58
+  /** Backward as-of join (operators.AsOfJoin, SURVEY §2.13 X20): every
+    * `error` event picks up the most recent `click` by the same user
+    * at-or-before it, within a 1-hour tolerance — the canonical "state at
+    * the time of the event" temporal join Spark lacks as a built-in.
+    *
+    * The oracle replays the operator's exact union + per-key running-window
+    * semantics (last_value IGNORE NULLS over (ts, side, tiebreak) order) —
+    * the same spec DuckDB's native ASOF JOIN implements, spelled out so
+    * tie/tolerance behavior is pinned, not inherited.
+    *
+    * Timestamps export as epoch-microsecond BIGINTs (events are exactly
+    * μs-valued, q24d note). Match-miss rows keep integer sentinels instead
+    * of NULLs: a nullable BIGINT round-trips through pandas as float64 and
+    * the driver's hasher is dtype-sensitive (check_oracle.py note).
+    *
+    * Scale shape: ONE hash shuffle on user_id + per-key sort (the q24c
+    * sessionization cost class); running state is one payload struct per
+    * key. No range-join explosion, no global window. */
+  val q58 = DeclaredQuery(
+    "q58_asof_join",
+    Some("""WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS eus, value FROM events WHERE event_type = 'click'),
+           |x AS (SELECT user_id, event_id, epoch_us(ts) AS eus FROM events WHERE event_type = 'error'),
+           |u AS (
+           |  SELECT user_id, eus, event_id, 0 AS side, event_id AS p_id, eus AS p_eus, value AS p_val FROM c
+           |  UNION ALL
+           |  SELECT user_id, eus, event_id, 1, NULL, NULL, NULL FROM x),
+           |w AS (
+           |  SELECT user_id, eus, event_id, side,
+           |         last_value(p_id IGNORE NULLS) OVER win AS m_id,
+           |         last_value(p_eus IGNORE NULLS) OVER win AS m_eus,
+           |         last_value(p_val IGNORE NULLS) OVER win AS m_val
+           |  FROM u WINDOW win AS (PARTITION BY user_id ORDER BY eus, side, event_id
+           |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |t AS (SELECT event_id, user_id, eus,
+           |             CASE WHEN eus - m_eus <= 3600000000 THEN m_id END AS ck_id,
+           |             CASE WHEN eus - m_eus <= 3600000000 THEN m_eus END AS ck_eus,
+           |             CASE WHEN eus - m_eus <= 3600000000 THEN m_val END AS ck_val
+           |      FROM w WHERE side = 1)
+           |SELECT event_id, user_id, eus AS error_eus,
+           |       (ck_id IS NOT NULL) AS has_click,
+           |       CAST(COALESCE(ck_id, -1) AS BIGINT) AS click_id,
+           |       COALESCE(ck_val, 0.0) AS click_value,
+           |       CAST(COALESCE(eus - ck_eus, -1) AS BIGINT) AS gap_us
+           |FROM t ORDER BY event_id""".stripMargin)) { (s, d) =>
+    val ev = Tables.events(s, d).withColumn("eus", unix_micros(col("ts")))
+    val errors = ev.filter(col("event_type") === "error")
+      .select("user_id", "event_id", "eus")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "event_id", "eus", "value")
+    graft.operators.AsOfJoin.backward(
+        errors, clicks, keys = Seq("user_id"), ts = "eus",
+        tiebreak = "event_id", payload = Seq("event_id", "value"),
+        prefix = "click_", tolerance = Some(lit(3600L * 1000000L)))
+      .select(col("event_id"), col("user_id"), col("eus").as("error_eus"),
+        col("click_event_id").isNotNull.as("has_click"),
+        coalesce(col("click_event_id"), lit(-1L)).as("click_id"),
+        coalesce(col("click_value"), lit(0.0)).as("click_value"),
+        coalesce(col("eus") - col("click_eus"), lit(-1L)).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(q24a, q24b, q24c, q24d, q26j, q58)
 }
