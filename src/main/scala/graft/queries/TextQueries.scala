@@ -982,6 +982,75 @@ object TextQueries {
       .orderBy("bin")
   }
 
+  // ---------------------------------------------------------------- Q59
+  /** Repetition quality filters (SURVEY §2.13 X21) — the Gopher-style
+    * within-document repetition rules (Rae et al. 2021 §A1.1) adapted to
+    * token streams: the fraction of tokens claimed by the single most
+    * frequent bigram, and the fraction of trigram occurrences that are
+    * duplicates. High values flag degenerate/boilerplate text that the
+    * q30 shape features (length/punct ratios) cannot see — a looping
+    * scraper page scores fine on length but lights up here.
+    *
+    * repetitive = top_bigram_frac > 0.18 OR dup_trigram_frac > 0.30
+    * (Gopher's published cut for 2-gram top fraction is 0.20 on chars;
+    * these are declared constants of the query, not tuned claims).
+    *
+    * Scale shape: two linear n-gram explodes (≈2× the token stream), each
+    * into a map-side-combinable (doc_id, gram) hash-agg, then per-doc
+    * folds. No windows, no joins except the final per-doc assembly on
+    * doc_id. The gram strings never leave the aggregation — only per-doc
+    * scalars shuffle to the output. */
+  val q59 = DeclaredQuery(
+    "q59_repetition",
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+           |b2 AS (SELECT doc_id, n, toks[i] || ' ' || toks[i+1] AS gram
+           |       FROM (SELECT doc_id, n, toks, unnest(range(1, n)) AS i FROM n)),
+           |c2 AS (SELECT doc_id, gram, MAX(n) AS n, COUNT(*) AS c FROM b2 GROUP BY doc_id, gram),
+           |a2 AS (SELECT doc_id, 2.0 * MAX(c) / MAX(n) AS top_bigram_frac FROM c2 GROUP BY doc_id),
+           |b3 AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+           |       FROM (SELECT doc_id, toks, n, unnest(range(1, n - 1)) AS i FROM n)),
+           |c3 AS (SELECT doc_id, gram, COUNT(*) AS c FROM b3 GROUP BY doc_id, gram),
+           |a3 AS (SELECT doc_id,
+           |              CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+           |                / CAST(SUM(c) AS DOUBLE) AS dup_trigram_frac
+           |       FROM c3 GROUP BY doc_id)
+           |SELECT n.doc_id, n.n AS n_tokens,
+           |       COALESCE(top_bigram_frac, 0.0) AS top_bigram_frac,
+           |       COALESCE(dup_trigram_frac, 0.0) AS dup_trigram_frac,
+           |       (COALESCE(top_bigram_frac, 0.0) > 0.18
+           |        OR COALESCE(dup_trigram_frac, 0.0) > 0.30) AS repetitive
+           |FROM n LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+           |ORDER BY n.doc_id""".stripMargin)) { (s, d) =>
+    val t = docs(s, d).select(col("doc_id"), words.as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+    def grams(k: Int): DataFrame = {
+      val mk = (0 until k).map(j => s"toks[i+$j]").mkString(", ")
+      t.filter(col("n") >= k)
+        .select(col("doc_id"), col("n"),
+          explode(expr(s"transform(sequence(0, size(toks)-$k), i -> concat_ws(' ', $mk))"))
+            .as("gram"))
+    }
+    val top2 = grams(2)
+      .groupBy("doc_id", "gram").agg(max("n").as("n"), count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg((lit(2.0) * max(col("c")) / max(col("n"))).as("top_bigram_frac"))
+    val dup3 = grams(3)
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg((sum(when(col("c") > 1, col("c")).otherwise(lit(0))).cast("double")
+        / sum(col("c")).cast("double")).as("dup_trigram_frac"))
+    t.select(col("doc_id"), col("n").as("n_tokens"))
+      .join(top2, Seq("doc_id"), "left")
+      .join(dup3, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
+        coalesce(col("dup_trigram_frac"), lit(0.0)).as("dup_trigram_frac"))
+      .withColumn("repetitive",
+        col("top_bigram_frac") > 0.18 || col("dup_trigram_frac") > 0.30)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[DeclaredQuery] = Seq(q26, q26t, q27, q27p, q28, q29, q30, q31,
-    q32, q33, q37, q38, q39, q42, q44, q47, q48, q49, q50, q52, q53, q54)
+    q32, q33, q37, q38, q39, q42, q44, q47, q48, q49, q50, q52, q53, q54, q59)
 }
