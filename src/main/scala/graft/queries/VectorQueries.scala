@@ -669,22 +669,45 @@ object VectorQueries {
     * across engines (same left-fold dot), so rank ties cannot diverge. */
   private val lshMaxPlanes = 20
 
+  /** smallest p in [8, lshMaxPlanes] with 4·2^p ≥ n — q57's integer
+    * self-sizing rule (~4 vectors/bucket at any corpus size); INTEGER
+    * arithmetic so the oracle derives the identical p from COUNT(*). */
+  private def selfSizedPlanes(nVecs: Long): Int =
+    (8 to lshMaxPlanes).find(p => (4L << p) >= nVecs).getOrElse(lshMaxPlanes)
+
+  /** sign-LSH bucket column over [[normed]] output, `planes` bits. */
+  private def withSelfSizedBucket(n: DataFrame, planes: Int): DataFrame = {
+    val signs = lshSignsFor(lshMaxPlanes)
+    val sigBits: Seq[Column] = (0 until planes).map { j =>
+      val proj = dot(col("v"), array(signs(j).map(x => lit(x.toDouble)): _*))
+      when(proj >= 0, lit("1")).otherwise(lit("0"))
+    }
+    n.withColumn("bucket", concat(sigBits: _*))
+  }
+
+  /** oracle twin of [[selfSizedPlanes]] + [[withSelfSizedBucket]]:
+    * CTEs `e` (vectors), `pl` (self-sized plane count), `n` (norms),
+    * `b` (bucketed vectors) — shared by q57 and q60. */
+  private lazy val lshSelfSizedCtes: String = {
+    val signs20 = lshSignsFor(lshMaxPlanes)
+    val bits = (0 until lshMaxPlanes).map { j =>
+      val arr = signs20(j).map(x => s"$x.0").mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(v, $arr) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |pl AS (
+       |  SELECT COALESCE(MIN(p), $lshMaxPlanes) AS planes
+       |  FROM (SELECT CAST(unnest(range(8, ${lshMaxPlanes + 1})) AS INTEGER) AS p)
+       |  WHERE 4 * (CAST(1 AS BIGINT) << p) >= (SELECT COUNT(*) FROM embeddings)),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |b AS (SELECT vec_id, v, nrm,
+       |             substr($bits, 1, (SELECT planes FROM pl)) AS bucket FROM n)""".stripMargin
+  }
+
   val q57 = DeclaredQuery(
     "q57_embed_neardup_lsh",
     Some {
-      val signs20 = lshSignsFor(lshMaxPlanes)
-      val bits = (0 until lshMaxPlanes).map { j =>
-        val arr = signs20(j).map(x => s"$x.0").mkString("[", ", ", "]")
-        s"(CASE WHEN list_dot_product(v, $arr) >= 0 THEN '1' ELSE '0' END)"
-      }.mkString(" || ")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |pl AS (
-         |  SELECT COALESCE(MIN(p), $lshMaxPlanes) AS planes
-         |  FROM (SELECT CAST(unnest(range(8, ${lshMaxPlanes + 1})) AS INTEGER) AS p)
-         |  WHERE 4 * (CAST(1 AS BIGINT) << p) >= (SELECT COUNT(*) FROM embeddings)),
-         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-         |b AS (SELECT vec_id, v, nrm,
-         |             substr($bits, 1, (SELECT planes FROM pl)) AS bucket FROM n),
+      s"""WITH $lshSelfSizedCtes,
          |p AS (
          |  SELECT a.bucket, a.vec_id AS id_a, bb.vec_id AS id_b,
          |         list_dot_product(a.v, bb.v)/(a.nrm*bb.nrm) AS cosine
@@ -697,17 +720,10 @@ object VectorQueries {
          |SELECT bucket, CAST(rk AS INTEGER) AS rk, id_a, id_b, cosine
          |FROM r WHERE rk <= 3 ORDER BY bucket, rk""".stripMargin
     }) { (s, d) =>
-    val n = normed(s, d)
-    // integer self-sizing: smallest p in [8, lshMaxPlanes] with 4*2^p >= n
-    // (one tiny count job, like q43/q55's codebook collects)
-    val nv = Tables.embeddings(s, d).count()
-    val planes = (8 to lshMaxPlanes).find(p => (4L << p) >= nv).getOrElse(lshMaxPlanes)
-    val signs = lshSignsFor(lshMaxPlanes)
-    val sigBits: Seq[Column] = (0 until planes).map { j =>
-      val proj = dot(col("v"), array(signs(j).map(x => lit(x.toDouble)): _*))
-      when(proj >= 0, lit("1")).otherwise(lit("0"))
-    }
-    val b = n.withColumn("bucket", concat(sigBits: _*))
+    // integer self-sizing: one tiny count job, like q43/q55's codebook
+    // collects
+    val planes = selfSizedPlanes(Tables.embeddings(s, d).count())
+    val b = withSelfSizedBucket(normed(s, d), planes)
     val left = b.select(col("bucket"), col("vec_id").as("id_a"),
       col("v").as("va"), col("nrm").as("na"))
     val right = b.select(col("bucket"), col("vec_id").as("id_b"),
@@ -723,5 +739,72 @@ object VectorQueries {
       .orderBy("bucket", "rk")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(q25, q34, q35, q36, q43, q51, q55, q56, q57)
+  // ---------------------------------------------------------------- Q60
+  /** Embedding dedup CLUSTERS (SURVEY §2.13 X22) — the semantic-dedup
+    * closure over q57's bucketed candidates: in-bucket pairs with cosine ≥
+    * τ become edges, connected components label each near-dup group, and
+    * the min-id member is kept — the embedding-space twin of q39's
+    * MinHash→CC text path (SemDeDup-style, Abbas et al. 2023, with LSH
+    * cells standing in for k-means cells so the candidate stage stays
+    * output-linear at any corpus size).
+    *
+    * τ = 0.3 is a declared constant calibrated to this synthetic corpus
+    * (its all-pairs cosine tops out at 0.51; 0.3 yields a meaningful edge
+    * set). A real embedding corpus runs the same query at ~0.95+.
+    * Single-table sign-LSH trades recall for linearity — the declared
+    * contract is "clusters over the bucketed candidate edges", the same
+    * contract q39 declares over its band-bucket edges.
+    *
+    * Scale shape: q57's self-sized buckets (Σ bucket² bounded by ~4×n),
+    * edge list linear in qualifying pairs, then [[graft.operators.ConnectedComponents]]
+    * at one Spark job per round (diameter-bound, q39's measured posture).
+    * The oracle replays the identical buckets/edges and closes them with a
+    * recursive reachability CTE. */
+  val q60 = DeclaredQuery(
+    "q60_embed_dedup_clusters",
+    Some {
+      s"""WITH RECURSIVE $lshSelfSizedCtes,
+         |ed AS (
+         |  SELECT a.vec_id AS x, bb.vec_id AS nb
+         |  FROM b a JOIN b bb
+         |    ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+         |   AND list_dot_product(a.v, bb.v)/(a.nrm*bb.nrm) >= 0.3),
+         |sym AS (SELECT x, nb FROM ed UNION ALL SELECT nb, x FROM ed),
+         |r(vec_id, seen) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT sym.nb, r.seen FROM r JOIN sym ON sym.x = r.vec_id),
+         |reach AS (SELECT vec_id, MIN(seen) AS cluster_id FROM r GROUP BY vec_id)
+         |SELECT vec_id, cluster_id,
+         |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |       (vec_id = cluster_id) AS kept
+         |FROM reach ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+    val planes = selfSizedPlanes(Tables.embeddings(s, d).count())
+    val b = withSelfSizedBucket(normed(s, d), planes)
+    val left = b.select(col("bucket"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val right = b.select(col("bucket"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    // a pair shares at most ONE bucket (single signature) — no distinct
+    val edges = left.join(right, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= 0.3)
+      .select(col("id_a"), col("id_b"))
+    val sym = edges.select(col("id_a").as("x"), col("id_b").as("nb"))
+      .unionByName(edges.select(col("id_b").as("x"), col("id_a").as("nb")))
+      .persist()
+    val (labels, rounds) = graft.operators.ConnectedComponents.minLabel(
+      Tables.embeddings(s, d).select("vec_id"), "vec_id", sym, "x", "nb")
+    System.err.println(s"[graft] q60 label propagation converged in $rounds rounds")
+    sym.unpersist()
+    labels
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .withColumn("kept", col("vec_id") === col("cluster_id"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(q25, q34, q35, q36, q43, q51, q55, q56, q57,
+    q60)
 }
