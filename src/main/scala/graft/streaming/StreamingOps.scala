@@ -105,6 +105,80 @@ object StreamingOps {
     * a batch frame (empty initial state; a batch job is one processing
     * instant, so a TTL never expires mid-batch) — the spec pins
     * streaming-vs-batch parity. */
+  /** one tagged row flowing into [[asofStream]]: side 0 = right (the
+    * version stream supplying matches), side 1 = left (the probe stream
+    * being enriched). `tb` totally orders rows within (key, ts); `pid`/
+    * `pval` are the right payload (ignored on left rows). */
+  final case class AsOfEvent(key: Long, ts: Long, tb: Long, side: Int,
+                             pid: Long, pval: Double)
+
+  /** one retained right-version: everything a future left row needs. */
+  final case class AsOfVersion(ts: Long, tb: Long, pid: Long, pval: Double)
+
+  /** per-key state: versions ascending by (ts, tb), pruned to the
+    * tolerance horizon behind the newest version seen. */
+  final case class AsOfKeyState(versions: List[AsOfVersion])
+
+  /** one enriched left row; `matched=false` carries zero/sentinel fields
+    * (the q58 sentinel posture — no nullable columns). */
+  final case class AsOfMatchOut(key: Long, ts: Long, tb: Long,
+                                matched: Boolean, matchPid: Long,
+                                matchTs: Long, matchVal: Double)
+
+  /** Streaming backward as-of join (X21's streaming twin; the Flink
+    * "temporal table join" shape): left rows match the latest right
+    * version at-or-before their event time, within `toleranceMs` — the
+    * incremental form of `operators/AsOfJoin.backward` with
+    * `tolerance = toleranceMs`, which the spec pins batch-parity against.
+    *
+    * State posture (100 TB): per key, ONLY the right versions inside the
+    * tolerance window behind the newest version survive — pruning is
+    * correct (not lossy) because a version more than `toleranceMs` older
+    * than any future left row's match horizon could only produce a miss
+    * anyway. State per key is O(right-rate × tolerance), the same bound a
+    * Flink interval join holds; key-level expiry for dead keys composes
+    * the [[nearDupCandidates]] ProcessingTimeTimeout pattern if needed.
+    *
+    * Ordering contract: rows are processed in (ts, side, tb) order WITHIN
+    * a micro-batch (side 0 first at equal ts ⇒ inclusive boundary, the
+    * batch operator's default), so results are batch-boundary-invariant
+    * for streams fed in event-time order. A right version arriving AFTER
+    * a left row it should have matched (cross-batch disorder) is missed —
+    * "enrich against history seen so far", the same incremental contract
+    * [[nearDupCandidates]] declares; buffering lefts under a watermark is
+    * the exactness upgrade and costs a second state store. */
+  def asofStream(tagged: Dataset[AsOfEvent],
+                 toleranceMs: Long): Dataset[AsOfMatchOut] = {
+    val spark = tagged.sparkSession
+    import spark.implicits._
+    tagged.groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfKeyState, AsOfMatchOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+        var versions = state.getOption.map(_.versions).getOrElse(Nil)
+        val out = List.newBuilder[AsOfMatchOut]
+        rows.toSeq.sortBy(e => (e.ts, e.side, e.tb)).foreach { e =>
+          if (e.side == 0) {
+            versions = (AsOfVersion(e.ts, e.tb, e.pid, e.pval) :: versions)
+              .sortBy(v => (v.ts, v.tb))
+            val horizon = versions.last.ts - toleranceMs
+            versions = versions.filter(_.ts >= horizon)
+          } else {
+            val best = versions
+              .filter(v => v.ts <= e.ts && e.ts - v.ts <= toleranceMs)
+              .lastOption // versions are ascending; last = max (ts, tb)
+            out += (best match {
+              case Some(b) =>
+                AsOfMatchOut(key, e.ts, e.tb, matched = true, b.pid, b.ts, b.pval)
+              case None =>
+                AsOfMatchOut(key, e.ts, e.tb, matched = false, -1L, -1L, 0.0)
+            })
+          }
+        }
+        state.update(AsOfKeyState(versions))
+        out.result().iterator
+      }
+  }
+
   def nearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
                         ttlMs: Option[Long] = None): Dataset[NearDupCandidate] = {
     val spark = docs.sparkSession

@@ -208,4 +208,71 @@ class StreamingSpec extends SparkSpec {
         s"post-TTL re-arrival must be its own canonical: ${rows.filter(_.docId == 9L).toSeq}")
     } finally q.stop()
   }
+
+  test("streaming as-of join: versions match across micro-batches, tolerance bounds") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import StreamingOps.{AsOfEvent, AsOfMatchOut}
+    val input = MemoryStream[AsOfEvent]
+    val out = StreamingOps.asofStream(input.toDS(), toleranceMs = 100L)
+    val q = out.writeStream.format("memory")
+      .queryName("asof_out").outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: a version at t=100 then a probe at t=150 (same batch)
+      input.addData(
+        AsOfEvent(1L, 100L, 10L, 0, 10L, 1.5),
+        AsOfEvent(1L, 150L, 1L, 1, 0L, 0.0))
+      q.processAllAvailable()
+      // batch 2: probe at t=120 matches the REMEMBERED batch-1 version;
+      // a new version at t=200 then a probe at t=320 — gap 120 > 100 miss
+      input.addData(
+        AsOfEvent(1L, 120L, 2L, 1, 0L, 0.0),
+        AsOfEvent(1L, 200L, 11L, 0, 11L, 2.5),
+        AsOfEvent(1L, 320L, 3L, 1, 0L, 0.0),
+        AsOfEvent(2L, 500L, 4L, 1, 0L, 0.0)) // key with no versions
+      q.processAllAvailable()
+      val rows = spark.table("asof_out").as[AsOfMatchOut].collect()
+        .map(r => r.tb -> r).toMap
+      assert(rows(1L).matched && rows(1L).matchPid == 10L && rows(1L).matchTs == 100L)
+      assert(rows(2L).matched && rows(2L).matchPid == 10L, "cross-batch state match")
+      assert(!rows(3L).matched, "match beyond tolerance must miss")
+      assert(!rows(4L).matched, "key with no versions must miss")
+    } finally q.stop()
+  }
+
+  test("streaming as-of join: batch parity with operators.AsOfJoin on events") {
+    import spark.implicits._
+    import StreamingOps.{AsOfEvent, AsOfMatchOut}
+    val tolUs = 3600L * 1000000L
+    val ev = Tables.events(spark, sf0001).withColumn("eus", unix_micros(col("ts")))
+    val tagged = ev.filter(col("event_type").isin("click", "error"))
+      .select(col("user_id").as("key"), col("eus").as("ts"),
+        col("event_id").as("tb"),
+        when(col("event_type") === "click", 0).otherwise(1).as("side"),
+        when(col("event_type") === "click", col("event_id")).otherwise(0L).as("pid"),
+        when(col("event_type") === "click", col("value")).otherwise(0.0).as("pval"))
+      .as[AsOfEvent]
+    val streamShaped = StreamingOps.asofStream(tagged, tolUs).collect()
+      .map(r => (r.key, r.tb) -> (r.matched, r.matchPid, r.matchTs, r.matchVal)).toMap
+    val errors = ev.filter(col("event_type") === "error")
+      .select("user_id", "event_id", "eus")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "event_id", "eus", "value")
+    val batch = graft.operators.AsOfJoin.backward(
+      errors, clicks, Seq("user_id"), "eus", "event_id",
+      Seq("event_id", "value"), tolerance = Some(lit(tolUs)))
+      .select(col("user_id"), col("event_id"),
+        col("asof_event_id").isNotNull.as("matched"),
+        coalesce(col("asof_event_id"), lit(-1L)).as("mpid"),
+        coalesce(col("asof_eus"), lit(-1L)).as("mts"),
+        coalesce(col("asof_value"), lit(0.0)).as("mval"))
+      .collect()
+    assert(batch.nonEmpty && batch.length == streamShaped.size)
+    batch.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      val got = streamShaped(k)
+      assert(got == ((r.getBoolean(2), r.getLong(3), r.getLong(4), r.getDouble(5))),
+        s"parity mismatch at $k: stream=$got batch=$r")
+    }
+  }
 }
