@@ -24,6 +24,9 @@ import scala.jdk.CollectionConverters._
   *   - `predict` — serve validation records, run the (stub identity)
   *                 scorer, inverse-warp predictions to cached geometry,
   *                 write `output/predictions`
+  *   - `dedup`   — corpus dedup over `paths.documents`: exact content
+  *                 hash → MinHash near-dup clusters → keep-best-quality
+  *                 (pipeline/CorpusDedup); writes `output/dedup`
   *
   * The YAML is the reference's config shape (`GraftConfig.fromYaml`) plus
   * a `paths` section naming the inputs:
@@ -40,7 +43,8 @@ object Main {
   final case class IoPaths(records: Option[String], dicomDir: Option[String],
                            subjects: Option[String], cacheRoot: String,
                            output: Option[String],
-                           scorer: String)
+                           scorer: String,
+                           documents: Option[String])
 
   /** `paths` section of the same YAML GraftConfig.fromYaml reads (same
     * SafeConstructor posture — YAML tags must not instantiate classes). */
@@ -68,13 +72,15 @@ object Main {
       },
       s("output"),
       // root-level `scorer` key: the predict command's model plug-point
-      root.get("scorer").map(_.toString).filter(_.nonEmpty).getOrElse("identity"))
+      root.get("scorer").map(_.toString).filter(_.nonEmpty).getOrElse("identity"),
+      s("documents"))
   }
 
   /** Run one command; returns a small summary map (printed by main, and
     * asserted on by PipelineSpec's end-to-end test). */
   def run(spark: SparkSession, configPath: String, command: String): Map[String, String] = {
-    val cfg = GraftConfig.fromYaml(configPath)
+    // lazy: the dedup command needs only `paths`, not a dataset config
+    lazy val cfg = GraftConfig.fromYaml(configPath)
     val p = ioPaths(configPath)
     val imageCols = cfg.keyPairs.keys.toSeq.sorted
     val labelCols = cfg.keyPairs.values.filter(_ != "none").toSeq.distinct.sorted
@@ -149,14 +155,31 @@ object Main {
           "source_geometry" -> s"${srcH}x$srcW",
           "scorer" -> p.scorer)
 
+      case "dedup" =>
+        // corpus dedup end-to-end: exact → near-dup clusters → keep-best
+        // (CorpusDedup); needs paths.documents (parquet with doc_id, text)
+        val docsPath = p.documents.getOrElse(throw new IllegalArgumentException(
+          "dedup needs paths.documents (parquet with doc_id, text)"))
+        val verdicts = CorpusDedup.keepBest(spark.read.parquet(docsPath)).persist()
+        val total = verdicts.count()
+        val kept = verdicts.filter(col("kept")).count()
+        val exactDups = verdicts
+          .filter(col("doc_id") =!= col("exact_canonical_id")).count()
+        val nearDups = total - exactDups - kept
+        p.output.foreach(o => verdicts.write.mode("overwrite").parquet(s"$o/dedup"))
+        verdicts.unpersist()
+        Map("docs" -> total.toString, "kept" -> kept.toString,
+          "exact_dups" -> exactDups.toString,
+          "near_dups_dropped" -> nearDups.toString)
+
       case other => throw new IllegalArgumentException(
-        s"unknown command '$other' — expected cache|serve|explore|predict")
+        s"unknown command '$other' — expected cache|serve|explore|predict|dedup")
     }
   }
 
   def main(args: Array[String]): Unit = {
     require(args.length == 2,
-      "usage: graft.Main <data-config.yaml> <cache|serve|explore|predict>")
+      "usage: graft.Main <data-config.yaml> <cache|serve|explore|predict|dedup>")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.shuffle.partitions",

@@ -273,8 +273,13 @@ object TextQueries {
 
   /** per-doc quality features + composite score (q30's arithmetic; shared
     * with q50's keep-best selection — one term-explode hash-agg). */
-  private def qualityFeatures(s: SparkSession, d: String): DataFrame = {
-    val t = docs(s, d).select(col("doc_id"), explode(words).as("term"))
+  private def qualityFeatures(s: SparkSession, d: String): DataFrame =
+    qualityFeaturesOf(docs(s, d))
+
+  /** frame-based form of the quality features, shared with the
+    * pipeline/CorpusDedup production composition. */
+  private[graft] def qualityFeaturesOf(dd: DataFrame): DataFrame = {
+    val t = dd.select(col("doc_id"), explode(words).as("term"))
     val f = t.groupBy("doc_id").agg(
       count(lit(1)).as("n_tokens"),
       (sum(length(col("term"))).cast("double") / count(lit(1)).cast("double")).as("avg_token_len"),
@@ -449,8 +454,13 @@ object TextQueries {
     * symmetrized ONCE and persisted; rounds are one Spark job each
     * (operator scaladoc). Shared by q39 (cluster formation) and q50
     * (keep-best selection). */
-  private def nearDupClusters(s: SparkSession, d: String): DataFrame = {
-    val sig = minhashSignatures(docs(s, d)).persist()
+  private def nearDupClusters(s: SparkSession, d: String): DataFrame =
+    nearDupClustersOf(docs(s, d))
+
+  /** frame-based form of cluster formation, shared with
+    * pipeline/CorpusDedup. */
+  private[graft] def nearDupClustersOf(dd: DataFrame): DataFrame = {
+    val sig = minhashSignatures(dd).persist()
     val bands = sig.select(col("doc_id"),
       posexplode(array((0 until 4).map(b =>
         md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))): _*)))
@@ -464,7 +474,7 @@ object TextQueries {
       .unionByName(edges.select(col("c").as("x"), col("a").as("nb")))
       .persist()
     val (labels, rounds) = graft.operators.ConnectedComponents.minLabel(
-      docs(s, d).select("doc_id"), "doc_id", sym, "x", "nb")
+      dd.select("doc_id"), "doc_id", sym, "x", "nb")
     // surfaces in the bench log: rounds track the widest component's
     // diameter (BASELINE.md round-6 finding), one job per round
     System.err.println(s"[graft] label propagation converged in $rounds rounds")

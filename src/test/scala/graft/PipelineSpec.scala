@@ -317,4 +317,55 @@ class PipelineSpec extends SparkSpec {
       graft.pipeline.Predictor.resolveScorer("magic"))
     assert(badScorer.getMessage.contains("magic"))
   }
+
+  test("graft.Main dedup: exact + near-dup + keep-best end-to-end") {
+    val root = Files.createTempDirectory("graft-dedup").toString
+    // sf0.001 documents plus a planted exact copy of the min-id doc
+    val base = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val first = base.orderBy("doc_id").limit(1)
+      .select(lit(999999L).as("doc_id"), col("text"))
+    base.unionByName(first).write.parquet(s"$root/documents")
+    val yaml =
+      s"""paths:
+         |  documents: $root/documents
+         |  output: $root/out
+         |""".stripMargin
+    Files.writeString(java.nio.file.Paths.get(s"$root/config.yaml"), yaml)
+
+    val total = base.count() + 1
+    val res = Main.run(spark, s"$root/config.yaml", "dedup")
+    assert(res("docs").toLong == total, res.toString)
+    assert(res("kept").toLong + res("exact_dups").toLong +
+      res("near_dups_dropped").toLong == total, s"verdict partition: $res")
+    assert(res("exact_dups").toLong >= 1, s"planted copy must be an exact dup: $res")
+
+    val v = spark.read.parquet(s"$root/out/dedup")
+    assert(v.count() == total, "every input doc gets a verdict row")
+    // the planted copy: non-canonical, not kept, inherits its canonical
+    val planted = v.filter(col("doc_id") === 999999L).head()
+    val canonicalId = planted.getAs[Long]("exact_canonical_id")
+    assert(canonicalId != 999999L && !planted.getAs[Boolean]("kept"))
+    assert(v.filter(col("doc_id") === canonicalId)
+      .head().getAs[Long]("cluster_id") == planted.getAs[Long]("cluster_id"),
+      "exact copies inherit the canonical's cluster")
+    // kept docs: distinct contents, exactly one per cluster
+    import spark.implicits._
+    val kept = v.filter(col("kept"))
+    assert(kept.count() == kept.select("content_hash").distinct().count())
+    val perCluster = v.filter(col("doc_id") === col("exact_canonical_id"))
+      .groupBy("cluster_id").agg(sum(when(col("kept"), 1).otherwise(0)).as("k"))
+      .select("k").as[Long].collect()
+    assert(perCluster.forall(_ == 1L), "exactly one kept doc per cluster")
+    // keep-best rule: within every multi-member cluster the kept doc has
+    // the max (quality_score, -doc_id)
+    val multi = v.filter(col("doc_id") === col("exact_canonical_id"))
+      .filter(col("cluster_size") > 1)
+      .select("cluster_id", "doc_id", "quality_score", "kept").collect()
+      .groupBy(_.getAs[Long]("cluster_id"))
+    multi.foreach { case (_, rows) =>
+      val best = rows.maxBy(r => (r.getAs[Double]("quality_score"),
+        -r.getAs[Long]("doc_id")))
+      assert(best.getAs[Boolean]("kept"), s"best not kept: ${rows.toSeq}")
+    }
+  }
 }
