@@ -58,24 +58,62 @@ object StreamingOps {
   /** Per-row MinHash LSH band keys — the SAME hash scheme as the batch
     * MinHash path (word-3-shingles; 8 hash functions = the 8-hex-char
     * slices of md5(shingle) and md5(shingle#); 4 bands of 2), but computed
-    * as nested higher-order functions INSIDE one row instead of
-    * explode+hash-agg: a streaming doc is one row, so the per-row fold is
-    * shuffle-free and needs no streaming aggregation state. (The batch
-    * path deliberately chooses explode+agg — see minhashSignatures in
-    * TextQueries — because there the shuffle exists anyway and map-side
-    * combine wins; each shape is right for its execution mode.) */
-  def minhashBands(textCol: Column): Column = {
-    val toks = split(textCol, " ")
-    val sh = when(size(toks) >= 3,
-      transform(sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-          element_at(toks, i + 2))))
-      .otherwise(array(textCol))
-    def mh(h: Int): Column =
-      if (h < 4) array_min(transform(sh, g => substring(md5(g), 8 * h + 1, 8)))
-      else array_min(transform(sh, g =>
-        substring(md5(concat(g, lit("#"))), 8 * (h - 4) + 1, 8)))
-    array((0 until 4).map(b => md5(concat(mh(2 * b), mh(2 * b + 1)))): _*)
+    * in one JVM pass INSIDE the row instead of explode+hash-agg: a
+    * streaming doc is one row, so the per-row fold is shuffle-free and
+    * needs no streaming aggregation state. (The batch path deliberately
+    * chooses explode+agg — see minhashSignatures in TextQueries — because
+    * there the shuffle exists anyway and map-side combine wins; each shape
+    * is right for its execution mode.)
+    *
+    * Plain Scala rather than Catalyst HOFs, deliberately: the streaming
+    * path crosses the object boundary anyway (groupByKey), and the
+    * interpreted transform/md5 lambda chain measured ~10 ms/doc single
+    * core — worse still under posexplode, where InferFiltersFromGenerate
+    * pushes a fully-inlined copy of the band tree into the scan filter.
+    * This loop hashes each shingle twice and keeps 8 running minima;
+    * `digest` is reused across rows via mapPartitions. Byte-for-byte
+    * parity with the expression scheme (lowercase md5 hex, lexicographic
+    * minima) is pinned by StreamingSpec's batch-parity assertions. */
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  def minhashBandsOf(digest: java.security.MessageDigest,
+                     text: String): Array[String] = {
+    def hex(d: Array[Byte]): String = {
+      val cs = new Array[Char](d.length * 2)
+      var i = 0
+      while (i < d.length) {
+        cs(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+        cs(2 * i + 1) = hexDigits(d(i) & 0xf)
+        i += 1
+      }
+      new String(cs)
+    }
+    def md5Hex(s: String): String = {
+      digest.reset()
+      hex(digest.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    }
+    val toks = text.split(" ", -1)
+    val shingles: Iterator[String] =
+      if (toks.length >= 3)
+        (1 to toks.length - 2).iterator.map(i =>
+          toks(i - 1) + " " + toks(i) + " " + toks(i + 1))
+      else Iterator.single(text)
+    val mins = new Array[String](8) // 4 slices of md5(g), 4 of md5(g#)
+    shingles.foreach { g =>
+      val a = md5Hex(g)
+      val b = md5Hex(g + "#")
+      var h = 0
+      while (h < 4) {
+        val sa = a.substring(8 * h, 8 * h + 8)
+        if (mins(h) == null || sa < mins(h)) mins(h) = sa
+        val sb = b.substring(8 * h, 8 * h + 8)
+        if (mins(h + 4) == null || sb < mins(h + 4)) mins(h + 4) = sb
+        h += 1
+      }
+    }
+    // band b pairs hash 2b with 2b+1 in the (a0..a3, b0..b3) order the
+    // expression scheme uses: hashes 0-3 from md5(g), 4-7 from md5(g#)
+    Array.tabulate(4)(b => md5Hex(mins(2 * b) + mins(2 * b + 1)))
   }
 
   /** band-bucket state: canonical (minimum) doc id + the processing-time
@@ -184,10 +222,16 @@ object StreamingOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val hits = docs
-      .select(col(idCol).cast("long").as("docId"),
-        posexplode(minhashBands(col(textCol))))
-      .toDF("docId", "bandIdx", "band")
-      .as[BandHit]
+      .select(col(idCol).cast("long").as("docId"), col(textCol).as("_text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else minhashBandsOf(digest, text).iterator.zipWithIndex
+            .map { case (b, i) => BandHit(id, i, b) }
+        }
+      }
     val timeoutConf =
       if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout

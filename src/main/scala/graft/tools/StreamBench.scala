@@ -1,0 +1,92 @@
+package graft.tools
+
+import graft.Tables
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming-path throughput: drives the two stateful operators
+  * (asofStream temporal join, nearDupCandidates band-bucket dedup)
+  * through the real micro-batch engine (MemoryStream → memory sink) over
+  * the testdata and reports sustained rows/s — BASELINE.md's streaming
+  * numbers come from here; StreamingSpec pins correctness, this pins
+  * cost.
+  *
+  * Feed is chunked (default 8 chunks) so state carries across multiple
+  * micro-batches like production; wall time covers source-to-sink
+  * including state-store commits. Rates are single-box local[32] —
+  * cluster deployments shard by the group key.
+  *
+  * Usage: runMain graft.tools.StreamBench <sfDir> [chunks]
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val chunks = args.lift(1).map(_.toInt).getOrElse(8)
+    val spark = graft.Session.local(appName = "graft-stream-bench")
+    spark.sparkContext.setLogLevel("WARN")
+    // the fuzz-hardened checkpoint posture from SparkSpec: checksummed
+    // checkpoint writers deadlock under rapid micro-batches (Spark 4.1)
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    // GRAFT_STATE_STORE=rocksdb switches from the default HDFS-backed
+    // store (full in-memory map + snapshot per commit) to RocksDB — the
+    // production setting once state outgrows executor heap
+    if (sys.env.get("GRAFT_STATE_STORE").contains("rocksdb"))
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    // ---- as-of join over events (clicks = versions, errors = probes)
+    val tagged = Tables.events(spark, sfDir)
+      .withColumn("eus", unix_micros(col("ts")))
+      .filter(col("event_type").isin("click", "error"))
+      .select(col("user_id").as("key"), col("eus").as("ts"),
+        col("event_id").as("tb"),
+        when(col("event_type") === "click", 0).otherwise(1).as("side"),
+        when(col("event_type") === "click", col("event_id")).otherwise(0L).as("pid"),
+        when(col("event_type") === "click", col("value")).otherwise(0.0).as("pval"))
+      .as[StreamingOps.AsOfEvent]
+      .orderBy("ts") // event-time feed order, the op's streaming contract
+      .collect()
+    timeIt("asof", tagged.length, chunks) {
+      val in = MemoryStream[StreamingOps.AsOfEvent]
+      val q = StreamingOps.asofStream(in.toDS(), toleranceMs = 3600L * 1000000L)
+        .writeStream.format("memory").queryName("sb_asof")
+        .outputMode(OutputMode.Append()).start()
+      tagged.grouped(math.max(1, tagged.length / chunks)).foreach { c =>
+        in.addData(c.toSeq: _*); q.processAllAvailable()
+      }
+      q.stop()
+    }
+
+    // ---- near-dup band-bucket dedup over documents
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .orderBy("doc_id").collect()
+    timeIt("neardup", docs.length, chunks) {
+      val in = MemoryStream[(Long, String)]
+      // a MemoryStream chunk is ONE input partition; real sources (Kafka)
+      // are partitioned, so spread the per-doc minhash across cores the
+      // way a production feed would arrive
+      val q = StreamingOps.nearDupCandidates(
+        in.toDF().repartition(32).toDF("doc_id", "text"), "doc_id", "text")
+        .writeStream.format("memory").queryName("sb_neardup")
+        .outputMode(OutputMode.Append()).start()
+      docs.grouped(math.max(1, docs.length / chunks)).foreach { c =>
+        in.addData(c.toSeq: _*); q.processAllAvailable()
+      }
+      q.stop()
+    }
+    spark.stop()
+  }
+
+  /** times the full source-to-sink drive and prints one JSON line. */
+  private def timeIt(op: String, n: Int, chunks: Int)(body: => Unit): Unit = {
+    val t0 = System.nanoTime()
+    body
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(f"""{"metric":"stream_throughput","op":"$op%s","rows":$n%d,"chunks":$chunks%d,"wall_sec":$wall%.2f,"rows_per_sec":${n / wall}%.0f}""")
+  }
+}

@@ -158,6 +158,32 @@ class StreamingSpec extends SparkSpec {
     assert(batch.filter(_.docId == 2L).forall(_.canonicalId == 2L))
   }
 
+  test("minhashBandsOf matches the batch q27 band scheme byte-for-byte") {
+    import spark.implicits._
+    // the streaming path computes bands in a JVM loop; the batch path via
+    // explode+hash-agg expressions. Same corpus, same bands — else the
+    // streaming dedup disagrees with the batch dedup it claims to extend.
+    val q27 = SparkEntry.queries("q27_minhash_sig")(spark, sf0001)
+      .select("doc_id", "band0", "band1", "band2", "band3").collect()
+    val texts = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    assert(q27.length == texts.size && q27.nonEmpty)
+    q27.foreach { r =>
+      val bands = StreamingOps.minhashBandsOf(digest, texts(r.getLong(0)))
+      assert(bands.toSeq == (1 to 4).map(r.getString),
+        s"band mismatch for doc ${r.getLong(0)}")
+    }
+    // <3-token fallback: the shingle set is the whole text itself
+    val expected = spark.sql(
+      """SELECT md5(concat(substring(md5('xy'), 1, 8), substring(md5('xy'), 9, 8))),
+        |       md5(concat(substring(md5('xy'), 17, 8), substring(md5('xy'), 25, 8))),
+        |       md5(concat(substring(md5('xy#'), 1, 8), substring(md5('xy#'), 9, 8))),
+        |       md5(concat(substring(md5('xy#'), 17, 8), substring(md5('xy#'), 25, 8)))
+        |""".stripMargin).collect()(0).toSeq
+    assert(StreamingOps.minhashBandsOf(digest, "xy").toSeq == expected)
+  }
+
   test("streaming near-dup TTL: idle bucket expires, late re-arrival re-establishes it") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
