@@ -153,8 +153,13 @@ object StreamingOps {
   /** one retained right-version: everything a future left row needs. */
   final case class AsOfVersion(ts: Long, tb: Long, pid: Long, pval: Double)
 
-  /** per-key state: versions ascending by (ts, tb), pruned to the
-    * tolerance horizon behind the newest version seen. */
+  /** per-key state: versions DESCENDING by (ts, tb), pruned to the
+    * tolerance horizon behind the newest version seen. Descending order
+    * makes the common case O(1): an in-order arrival prepends at the
+    * head, a probe's best match is the first qualifying element from the
+    * head, and horizon pruning is a takeWhile — the previous
+    * sort-per-insert was O(v log v) per version and measurably dragged
+    * the sf10 feed (deep per-key version history). */
   final case class AsOfKeyState(versions: List[AsOfVersion])
 
   /** one enriched left row; `matched=false` carries zero/sentinel fields
@@ -196,14 +201,24 @@ object StreamingOps {
         val out = List.newBuilder[AsOfMatchOut]
         rows.toSeq.sortBy(e => (e.ts, e.side, e.tb)).foreach { e =>
           if (e.side == 0) {
-            versions = (AsOfVersion(e.ts, e.tb, e.pid, e.pval) :: versions)
-              .sortBy(v => (v.ts, v.tb))
-            val horizon = versions.last.ts - toleranceMs
-            versions = versions.filter(_.ts >= horizon)
+            val v = AsOfVersion(e.ts, e.tb, e.pid, e.pval)
+            def newerThan(a: AsOfVersion, b: AsOfVersion): Boolean =
+              a.ts > b.ts || (a.ts == b.ts && a.tb > b.tb)
+            versions = versions match {
+              case Nil => List(v)
+              case h :: _ if !newerThan(h, v) =>
+                // in-order arrival (the sorted-batch common case): O(1)
+                val horizon = v.ts - toleranceMs
+                v :: versions.takeWhile(_.ts >= horizon)
+              case h :: _ =>
+                // cross-batch disorder: insert in place, keep descending
+                val (newer, older) = versions.span(newerThan(_, v))
+                val horizon = h.ts - toleranceMs
+                (newer ::: v :: older).takeWhile(_.ts >= horizon)
+            }
           } else {
-            val best = versions
-              .filter(v => v.ts <= e.ts && e.ts - v.ts <= toleranceMs)
-              .lastOption // versions are ascending; last = max (ts, tb)
+            // descending: first qualifying element = max (ts, tb) match
+            val best = versions.find(v => v.ts <= e.ts && e.ts - v.ts <= toleranceMs)
             out += (best match {
               case Some(b) =>
                 AsOfMatchOut(key, e.ts, e.tb, matched = true, b.pid, b.ts, b.pval)
