@@ -1061,6 +1061,76 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- Q61
+  /** DSIR-style importance resampling (X24; Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling", reduced to
+    * unigram hashed features): select the k documents whose hashed-unigram
+    * distribution best matches a target slice (here lang='en'), by Gumbel
+    * top-k over per-doc mean log importance ratios — the standard
+    * without-replacement sampler that needs NO normalizing constant.
+    *
+    * Pieces: terms hash into 64 md5 buckets; target and raw bucket
+    * frequencies (Laplace-smoothed) give a 64-row log-ratio table;
+    * per-doc mean log-ratio comes from one (doc, bucket) hash-agg joined
+    * to that broadcast table; the sampling key adds seeded Gumbel noise
+    * `-ln(-ln(u))`, u from [[graft.util.Det.seededKey]] — never rand().
+    *
+    * Scale shape (100 TB): one term explode feeding a map-side-combined
+    * (doc, bucket) agg; the feature model is TWO 64-row broadcast frames;
+    * selection is orderBy+limit = TakeOrdered (per-partition top-k,
+    * no global window, no full sort). The synthetic corpus shares one
+    * vocab across langs (q29's caveat), so the ratios are near-flat here —
+    * the query checks the operator and its determinism, not model power. */
+  val q61 = DeclaredQuery(
+    "q61_dsir_select",
+    Some(s"""WITH t AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS term FROM documents),
+            |b AS (SELECT doc_id, lang,
+            |             CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % 64 AS bucket
+            |      FROM t),
+            |db AS (SELECT doc_id, bucket, COUNT(*) AS k FROM b GROUP BY doc_id, bucket),
+            |raw AS (SELECT bucket, CAST(SUM(k) AS BIGINT) AS cr FROM db GROUP BY bucket),
+            |tgt AS (SELECT bucket, COUNT(*) AS ct FROM b WHERE lang = 'en' GROUP BY bucket),
+            |tot AS (SELECT (SELECT CAST(SUM(cr) AS BIGINT) FROM raw) AS nr,
+            |               (SELECT CAST(SUM(ct) AS BIGINT) FROM tgt) AS nt),
+            |lr AS (SELECT raw.bucket,
+            |              ln(CAST(COALESCE(tgt.ct, 0) + 1 AS DOUBLE) / CAST(nt + 64 AS DOUBLE))
+            |            - ln(CAST(raw.cr + 1 AS DOUBLE) / CAST(nr + 64 AS DOUBLE)) AS logratio
+            |       FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot),
+            |w AS (SELECT db.doc_id,
+            |             CAST(SUM(db.k) AS BIGINT) AS n_tokens,
+            |             SUM(lr.logratio * db.k) / CAST(SUM(db.k) AS DOUBLE) AS mean_lr
+            |      FROM db JOIN lr USING (bucket) GROUP BY db.doc_id),
+            |g AS (SELECT doc_id, n_tokens, mean_lr,
+            |             (CAST(CAST('0x' || substr(${graft.util.Det.sql.seededKey("dsir7", "doc_id")}, 1, 8) AS BIGINT) AS DOUBLE) + 0.5)/4294967296.0 AS u
+            |      FROM w),
+            |sel AS (SELECT doc_id, n_tokens, mean_lr, mean_lr - ln(-ln(u)) AS gumbel_key
+            |        FROM g ORDER BY gumbel_key DESC, doc_id LIMIT 100)
+            |SELECT doc_id, n_tokens, mean_lr, gumbel_key FROM sel ORDER BY doc_id""".stripMargin)) { (s, d) =>
+    val b = docs(s, d).select(col("doc_id"), col("lang"), explode(words).as("term"))
+      .withColumn("bucket", conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long") % 64)
+    val db = b.groupBy("doc_id", "bucket").agg(count(lit(1)).as("k"))
+    val raw = db.groupBy("bucket").agg(sum(col("k")).as("cr"))
+    val tgt = b.filter(col("lang") === "en").groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val tot = raw.agg(sum(col("cr")).as("nr")).crossJoin(tgt.agg(sum(col("ct")).as("nt")))
+    val lr = raw.join(tgt, Seq("bucket"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") / (col("nt") + 64).cast("double"))
+          - log((col("cr") + 1).cast("double") / (col("nr") + 64).cast("double"))).as("logratio"))
+    val w = db.join(broadcast(lr), "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("k")).as("n_tokens"),
+        (sum(col("logratio") * col("k")) / sum(col("k")).cast("double")).as("mean_lr"))
+    val u = (conv(substring(graft.util.Det.seededKey("dsir7", col("doc_id")), 1, 8), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0
+    w.withColumn("gumbel_key", col("mean_lr") - log(-log(u)))
+      .orderBy(col("gumbel_key").desc, col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), col("n_tokens"), col("mean_lr"), col("gumbel_key"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[DeclaredQuery] = Seq(q26, q26t, q27, q27p, q28, q29, q30, q31,
-    q32, q33, q37, q38, q39, q42, q44, q47, q48, q49, q50, q52, q53, q54, q59)
+    q32, q33, q37, q38, q39, q42, q44, q47, q48, q49, q50, q52, q53, q54, q59,
+    q61)
 }

@@ -142,6 +142,18 @@ class QueriesSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("q61 DSIR select: one row per doc under k, finite scores, keys distinct") {
+    val df = run("q61_dsir_select")
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(df.count() == math.min(100L, nDocs), "top-k, or the whole corpus when smaller")
+    assert(df.filter(col("mean_lr").isNull || isnan(col("mean_lr"))).count() == 0)
+    val keys = df.select("gumbel_key").collect().map(_.getDouble(0))
+    assert(keys.distinct.length == keys.length, "seeded Gumbel keys never collide")
+    // determinism: a second run selects the identical set
+    val again = run("q61_dsir_select").select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(again == df.select("doc_id").collect().map(_.getLong(0)).toSeq)
+  }
+
   test("q56 ADC search: ranks 1..5 per probe, distances ascend, never self") {
     val df = run("q56_pq_adc_search").collect()
     val byProbe = df.groupBy(_.getAs[Long]("probe_id"))
