@@ -1130,7 +1130,61 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- Q62
+  /** Corpus duplication profile (X25) — the dedup audit report: for each
+    * near-dup cluster SIZE, how many clusters/docs/tokens it holds and how
+    * many tokens a keep-one-canonical policy removes, as a fraction of the
+    * corpus. This is the number dedup write-ups actually report ("x% of
+    * tokens were near-duplicates"), computed from the same cluster labels
+    * q39 forms (declared queries are standalone, so the CC chain re-runs
+    * here by contract — a production pipeline materializes labels once,
+    * the pipeline/CorpusDedup posture).
+    *
+    * Scale shape: labels (linear) join a size(split())-only token count
+    * (no explode), two hash-aggs whose output is bounded by the distinct
+    * cluster sizes, one broadcast 1-row total. Every sum is integer —
+    * associative, partition-order-proof; the single double is the final
+    * division. */
+  val q62 = DeclaredQuery(
+    "q62_dedup_profile",
+    Some(s"""${oracleShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+            |$oracleClusterCtes,
+            |tk AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents),
+            |l AS (SELECT reach.doc_id, cluster_id, n_tokens FROM reach JOIN tk USING (doc_id)),
+            |per AS (SELECT cluster_id, COUNT(*) AS cluster_size,
+            |               CAST(SUM(n_tokens) AS BIGINT) AS c_tokens,
+            |               CAST(SUM(CASE WHEN doc_id = cluster_id THEN n_tokens ELSE 0 END) AS BIGINT) AS c_kept
+            |        FROM l GROUP BY cluster_id),
+            |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS corpus_tokens FROM tk)
+            |SELECT cluster_size, COUNT(*) AS n_clusters,
+            |       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+            |       CAST(SUM(c_tokens) AS BIGINT) AS n_tokens,
+            |       CAST(SUM(c_tokens - c_kept) AS BIGINT) AS tokens_removed,
+            |       CAST(SUM(c_tokens - c_kept) AS DOUBLE) / CAST(corpus_tokens AS DOUBLE) AS frac_corpus_removed
+            |FROM per CROSS JOIN tot
+            |GROUP BY cluster_size, corpus_tokens ORDER BY cluster_size""".stripMargin)) { (s, d) =>
+    val toks = docs(s, d).select(col("doc_id"), size(words).cast("long").as("n_tokens"))
+    val lab = nearDupClusters(s, d).join(toks, "doc_id")
+    val per = lab.groupBy("cluster_id").agg(
+      count(lit(1)).as("cluster_size"),
+      sum(col("n_tokens")).as("c_tokens"),
+      sum(when(col("doc_id") === col("cluster_id"), col("n_tokens"))
+        .otherwise(0L)).as("c_kept"))
+    val tot = toks.agg(sum(col("n_tokens")).as("corpus_tokens"))
+    per.groupBy("cluster_size").agg(
+        count(lit(1)).as("n_clusters"),
+        sum(col("c_tokens")).as("n_tokens"),
+        sum(col("c_tokens") - col("c_kept")).as("tokens_removed"))
+      .crossJoin(broadcast(tot))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        col("n_tokens"), col("tokens_removed"),
+        (col("tokens_removed").cast("double") / col("corpus_tokens").cast("double"))
+          .as("frac_corpus_removed"))
+      .orderBy("cluster_size")
+  }
+
   val all: Seq[DeclaredQuery] = Seq(q26, q26t, q27, q27p, q28, q29, q30, q31,
     q32, q33, q37, q38, q39, q42, q44, q47, q48, q49, q50, q52, q53, q54, q59,
-    q61)
+    q61, q62)
 }

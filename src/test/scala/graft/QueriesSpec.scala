@@ -154,6 +154,20 @@ class QueriesSpec extends SparkSpec {
     assert(again == df.select("doc_id").collect().map(_.getLong(0)).toSeq)
   }
 
+  test("q62 dedup profile: docs partition the corpus, singletons remove nothing") {
+    val df = run("q62_dedup_profile").collect()
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(df.map(_.getAs[Long]("n_docs")).sum == nDocs, "every doc in exactly one size bucket")
+    df.filter(_.getAs[Long]("cluster_size") == 1L).foreach { r =>
+      assert(r.getAs[Long]("tokens_removed") == 0L, "keep-one removes nothing from singletons")
+    }
+    df.foreach { r =>
+      val f = r.getAs[Double]("frac_corpus_removed")
+      assert(f >= 0.0 && f <= 1.0)
+      assert(r.getAs[Long]("tokens_removed") <= r.getAs[Long]("n_tokens"))
+    }
+  }
+
   test("q56 ADC search: ranks 1..5 per probe, distances ascend, never self") {
     val df = run("q56_pq_adc_search").collect()
     val byProbe = df.groupBy(_.getAs[Long]("probe_id"))
