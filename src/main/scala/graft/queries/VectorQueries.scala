@@ -805,6 +805,55 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
+  // ---------------------------------------------------------------- Q63
+  /** Embedding outlier scoring (X26) — the embedding-space quality filter:
+    * squared L2 distance of each vector to its own label's centroid,
+    * flagged against 2× the label's mean squared distance. The SemDeDup-
+    * family pipelines prune exactly this way (drop vectors far from their
+    * cluster centroid) before dedup/selection.
+    *
+    * Distance uses the expansion d² = v·v − 2·v·c + c·c so every term is a
+    * sequential dot-product fold — bit-identical between [[dot]] (VecDot
+    * codegen) and DuckDB's list_dot_product — instead of a zip-subtract
+    * whose intermediate array would cost an allocation per row.
+    *
+    * Scale shape: centroid = posexplode → (label, pos) map-side-combined
+    * avg (labels×dims rows) → per-label array reassembly → 10-row
+    * broadcast; per-vector scoring is one scan; per-label means are
+    * another 10-row broadcast. No window, no pair join. */
+  val q63 = DeclaredQuery(
+    "q63_embed_outliers",
+    Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |x AS (SELECT vec_id, label, i, v[i] AS xv FROM e, range(1, 65) t(i)),
+           |cm AS (SELECT label, i, SUM(xv)/CAST(COUNT(*) AS DOUBLE) AS c FROM x GROUP BY label, i),
+           |cen AS (SELECT label, list(c ORDER BY i) AS cv FROM cm GROUP BY label),
+           |d AS (SELECT vec_id, e.label,
+           |             list_dot_product(v, v) - 2*list_dot_product(v, cv) + list_dot_product(cv, cv) AS d2
+           |      FROM e JOIN cen ON e.label = cen.label),
+           |m AS (SELECT label, SUM(d2)/CAST(COUNT(*) AS DOUBLE) AS mean_d2 FROM d GROUP BY label)
+           |SELECT vec_id, d.label, d2, mean_d2, d2/mean_d2 AS ratio,
+           |       (d2 > 2*mean_d2) AS is_outlier
+           |FROM d JOIN m ON d.label = m.label ORDER BY vec_id""".stripMargin)) { (s, dir) =>
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
+      asDouble(col("embedding")).as("v"))
+    val x = e.select(col("label"), posexplode(col("v"))).toDF("label", "pos", "xv")
+    val cm = x.groupBy("label", "pos")
+      .agg((sum(col("xv")) / count(lit(1)).cast("double")).as("c"))
+    val cen = cm.groupBy("label").agg(
+      transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        t => t.getField("c")).as("cv"))
+    val d = e.join(broadcast(cen), "label")
+      .withColumn("d2", dot(col("v"), col("v"))
+        - lit(2) * dot(col("v"), col("cv")) + dot(col("cv"), col("cv")))
+    val m = d.groupBy("label")
+      .agg((sum(col("d2")) / count(lit(1)).cast("double")).as("mean_d2"))
+    d.join(broadcast(m), "label")
+      .select(col("vec_id"), col("label"), col("d2"), col("mean_d2"),
+        (col("d2") / col("mean_d2")).as("ratio"),
+        (col("d2") > lit(2) * col("mean_d2")).as("is_outlier"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[DeclaredQuery] = Seq(q25, q34, q35, q36, q43, q51, q55, q56, q57,
-    q60)
+    q60, q63)
 }

@@ -168,6 +168,18 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q63 embed outliers: one row per vector, d2 nonnegative, ratio means 1 per label") {
+    val df = run("q63_embed_outliers")
+    val nVecs = Tables.embeddings(spark, sf0001).count()
+    assert(df.count() == nVecs, "one row per vector")
+    assert(df.filter(col("d2") < -1e-9).count() == 0, "squared distance nonnegative")
+    // mean of d2/mean_d2 within each label is 1 by construction
+    val m = df.groupBy("label").agg(avg(col("ratio")).as("r")).collect()
+    m.foreach(r => assert(math.abs(r.getAs[Double]("r") - 1.0) < 1e-9,
+      s"label ${r.get(0)} mean ratio ${r.getAs[Double]("r")}"))
+    assert(df.filter(col("is_outlier") =!= (col("ratio") > 2.0)).count() == 0)
+  }
+
   test("q56 ADC search: ranks 1..5 per probe, distances ascend, never self") {
     val df = run("q56_pq_adc_search").collect()
     val byProbe = df.groupBy(_.getAs[Long]("probe_id"))
