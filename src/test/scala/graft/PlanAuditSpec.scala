@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Institutionalizes the two 100 TB plan rules every declared query must
+  * hold (previously enforced by eye via tools/WindowAudit):
+  *
+  *  1. no WindowExec with an empty partition spec over a corpus-sized
+  *     input — the single-reducer "No Partition Defined for Window" shape;
+  *  2. no Cartesian product — every cross join must broadcast a provably
+  *     bounded side (Catalyst plans those as BroadcastNestedLoopJoin, not
+  *     CartesianProductExec).
+  *
+  * Exceptions are DECLARED, not discovered: q33/q34 are contractually
+  * sampled all-pairs queries (SURVEY §2.13) and keep their sampled
+  * Cartesian. Any new query that trips this spec either gets a bounded
+  * plan or a documented exception here — silent regressions don't merge.
+  * AQE is disabled during planning so the physical tree stays walkable;
+  * the audit inspects plans only (no execution), so it covers every
+  * declared query in seconds.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val cartesianBySampleContract = Set("q33_ngram_jaccard", "q34_embed_neardup")
+
+  test("no declared query plans an unpartitioned window or a raw cartesian join") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+        val plan = q(spark, sf0001).queryExecution.executedPlan
+        val globalWindows = plan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        val cartesians = plan.collect { case c: CartesianProductExec => c }
+        val winHits =
+          if (globalWindows.nonEmpty) Seq(s"$name: ${globalWindows.size} global window(s)")
+          else Nil
+        val cartHits =
+          if (cartesians.nonEmpty && !cartesianBySampleContract(name))
+            Seq(s"$name: ${cartesians.size} cartesian product(s)")
+          else Nil
+        winHits ++ cartHits
+      }
+      assert(offenders.isEmpty, s"plan rule violations:\n${offenders.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+}
