@@ -166,11 +166,22 @@ object Main {
         val exactDups = verdicts
           .filter(col("doc_id") =!= col("exact_canonical_id")).count()
         val nearDups = total - exactDups - kept
+        // the q62-style audit report from the SAME materialized labels —
+        // no second cluster chain
+        val docsDf = spark.read.parquet(docsPath)
+        val prof = CorpusDedup.profile(verdicts, docsDf).collect()
+        prof.foreach(r => System.err.println(
+          s"[graft] dedup profile: size=${r.getAs[Long]("cluster_docs")} " +
+            s"clusters=${r.getAs[Long]("n_clusters")} " +
+            s"tokens_removed=${r.getAs[Long]("tokens_removed")} " +
+            f"(${r.getAs[Double]("frac_corpus_removed") * 100}%.2f%% of corpus)"))
+        val fracRemoved = prof.map(_.getAs[Double]("frac_corpus_removed")).sum
         p.output.foreach(o => verdicts.write.mode("overwrite").parquet(s"$o/dedup"))
         verdicts.unpersist()
         Map("docs" -> total.toString, "kept" -> kept.toString,
           "exact_dups" -> exactDups.toString,
-          "near_dups_dropped" -> nearDups.toString)
+          "near_dups_dropped" -> nearDups.toString,
+          "token_frac_removed" -> f"$fracRemoved%.4f")
 
       case other => throw new IllegalArgumentException(
         s"unknown command '$other' — expected cache|serve|explore|predict|dedup")

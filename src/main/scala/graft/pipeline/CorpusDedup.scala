@@ -58,4 +58,32 @@ object CorpusDedup {
       .select("doc_id", "content_hash", "exact_canonical_id", "cluster_id",
         "cluster_size", "quality_score", "kept")
   }
+
+  /** Duplication-profile report over an ALREADY-computed [[keepBest]]
+    * verdict — q62's audit numbers for the composed pipeline, without
+    * re-running the cluster chain (labels are materialized once here,
+    * unlike the standalone-by-contract declared queries): one row per
+    * cluster doc-count, with the tokens the full exact+near policy
+    * removes and the corpus fraction that represents. `docs` re-supplies
+    * text only for the size(split) token count. */
+  def profile(verdict: DataFrame, docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val v = verdict.join(toks, "doc_id")
+    val per = v.groupBy("cluster_id").agg(
+      count(lit(1)).as("cluster_docs"),
+      sum(col("n_tokens")).as("c_tokens"),
+      sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("c_kept"))
+    val tot = toks.agg(sum(col("n_tokens")).as("corpus_tokens"))
+    per.groupBy("cluster_docs").agg(
+        count(lit(1)).as("n_clusters"),
+        sum(col("c_tokens")).as("n_tokens"),
+        sum(col("c_tokens") - col("c_kept")).as("tokens_removed"))
+      .crossJoin(broadcast(tot))
+      .select(col("cluster_docs"), col("n_clusters"),
+        col("n_tokens"), col("tokens_removed"),
+        (col("tokens_removed").cast("double") / col("corpus_tokens").cast("double"))
+          .as("frac_corpus_removed"))
+      .orderBy("cluster_docs")
+  }
 }

@@ -367,5 +367,16 @@ class PipelineSpec extends SparkSpec {
         -r.getAs[Long]("doc_id")))
       assert(best.getAs[Boolean]("kept"), s"best not kept: ${rows.toSeq}")
     }
+
+    // profile report from the SAME verdict (no cluster re-run): docs
+    // partition across size buckets; removed tokens = tokens of !kept docs
+    val docsDf = spark.read.parquet(s"$root/documents")
+    val prof = graft.pipeline.CorpusDedup.profile(v, docsDf).collect()
+    assert(prof.map(r => r.getAs[Long]("cluster_docs") * r.getAs[Long]("n_clusters")).sum == total)
+    val removedFromVerdict = v.filter(!col("kept"))
+      .join(docsDf.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nt")), "doc_id")
+      .agg(sum("nt")).head().getLong(0)
+    assert(prof.map(_.getAs[Long]("tokens_removed")).sum == removedFromVerdict,
+      "profile's removed tokens must equal the !kept docs' tokens")
   }
 }
