@@ -1184,7 +1184,90 @@ object TextQueries {
       .orderBy("cluster_size")
   }
 
+  // ---------------------------------------------------------------- Q64
+  /** Term-novelty scoring (X27) — the vocabulary-growth curve per document:
+    * in doc_id (= ingestion) order, how many of a document's DISTINCT terms
+    * appear for the FIRST time in that document, and what fraction of its
+    * vocabulary that is. Data-curriculum and diversity audits report exactly
+    * this (template-heavy sources flatline; diverse sources keep minting
+    * terms). Reference analog: the per-corpus vocabulary stats of
+    * `qcardia_data` exploration (`setup/data_setup.py` summary tables) —
+    * here generalized to a per-doc first-occurrence metric.
+    *
+    * Scale shape: one explode → distinct(doc, term) hash-shuffle, a
+    * term-keyed min agg (first occurrence), a term-keyed join back (both
+    * sides already hash-partitioned on term), and a doc-keyed count agg.
+    * All linear in corpus tokens; no windows, no driver state. */
+  val q64 = DeclaredQuery(
+    "q64_term_novelty",
+    Some("""WITH t AS (SELECT DISTINCT doc_id, term
+           |           FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents)),
+           |f AS (SELECT term, MIN(doc_id) AS first_doc FROM t GROUP BY term)
+           |SELECT t.doc_id,
+           |       COUNT(*) AS n_distinct_terms,
+           |       CAST(SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_new_terms,
+           |       CAST(SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+           |         / CAST(COUNT(*) AS DOUBLE) AS novelty
+           |FROM t JOIN f USING (term)
+           |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)) { (s, d) =>
+    val t = docs(s, d).select(col("doc_id"), explode(words).as("term")).distinct()
+    val first = t.groupBy("term").agg(min(col("doc_id")).as("first_doc"))
+    t.join(first, "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_distinct_terms"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_new_terms"))
+      .withColumn("novelty",
+        col("n_new_terms").cast("double") / col("n_distinct_terms").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- Q65
+  /** Quality-decile binning (X28) — exact distributed NTILE(10) over the
+    * corpus quality score, the standard curriculum/mix lever ("train on the
+    * top-3 deciles", "anneal from low to high quality"). The global sort
+    * rides [[graft.operators.Ranks.globalRowNumberWithCount]]: a 257-way
+    * monotone score bucket + per-bucket partitioned window, bit-identical
+    * to `NTILE(10) OVER (ORDER BY quality_score, doc_id)` without a global
+    * window (the two-phase recipe SURVEY §2.5 W2 mandates). The SQL NTILE
+    * remainder rule — first `n mod k` bins take one extra row — is replayed
+    * from the rank in integer arithmetic both engines agree on.
+    *
+    * quality_score parity with DuckDB is already proven by q30 (same IEEE
+    * expression tree, hash-green), so ORDER BY it is engine-stable; doc_id
+    * breaks exact ties. */
+  val q65 = DeclaredQuery(
+    "q65_quality_ntile",
+    Some("""WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+           |f AS (
+           |  SELECT doc_id,
+           |         CAST(SUM(length(term)) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS avg_token_len,
+           |         CAST(SUM(CASE WHEN term IN ('the','a','of','and','to') THEN 1 ELSE 0 END) AS DOUBLE)
+           |           / CAST(COUNT(*) AS DOUBLE) AS stop_ratio,
+           |         CAST(SUM(CASE WHEN length(term) >= 6 THEN 1 ELSE 0 END) AS DOUBLE)
+           |           / CAST(COUNT(*) AS DOUBLE) AS long_ratio
+           |  FROM t GROUP BY doc_id),
+           |q AS (SELECT doc_id,
+           |             0.3*stop_ratio + 0.4*least(avg_token_len/8.0, 1.0) + 0.3*long_ratio AS quality_score
+           |      FROM f)
+           |SELECT doc_id, quality_score,
+           |       CAST(NTILE(10) OVER (ORDER BY quality_score, doc_id) AS BIGINT) AS qbin
+           |FROM q ORDER BY doc_id""".stripMargin)) { (s, d) =>
+    val qf = qualityFeatures(s, d).select(col("doc_id"), col("quality_score"))
+    // monotone bounded coarsening of the leading order key: score ∈ [0,1]
+    val bucket = floor(col("quality_score") * 256).cast("int")
+    val (ranked, n) = graft.operators.Ranks.globalRowNumberWithCount(
+      qf, bucket, Seq(col("quality_score"), col("doc_id")), "qrank")
+    val k = 10L
+    val q = n / k; val rem = n % k; val cut = rem * (q + 1)
+    // SQL NTILE: bins 1..rem hold q+1 rows, bins rem+1..k hold q rows.
+    val bin = when(col("qrank") <= cut,
+        floor((col("qrank") + lit(q)) / lit(q + 1)).cast("long"))
+      .otherwise(lit(rem) + floor((col("qrank") - lit(cut) + lit(q) - 1) / lit(q)).cast("long"))
+    ranked.select(col("doc_id"), col("quality_score"), bin.as("qbin"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[DeclaredQuery] = Seq(q26, q26t, q27, q27p, q28, q29, q30, q31,
     q32, q33, q37, q38, q39, q42, q44, q47, q48, q49, q50, q52, q53, q54, q59,
-    q61, q62)
+    q61, q62, q64, q65)
 }

@@ -195,4 +195,47 @@ class QueriesSpec extends SparkSpec {
     }
     assert(byProbe.size == 5 && byProbe.values.forall(_.length == 5))
   }
+
+  test("q64 term novelty: one row per doc, doc 0 fully novel, counts conserve vocabulary") {
+    val df = run("q64_term_novelty")
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(df.count() == nDocs, "one row per document")
+    val first = df.orderBy("doc_id").limit(1).collect()(0)
+    assert(first.getAs[Double]("novelty") == 1.0, "the first document mints its whole vocabulary")
+    val rows = df.collect()
+    rows.foreach { r =>
+      val nd = r.getAs[Long]("n_distinct_terms"); val nn = r.getAs[Long]("n_new_terms")
+      assert(nn >= 0 && nn <= nd)
+      assert(math.abs(r.getAs[Double]("novelty") - nn.toDouble / nd) < 1e-12)
+    }
+    // every distinct term in the corpus is minted exactly once
+    val vocab = Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("t")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_new_terms")).sum == vocab,
+      "sum of per-doc new terms = corpus vocabulary size")
+  }
+
+  test("q65 quality ntile: bin sizes differ by at most one and score-monotone") {
+    val df = run("q65_quality_ntile")
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(df.count() == nDocs, "one row per document")
+    val sizes = df.groupBy("qbin").count().collect()
+      .map(r => r.getAs[Long]("qbin") -> r.getAs[Long]("count")).toMap
+    assert(sizes.keySet == (1L to 10L).toSet, "exactly bins 1..10")
+    assert(sizes.values.max - sizes.values.min <= 1, "NTILE balance: sizes differ by ≤ 1")
+    // the first n mod k bins carry the extra row (SQL NTILE remainder rule)
+    val rem = (nDocs % 10).toInt
+    if (rem != 0) {
+      (1 to rem).foreach(b => assert(sizes(b.toLong) == nDocs / 10 + 1, s"bin $b holds the extra row"))
+      ((rem + 1) to 10).foreach(b => assert(sizes(b.toLong) == nDocs / 10, s"bin $b holds the base size"))
+    }
+    // monotone: max score of bin b ≤ min score of bin b+1
+    val bounds = df.groupBy("qbin")
+      .agg(min(col("quality_score")).as("lo"), max(col("quality_score")).as("hi"))
+      .collect().map(r => (r.getAs[Long]("qbin"), r.getAs[Double]("lo"), r.getAs[Double]("hi")))
+      .sortBy(_._1)
+    bounds.zip(bounds.tail).foreach { case ((b, _, hi), (_, lo2, _)) =>
+      assert(hi <= lo2, s"bin $b upper bound exceeds next bin's lower bound")
+    }
+  }
 }
