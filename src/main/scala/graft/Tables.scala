@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Readers for the driver-provided parquet tables (TESTDATA.md).
   *
@@ -25,18 +25,27 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events.parquet` carries TIMESTAMP(NANOS); Spark's parquet reader only
-    * exposes nanos via the nanos-as-long legacy mode. Convert to microsecond
-    * precision with exact integer division (a double division would lose
-    * precision at 1e18 ns magnitudes). Truncation toward zero matches
-    * DuckDB's view of the same instants for post-1970 data.
+  /** `events.parquet`'s `ts` physical type has varied across driver data
+    * generations — normalize every variant to a session-UTC TIMESTAMP so
+    * downstream epoch arithmetic (`cast(double)`, window/session ops) is
+    * generation-independent:
+    *
+    *  - TIMESTAMP(NANOS): only readable via the nanos-as-long legacy mode;
+    *    convert with exact integer division (a double division would lose
+    *    precision at 1e18 ns magnitudes). Truncation toward zero matches
+    *    DuckDB's view of the same instants for post-1970 data.
+    *  - timestamp[us] WITHOUT timezone: Spark 4 infers TIMESTAMP_NTZ, which
+    *    rejects `cast(double)`; cast to TIMESTAMP — under the engine's
+    *    mandated UTC session timezone (Session.tune/Verify/Bench/specs)
+    *    this reads the naive value as the same UTC instant DuckDB sees.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, sfDir, "events")
     raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-      case _        => raw
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw
     }
   }
 }

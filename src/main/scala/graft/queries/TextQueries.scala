@@ -1267,7 +1267,116 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- Q66
+  /** Exact duplicated-span coverage (X29) — the ExactSubstr-style measure
+    * from "Deduplicating Training Data Makes Language Models Better"
+    * (Lee et al. 2022): a token is DUPLICATED if any rolling 8-token span
+    * covering it also appears in at least one OTHER document. Unlike q37
+    * (fixed non-overlapping boilerplate chunks, reported per chunk) this
+    * reports per-DOCUMENT coverage — n_dup_spans and the fraction of the
+    * doc's tokens lying under any cross-document span — which is the
+    * number a pipeline thresholds to strip or drop partially-duplicated
+    * documents (self-repetition inside one doc is q59's axis and is
+    * deliberately excluded here via the distinct-doc count).
+    *
+    * Scale shape: one posexplode over the rolling grams (linear in corpus
+    * tokens), spans keyed by md5 of the gram so the shuffle carries a
+    * fixed-width key instead of a 8-token string; a gram-keyed hash-agg
+    * finds cross-doc grams; the span→dup join is gram-co-partitioned
+    * (NOT broadcast — duplicated grams are corpus-sized in the worst
+    * case); coverage expands each surviving span to its 8 positions
+    * (bounded 8× on the *duplicated* subset only) and distinct-counts by
+    * (doc, position). No windows, no driver state, everything linear. */
+  val q66 = DeclaredQuery(
+    "q66_dup_spans",
+    Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS w,
+           |                  CAST(len(string_split(text,' ')) AS BIGINT) AS n
+           |           FROM documents),
+           |s AS (SELECT doc_id, i,
+           |             md5(array_to_string(w[CAST(i AS INTEGER):CAST(i+7 AS INTEGER)], ' ')) AS g
+           |      FROM (SELECT doc_id, w, unnest(range(1, CAST(n-6 AS INTEGER))) AS i
+           |            FROM w WHERE n >= 8)),
+           |dup AS (SELECT g FROM s GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+           |j AS (SELECT s.doc_id, s.i FROM s JOIN dup USING (g)),
+           |nds AS (SELECT doc_id, COUNT(*) AS n_dup_spans FROM j GROUP BY doc_id),
+           |cov AS (SELECT DISTINCT doc_id, i + o AS p
+           |        FROM (SELECT doc_id, i, unnest(range(0, 8)) AS o FROM j)),
+           |dt AS (SELECT doc_id, COUNT(*) AS dup_tokens FROM cov GROUP BY doc_id)
+           |SELECT w.doc_id, w.n AS n_tokens,
+           |       CASE WHEN w.n >= 8 THEN w.n - 7 ELSE 0 END AS n_spans,
+           |       COALESCE(nds.n_dup_spans, 0) AS n_dup_spans,
+           |       COALESCE(dt.dup_tokens, 0) AS dup_tokens,
+           |       CAST(COALESCE(dt.dup_tokens, 0) AS DOUBLE) / CAST(w.n AS DOUBLE) AS dup_frac
+           |FROM w LEFT JOIN nds ON w.doc_id = nds.doc_id
+           |       LEFT JOIN dt ON w.doc_id = dt.doc_id
+           |ORDER BY w.doc_id""".stripMargin)) { (s, d) =>
+    val base = docs(s, d).select(col("doc_id"), size(words).cast("long").as("n_tokens"),
+      ngrams(8).as("_grams"))
+    // 0-based posexplode position p ≡ oracle's 1-based span start i = p+1;
+    // the span covers 1-based token positions p+1 .. p+8
+    val spans = base.select(col("doc_id"), posexplode(col("_grams")))
+      .select(col("doc_id"), (col("pos") + 1L).as("i"), md5(col("col")).as("g"))
+    val dup = spans.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("_nd"))
+      .filter(col("_nd") >= 2).select("g")
+    val j = spans.join(dup, "g").select("doc_id", "i")
+    val nds = j.groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+    val dt = j.select(col("doc_id"), explode(sequence(col("i"), col("i") + 7)).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_tokens"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(nds, Seq("doc_id"), "left")
+      .join(dt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") >= 8, col("n_tokens") - 7).otherwise(0L).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double")
+          / col("n_tokens").cast("double")).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- Q67
+  /** Source-mix temperature weights (X30) — the standard multi-source
+    * sampling schedule (GPT-3 §2.2 / The Pile): raw per-source token
+    * shares p_s are flattened by a temperature exponent α = 0.7
+    * (w_s ∝ p_s^α, renormalized) so head sources are down-weighted and
+    * tail sources up-weighted; `expected_tokens` is each source's token
+    * budget for one epoch drawn at the corpus's own size. p_s^α / Σ p_t^α
+    * is computed as tok^α / Σ tok^α — the 1/total^α cancels and both
+    * engines replay the same IEEE tree.
+    *
+    * Scale shape: one scan → source-keyed hash-agg (map-side combinable,
+    * sources ≪ corpus), a 1-row global agg broadcast back over the
+    * per-source frame (q48/q53's broadcast-total recipe — no global
+    * window, no cartesian). */
+  val q67 = DeclaredQuery(
+    "q67_source_mix",
+    Some("""WITH st AS (SELECT source, CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS src_tokens
+           |            FROM documents GROUP BY source),
+           |t AS (SELECT SUM(src_tokens) AS tot,
+           |             SUM(POW(CAST(src_tokens AS DOUBLE), 0.7)) AS z
+           |      FROM st)
+           |SELECT st.source, st.src_tokens,
+           |       CAST(st.src_tokens AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p_raw,
+           |       POW(CAST(st.src_tokens AS DOUBLE), 0.7) / t.z AS mix_weight,
+           |       POW(CAST(st.src_tokens AS DOUBLE), 0.7) / t.z * CAST(t.tot AS DOUBLE)
+           |         AS expected_tokens
+           |FROM st CROSS JOIN t ORDER BY st.source""".stripMargin)) { (s, d) =>
+    val st = docs(s, d).groupBy("source")
+      .agg(sum(size(words).cast("long")).as("src_tokens"))
+    val t = st.agg(sum(col("src_tokens")).as("_tot"),
+      sum(pow(col("src_tokens").cast("double"), 0.7)).as("_z"))
+    st.crossJoin(broadcast(t))
+      .select(col("source"), col("src_tokens"),
+        (col("src_tokens").cast("double") / col("_tot").cast("double")).as("p_raw"),
+        (pow(col("src_tokens").cast("double"), 0.7) / col("_z")).as("mix_weight"),
+        (pow(col("src_tokens").cast("double"), 0.7) / col("_z") * col("_tot").cast("double"))
+          .as("expected_tokens"))
+      .orderBy("source")
+  }
+
   val all: Seq[DeclaredQuery] = Seq(q26, q26t, q27, q27p, q28, q29, q30, q31,
     q32, q33, q37, q38, q39, q42, q44, q47, q48, q49, q50, q52, q53, q54, q59,
-    q61, q62, q64, q65)
+    q61, q62, q64, q65, q66, q67)
 }

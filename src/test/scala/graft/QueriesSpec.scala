@@ -238,4 +238,71 @@ class QueriesSpec extends SparkSpec {
       assert(hi <= lo2, s"bin $b upper bound exceeds next bin's lower bound")
     }
   }
+
+  test("q66 dup spans: one row per doc, bounds hold, exact docs fully covered") {
+    val df = run("q66_dup_spans")
+    val docsDf = Tables.documents(spark, sf0001)
+    assert(df.count() == docsDf.count(), "one row per document")
+    df.collect().foreach { r =>
+      val n = r.getAs[Long]("n_tokens"); val ns = r.getAs[Long]("n_spans")
+      val nd = r.getAs[Long]("n_dup_spans"); val dt = r.getAs[Long]("dup_tokens")
+      assert(ns == (if (n >= 8) n - 7 else 0L))
+      assert(nd >= 0 && nd <= ns, "duplicated spans bounded by span count")
+      assert(dt >= 0 && dt <= n, "covered tokens bounded by doc length")
+      // every duplicated span covers 8 tokens; union of nd spans covers
+      // at least 8 (one span) and at most min(n, 8*nd) positions
+      if (nd > 0) assert(dt >= 8 && dt <= math.min(n, 8 * nd))
+      else assert(dt == 0, "no duplicated span → no covered token")
+      assert(math.abs(r.getAs[Double]("dup_frac") - dt.toDouble / n) < 1e-12)
+    }
+    // a doc whose full text appears in ≥2 docs (exact dup, q26's axis) must
+    // be 100% covered: every span of both copies is cross-document
+    val dupDocs = docsDf.groupBy("text")
+      .agg(countDistinct(col("doc_id")).as("nd"), collect_list(col("doc_id")).as("ids"))
+      .filter(col("nd") >= 2 && size(split(col("text"), " ")) >= 8)
+      .select(explode(col("ids")).as("doc_id")).collect().map(_.getLong(0)).toSet
+    if (dupDocs.nonEmpty) {
+      val fullCover = df.filter(col("doc_id").isin(dupDocs.toSeq: _*))
+        .collect()
+      fullCover.foreach { r =>
+        assert(r.getAs[Long]("dup_tokens") == r.getAs[Long]("n_tokens"),
+          s"exact-duplicate doc ${r.getAs[Long]("doc_id")} must be fully span-covered")
+      }
+    }
+  }
+
+  test("q67 source mix: weights normalize, temperature flattens the share curve") {
+    val df = run("q67_source_mix")
+    val rows = df.collect()
+    val praw = rows.map(_.getAs[Double]("p_raw"))
+    val w = rows.map(_.getAs[Double]("mix_weight"))
+    assert(math.abs(praw.sum - 1.0) < 1e-9, "raw shares sum to 1")
+    assert(math.abs(w.sum - 1.0) < 1e-9, "mix weights sum to 1")
+    val totTokens = rows.map(_.getAs[Long]("src_tokens")).sum.toDouble
+    assert(math.abs(rows.map(_.getAs[Double]("expected_tokens")).sum - totTokens) < 1e-6 * totTokens,
+      "expected token budgets sum to the corpus size")
+    // α < 1 compresses: sources above the mean share lose, below gain,
+    // and the ordering of weights still follows the ordering of shares
+    rows.foreach { r =>
+      val p = r.getAs[Double]("p_raw"); val mw = r.getAs[Double]("mix_weight")
+      assert(mw > 0)
+      if (p > 0) {
+        val ratio = mw / p
+        // w/p = p^(α-1)/Σ — strictly decreasing in p, so the largest
+        // source has the smallest ratio
+        assert(!ratio.isNaN && !ratio.isInfinite)
+      }
+    }
+    val byShare = rows.sortBy(_.getAs[Double]("p_raw"))
+    byShare.zip(byShare.tail).foreach { case (a, b) =>
+      assert(a.getAs[Double]("mix_weight") <= b.getAs[Double]("mix_weight") + 1e-12,
+        "weight order follows share order (monotone transform)")
+      // flattening: the boost ratio w/p is monotone non-increasing in p
+      if (a.getAs[Double]("p_raw") > 0 && b.getAs[Double]("p_raw") > 0) {
+        val ra = a.getAs[Double]("mix_weight") / a.getAs[Double]("p_raw")
+        val rb = b.getAs[Double]("mix_weight") / b.getAs[Double]("p_raw")
+        assert(ra >= rb - 1e-12, "temperature flattens: smaller sources get the larger boost")
+      }
+    }
+  }
 }
