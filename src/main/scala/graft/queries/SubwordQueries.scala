@@ -1,0 +1,83 @@
+package graft.queries
+
+import graft.{DeclaredQuery, Tables}
+import graft.operators.Subword
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Subword (BPE-style) tokenization queries — the round-8 budget upgrade:
+  * every earlier text operator counted WHITESPACE words; the packing/budget
+  * numbers a pretraining pipeline actually ships are SUBWORD tokens. q68
+  * measures the subword token stream per document; q69 re-expresses q49's
+  * pack offsets with the subword budget (the knob — same two-phase prefix
+  * sum, different token counter).
+  *
+  * Both are hash-green oracle queries: greedy longest-match segmentation is
+  * pure string/integer arithmetic, replayed in DuckDB by a recursive CTE
+  * over DISTINCT words (depth = tokens per word; the corpus-sized stream
+  * only joins the result). See [[graft.operators.Subword]] for the
+  * vocabulary provenance (fixture-baked public English n-gram table) and
+  * [[graft.operators.Bpe]] for the corpus trainer whose merge tables can
+  * replace it.
+  */
+object SubwordQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  // ---------------------------------------------------------------- Q68
+  /** Per-document subword statistics: word count, subword token count,
+    * worst word, subwords-per-word ratio. The ratio is the budget
+    * correction factor between q31-style word counts and model-tokenizer
+    * counts.
+    *
+    * Scale shape: segmentation loops run on the DISTINCT-word dictionary
+    * (vocabulary-sized); the corpus pays one explode + one join on `word`
+    * + one doc_id hash-agg — all map-side combinable, no windows. */
+  val q68 = DeclaredQuery(
+    "q68_subword_tokens",
+    Some(s"""WITH RECURSIVE ${Subword.oracleCtes()}
+            |SELECT doc_id,
+            |       CAST(COUNT(*) AS INTEGER) AS n_words,
+            |       CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+            |       CAST(MAX(n_sub) AS INTEGER) AS max_word_subwords,
+            |       CAST(SUM(n_sub) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS subwords_per_word
+            |FROM tokj JOIN sw USING (word)
+            |GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, d) =>
+    Subword.docCounts(docs(s, d))
+      .withColumn("subwords_per_word",
+        col("n_subwords").cast("double") / col("n_words").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- Q69
+  /** q49's sequence-packing offsets with the budget measured in SUBWORD
+    * tokens — the number the 2048-token training windows actually hold.
+    * Same md5(doc_id) pack order, same two-phase bucketed prefix sum
+    * (never a single-reducer window); only the per-document token counter
+    * changes. A deployment flips between q49 (words) and this (subwords)
+    * by swapping the counter column — that is the whole knob. */
+  val q69 = DeclaredQuery(
+    "q69_pack_subword",
+    Some(s"""WITH RECURSIVE ${Subword.oracleCtes()},
+            |t AS (SELECT doc_id, CAST(SUM(n_sub) AS BIGINT) AS n,
+            |             md5(CAST(doc_id AS VARCHAR)) AS ord
+            |      FROM tokj JOIN sw USING (word) GROUP BY doc_id),
+            |c AS (SELECT doc_id, n,
+            |             CAST(SUM(n) OVER (ORDER BY ord, doc_id) AS BIGINT) AS cum FROM t)
+            |SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+            |       cum - n AS start_offset,
+            |       CAST((cum - n) // 2048 AS INTEGER) AS first_bin,
+            |       CAST((cum - 1) // 2048 AS INTEGER) AS last_bin
+            |FROM c ORDER BY doc_id""".stripMargin)) { (s, d) =>
+    val t = Subword.docCounts(docs(s, d))
+      .select(col("doc_id"), col("n_subwords").as("n"))
+    TextQueries.packOffsets(t)
+      .select(col("doc_id"), col("n").cast("int").as("n_tokens"),
+        col("start_offset"),
+        expr("start_offset DIV 2048").cast("int").as("first_bin"),
+        expr("(start_offset + n - 1) DIV 2048").cast("int").as("last_bin"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(q68, q69)
+}

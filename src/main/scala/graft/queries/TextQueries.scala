@@ -808,6 +808,8 @@ object TextQueries {
     * 256 md5-prefix buckets (the numeric value of the first two hex chars,
     * monotone in the order key), per-bucket window, tiny broadcast offsets
     * frame — never a single-reducer global window. */
+  private[queries] def packOffsets(t: DataFrame): DataFrame = withStartOffset(t)
+
   private def withStartOffset(t: DataFrame): DataFrame = {
     val withB = t
       .withColumn("_ord", md5(col("doc_id").cast("string")))

@@ -16,20 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object VectorQueries {
 
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  private[graft] def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** native codegen dot product (graft.expressions.VecDot) — same
     * left-to-right double fold as the HOF formulation and DuckDB's
     * list_dot_product, so results are bit-identical; but the loop lives
     * inside whole-stage codegen instead of an interpreted lambda. */
-  private def dot(a: Column, b: Column): Column = {
+  private[graft] def dot(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graftshim.ColumnShim
     ColumnShim.column(graft.expressions.VecDot(
       ColumnShim.expression(a), ColumnShim.expression(b)))
   }
 
   /** embeddings with double vectors + L2 norms. */
-  private def normed(s: SparkSession, d: String): DataFrame = {
+  private[graft] def normed(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
     e.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
   }

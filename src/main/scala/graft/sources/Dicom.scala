@@ -80,11 +80,19 @@ object Dicom {
     var pixelOff = -1; var pixelLen = -1
     var nFrames = 1 // (0028,0008) NumberOfFrames
     var encapFrags: IndexedSeq[Array[Byte]] = null // compressed fragments
+    // PALETTE COLOR lookup tables (PS3.3 C.7.6.3.1.5/.6): per-channel
+    // descriptor (0028,1101-1103; 3×US: entries [0 ⇒ 65536], firstMapped,
+    // bitsPerEntry) and data (0028,1201-1203), parsed after the scan once
+    // bits-per-entry is known
+    var palDescR: Seq[Int] = Nil; var palDescG: Seq[Int] = Nil; var palDescB: Seq[Int] = Nil
+    var palDataR: (Int, Int) = null; var palDataG: (Int, Int) = null; var palDataB: (Int, Int) = null
 
     def str(off: Int, len: Int): String =
       new String(bytes, off, len, "US-ASCII").trim
     def floats(off: Int, len: Int): Seq[Float] =
       str(off, len).split("\\\\").filter(_.nonEmpty).map(_.toFloat).toSeq
+    def shorts(off: Int, len: Int): Seq[Int] =
+      (0 until len / 2).map(i => bb.getShort(off + 2 * i) & 0xffff)
 
     val explicitLongVRs = Set("OB", "OW", "OF", "SQ", "UT", "UN")
     while (pos + 8 <= bytes.length && pixelOff < 0) {
@@ -155,6 +163,12 @@ object Dicom {
             case x if x == tag(0x0028, 0x0030) => spacing = floats(valueOff, valueLen)
             case x if x == tag(0x0020, 0x000e) => seriesUid = str(valueOff, valueLen)
             case x if x == tag(0x0020, 0x0013) => instanceNumber = str(valueOff, valueLen).toInt
+            case x if x == tag(0x0028, 0x1101) => palDescR = shorts(valueOff, valueLen)
+            case x if x == tag(0x0028, 0x1102) => palDescG = shorts(valueOff, valueLen)
+            case x if x == tag(0x0028, 0x1103) => palDescB = shorts(valueOff, valueLen)
+            case x if x == tag(0x0028, 0x1201) => palDataR = (valueOff, valueLen)
+            case x if x == tag(0x0028, 0x1202) => palDataG = (valueOff, valueLen)
+            case x if x == tag(0x0028, 0x1203) => palDataB = (valueOff, valueLen)
             case _ => ()
           }
         }
@@ -183,15 +197,35 @@ object Dicom {
     // where ImageIO converts and the BT.601 luma collapse below applies;
     // PALETTE COLOR needs its lookup-table tags — fail all of those by name.
     val monochrome1 = photometric == "MONOCHROME1"
+    val paletted = photometric == "PALETTE COLOR"
     photometric match {
       case "" | "MONOCHROME1" | "MONOCHROME2" => ()
       case c @ ("RGB" | "YBR_FULL" | "YBR_FULL_422") =>
         require(transferSyntax == JpegBaseline,
           s"PhotometricInterpretation $c only decodes on the JPEG-baseline " +
             "path (ImageIO color conversion) — transcode first")
+      case "PALETTE COLOR" =>
+        // r8: expand the (0028,1101-1203) LUTs to BT.601 grayscale — the
+        // same luma collapse every other color path takes, applied to the
+        // palette's RGB entries (kept at their stored bit depth). Index
+        // samples come off the raw-LE and RLE routes; the JPEG family
+        // never carries PALETTE COLOR in practice and stays unsupported.
+        require(transferSyntax == ImplicitLE || transferSyntax == ExplicitLE ||
+          transferSyntax == RleLossless,
+          s"PALETTE COLOR with transfer syntax $transferSyntax — palette " +
+            "indices decode on the raw little-endian and RLE routes only")
+        require(pixelRepresentation == 0,
+          "PALETTE COLOR with signed PixelRepresentation is nonstandard " +
+            "(indices are unsigned, PS3.3 C.7.6.3.1.5) — transcode first")
+        require(slope == 1f && intercept == 0f,
+          "PALETTE COLOR with a modality rescale is nonstandard — indices " +
+            "are display values, not modality values")
+        require(palDescR.nonEmpty && palDescG.nonEmpty && palDescB.nonEmpty &&
+          palDataR != null && palDataG != null && palDataB != null,
+          "PALETTE COLOR without its three LUT descriptor+data tags " +
+            "(0028,1101-1103 / 1201-1203)")
       case other => throw new IllegalArgumentException(
-        s"PhotometricInterpretation $other unsupported " +
-          "(PALETTE COLOR needs its lookup table) — transcode first")
+        s"PhotometricInterpretation $other unsupported — transcode first")
     }
     require(!(monochrome1 && pixelRepresentation == 1),
       "MONOCHROME1 with signed PixelRepresentation has no standard raw-range " +
@@ -207,6 +241,44 @@ object Dicom {
         val c = maxStored * slope + 2 * intercept
         var i = 0
         while (i < data.length) { data(i) = c - data(i); i += 1 }
+      }
+      if (paletted) {
+        // one LUT per channel: (entries, firstMapped, lut values). Hostile
+        // descriptor/data mismatches fail loudly, never read out of range.
+        def lut(desc: Seq[Int], dat: (Int, Int), ch: String): (Int, Int, Array[Int]) = {
+          require(desc.length == 3, s"palette $ch descriptor has ${desc.length} values, need 3")
+          val entries = if (desc.head == 0) 65536 else desc.head
+          val firstMapped = desc(1)
+          val bitsPer = desc(2)
+          require(bitsPer == 8 || bitsPer == 16,
+            s"palette $ch bits-per-entry $bitsPer unsupported (8 or 16)")
+          val (off, len) = dat
+          val avail = if (bitsPer == 16) len / 2 else len
+          require(avail >= entries,
+            s"palette $ch LUT data holds $avail entries, descriptor claims $entries")
+          val vs = new Array[Int](entries)
+          var i = 0
+          while (i < entries) {
+            vs(i) = if (bitsPer == 16) bb.getShort(off + 2 * i) & 0xffff
+            else bytes(off + i) & 0xff
+            i += 1
+          }
+          (entries, firstMapped, vs)
+        }
+        val (re, rf, rv) = lut(palDescR, palDataR, "red")
+        val (ge, gf, gv) = lut(palDescG, palDataG, "green")
+        val (be, bf, bv) = lut(palDescB, palDataB, "blue")
+        // indices below firstMapped clamp to the first entry, above the
+        // last to the last (PS3.3 C.7.6.3.1.5)
+        def at(entries: Int, first: Int, vs: Array[Int], raw: Int): Int =
+          vs(math.min(math.max(raw - first, 0), entries - 1))
+        var i = 0
+        while (i < data.length) {
+          val raw = data(i).toInt // slope/intercept pinned 1/0 above
+          data(i) = 0.299f * at(re, rf, rv, raw) +
+            0.587f * at(ge, gf, gv, raw) + 0.114f * at(be, bf, bv, raw)
+          i += 1
+        }
       }
       data
     }
@@ -510,6 +582,60 @@ object Dicom {
       i += 1
     }
     el(0x7fe0, 0x0010, "OW", px)
+    out.toByteArray
+  }
+
+  /** PALETTE COLOR encoder twin (single-frame, 8-bit indices, 16-bit LUT
+    * entries): writes the three (0028,1101-1103) descriptors and
+    * (0028,1201-1203) OW LUTs. `lutLenOverride` lets fuzz specs emit a
+    * descriptor that claims more entries than the data holds. */
+  def encodePalette(rows: Int, cols: Int, indices: Array[Int],
+                    red: Array[Int], green: Array[Int], blue: Array[Int],
+                    firstMapped: Int = 0,
+                    seriesUid: String = "1.2.3.4", instanceNumber: Int = 1,
+                    lutLenOverride: Int = -1): Array[Byte] = {
+    require(indices.length == rows * cols, "shape/data mismatch")
+    require(red.length == green.length && green.length == blue.length)
+    val out = new java.io.ByteArrayOutputStream()
+    def le2(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def even(s: String): Array[Byte] = {
+      val b = s.getBytes("US-ASCII")
+      if (b.length % 2 == 0) b else b :+ ' '.toByte
+    }
+    def el(group: Int, elem: Int, vr: String, value: Array[Byte]): Unit = {
+      out.write(le2(group)); out.write(le2(elem))
+      out.write(vr.getBytes("US-ASCII"))
+      if (Set("OB", "OW", "OF", "SQ", "UT", "UN").contains(vr)) {
+        out.write(Array[Byte](0, 0))
+        val l = value.length
+        out.write(Array((l & 0xff).toByte, ((l >> 8) & 0xff).toByte,
+          ((l >> 16) & 0xff).toByte, ((l >> 24) & 0xff).toByte))
+      } else out.write(le2(value.length))
+      out.write(value)
+    }
+    out.write(new Array[Byte](128)); out.write("DICM".getBytes("US-ASCII"))
+    el(0x0002, 0x0010, "UI", even(ExplicitLE))
+    el(0x0020, 0x000e, "UI", even(seriesUid))
+    el(0x0020, 0x0013, "IS", even(instanceNumber.toString))
+    el(0x0020, 0x0032, "DS", even("0\\0\\0"))
+    el(0x0020, 0x0037, "DS", even("1\\0\\0\\0\\1\\0"))
+    el(0x0028, 0x0004, "CS", even("PALETTE COLOR"))
+    el(0x0028, 0x0010, "US", le2(rows))
+    el(0x0028, 0x0011, "US", le2(cols))
+    el(0x0028, 0x0100, "US", le2(8))
+    el(0x0028, 0x0101, "US", le2(8))
+    el(0x0028, 0x0103, "US", le2(0))
+    val claimed = if (lutLenOverride >= 0) lutLenOverride else red.length
+    val desc = le2(if (claimed == 65536) 0 else claimed) ++ le2(firstMapped) ++ le2(16)
+    def lutBytes(vs: Array[Int]): Array[Byte] =
+      vs.flatMap(v => le2(v & 0xffff))
+    el(0x0028, 0x1101, "US", desc)
+    el(0x0028, 0x1102, "US", desc)
+    el(0x0028, 0x1103, "US", desc)
+    el(0x0028, 0x1201, "OW", lutBytes(red))
+    el(0x0028, 0x1202, "OW", lutBytes(green))
+    el(0x0028, 0x1203, "OW", lutBytes(blue))
+    el(0x7fe0, 0x0010, "OW", indices.map(i => (i & 0xff).toByte))
     out.toByteArray
   }
 

@@ -56,13 +56,13 @@ object AnnRecall {
       aggregate(zip_with(col("v"), col("pv"), (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
         / (sqrt(aggregate(transform(col("v"), a => a * a), lit(0.0), (acc, x) => acc + x))
           * sqrt(aggregate(transform(col("pv"), a => a * a), lit(0.0), (acc, x) => acc + x))))
-    val refs = Map(
-      "q36_ivf_ann" -> ("cosine", exactTop(cos, asc = false, 5), exactTop(cos, asc = false, relaxedK)),
-      "q43_ivf_kmeans" -> ("cosine", exactTop(cos, asc = false, 5), exactTop(cos, asc = false, relaxedK)),
-      "q56_pq_adc_search" -> ("l2", exactTop(l2, asc = true, 5), exactTop(l2, asc = true, relaxedK)))
-    Seq("q36_ivf_ann", "q43_ivf_kmeans", "q56_pq_adc_search").foreach { name =>
-      val (metric, exact5, exactK) = refs(name)
-      val got = topk(name)
+    val cos5 = exactTop(cos, asc = false, 5)
+    val cosK = exactTop(cos, asc = false, relaxedK)
+    val l25 = exactTop(l2, asc = true, 5)
+    val l2K = exactTop(l2, asc = true, relaxedK)
+    def report(name: String, metric: String, got: Map[Long, Set[Long]],
+               exact5: Map[Long, Set[Long]], exactK: Map[Long, Set[Long]],
+               secs: Double): Unit = {
       def mean(ref: Map[Long, Set[Long]]): Double = {
         val rs = exact5.keys.toSeq.map { p =>
           got.getOrElse(p, Set.empty[Long]).intersect(ref(p)).size.toDouble /
@@ -75,7 +75,49 @@ object AnnRecall {
           got.getOrElse(p, Set.empty[Long]).intersect(ex).size.toDouble / ex.size }
         rs.sum / rs.size
       }
-      println(f"""{"metric":"ann_recall","query":"$name","k":5,"vs":"$metric%s","recall":$strict%.3f,"in_top_pct":${mean(exactK)}%.3f,"relaxed_k":$relaxedK%d,"sf":"$sfDir"}""")
+      println(f"""{"metric":"ann_recall","query":"$name","k":5,"vs":"$metric%s","recall":$strict%.3f,"in_top_pct":${mean(exactK)}%.3f,"relaxed_k":$relaxedK%d,"secs":$secs%.2f,"sf":"$sfDir"}""")
+    }
+    def timedTopk(df: => org.apache.spark.sql.DataFrame): (Map[Long, Set[Long]], Double) = {
+      val t0 = System.nanoTime()
+      val rows = df.select("probe_id", "neighbor_id").collect()
+      val secs = (System.nanoTime() - t0) / 1e9
+      (rows.groupBy(_.getLong(0)).map { case (p, rs) => p -> rs.map(_.getLong(1)).toSet }, secs)
+    }
+    // 1) the declared oracle-shape queries exactly as shipped
+    Seq(("q36_ivf_ann", "cosine", cos5, cosK),
+        ("q43_ivf_kmeans", "cosine", cos5, cosK),
+        ("q56_pq_adc_search", "l2", l25, l2K)).foreach {
+      case (name, metric, e5, eK) =>
+        val t0 = System.nanoTime()
+        val got = topk(name)
+        report(name, metric, got, e5, eK, (System.nanoTime() - t0) / 1e9)
+    }
+    // 2) IVF recall/latency curve over nprobe (16 clusters, 1 k-means
+    // round — q43's algorithm at serving knobs; nprobe=16 probes every
+    // cluster, i.e. exact search, so the curve shows saturation).
+    // Timing includes centroid training: the declared shape trains
+    // in-query, so the points stay comparable to the q36/q43 rows.
+    Seq(2, 4, 8, 16).foreach { np =>
+      val (got, secs) = timedTopk(
+        graft.queries.AnnServing.ivfTopK(spark, sfDir, nClusters = 16, nprobe = np, iters = 1))
+      report(s"ivf_nprobe$np", "cosine", got, cos5, cosK, secs)
+    }
+    // 3) PQ ADC at the declared oracle shape (4×16) and the production
+    // shape (8 subspaces × 256 codewords, 4 k-means rounds on a ≤50k
+    // deterministic sample) — the number that decides whether the PQ path
+    // is usable for retrieval, per the round-7 verdict.
+    Seq((4, 16, 1), (8, 256, 4)).foreach { case (m, k, iters) =>
+      val (got, secs) = timedTopk(
+        graft.queries.AnnServing.pqAdcTopK(spark, sfDir, m = m, k = k, iters = iters))
+      report(s"pq_adc_${m}x$k", "l2", got, l25, l2K, secs)
+    }
+    // 4) the full serving composition: 8×256 ADC shortlist-100 + exact
+    // rerank of only those candidates — the recall a deployment gets
+    Seq(100, 500).foreach { sl =>
+      val (gotRr, secsRr) = timedTopk(
+        graft.queries.AnnServing.pqAdcRerankTopK(spark, sfDir, m = 8, k = 256,
+          iters = 4, shortlist = sl))
+      report(s"pq_adc_8x256_rerank$sl", "l2", gotRr, l25, l2K, secsRr)
     }
     spark.stop()
   }

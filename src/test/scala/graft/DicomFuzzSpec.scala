@@ -24,7 +24,12 @@ class DicomFuzzSpec extends AnyFunSuite {
       "jpegls" -> Dicom.encodeJpegLs(rows, cols, data),
       "j2k" -> Dicom.encodeJpeg2000(rows, cols, data),
       "j2k-lossy" -> Dicom.encodeJpeg2000Lossy(rows, cols, data, deltaShift = 2),
-      "j2k-multiframe" -> Dicom.encodeJpeg2000Frames(rows, cols, frames))
+      "j2k-multiframe" -> Dicom.encodeJpeg2000Frames(rows, cols, frames),
+      "palette" -> Dicom.encodePalette(rows, cols,
+        Array.fill(rows * cols)(rng.nextInt(256)),
+        Array.fill(256)(rng.nextInt(1 << 16)),
+        Array.fill(256)(rng.nextInt(1 << 16)),
+        Array.fill(256)(rng.nextInt(1 << 16))))
   }
 
   /** One decode attempt under a wall-clock bound. Returns true if it
@@ -72,6 +77,23 @@ class DicomFuzzSpec extends AnyFunSuite {
         attempt(b, s"$name@$off=$hostile")
       }
     }
+  }
+
+  test("hostile palette LUT lengths fail loudly, never read out of range") {
+    val idx = Array.tabulate(16)(_ % 4)
+    val lut = Array.tabulate(4)(i => i * 1000)
+    // descriptor claims far more entries than the LUT data holds
+    val overclaim = intercept[IllegalArgumentException] {
+      Dicom.decodeFrames(Dicom.encodePalette(4, 4, idx, lut, lut, lut,
+        lutLenOverride = 300))
+    }
+    assert(overclaim.getMessage.contains("palette"))
+    // descriptor claiming 0 means 65536 entries (PS3.3) — also over-claims
+    val zeroClaim = intercept[IllegalArgumentException] {
+      Dicom.decodeFrames(Dicom.encodePalette(4, 4, idx, lut, lut, lut,
+        lutLenOverride = 65536))
+    }
+    assert(zeroClaim.getMessage.contains("palette"))
   }
 
   test("truncation at every prefix terminates") {

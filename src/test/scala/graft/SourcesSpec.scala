@@ -101,16 +101,43 @@ class SourcesSpec extends SparkSpec {
     val cine = Dicom.decodeFrames(
       Dicom.encodeFrames(2, 2, frames, photometric = "MONOCHROME1"))
     assert(cine.map(_.data.head).toSeq == Seq(65435f, 5535f))
-    // PALETTE COLOR / unknown values fail loudly by name
+    // PALETTE COLOR without its LUT tags fails loudly (r8: WITH the tags
+    // it decodes — next test); unknown values fail by name
     val pal = intercept[IllegalArgumentException] {
       Dicom.decode(Dicom.encode(3, 4, px, photometric = "PALETTE COLOR"))
     }
     assert(pal.getMessage.contains("PALETTE COLOR"))
+    val unk = intercept[IllegalArgumentException] {
+      Dicom.decode(Dicom.encode(3, 4, px, photometric = "YBR_ICT"))
+    }
+    assert(unk.getMessage.contains("YBR_ICT"))
     // color photometrics are only meaningful on the JPEG-baseline path
     val rgb = intercept[IllegalArgumentException] {
       Dicom.decode(Dicom.encode(3, 4, px, photometric = "RGB"))
     }
     assert(rgb.getMessage.contains("RGB") && rgb.getMessage.contains("JPEG"))
+  }
+
+  test("DICOM PALETTE COLOR: LUTs expand to BT.601 grayscale, indices clamp") {
+    import graft.sources.Dicom
+    // 4-entry LUTs with distinct per-channel ramps, firstMapped = 10
+    val red = Array(1000, 2000, 3000, 4000)
+    val green = Array(500, 600, 700, 800)
+    val blue = Array(10, 20, 30, 40)
+    def luma(i: Int): Float =
+      0.299f * red(i) + 0.587f * green(i) + 0.114f * blue(i)
+    // indices: below firstMapped (clamps to entry 0), the four mapped
+    // values, above range (clamps to the last entry)
+    val idx = Array(0, 10, 11, 12, 13, 200, 10, 13)
+    val s = Dicom.decode(Dicom.encodePalette(2, 4, idx, red, green, blue,
+      firstMapped = 10))
+    assert(s.data.toSeq == Seq(luma(0), luma(0), luma(1), luma(2), luma(3),
+      luma(3), luma(0), luma(3)))
+    // identity grayscale palette: 8-bit ramp maps index → gray(index)
+    val ramp = Array.tabulate(256)(i => i)
+    val idx2 = Array(0, 7, 255, 128)
+    val s2 = Dicom.decode(Dicom.encodePalette(2, 2, idx2, ramp, ramp, ramp))
+    assert(s2.data.toSeq == idx2.map(i => 0.299f * i + 0.587f * i + 0.114f * i).toSeq)
   }
 
   test("DICOM multi-frame cine: uncompressed and JPEG 2000 frames round-trip") {

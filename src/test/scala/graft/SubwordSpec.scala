@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.{Bpe, Subword}
+import org.apache.spark.sql.functions._
+
+class SubwordSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("greedy segmentation reference: longest match wins, chars fall back") {
+    // "the" is a 3-unit; greedy takes it whole
+    assert(Subword.segment("the") == Seq("the"))
+    // "that" is a 4-unit
+    assert(Subword.segment("that") == Seq("that"))
+    // "zq" has no 2-unit "zq" → two single chars
+    assert(Subword.segment("zq") == Seq("z", "q"))
+    // segmentation always reassembles the word
+    Seq("customer", "windowing", "xylophone", "a", "", "spark").foreach { w =>
+      assert(Subword.segment(w).mkString == w)
+    }
+  }
+
+  test("countCol matches the pure reference on corpus words") {
+    val words = Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .distinct().limit(200).as[String].collect()
+    val got = words.toSeq.toDF("word")
+      .select(col("word"), Subword.countCol(col("word")).as("n"))
+      .as[(String, Int)].collect().toMap
+    words.foreach { w =>
+      assert(got(w) == Subword.segment(w).length, s"word '$w'")
+    }
+  }
+
+  test("countCol: empty word counts 0, bounds hold") {
+    val df = Seq("", "a", "the", "abcdefgh").toDF("word")
+      .select(col("word"), Subword.countCol(col("word")).as("n"))
+      .as[(String, Int)].collect().toMap
+    assert(df("") == 0)
+    assert(df("a") == 1)
+    assert(df("the") == 1)
+    // count is between ceil(len/maxUnit) and len
+    assert(df("abcdefgh") >= 2 && df("abcdefgh") <= 8)
+  }
+
+  test("BPE trainer learns the expected first merges on a fixture corpus") {
+    // corpus: "aaab" ×3, "ab" ×2 → pair counts round 1:
+    //   (a,a): 2 per "aaab" ×3 = 6; (a,b): 1×3 + 1×2 = 5 → merge (a,a)
+    // round 2 tokens: "aaab"→[aa,a,b], "ab"→[a,b]:
+    //   (aa,a): 3; (a,b): 3+2=5 → merge (a,b)  [count desc, then lex]
+    val docs = Seq("aaab aaab aaab ab ab").toDF("text")
+    val merges = Bpe.trainMerges(docs, 2)
+    assert(merges == Seq(("a", "a"), ("a", "b")))
+  }
+
+  test("BPE merge application is left-to-right non-overlapping") {
+    val out = Seq("aaaa")
+      .toDF("word")
+      .select(Bpe.tokenizeColumn(col("word"), Seq(("a", "a"))).as("t"))
+      .as[Seq[String]].head()
+    assert(out == Seq("aa", "aa"))
+  }
+
+  test("trained merges feed the greedy segmenter as a vocab") {
+    val docs = Seq("lower lower lowest newest newest").toDF("text")
+    val merges = Bpe.trainMerges(docs, 6)
+    assert(merges.nonEmpty)
+    val vocab = Bpe.vocabOf(merges)
+    // greedy segmentation under the trained vocab still reassembles words
+    Seq("lower", "lowest", "newest", "low").foreach { w =>
+      assert(Subword.segment(w, vocab).mkString == w)
+    }
+  }
+
+  test("docCounts totals are consistent with per-word reference counts") {
+    val docs = Tables.documents(spark, sf0001)
+    val got = Subword.docCounts(docs).orderBy("doc_id").limit(20).collect()
+    val texts = docs.orderBy("doc_id").limit(20)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    got.foreach { r =>
+      val words = texts(r.getLong(0)).split(" ", -1).toSeq
+      assert(r.getInt(1) == words.length)
+      assert(r.getLong(2) == words.map(w => Subword.segment(w).length.toLong).sum)
+      assert(r.getInt(3) == words.map(w => Subword.segment(w).length).max)
+    }
+  }
+}
