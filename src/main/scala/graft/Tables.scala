@@ -41,6 +41,11 @@ object Tables {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the TIMESTAMP_NTZ→TIMESTAMP cast below reads naive micros under the
+    // SESSION timezone: pin it here (not only in Session/Verify/Bench) so
+    // a future entry point that forgets the session-level pin cannot read
+    // shifted instants silently
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = table(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))

@@ -1281,14 +1281,17 @@ object TextQueries {
     * documents (self-repetition inside one doc is q59's axis and is
     * deliberately excluded here via the distinct-doc count).
     *
-    * Scale shape: one posexplode over the rolling grams (linear in corpus
-    * tokens), spans keyed by md5 of the gram so the shuffle carries a
-    * fixed-width key instead of a 8-token string; a gram-keyed hash-agg
-    * finds cross-doc grams; the span→dup join is gram-co-partitioned
-    * (NOT broadcast — duplicated grams are corpus-sized in the worst
-    * case); coverage expands each surviving span to its 8 positions
-    * (bounded 8× on the *duplicated* subset only) and distinct-counts by
-    * (doc, position). No windows, no driver state, everything linear. */
+    * Scale shape: the rolling-gram posexplode+md5 subtree is consumed
+    * TWICE (the cross-doc hash-agg and the span→dup join-back shuffle
+    * different payloads, so Catalyst cannot reuse one exchange — the
+    * heaviest linear pass runs 2×; measured acceptable at sf10, and a
+    * pipeline that cares checkpoints `spans` once); spans are keyed by
+    * md5 of the gram so the shuffles carry a fixed-width key instead of
+    * an 8-token string; the span→dup join is gram-co-partitioned (NOT
+    * broadcast — duplicated grams are corpus-sized in the worst case);
+    * coverage expands each surviving span to its 8 positions (bounded 8×
+    * on the *duplicated* subset only) and distinct-counts by (doc,
+    * position). No windows, no driver state, everything linear. */
   val q66 = DeclaredQuery(
     "q66_dup_spans",
     Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS w,
@@ -1346,7 +1349,13 @@ object TextQueries {
     * tail sources up-weighted; `expected_tokens` is each source's token
     * budget for one epoch drawn at the corpus's own size. p_s^α / Σ p_t^α
     * is computed as tok^α / Σ tok^α — the 1/total^α cancels and both
-    * engines replay the same IEEE tree.
+    * engines evaluate the same expression tree. Caveat: POW is not
+    * correctly-rounded (libm vs Math.pow can differ by 1 ulp) and the
+    * double Σ has engine-dependent accumulation order, so agreement is
+    * ~1e-15 RELATIVE, not bitwise; expected_tokens scales with corpus
+    * size, so at ~1e12-token corpora its absolute divergence (~1e-4) can
+    * exceed a fixed 6-decimal gate — compare mix_weight (O(1)) there, or
+    * round expected_tokens to integer tokens.
     *
     * Scale shape: one scan → source-keyed hash-agg (map-side combinable,
     * sources ≪ corpus), a 1-row global agg broadcast back over the

@@ -140,10 +140,25 @@ object DataGen {
     // (doc N*500 copies doc N*500-1, like the driver's handful of dups)
     val baseId = when(col("id") % 500 === 0 && col("id") > 0, col("id") - 1)
       .otherwise(col("id"))
-    val words = transform(
+    // GRAFT_CHAIN_DOCS=N (default 0): the first N docs become a SLIDING-
+    // WINDOW near-dup CHAIN — doc i is words [2i, 2i+54) of one global
+    // deterministic word stream, so adjacent docs share 52/54 words
+    // (3-shingle Jaccard ≈ 0.9 ⇒ MinHash band edges i↔i+1) while distant
+    // docs share nothing. The resulting dup-cluster graph has DIAMETER
+    // ≈ N — the adversarial topology for connected components' round
+    // count (real corpora measured ≤ ~16 hops; this forces ≥ N hops).
+    val chainDocs = sys.env.getOrElse("GRAFT_CHAIN_DOCS", "0").toLong
+    def streamWord(j: Column): Column = element_at(array(Vocab.map(lit): _*),
+      pmod(xxhash64(j, lit("d_chain")), lit(Vocab.size.toLong)).cast("int") + 1)
+    val normalWords = transform(
       sequence(lit(0L), (uint(baseId, "d_len", 86) + 14).cast("long")),
       i => element_at(array(Vocab.map(lit): _*),
         pmod(xxhash64(baseId, i, lit("d_w")), lit(Vocab.size.toLong)).cast("int") + 1))
+    val words = if (chainDocs > 0)
+      when(col("id") < chainDocs,
+        transform(sequence(col("id") * 2, col("id") * 2 + 53), j => streamWord(j)))
+        .otherwise(normalWords)
+    else normalWords
     val docs = spark.range(nDocs).select(
       col("id").as("doc_id"),
       array_join(words, " ").as("text"),

@@ -79,6 +79,28 @@ object StreamBench {
       }
       q.stop()
     }
+
+    // ---- exact dedup over documents (content-hash key; state bounded by
+    // the watermark via dropDuplicatesWithinWatermark). Event time is a
+    // synthetic monotone feed clock — documents carry none — so the
+    // watermark advances exactly as a production ingest's would.
+    val hashed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        timestamp_micros(lit(1700000000000000L) + col("doc_id") * 1000000L).as("ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .orderBy("doc_id").collect()
+    timeIt("exactdedup", hashed.length, chunks) {
+      val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val q = StreamingOps.dedupStream(
+        in.toDF().repartition(32).toDF("doc_id", "h", "ts"),
+        "ts", "1 hour", Seq("h"))
+        .writeStream.format("memory").queryName("sb_exactdedup")
+        .outputMode(OutputMode.Append()).start()
+      hashed.grouped(math.max(1, hashed.length / chunks)).foreach { c =>
+        in.addData(c.toSeq: _*); q.processAllAvailable()
+      }
+      q.stop()
+    }
     spark.stop()
   }
 

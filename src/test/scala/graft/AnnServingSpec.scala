@@ -1,0 +1,56 @@
+package graft
+
+import graft.queries.AnnServing
+import org.apache.spark.sql.functions._
+
+/** Correctness pins for the production-knob ANN module (AnnServing):
+  * degenerate knob settings must reduce to EXACT search, so the
+  * approximation error measured by tools/AnnRecall is attributable to
+  * the knobs alone, never to a broken serving plan. */
+class AnnServingSpec extends SparkSpec {
+
+  private def exactTop5(metric: String): Map[(Long, Long), Int] = {
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val pr = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val scored = e.crossJoin(broadcast(pr)).filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("score",
+        if (metric == "l2")
+          aggregate(zip_with(col("v"), col("pv"), (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x)
+        else
+          aggregate(zip_with(col("v"), col("pv"), (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
+            / (sqrt(aggregate(transform(col("v"), a => a * a), lit(0.0), (acc, x) => acc + x))
+              * sqrt(aggregate(transform(col("pv"), a => a * a), lit(0.0), (acc, x) => acc + x))))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
+      .orderBy(if (metric == "l2") col("score").asc else col("score").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select("probe_id", "vec_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+  }
+
+  test("ivfTopK probing every cell IS exact cosine search") {
+    val got = AnnServing.ivfTopK(spark, sf0001, nClusters = 8, nprobe = 8, iters = 1)
+      .select("probe_id", "neighbor_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got.keySet == exactTop5("cosine").keySet)
+  }
+
+  test("pqAdcRerankTopK with corpus-wide shortlist IS exact L2 search") {
+    val n = Tables.embeddings(spark, sf0001).count().toInt
+    val got = AnnServing.pqAdcRerankTopK(spark, sf0001, m = 4, k = 8,
+      iters = 1, shortlist = n, topK = 5)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exactTop5("l2").keySet)
+  }
+
+  test("pqCodebook has the full m x k shape with no lost codewords") {
+    val book = AnnServing.pqCodebook(spark, sf0001, m = 4, k = 8, iters = 2)
+      .collect()
+    assert(book.length == 4 * 8, s"codebook rows ${book.length}")
+    // empty-cluster coalesce must leave every (sub, code) with a vector
+    assert(book.forall(r => !r.isNullAt(2) && r.getSeq[Double](2).length == 16))
+  }
+}

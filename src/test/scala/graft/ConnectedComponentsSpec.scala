@@ -47,6 +47,32 @@ class ConnectedComponentsSpec extends SparkSpec {
       s"label-frame size estimate compounded across rounds: $size")
   }
 
+  test("sliding-window near-dup CHAIN corpus: adversarial diameter through the full MinHash pipeline") {
+    // corpus-level twin of the synthetic chain tests: doc i = words
+    // [2i, 2i+54) of one global stream, so adjacent docs are near-dups
+    // (3-shingle Jaccard ≈ 0.93 ⇒ band edges i↔i+1) and the dup-cluster
+    // graph is a PATH with diameter ≈ n — the topology that breaks
+    // plain min-label flooding (n rounds) and that DataGen's
+    // GRAFT_CHAIN_DOCS knob reproduces at scale. Convergence here (no
+    // unconverged throw at maxIter=50) + the BASELINE.md sf1 row are the
+    // round-8 adversarial-diameter evidence.
+    import spark.implicits._
+    val n = 120
+    def w(j: Long): String = "t" + ((j * 2654435761L) % 997)
+    val docs = (0 until n).map { i =>
+      (i.toLong, (i * 2L until i * 2L + 54L).map(w).mkString(" "))
+    }.toDF("doc_id", "text")
+    val labels = graft.queries.TextQueries.nearDupClustersOf(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == n)
+    // the chain collapses to one (or, on a rare band miss, very few)
+    // clusters — and every label is a component MINIMUM, so cluster 0
+    // must hold the head of the chain
+    val c0 = labels.values.count(_ == 0L)
+    assert(c0 >= n - 10, s"chain should collapse to ~one cluster, got $c0 docs in cluster 0")
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+
   test("empty edge list: every vertex is its own cluster in one round") {
     val vertices = spark.range(5).select(col("id"))
     val sym = spark.createDataFrame(Seq.empty[(Long, Long)]).toDF("x", "nb")
