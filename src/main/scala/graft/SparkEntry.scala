@@ -13,7 +13,7 @@ object SparkEntry {
   private val declared: Seq[DeclaredQuery] =
     RelationalQueries.all ++ CircleQuery.all ++ EventQueries.all ++
       VectorQueries.all ++ TextQueries.all ++ TensorQueries.all ++
-      SubwordQueries.all ++ ImageQueries.all
+      SubwordQueries.all ++ ImageQueries.all ++ AudioQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -218,9 +218,16 @@ object AnnServing {
     * (broadcast), so the exact pass reads a negligible vector subset. This
     * is the standard IVF-PQ serving composition (Jégou et al. 2011 §V). */
   def pqAdcRerankTopK(s: SparkSession, d: String, m: Int, k: Int, iters: Int = 4,
-                      shortlist: Int = 100, topK: Int = 5): DataFrame = {
-    val cand = pqAdcShortlist(s, d, m, k, iters, shortlist)
-      .select(col("probe_id"), col("vec_id"))
+                      shortlist: Int = 100, topK: Int = 5): DataFrame =
+    rerankExact(s, d,
+      pqAdcShortlist(s, d, m, k, iters, shortlist).select(col("probe_id"), col("vec_id")),
+      topK)
+
+  /** exact-L2 rerank of a (probe_id, vec_id) candidate frame: the corpus
+    * is joined on the tiny broadcast candidate key set — a point-lookup-
+    * shaped read of only the shortlisted vectors. */
+  private def rerankExact(s: SparkSession, d: String, cand: DataFrame,
+                          topK: Int): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val probeVecs = e.filter(col("vec_id") < 5)
@@ -235,5 +242,83 @@ object AnnServing {
         .cast("int"))
       .filter(col("rk") <= topK)
       .select(col("probe_id"), col("rk"), col("vec_id").as("neighbor_id"), col("l2_dist"))
+  }
+
+  /** The COMPOSED IVF-PQ serving plan (the FAISS `IVFx,PQy` layout — the
+    * shape a 100 TB deployment actually runs): coarse IVF cells bound the
+    * candidate set, PQ ADC ranks candidates through their codes alone,
+    * exact L2 reranks the shortlist. Cost anatomy per probe:
+    *   - coarse quantizer: nClusters-row broadcast, one argmax;
+    *   - ADC scan: only the probed cells' code rows (~nprobe/nClusters of
+    *     the corpus) join the broadcast LUT — at 100 TB the cell
+    *     assignment is the partition key, so this is partition PRUNING,
+    *     not a filter;
+    *   - rerank: `shortlist` raw vectors per probe, a broadcast-keyed
+    *     point lookup.
+    * Residual encoding (PQ on x − centroid(x), the classic IVFADC) is
+    * deliberately omitted: it couples the codebook to the cell layout;
+    * recall at this corpus's geometry is already rerank-bound (BASELINE
+    * "ANN at production knobs"), so the decoupled layout — codes usable
+    * under any cell count — is the better trade here. */
+  def ivfPqTopK(s: SparkSession, d: String, nClusters: Int = 16, nprobe: Int = 4,
+                m: Int = 8, k: Int = 256, iters: Int = 4,
+                shortlist: Int = 100, topK: Int = 5): DataFrame = {
+    val n = normed(s, d)
+    // coarse quantizer: seeded init + one refinement (as ivfTopK)
+    val cent0 = {
+      val p = seedPick(s, n.select(col("vec_id"), col("v")), nClusters, "centroid")
+      p.select(col("pick_id").as("cluster_id"), col("v").as("cv"))
+        .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
+    }
+    def assignCell(base: DataFrame, c: DataFrame): DataFrame = base
+      .crossJoin(broadcast(c))
+      .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(negate(col("csim")), col("cluster_id"))).as("best"))
+      .select(col("vec_id"), col("best.cluster_id").as("cluster_id"))
+    val meansPlan = assignCell(n, cent0).join(n, Seq("vec_id"))
+      .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "val")))
+      .groupBy("cluster_id", "pos").agg(avg(col("val")).as("mn"))
+      .groupBy("cluster_id")
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("mn")))),
+        x => x("mn")).as("cv"))
+      .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
+    val cent = s.createDataFrame(
+      java.util.Arrays.asList(meansPlan.collect(): _*), meansPlan.schema)
+    val cells = assignCell(n, cent)
+    // probe cells: nprobe most-similar centroids per probe
+    val probeCells = n.filter(col("vec_id") < 5).crossJoin(broadcast(cent))
+      .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cluster_id"))))
+      .filter(col("ark") <= nprobe)
+      .select(col("vec_id").as("probe_id"), col("cluster_id"))
+    // PQ codes for the whole corpus (trained on a sample, as pqCodebook)
+    val book = pqCodebook(s, d, m, k, iters)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val dim = e.select(size(col("v"))).head().getInt(0)
+    val subs = subvectors(e, m, dim / m)
+    val codes = assignCodes(subs, book).select(col("vec_id"), col("sub"), col("code"))
+    val probes = subs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("sub"), col("vs").as("ps"))
+    val lut = probes.join(broadcast(book), Seq("sub"))
+      .select(col("probe_id"), col("sub"), col("code"),
+        (dot(col("ps"), col("ps")) - lit(2) * dot(col("ps"), col("cv"))
+          + dot(col("cv"), col("cv"))).as("pd"))
+    // ADC restricted to the probed cells: cell membership prunes the code
+    // scan BEFORE the LUT join (at 100 TB: partition pruning on cell id)
+    val cand = codes
+      .join(cells, Seq("vec_id"))
+      .join(broadcast(probeCells), Seq("cluster_id"))
+      .join(broadcast(lut), Seq("probe_id", "sub", "code"))
+      .groupBy("probe_id", "vec_id")
+      .agg(sum(col("pd")).as("adc_dist"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("adc_dist").asc, col("vec_id"))))
+      .filter(col("rk") <= shortlist)
+      .select(col("probe_id"), col("vec_id"))
+    rerankExact(s, d, cand, topK)
   }
 }

@@ -960,7 +960,15 @@ object TextQueries {
     * tokens — and ONE hash-shuffle keyed on bin. Per-bin state is bounded
     * at exactly 2048 (slot, token) pairs, so `sort_array(collect_list)`
     * is a fixed-size in-memory sort per group, never a global sort; no
-    * single-reducer window anywhere. Output is corpus_tokens/2048 rows. */
+    * single-reducer window anywhere. Output is corpus_tokens/2048 rows.
+    *
+    * Budget knob (r8): the 2048 budget here counts WORDS; q69 carries the
+    * same prefix-sum in SUBWORD tokens (operators/Subword) — a deployment
+    * swaps the counter column. Window ASSEMBLY stays word-granular in the
+    * declared query: per-position subword token STRINGS have no bounded
+    * SQL replay (the oracle would need the greedy segmenter's output, not
+    * just its counts); a production packer maps words → subword ids in
+    * the same scan via Subword.segment. */
   val q54 = DeclaredQuery(
     "q54_pack_windows",
     Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
@@ -1387,7 +1395,83 @@ object TextQueries {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------- Q72
+  /** INCREMENTAL dedup (X36) — the shape a 100 TB ingest actually runs:
+    * a NEW shard is judged against an EXISTING corpus without
+    * re-deduplicating the corpus. Each new document gets a verdict:
+    * `exact_dup` (content hash already present), `near_dup` (shares a
+    * MinHash LSH band with an existing document), or `novel`; plus the
+    * lowest-id existing match. The declared split is doc_id parity
+    * (even = existing corpus, odd = incoming shard).
+    *
+    * Scale shape: the existing side contributes two INDICES — a content-
+    * hash map and a band→min-id map, both hash-aggs a production ingest
+    * MATERIALIZES once and appends to per shard (here they are derived
+    * in-query because the oracle replays one self-contained statement).
+    * The new shard probes them with two hash joins keyed on fixed-width
+    * digests; neither side broadcasts (both indices are corpus-sized in
+    * the worst case), nothing re-clusters the existing corpus, and the
+    * per-increment cost is O(shard) + two co-partitioned joins. Exact
+    * verdicts win over near verdicts; match ids are -1 when novel so the
+    * output stays null-free for the driver's comparer. */
+  val q72 = DeclaredQuery(
+    "q72_incremental_dedup",
+    Some(s"""$oracleShingleCte,
+            |b AS (
+            |  SELECT doc_id, 0 AS band_idx, md5(mh0 || mh1) AS band FROM m
+            |  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM m
+            |  UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM m
+            |  UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM m),
+            |exh AS (SELECT md5(text) AS ch, MIN(doc_id) AS ex_id
+            |        FROM documents WHERE doc_id % 2 = 0 GROUP BY md5(text)),
+            |exb AS (SELECT band_idx, band, MIN(doc_id) AS ex_id
+            |        FROM b WHERE doc_id % 2 = 0 GROUP BY band_idx, band),
+            |ex_match AS (
+            |  SELECT d.doc_id, MIN(exh.ex_id) AS exact_id
+            |  FROM documents d JOIN exh ON md5(d.text) = exh.ch
+            |  WHERE d.doc_id % 2 = 1 GROUP BY d.doc_id),
+            |near_match AS (
+            |  SELECT b.doc_id, MIN(exb.ex_id) AS near_id
+            |  FROM b JOIN exb USING (band_idx, band)
+            |  WHERE b.doc_id % 2 = 1 GROUP BY b.doc_id)
+            |SELECT d.doc_id,
+            |       CASE WHEN ex_match.exact_id IS NOT NULL THEN 'exact_dup'
+            |            WHEN near_match.near_id IS NOT NULL THEN 'near_dup'
+            |            ELSE 'novel' END AS verdict,
+            |       CAST(COALESCE(ex_match.exact_id, near_match.near_id, -1) AS BIGINT) AS match_id
+            |FROM documents d
+            |LEFT JOIN ex_match ON d.doc_id = ex_match.doc_id
+            |LEFT JOIN near_match ON d.doc_id = near_match.doc_id
+            |WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id""".stripMargin)) { (s, d) =>
+    val dd = docs(s, d)
+    val sig = minhashSignatures(dd)
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until 4).map(b =>
+        md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))): _*)))
+      .toDF("doc_id", "band_idx", "band")
+    val exh = dd.filter(col("doc_id") % 2 === 0)
+      .groupBy(md5(col("text")).as("ch")).agg(min(col("doc_id")).as("ex_id"))
+    val exb = bands.filter(col("doc_id") % 2 === 0)
+      .groupBy("band_idx", "band").agg(min(col("doc_id")).as("ex_id"))
+    val exMatch = dd.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), md5(col("text")).as("ch"))
+      .join(exh, "ch")
+      .groupBy("doc_id").agg(min(col("ex_id")).as("exact_id"))
+    val nearMatch = bands.filter(col("doc_id") % 2 === 1)
+      .join(exb, Seq("band_idx", "band"))
+      .groupBy("doc_id").agg(min(col("ex_id")).as("near_id"))
+    dd.filter(col("doc_id") % 2 === 1).select("doc_id")
+      .join(exMatch, Seq("doc_id"), "left")
+      .join(nearMatch, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_id").isNotNull, "exact_dup")
+          .when(col("near_id").isNotNull, "near_dup")
+          .otherwise("novel").as("verdict"),
+        coalesce(col("exact_id"), col("near_id"), lit(-1L)).cast("long").as("match_id"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[DeclaredQuery] = Seq(q26, q26t, q27, q27p, q28, q29, q30, q31,
     q32, q33, q37, q38, q39, q42, q44, q47, q48, q49, q50, q52, q53, q54, q59,
-    q61, q62, q64, q65, q66, q67)
+    q61, q62, q64, q65, q66, q67, q72)
 }

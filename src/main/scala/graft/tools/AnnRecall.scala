@@ -119,6 +119,13 @@ object AnnRecall {
           iters = 4, shortlist = sl))
       report(s"pq_adc_8x256_rerank$sl", "l2", gotRr, l25, l2K, secsRr)
     }
+    // 5) the composed IVF-PQ layout (FAISS IVF16,PQ8 shape): cells bound
+    // the ADC scan to ~nprobe/nClusters of the codes, then rerank — the
+    // full 100 TB serving plan in one query
+    val (gotC, secsC) = timedTopk(
+      graft.queries.AnnServing.ivfPqTopK(spark, sfDir, nClusters = 16, nprobe = 4,
+        m = 8, k = 256, iters = 4, shortlist = 500))
+    report("ivf16pq8x256_np4_rerank500", "l2", gotC, l25, l2K, secsC)
     spark.stop()
   }
 }

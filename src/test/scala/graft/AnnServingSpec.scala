@@ -46,6 +46,15 @@ class AnnServingSpec extends SparkSpec {
     assert(got == exactTop5("l2").keySet)
   }
 
+  test("ivfPqTopK probing every cell with corpus-wide shortlist IS exact L2 search") {
+    val n = Tables.embeddings(spark, sf0001).count().toInt
+    val got = AnnServing.ivfPqTopK(spark, sf0001, nClusters = 4, nprobe = 4,
+      m = 4, k = 8, iters = 1, shortlist = n, topK = 5)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exactTop5("l2").keySet)
+  }
+
   test("pqCodebook has the full m x k shape with no lost codewords") {
     val book = AnnServing.pqCodebook(spark, sf0001, m = 4, k = 8, iters = 2)
       .collect()
