@@ -1471,7 +1471,70 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- Q73
+  /** PII scrubbing (X37) — the redaction pass every corpus ships through
+    * before training: count and redact email addresses and phone numbers,
+    * emit the cleaned text's hash. The synthetic corpus carries no PII,
+    * so the query INJECTS it deterministically first (every 3rd doc gains
+    * an md5-derived email, every 5th an arithmetic phone number) — the
+    * oracle replays injection, so the scrub is tested against known
+    * ground truth, not an empty pattern space.
+    *
+    * Cross-engine parity: patterns stay inside the Java-regex ∩ RE2
+    * common subset (explicit classes, no shorthand escapes, no
+    * lookaround), where leftmost-greedy and leftmost-longest agree;
+    * DuckDB's regexp_replace needs the 'g' flag to match Spark's
+    * replace-all. Scale shape: pure per-row projection — one scan, no
+    * shuffle except the declared ORDER BY. */
+  val q73 = DeclaredQuery(
+    "q73_pii_scrub",
+    Some("""WITH inj AS (
+           |  SELECT doc_id,
+           |         text
+           |         || CASE WHEN doc_id % 3 = 0
+           |                 THEN ' contact u' || substr(md5(concat_ws(':', CAST(doc_id AS VARCHAR), 'em')), 1, 8) || '@exmail.com'
+           |                 ELSE '' END
+           |         || CASE WHEN doc_id % 5 = 0
+           |                 THEN ' tel ' || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0')
+           |                      || '-' || lpad(CAST((doc_id * 13) % 1000 AS VARCHAR), 3, '0')
+           |                      || '-' || lpad(CAST((doc_id * 31) % 10000 AS VARCHAR), 4, '0')
+           |                 ELSE '' END AS t
+           |  FROM documents),
+           |scrub AS (
+           |  SELECT doc_id,
+           |         CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}')) AS INTEGER) AS n_emails,
+           |         CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones,
+           |         regexp_replace(regexp_replace(t,
+           |           '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}', '[EMAIL]', 'g'),
+           |           '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS clean
+           |  FROM inj)
+           |SELECT doc_id, n_emails, n_phones, md5(clean) AS clean_hash
+           |FROM scrub ORDER BY doc_id""".stripMargin)) { (s, d) =>
+    // [.] instead of \. everywhere: a character class survives every
+    // string-literal escape layer (Scala, Spark SQL, DuckDB SQL)
+    // unchanged, so both engines are guaranteed the same pattern bytes
+    val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+    val phonePat = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val t = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact u"),
+          substring(md5(concat_ws(":", col("doc_id").cast("string"), lit("em"))), 1, 8),
+          lit("@exmail.com"))).otherwise(""),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" tel "),
+          lpad(((col("doc_id") * 7) % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad(((col("doc_id") * 13) % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad(((col("doc_id") * 31) % 10000).cast("string"), 4, "0"))).otherwise(""))
+    docs(s, d).select(col("doc_id"), t.as("t"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(emailPat), lit(0))).cast("int").as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(phonePat), lit(0))).cast("int").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("t"),
+          emailPat, "[EMAIL]"), phonePat, "[PHONE]")).as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[DeclaredQuery] = Seq(q26, q26t, q27, q27p, q28, q29, q30, q31,
     q32, q33, q37, q38, q39, q42, q44, q47, q48, q49, q50, q52, q53, q54, q59,
-    q61, q62, q64, q65, q66, q67, q72)
+    q61, q62, q64, q65, q66, q67, q72, q73)
 }
