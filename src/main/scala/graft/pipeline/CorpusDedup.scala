@@ -24,6 +24,39 @@ import org.apache.spark.sql.functions._
   */
 object CorpusDedup {
 
+  /** Incremental ingest (q72's relation as a pipeline API): judge
+    * `incoming` documents against an `existing` corpus WITHOUT
+    * re-clustering it — per-incoming verdict `exact_dup` / `near_dup` /
+    * `novel` plus the lowest-id existing match (-1 when novel). The two
+    * probe indices (content-hash → min id, LSH band → min id) are exactly
+    * the frames a production ingest materializes once and appends to per
+    * accepted shard; they are derived here so the API is self-contained —
+    * a deployment passes cached copies instead. Cost per increment:
+    * O(incoming) plus two co-partitioned hash joins; nothing broadcasts
+    * (both indices are corpus-sized in the worst case). */
+  def incremental(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val exh = existing
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("ex_id"))
+    val exb = TextQueries.bandKeys(existing.select(col("doc_id"), col("text")))
+      .groupBy("band_idx", "band").agg(min(col("doc_id")).as("ex_id"))
+    val exactMatch = incoming
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .join(exh, "content_hash")
+      .groupBy("doc_id").agg(min(col("ex_id")).as("exact_id"))
+    val nearMatch = TextQueries.bandKeys(incoming.select(col("doc_id"), col("text")))
+      .join(exb, Seq("band_idx", "band"))
+      .groupBy("doc_id").agg(min(col("ex_id")).as("near_id"))
+    incoming.select("doc_id")
+      .join(exactMatch, Seq("doc_id"), "left")
+      .join(nearMatch, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_id").isNotNull, "exact_dup")
+          .when(col("near_id").isNotNull, "near_dup")
+          .otherwise("novel").as("verdict"),
+        coalesce(col("exact_id"), col("near_id"), lit(-1L)).cast("long").as("match_id"))
+  }
+
   /** Per-document dedup verdict over `docs(doc_id, text, …)`:
     * (doc_id, content_hash, exact_canonical_id, cluster_id, cluster_size,
     * quality_score, kept). `kept` ⇔ the doc survives exact dedup (is its

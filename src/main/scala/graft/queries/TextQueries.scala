@@ -90,6 +90,15 @@ object TextQueries {
     * duplicated 12× by CollapseProject and spends ~10 s in codegen alone).
     * This is the shape that survives 100 TB: the shuffle carries only
     * signatures, never shingles. */
+  /** (doc_id, band_idx, band) LSH band keys — the probe/index frame shared
+    * by the declared near-dup queries and pipeline/CorpusDedup's
+    * incremental ingest. */
+  private[graft] def bandKeys(dd: DataFrame): DataFrame =
+    minhashSignatures(dd).select(col("doc_id"),
+      posexplode(array((0 until 4).map(b =>
+        md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))): _*)))
+      .toDF("doc_id", "band_idx", "band")
+
   private def minhashSignatures(df: DataFrame): DataFrame = {
     val sh = df.select(col("doc_id"), explode(shingles).as("g"))
       .withColumn("h1", md5(col("g")))
@@ -1444,11 +1453,7 @@ object TextQueries {
             |LEFT JOIN near_match ON d.doc_id = near_match.doc_id
             |WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id""".stripMargin)) { (s, d) =>
     val dd = docs(s, d)
-    val sig = minhashSignatures(dd)
-    val bands = sig.select(col("doc_id"),
-      posexplode(array((0 until 4).map(b =>
-        md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))): _*)))
-      .toDF("doc_id", "band_idx", "band")
+    val bands = bandKeys(dd)
     val exh = dd.filter(col("doc_id") % 2 === 0)
       .groupBy(md5(col("text")).as("ch")).agg(min(col("doc_id")).as("ex_id"))
     val exb = bands.filter(col("doc_id") % 2 === 0)

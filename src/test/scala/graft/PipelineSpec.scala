@@ -379,4 +379,29 @@ class PipelineSpec extends SparkSpec {
     assert(prof.map(_.getAs[Long]("tokens_removed")).sum == removedFromVerdict,
       "profile's removed tokens must equal the !kept docs' tokens")
   }
+
+  test("CorpusDedup.incremental: exact/near/novel verdicts against an existing corpus") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while forty tables " +
+      "stream through the spark engine sorting every column into batches of rows"
+    val existing = Seq(
+      (0L, base),
+      (2L, "completely different content about window functions and joins over partitioned data")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (11L, base), // exact copy of doc 0
+      (13L, base.replace("lazy", "sleepy")), // near-dup of doc 0
+      (15L, "zebra xylophone quartz jigsaw vortex plasma nebula kumquat")
+    ).toDF("doc_id", "text")
+    val v = CorpusDedup.incremental(existing, incoming)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(v(11L) == ("exact_dup", 0L), s"exact copy: ${v(11L)}")
+    assert(v(13L)._1 == "near_dup" && v(13L)._2 == 0L, s"near copy: ${v(13L)}")
+    assert(v(15L) == ("novel", -1L), s"novel doc: ${v(15L)}")
+    // an accepted shard's own indices would be appended next increment —
+    // judging the existing corpus against itself is all exact_dups
+    val self = CorpusDedup.incremental(existing, existing)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(self == Map(0L -> "exact_dup", 2L -> "exact_dup"))
+  }
 }
