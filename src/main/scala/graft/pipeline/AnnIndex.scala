@@ -1,0 +1,130 @@
+package graft.pipeline
+
+import graft.Tables
+import graft.queries.AnnServing
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persistent IVF-PQ index lifecycle — the production complement to
+  * `queries/AnnServing`'s in-query paths: TRAIN ONCE, SERVE MANY. The
+  * declared q55/q56 and the AnnServing measurement paths train their
+  * codebook inside every query (oracle/measurement contract);
+  * BASELINE.md notes that a composed pipeline must not. This is that
+  * composition:
+  *
+  *   - [[build]] trains the coarse quantizer + PQ codebook and
+  *     materializes three parquet artifacts under `indexDir`:
+  *     `centroids` (nClusters rows), `codebook` (m·k rows), and `codes`
+  *     (one row per (vector, subspace), PARTITIONED BY cell id — so a
+  *     probe's cell restriction is physical partition PRUNING at read
+  *     time, the property the 100 TB layout depends on);
+  *   - [[search]] reads only the tiny artifacts plus the probed cells'
+  *     code partitions, runs the ADC shortlist, and reranks exactly
+  *     against the raw vectors of the shortlist only.
+  *
+  * Index artifacts are plain parquet: an ingest increment appends new
+  * vectors' codes to their cell partitions (dynamic partition overwrite
+  * or append) without touching the trained quantizers — retraining
+  * cadence is a deployment choice, not a per-batch cost.
+  */
+object AnnIndex {
+
+  final case class Params(nClusters: Int = 16, m: Int = 8, k: Int = 256,
+                          iters: Int = 4)
+
+  /** Train quantizers on the corpus at `dataDir` and materialize the
+    * index under `indexDir`. */
+  def build(s: SparkSession, dataDir: String, indexDir: String,
+            p: Params = Params()): Unit = {
+    val e = Tables.embeddings(s, dataDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val n = e.withColumn("nrm",
+      sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+    // coarse quantizer: seeded picks + one mean refinement (AnnServing's
+    // ivf recipe); collected literal frames keep every join a broadcast
+    val cent0 = AnnServing.seedPick(s, e, p.nClusters, "centroid")
+      .select(col("pick_id").as("cluster_id"), col("v").as("cv"))
+      .withColumn("cnrm",
+        sqrt(aggregate(transform(col("cv"), x => x * x), lit(0.0), (a, x) => a + x)))
+    def assignCell(c: DataFrame): DataFrame = n
+      .crossJoin(broadcast(c))
+      .withColumn("csim",
+        aggregate(zip_with(col("v"), col("cv"), (a, b) => a * b), lit(0.0), (a, x) => a + x)
+          / (col("nrm") * col("cnrm")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(negate(col("csim")), col("cluster_id"))).as("best"))
+      .select(col("vec_id"), col("best.cluster_id").as("cluster_id"))
+    val meansPlan = assignCell(cent0).join(n, Seq("vec_id"))
+      .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "val")))
+      .groupBy("cluster_id", "pos").agg(avg(col("val")).as("mn"))
+      .groupBy("cluster_id")
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("mn")))),
+        x => x("mn")).as("cv"))
+      .withColumn("cnrm",
+        sqrt(aggregate(transform(col("cv"), x => x * x), lit(0.0), (a, x) => a + x)))
+    val cent = s.createDataFrame(
+      java.util.Arrays.asList(meansPlan.collect(): _*), meansPlan.schema)
+    cent.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val book = AnnServing.pqCodebook(s, dataDir, p.m, p.k, p.iters)
+    book.write.mode("overwrite").parquet(s"$indexDir/codebook")
+    val dim = e.select(size(col("v"))).head().getInt(0)
+    val codes = AnnServing
+      .assignCodes(AnnServing.subvectors(e, p.m, dim / p.m), book)
+      .select(col("vec_id"), col("sub"), col("code"))
+      .join(assignCell(cent), Seq("vec_id"))
+    codes.write.mode("overwrite").partitionBy("cluster_id")
+      .parquet(s"$indexDir/codes")
+  }
+
+  /** Top-k for the probe set (vec_id < 5 of `dataDir`, as everywhere)
+    * against a prebuilt index: cells prune the code READ, ADC ranks the
+    * shortlist, exact L2 reranks it. No training happens here. */
+  def search(s: SparkSession, dataDir: String, indexDir: String,
+             nprobe: Int = 4, shortlist: Int = 500, topK: Int = 5): DataFrame = {
+    val cent = s.read.parquet(s"$indexDir/centroids")
+    val book = s.read.parquet(s"$indexDir/codebook")
+    val m = book.agg(max(col("sub"))).head().getInt(0) + 1
+    val e = Tables.embeddings(s, dataDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val dim = e.select(size(col("v"))).head().getInt(0)
+    val probesBase = e.filter(col("vec_id") < 5)
+      .withColumn("nrm",
+        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+    val probeCells = probesBase.crossJoin(broadcast(cent))
+      .withColumn("csim",
+        aggregate(zip_with(col("v"), col("cv"), (a, b) => a * b), lit(0.0), (a, x) => a + x)
+          / (col("nrm") * col("cnrm")))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cluster_id"))))
+      .filter(col("ark") <= nprobe)
+      .select(col("vec_id").as("probe_id"), col("cluster_id"))
+    // physical partition pruning: the isin filter on the partition column
+    // restricts which cells' files the scan reads at all
+    // raw values: the partition column's type is whatever partition
+    // discovery inferred from the directory names
+    val probedCellIds: Array[Any] = probeCells.select("cluster_id").distinct()
+      .collect().map(_.get(0))
+    val codes = s.read.parquet(s"$indexDir/codes")
+      .filter(col("cluster_id").isin(probedCellIds: _*))
+    val probeSubs = AnnServing.subvectors(probesBase.select(col("vec_id"), col("v")), m, dim / m)
+      .select(col("vec_id").as("probe_id"), col("sub"), col("vs").as("ps"))
+    val lut = probeSubs.join(broadcast(book), Seq("sub"))
+      .select(col("probe_id"), col("sub"), col("code"),
+        (aggregate(transform(col("ps"), x => x * x), lit(0.0), (a, x) => a + x)
+          - lit(2) * aggregate(zip_with(col("ps"), col("cv"), (a, b) => a * b), lit(0.0), (a, x) => a + x)
+          + aggregate(transform(col("cv"), x => x * x), lit(0.0), (a, x) => a + x)).as("pd"))
+    val cand = codes.join(broadcast(probeCells), Seq("cluster_id"))
+      .join(broadcast(lut), Seq("probe_id", "sub", "code"))
+      .groupBy("probe_id", "vec_id")
+      .agg(sum(col("pd")).as("adc_dist"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("adc_dist").asc, col("vec_id"))))
+      .filter(col("rk") <= shortlist)
+      .select(col("probe_id"), col("vec_id"))
+    AnnServing.rerankExact(s, dataDir, cand, topK)
+  }
+}

@@ -35,7 +35,7 @@ object AnnServing {
 
   /** md5-seeded deterministic pick of `k` corpus vectors (q36's trick),
     * collected and re-planted as a literal frame: (pick_id 1..k, v). */
-  private def seedPick(s: SparkSession, e: DataFrame, k: Int, tag: String): DataFrame = {
+  private[graft] def seedPick(s: SparkSession, e: DataFrame, k: Int, tag: String): DataFrame = {
     val skey = md5(concat_ws(":", col("vec_id").cast("string"), lit(tag)))
     val plan = e.withColumn("_sk", skey)
       .orderBy(col("_sk"), col("vec_id"))
@@ -110,7 +110,7 @@ object AnnServing {
   }
 
   /** per-(vec, subspace) subvectors: m slices of the dim-wide vector. */
-  private def subvectors(e: DataFrame, m: Int, subDim: Int): DataFrame = e
+  private[graft] def subvectors(e: DataFrame, m: Int, subDim: Int): DataFrame = e
     .select(col("vec_id"), col("v"), explode(array((0 until m).map(lit): _*)).as("sub"))
     .select(col("vec_id"), col("sub"),
       slice(col("v"), col("sub") * subDim + 1, lit(subDim)).as("vs"))
@@ -118,7 +118,7 @@ object AnnServing {
   /** nearest codeword per (vec, sub) via hash-agg argmin — returns
     * (vec_id, sub, code, dist). The n×m×k candidate frame never crosses a
     * window shuffle: partial min(struct) runs map-side. */
-  private def assignCodes(subs: DataFrame, book: DataFrame): DataFrame = subs
+  private[graft] def assignCodes(subs: DataFrame, book: DataFrame): DataFrame = subs
     .join(broadcast(book), Seq("sub"))
     .withColumn("dist",
       dot(col("vs"), col("vs")) - lit(2) * dot(col("vs"), col("cv"))
@@ -226,7 +226,7 @@ object AnnServing {
   /** exact-L2 rerank of a (probe_id, vec_id) candidate frame: the corpus
     * is joined on the tiny broadcast candidate key set — a point-lookup-
     * shaped read of only the shortlisted vectors. */
-  private def rerankExact(s: SparkSession, d: String, cand: DataFrame,
+  private[graft] def rerankExact(s: SparkSession, d: String, cand: DataFrame,
                           topK: Int): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))

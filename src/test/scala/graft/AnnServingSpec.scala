@@ -55,6 +55,31 @@ class AnnServingSpec extends SparkSpec {
     assert(got == exactTop5("l2").keySet)
   }
 
+  test("AnnIndex: build persists cell-partitioned codes; search with full knobs IS exact; no retraining at serve time") {
+    val dir = java.nio.file.Files.createTempDirectory("annindex").toString
+    val p = graft.pipeline.AnnIndex.Params(nClusters = 4, m = 4, k = 8, iters = 1)
+    graft.pipeline.AnnIndex.build(spark, sf0001, dir, p)
+    // artifacts exist; codes are physically partitioned by cell
+    val cells = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.getName.startsWith("cluster_id=")).map(_.getName)
+    assert(cells.length >= 2, s"expected multiple cell partitions, got ${cells.toSeq}")
+    assert(spark.read.parquet(s"$dir/centroids").count() == 4)
+    assert(spark.read.parquet(s"$dir/codebook").count() == 4 * 8)
+    // degenerate knobs reduce to exact search, served from the index
+    val n = Tables.embeddings(spark, sf0001).count().toInt
+    val got = graft.pipeline.AnnIndex.search(spark, sf0001, dir,
+      nprobe = 4, shortlist = n, topK = 5)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exactTop5("l2").keySet)
+    // serving twice is deterministic and touches no training state
+    val again = graft.pipeline.AnnIndex.search(spark, sf0001, dir,
+      nprobe = 4, shortlist = n, topK = 5)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == got)
+  }
+
   test("pqCodebook has the full m x k shape with no lost codewords") {
     val book = AnnServing.pqCodebook(spark, sf0001, m = 4, k = 8, iters = 2)
       .collect()
