@@ -44,7 +44,8 @@ object Main {
                            subjects: Option[String], cacheRoot: String,
                            output: Option[String],
                            scorer: String,
-                           documents: Option[String])
+                           documents: Option[String],
+                           incoming: Option[String])
 
   /** `paths` section of the same YAML GraftConfig.fromYaml reads (same
     * SafeConstructor posture — YAML tags must not instantiate classes). */
@@ -73,7 +74,7 @@ object Main {
       s("output"),
       // root-level `scorer` key: the predict command's model plug-point
       root.get("scorer").map(_.toString).filter(_.nonEmpty).getOrElse("identity"),
-      s("documents"))
+      s("documents"), s("incoming"))
   }
 
   /** Run one command; returns a small summary map (printed by main, and
@@ -183,14 +184,35 @@ object Main {
           "near_dups_dropped" -> nearDups.toString,
           "token_frac_removed" -> f"$fracRemoved%.4f")
 
+      case "ingest" =>
+        // incremental dedup: judge paths.incoming against paths.documents
+        // (the existing corpus) — exact_dup / near_dup / novel per doc,
+        // nothing re-clusters the existing side (CorpusDedup.incremental)
+        val existingPath = p.documents.getOrElse(throw new IllegalArgumentException(
+          "ingest needs paths.documents (the existing corpus parquet)"))
+        val incomingPath = p.incoming.getOrElse(throw new IllegalArgumentException(
+          "ingest needs paths.incoming (the new shard parquet)"))
+        val verdicts = CorpusDedup.incremental(
+          spark.read.parquet(existingPath), spark.read.parquet(incomingPath))
+          .persist()
+        val counts = verdicts.groupBy("verdict").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        p.output.foreach(o => verdicts.write.mode("overwrite").parquet(s"$o/ingest"))
+        val total = verdicts.count()
+        verdicts.unpersist()
+        Map("incoming" -> total.toString,
+          "exact_dups" -> counts.getOrElse("exact_dup", 0L).toString,
+          "near_dups" -> counts.getOrElse("near_dup", 0L).toString,
+          "novel" -> counts.getOrElse("novel", 0L).toString)
+
       case other => throw new IllegalArgumentException(
-        s"unknown command '$other' — expected cache|serve|explore|predict|dedup")
+        s"unknown command '$other' — expected cache|serve|explore|predict|dedup|ingest")
     }
   }
 
   def main(args: Array[String]): Unit = {
     require(args.length == 2,
-      "usage: graft.Main <data-config.yaml> <cache|serve|explore|predict|dedup>")
+      "usage: graft.Main <data-config.yaml> <cache|serve|explore|predict|dedup|ingest>")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.shuffle.partitions",

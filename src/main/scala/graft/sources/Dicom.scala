@@ -593,7 +593,8 @@ object Dicom {
                     red: Array[Int], green: Array[Int], blue: Array[Int],
                     firstMapped: Int = 0,
                     seriesUid: String = "1.2.3.4", instanceNumber: Int = 1,
-                    lutLenOverride: Int = -1): Array[Byte] = {
+                    lutLenOverride: Int = -1, lutBits: Int = 16): Array[Byte] = {
+    require(lutBits == 8 || lutBits == 16, s"lutBits $lutBits")
     require(indices.length == rows * cols, "shape/data mismatch")
     require(red.length == green.length && green.length == blue.length)
     val out = new java.io.ByteArrayOutputStream()
@@ -626,9 +627,14 @@ object Dicom {
     el(0x0028, 0x0101, "US", le2(8))
     el(0x0028, 0x0103, "US", le2(0))
     val claimed = if (lutLenOverride >= 0) lutLenOverride else red.length
-    val desc = le2(if (claimed == 65536) 0 else claimed) ++ le2(firstMapped) ++ le2(16)
+    val desc = le2(if (claimed == 65536) 0 else claimed) ++ le2(firstMapped) ++ le2(lutBits)
     def lutBytes(vs: Array[Int]): Array[Byte] =
-      vs.flatMap(v => le2(v & 0xffff))
+      if (lutBits == 16) vs.flatMap(v => le2(v & 0xffff))
+      else {
+        // 8-bit entries pack two per OW word; odd counts pad the last word
+        val raw = vs.map(v => (v & 0xff).toByte)
+        if (raw.length % 2 == 0) raw else raw :+ 0.toByte
+      }
     el(0x0028, 0x1101, "US", desc)
     el(0x0028, 0x1102, "US", desc)
     el(0x0028, 0x1103, "US", desc)

@@ -102,4 +102,55 @@ object GraftProperties extends Properties("graft") {
         sl.rows == rows && sl.cols == cols && sl.data.toSeq == data.toSeq &&
           sl.position == pos && sl.instanceNumber == seed % 100
     }
+
+  // ---- r8: subword segmentation (operators/Subword)
+
+  private val word: Gen[String] =
+    Gen.listOf(Gen.alphaLowerChar).map(_.mkString).map(_.take(24))
+
+  property("subword segmentation reassembles the word exactly") =
+    Prop.forAll(word) { w =>
+      graft.operators.Subword.segment(w).mkString == w
+    }
+
+  property("subword count is within [ceil(len/4), len]") =
+    Prop.forAll(word) { w =>
+      val n = graft.operators.Subword.segment(w).length
+      if (w.isEmpty) n == 0
+      else n >= (w.length + 3) / 4 && n <= w.length
+    }
+
+  property("subword segments are each a vocab unit or a single char") =
+    Prop.forAll(word) { w =>
+      val units = graft.operators.Subword.defaultVocab.flatMap(_._2).toSet
+      graft.operators.Subword.segment(w).forall(t =>
+        t.length == 1 || units(t))
+    }
+
+  // ---- r8: perceptual hashes (multimodal/Phash, multimodal/AudioHash)
+
+  private val lumaGrid: Gen[Array[Int]] =
+    Gen.containerOfN[Array, Int](1024, Gen.choose(0, 255))
+
+  property("pHash of a +1-uniformly-brightened image is unchanged") =
+    // DCT is linear and the +1 shift only moves the DC coefficient,
+    // which the 63 bits exclude; the mean-threshold compares AC terms
+    Prop.forAll(lumaGrid) { g =>
+      val b = g.map(v => v + 1)
+      graft.multimodal.Phash.hash(g) == graft.multimodal.Phash.hash(b)
+    }
+
+  property("audio envelope hash is invariant under sign flip") =
+    // cells sum |sample|, so negating the waveform changes nothing
+    Prop.forAll(Gen.containerOfN[Array, Int](720, Gen.choose(-127, 127))) { s =>
+      graft.multimodal.AudioHash.hash(s) ==
+        graft.multimodal.AudioHash.hash(s.map(v => -v))
+    }
+
+  property("audio envelope hash is invariant under uniform gain") =
+    // E(cell) scales by the gain on both sides of every strict compare
+    Prop.forAll(Gen.containerOfN[Array, Int](720, Gen.choose(-127, 127))) { s =>
+      graft.multimodal.AudioHash.hash(s) ==
+        graft.multimodal.AudioHash.hash(s.map(v => v * 3))
+    }
 }

@@ -403,5 +403,20 @@ class PipelineSpec extends SparkSpec {
     val self = CorpusDedup.incremental(existing, existing)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(self == Map(0L -> "exact_dup", 2L -> "exact_dup"))
+
+    // the CLI verb drives the same relation from YAML paths
+    val root = Files.createTempDirectory("graft-ingest").toString
+    existing.write.parquet(s"$root/existing")
+    incoming.write.parquet(s"$root/incoming")
+    Files.writeString(java.nio.file.Paths.get(s"$root/config.yaml"),
+      s"""paths:
+         |  documents: $root/existing
+         |  incoming: $root/incoming
+         |  output: $root/out
+         |""".stripMargin)
+    val res = Main.run(spark, s"$root/config.yaml", "ingest")
+    assert(res == Map("incoming" -> "3", "exact_dups" -> "1",
+      "near_dups" -> "1", "novel" -> "1"), res.toString)
+    assert(spark.read.parquet(s"$root/out/ingest").count() == 3)
   }
 }

@@ -138,6 +138,12 @@ class SourcesSpec extends SparkSpec {
     val idx2 = Array(0, 7, 255, 128)
     val s2 = Dicom.decode(Dicom.encodePalette(2, 2, idx2, ramp, ramp, ramp))
     assert(s2.data.toSeq == idx2.map(i => 0.299f * i + 0.587f * i + 0.114f * i).toSeq)
+    // 8-bit LUT entries (two packed per OW word, odd count padded)
+    val lut8 = Array(10, 20, 30, 40, 50)
+    val s3 = Dicom.decode(Dicom.encodePalette(2, 2, Array(0, 2, 4, 9),
+      lut8, lut8, lut8, lutBits = 8))
+    assert(s3.data.toSeq == Seq(10, 30, 50, 50).map(v =>
+      0.299f * v + 0.587f * v + 0.114f * v))
   }
 
   test("DICOM multi-frame cine: uncompressed and JPEG 2000 frames round-trip") {
