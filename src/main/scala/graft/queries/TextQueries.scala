@@ -1539,7 +1539,59 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- Q74
+  /** Unicode text normalization (X38) — the canonicalization pass a
+    * multilingual pipeline runs before any hashing/dedup: NFC composition
+    * (combining sequences → precomposed codepoints), lowercase, and
+    * whitespace collapse. The ASCII corpus is already NFC, so the query
+    * INJECTS decomposed sequences deterministically (every 2nd doc gains
+    * ` nfc cafe`+COMBINING ACUTE+` te`+COMBINING TILDE+`st   end`) — the
+    * char counts then PROVE composition happened (each combining pair
+    * collapses to one codepoint) rather than asserting a no-op.
+    *
+    * Engine parity: JVM `java.text.Normalizer` and DuckDB's utf8proc
+    * both implement Unicode NFC — same standard, same bytes; lowercase
+    * stays parity-safe because the injected text is already lowercase
+    * (full Unicode case-mapping tables differ in edge locales — out of
+    * scope by design, documented). Spark runs the native codegen
+    * [[graft.expressions.NfcNormalize]] expression (no UDF boundary).
+    * Scale shape: one per-row projection scan, no shuffle before the
+    * declared ORDER BY. */
+  val q74 = DeclaredQuery(
+    "q74_normalize_text",
+    Some("""WITH inj AS (
+           |  SELECT doc_id,
+           |         text || CASE WHEN doc_id % 2 = 0
+           |                      THEN ' nfc cafe' || chr(769) || ' te' || chr(771) || 'st   end'
+           |                      ELSE '' END AS t
+           |  FROM documents),
+           |n AS (
+           |  SELECT doc_id, CAST(length(t) AS INTEGER) AS pre_len,
+           |         trim(regexp_replace(lower(nfc_normalize(t)), '[ ]+', ' ', 'g')) AS norm
+           |  FROM inj)
+           |SELECT doc_id, pre_len, CAST(length(norm) AS INTEGER) AS post_len,
+           |       md5(norm) AS norm_hash
+           |FROM n ORDER BY doc_id""".stripMargin)) { (s, d) =>
+    import org.apache.spark.sql.graftshim.ColumnShim
+    def nfc(c: Column): Column =
+      ColumnShim.column(graft.expressions.NfcNormalize(ColumnShim.expression(c)))
+    // the literal below holds DECOMPOSED sequences (e + U+0301,
+    // e + U+0303) matching the oracle's chr() injection — NFC composes
+    // them, so post_len proves the normalization ran
+    val t = concat(col("text"),
+      when(col("doc_id") % 2 === 0,
+        lit(" nfc café tẽst   end")).otherwise(""))
+    docs(s, d).select(col("doc_id"), t.as("t"))
+      .select(col("doc_id"),
+        length(col("t")).cast("int").as("pre_len"),
+        trim(regexp_replace(lower(nfc(col("t"))), "[ ]+", " ")).as("norm"))
+      .select(col("doc_id"), col("pre_len"),
+        length(col("norm")).cast("int").as("post_len"),
+        md5(col("norm")).as("norm_hash"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[DeclaredQuery] = Seq(q26, q26t, q27, q27p, q28, q29, q30, q31,
     q32, q33, q37, q38, q39, q42, q44, q47, q48, q49, q50, q52, q53, q54, q59,
-    q61, q62, q64, q65, q66, q67, q72, q73)
+    q61, q62, q64, q65, q66, q67, q72, q73, q74)
 }
