@@ -99,15 +99,19 @@ object Subword {
 
   /** greedy subword-token COUNT of a word column: integer fold over the
     * per-position match lengths with skip-encoded state
-    * (acc = chars_still_covered * 100000 + tokens_so_far) — pure integer
+    * (acc = chars_still_covered * 10^9 + tokens_so_far) — pure integer
     * arithmetic, so any engine computing greedy segmentation agrees
-    * exactly. Empty words count 0 (guards Spark's descending
-    * sequence(1,0)). */
+    * exactly. The 10^9 stride keeps the encoding collision-free for any
+    * word up to a billion chars (token count ≤ word length < stride;
+    * skip ≤ 3 < stride trivially). Empty words count 0 (guards Spark's
+    * descending sequence(1,0)). */
+  private val FoldStride = 1000000000L
+
   def countCol(word: Column, vocab: Vocab = defaultVocab): Column =
     when(length(word) === 0, lit(0)).otherwise(
       aggregate(glens(word, vocab), lit(0L), (acc, g) =>
-        when(acc >= 100000L, acc - 100000L)
-          .otherwise((g.cast("long") - 1L) * 100000L + acc + 1L))
+        when(acc >= FoldStride, acc - FoldStride)
+          .otherwise((g.cast("long") - 1L) * FoldStride + acc + 1L))
         .cast("int"))
 
   /** (doc_id, n_words, n_subwords, max_word_subwords) per document:

@@ -31,8 +31,9 @@ class SubwordSpec extends SparkSpec {
     }
   }
 
-  test("countCol: empty word counts 0, bounds hold") {
-    val df = Seq("", "a", "the", "abcdefgh").toDF("word")
+  test("countCol: empty word counts 0, bounds hold, very long words don't alias") {
+    val long = "z" * 200000 // no 2+-unit starts with z → 200k single chars
+    val df = Seq("", "a", "the", "abcdefgh", long).toDF("word")
       .select(col("word"), Subword.countCol(col("word")).as("n"))
       .as[(String, Int)].collect().toMap
     assert(df("") == 0)
@@ -40,6 +41,8 @@ class SubwordSpec extends SparkSpec {
     assert(df("the") == 1)
     // count is between ceil(len/maxUnit) and len
     assert(df("abcdefgh") >= 2 && df("abcdefgh") <= 8)
+    // the skip-encoded fold must survive counts past the old 1e5 stride
+    assert(df(long) == 200000)
   }
 
   test("BPE trainer learns the expected first merges on a fixture corpus") {
