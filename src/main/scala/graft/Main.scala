@@ -27,6 +27,14 @@ import scala.jdk.CollectionConverters._
   *   - `dedup`   — corpus dedup over `paths.documents`: exact content
   *                 hash → MinHash near-dup clusters → keep-best-quality
   *                 (pipeline/CorpusDedup); writes `output/dedup`
+  *   - `ingest`  — incremental dedup of `paths.incoming` against the
+  *                 `paths.documents` corpus (exact_dup/near_dup/novel);
+  *                 writes `output/ingest`
+  *   - `annbuild`/`annsearch` — persistent IVF-PQ index lifecycle over
+  *                 `paths.data_dir`'s embeddings: build materializes
+  *                 centroids/codebook/cell-partitioned codes under
+  *                 `paths.index_dir` (shape via optional `ann:` keys);
+  *                 search serves top-k without retraining
   *
   * The YAML is the reference's config shape (`GraftConfig.fromYaml`) plus
   * a `paths` section naming the inputs:
@@ -45,7 +53,9 @@ object Main {
                            output: Option[String],
                            scorer: String,
                            documents: Option[String],
-                           incoming: Option[String])
+                           incoming: Option[String],
+                           dataDir: Option[String],
+                           indexDir: Option[String])
 
   /** `paths` section of the same YAML GraftConfig.fromYaml reads (same
     * SafeConstructor posture — YAML tags must not instantiate classes). */
@@ -74,7 +84,7 @@ object Main {
       s("output"),
       // root-level `scorer` key: the predict command's model plug-point
       root.get("scorer").map(_.toString).filter(_.nonEmpty).getOrElse("identity"),
-      s("documents"), s("incoming"))
+      s("documents"), s("incoming"), s("data_dir"), s("index_dir"))
   }
 
   /** Run one command; returns a small summary map (printed by main, and
@@ -205,14 +215,54 @@ object Main {
           "near_dups" -> counts.getOrElse("near_dup", 0L).toString,
           "novel" -> counts.getOrElse("novel", 0L).toString)
 
+      case "annbuild" =>
+        // persistent IVF-PQ index over paths.data_dir's embeddings table,
+        // materialized under paths.index_dir (pipeline/AnnIndex)
+        val dataDir = p.dataDir.getOrElse(throw new IllegalArgumentException(
+          "annbuild needs paths.data_dir (directory with embeddings.parquet)"))
+        val indexDir = p.indexDir.getOrElse(throw new IllegalArgumentException(
+          "annbuild needs paths.index_dir"))
+        // optional root-level `ann:` section overrides the index shape
+        val yaml = new org.yaml.snakeyaml.Yaml(
+          new org.yaml.snakeyaml.constructor.SafeConstructor(
+            new org.yaml.snakeyaml.LoaderOptions()))
+        val rootMap = Option(yaml.load[java.util.Map[String, Object]](
+          Files.readString(JPaths.get(configPath))))
+          .map(_.asScala.toMap).getOrElse(Map.empty[String, Object])
+        val ann = rootMap.get("ann") match {
+          case Some(m: java.util.Map[_, _]) =>
+            m.asInstanceOf[java.util.Map[String, Object]].asScala.toMap
+          case _ => Map.empty[String, Object]
+        }
+        def ai(k: String, dflt: Int): Int =
+          ann.get(k).map(_.toString.toInt).getOrElse(dflt)
+        val params = AnnIndex.Params(
+          nClusters = ai("n_clusters", 16), m = ai("m", 8),
+          k = ai("k", 256), iters = ai("iters", 4))
+        AnnIndex.build(spark, dataDir, indexDir, params)
+        Map("index_dir" -> indexDir,
+          "centroids" -> spark.read.parquet(s"$indexDir/centroids").count().toString,
+          "codebook_rows" -> spark.read.parquet(s"$indexDir/codebook").count().toString,
+          "coded_rows" -> spark.read.parquet(s"$indexDir/codes").count().toString)
+
+      case "annsearch" =>
+        val dataDir = p.dataDir.getOrElse(throw new IllegalArgumentException(
+          "annsearch needs paths.data_dir (directory with embeddings.parquet)"))
+        val indexDir = p.indexDir.getOrElse(throw new IllegalArgumentException(
+          "annsearch needs paths.index_dir (a built index)"))
+        val out = graft.pipeline.AnnIndex.search(spark, dataDir, indexDir)
+        p.output.foreach(o => out.write.mode("overwrite").parquet(s"$o/annsearch"))
+        Map("results" -> out.count().toString)
+
       case other => throw new IllegalArgumentException(
-        s"unknown command '$other' — expected cache|serve|explore|predict|dedup|ingest")
+        s"unknown command '$other' — expected cache|serve|explore|predict|dedup|ingest|annbuild|annsearch")
     }
   }
 
   def main(args: Array[String]): Unit = {
     require(args.length == 2,
-      "usage: graft.Main <data-config.yaml> <cache|serve|explore|predict|dedup|ingest>")
+      "usage: graft.Main <data-config.yaml> " +
+        "<cache|serve|explore|predict|dedup|ingest|annbuild|annsearch>")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.shuffle.partitions",

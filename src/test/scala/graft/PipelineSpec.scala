@@ -419,4 +419,24 @@ class PipelineSpec extends SparkSpec {
       "near_dups" -> "1", "novel" -> "1"), res.toString)
     assert(spark.read.parquet(s"$root/out/ingest").count() == 3)
   }
+
+  test("graft.Main annbuild/annsearch: YAML-driven index lifecycle") {
+    val root = Files.createTempDirectory("graft-ann").toString
+    Files.writeString(java.nio.file.Paths.get(s"$root/config.yaml"),
+      s"""paths:
+         |  data_dir: /root/testdata/sf0.001
+         |  index_dir: $root/index
+         |  output: $root/out
+         |ann:
+         |  n_clusters: 4
+         |  m: 4
+         |  k: 8
+         |  iters: 1
+         |""".stripMargin)
+    val built = Main.run(spark, s"$root/config.yaml", "annbuild")
+    assert(built("centroids") == "4" && built("codebook_rows") == "32", built.toString)
+    val searched = Main.run(spark, s"$root/config.yaml", "annsearch")
+    assert(searched("results") == "25", searched.toString) // 5 probes × top-5
+    assert(spark.read.parquet(s"$root/out/annsearch").count() == 25)
+  }
 }
