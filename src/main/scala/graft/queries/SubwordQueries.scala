@@ -69,8 +69,13 @@ object SubwordQueries {
             |       CAST((cum - n) // 2048 AS INTEGER) AS first_bin,
             |       CAST((cum - 1) // 2048 AS INTEGER) AS last_bin
             |FROM c ORDER BY doc_id""".stripMargin)) { (s, d) =>
+    // persist: packOffsets consumes its input TWICE (bucket totals + the
+    // join side) and this input is the explode+join doc-count pass — the
+    // q44 "signatures persist once" precedent; measured 8.5 s → ~5 s at
+    // sf10 (Bench/Verify unpersist between queries)
     val t = Subword.docCounts(docs(s, d))
       .select(col("doc_id"), col("n_subwords").as("n"))
+      .persist()
     TextQueries.packOffsets(t)
       .select(col("doc_id"), col("n").cast("int").as("n_tokens"),
         col("start_offset"),
