@@ -1453,7 +1453,9 @@ object TextQueries {
             |LEFT JOIN near_match ON d.doc_id = near_match.doc_id
             |WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id""".stripMargin)) { (s, d) =>
     val dd = docs(s, d)
-    val bands = bandKeys(dd)
+    // persist: the band frame feeds BOTH the existing-side index and the
+    // incoming-side probes — one MinHash pass, not two (q44 precedent)
+    val bands = bandKeys(dd).persist()
     val exh = dd.filter(col("doc_id") % 2 === 0)
       .groupBy(md5(col("text")).as("ch")).agg(min(col("doc_id")).as("ex_id"))
     val exb = bands.filter(col("doc_id") % 2 === 0)
