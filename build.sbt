@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver scrapes a bounded tail of sbt's stdout and json-parses the
+// last line. Two things broke that for eight rounds: (1) the default
+// LoggedOutput strategy prefixes forked-process stdout with "[info] ",
+// so the JSON line never starts with '{'; (2) sbt appends its own
+// "[success] Total time: ..." line after the program's output, so the
+// JSON line is never last. StdoutOutput passes the forked process's
+// stdout through raw, and showSuccess drops the trailer.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(run / outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -251,8 +251,16 @@ object Main {
         val indexDir = p.indexDir.getOrElse(throw new IllegalArgumentException(
           "annsearch needs paths.index_dir (a built index)"))
         val out = graft.pipeline.AnnIndex.search(spark, dataDir, indexDir)
-        p.output.foreach(o => out.write.mode("overwrite").parquet(s"$o/annsearch"))
-        Map("results" -> out.count().toString)
+        // count the WRITTEN parquet, not the plan: out.count() after the
+        // write would re-read the index and re-run the whole ADC/rerank
+        // job a second time
+        val n = p.output match {
+          case Some(o) =>
+            out.write.mode("overwrite").parquet(s"$o/annsearch")
+            spark.read.parquet(s"$o/annsearch").count()
+          case None => out.count()
+        }
+        Map("results" -> n.toString)
 
       case other => throw new IllegalArgumentException(
         s"unknown command '$other' — expected cache|serve|explore|predict|dedup|ingest|annbuild|annsearch")

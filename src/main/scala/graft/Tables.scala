@@ -42,10 +42,17 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the TIMESTAMP_NTZ→TIMESTAMP cast below reads naive micros under the
-    // SESSION timezone: pin it here (not only in Session/Verify/Bench) so
-    // a future entry point that forgets the session-level pin cannot read
-    // shifted instants silently
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // SESSION timezone: every engine entry point (Session.tune, Verify,
+    // Bench, specs) pins it to UTC at session construction. A reader must
+    // not mutate session config behind the user's back, so only WARN when
+    // an entry point forgot the pin — shifted instants would otherwise be
+    // silent.
+    if (spark.conf.get("spark.sql.session.timeZone") != "UTC")
+      System.err.println(
+        "[graft] WARNING: events() read under non-UTC session timezone " +
+          s"'${spark.conf.get("spark.sql.session.timeZone")}' — TIMESTAMP_NTZ " +
+          "instants will shift vs the engine's UTC contract; set " +
+          "spark.sql.session.timeZone=UTC at session construction")
     val raw = table(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))

@@ -22,9 +22,13 @@ object Phash {
   val N = 32
   val Scale = 8192L // 2^13 fixed-point
 
-  /** C(u)(x) = round(cos(π(2x+1)u/64)·8192), u ∈ 0..7, x ∈ 0..31. */
+  /** C(u)(x) = round(cos(π(2x+1)u/64)·8192), u ∈ 0..7, x ∈ 0..31.
+    * StrictMath (fdlibm), not Math: Math.cos may differ by 1 ulp across
+    * JVMs/platforms, and a value landing on a round-half boundary would
+    * flip a basis entry — StrictMath pins the basis bit-for-bit so hashes
+    * persisted on one platform compare equal on another. */
   lazy val basis: Array[Array[Long]] = Array.tabulate(8, N) { (u, x) =>
-    Math.round(Math.cos(math.Pi * (2 * x + 1) * u / (2.0 * N)) * Scale)
+    Math.round(StrictMath.cos(math.Pi * (2 * x + 1) * u / (2.0 * N)) * Scale)
   }
 
   /** 63-bit pHash of a row-major 32×32 luma grid (values 0..255).

@@ -67,7 +67,7 @@ object SubwordQueries {
             |SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
             |       cum - n AS start_offset,
             |       CAST((cum - n) // 2048 AS INTEGER) AS first_bin,
-            |       CAST((cum - 1) // 2048 AS INTEGER) AS last_bin
+            |       CAST(greatest(cum - 1, cum - n) // 2048 AS INTEGER) AS last_bin
             |FROM c ORDER BY doc_id""".stripMargin)) { (s, d) =>
     // persist: packOffsets consumes its input TWICE (bucket totals + the
     // join side) and this input is the explode+join doc-count pass — the
@@ -80,7 +80,12 @@ object SubwordQueries {
       .select(col("doc_id"), col("n").cast("int").as("n_tokens"),
         col("start_offset"),
         expr("start_offset DIV 2048").cast("int").as("first_bin"),
-        expr("(start_offset + n - 1) DIV 2048").cast("int").as("last_bin"))
+        // greatest() clamps the n=0 edge: (start_offset - 1) would go
+        // negative at offset 0, where Spark's DIV truncates toward zero
+        // but the oracle's // floors — divergent only for empty docs, but
+        // the guard makes the parity unconditional (q49 has the same)
+        expr("greatest(start_offset + n - 1, start_offset) DIV 2048")
+          .cast("int").as("last_bin"))
       .orderBy("doc_id")
   }
 

@@ -800,14 +800,17 @@ object TextQueries {
            |SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
            |       cum - n AS start_offset,
            |       CAST((cum - n) // 2048 AS INTEGER) AS first_bin,
-           |       CAST((cum - 1) // 2048 AS INTEGER) AS last_bin
+           |       CAST(greatest(cum - 1, cum - n) // 2048 AS INTEGER) AS last_bin
            |FROM c ORDER BY doc_id""".stripMargin)) { (s, d) =>
     val t = docs(s, d).select(col("doc_id"), size(words).cast("long").as("n"))
     withStartOffset(t)
       .select(col("doc_id"), col("n").cast("int").as("n_tokens"),
         col("start_offset"),
         expr("start_offset DIV 2048").cast("int").as("first_bin"),
-        expr("(start_offset + n - 1) DIV 2048").cast("int").as("last_bin"))
+        // greatest() clamps the n=0 edge (Spark DIV truncates toward zero,
+        // the oracle's // floors — they disagree at operand -1)
+        expr("greatest(start_offset + n - 1, start_offset) DIV 2048")
+          .cast("int").as("last_bin"))
       .orderBy("doc_id")
   }
 

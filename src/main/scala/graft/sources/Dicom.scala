@@ -641,7 +641,11 @@ object Dicom {
     el(0x0028, 0x1201, "OW", lutBytes(red))
     el(0x0028, 0x1202, "OW", lutBytes(green))
     el(0x0028, 0x1203, "OW", lutBytes(blue))
-    el(0x7fe0, 0x0010, "OW", indices.map(i => (i & 0xff).toByte))
+    // OW PixelData needs an even value length (PS3.5 §7.1): odd rows·cols
+    // of 8-bit indices pads the last word, like lutBytes does
+    val idxBytes = indices.map(i => (i & 0xff).toByte)
+    el(0x7fe0, 0x0010, "OW",
+      if (idxBytes.length % 2 == 0) idxBytes else idxBytes :+ 0.toByte)
     out.toByteArray
   }
 

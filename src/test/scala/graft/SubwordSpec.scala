@@ -63,6 +63,29 @@ class SubwordSpec extends SparkSpec {
     assert(out == Seq("aa", "aa"))
   }
 
+  test("fast trainer matches the distributed-argmax reference merge-for-merge") {
+    // fixture corpora exercising ties, overlaps, and early stop
+    val corpora = Seq(
+      "aaab aaab aaab ab ab",
+      "lower lower lowest newest newest widest wide",
+      "xy xy yx yx",            // pure tie → lexicographic break
+      "aaaa aaaa bbbb",         // overlap counting + self-merge chains
+      "q w e r t y")            // singletons only → zero merges
+    corpora.foreach { c =>
+      val docs = Seq(c).toDF("text")
+      val slow = Bpe.trainMerges(docs, 12)
+      val fast = Bpe.trainMergesFast(docs, 12)
+      assert(fast == slow, s"corpus '$c'")
+    }
+  }
+
+  test("fast trainer matches the reference on real corpus words") {
+    val docs = Tables.documents(spark, sf0001).limit(40)
+    val slow = Bpe.trainMerges(docs, 10)
+    val fast = Bpe.trainMergesFast(docs, 10)
+    assert(fast == slow)
+  }
+
   test("trained merges feed the greedy segmenter as a vocab") {
     val docs = Seq("lower lower lowest newest newest").toDF("text")
     val merges = Bpe.trainMerges(docs, 6)
