@@ -13,7 +13,8 @@ object SparkEntry {
   private val declared: Seq[DeclaredQuery] =
     RelationalQueries.all ++ CircleQuery.all ++ EventQueries.all ++
       VectorQueries.all ++ TextQueries.all ++ TensorQueries.all ++
-      SubwordQueries.all ++ ImageQueries.all ++ AudioQueries.all
+      SubwordQueries.all ++ ImageQueries.all ++ AudioQueries.all ++
+      VideoQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -25,8 +26,7 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (q15 Welzl aggregate, q23 HLL sketch) →
-    * driver records a weaker rows-only check for those.
+    * (q23 HLL sketch) → driver records a weaker rows-only check there.
     */
   def oracleSql: Map[String, String] =
     declared.flatMap(q => q.oracle.map(o => q.name -> o)).toMap

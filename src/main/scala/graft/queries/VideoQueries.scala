@@ -1,0 +1,164 @@
+package graft.queries
+
+import graft.DeclaredQuery
+import graft.multimodal.Phash
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Perceptual VIDEO dedup (round-9: composes the q70 image-pHash chain
+  * with frame sampling — the missing member of the near-dup family
+  * q27/q28/q44/q70/q71): sample 4 evenly-spaced frames per video, pHash
+  * each sampled frame with the q70 integer fixed-point DCT, band each
+  * slot's hash through the q44 machinery ((slot, k, 16-bit band) bucket
+  * join), and score candidate pairs by SLOT-ALIGNED summed hamming.
+  * Pair work is Σ(bucket²) per slot — never n² in videos.
+  *
+  * The declared corpus is GENERATED inside the query (oracle replays
+  * pixel gen, DCT, banding, and scoring bit-for-bit in SQL): 100 base
+  * videos × 2 variants; a video is 16 frames of 32×32 md5-derived luma,
+  * the variant adds +1 to ~1/16 of each frame's pixels. The sampling
+  * contract (take 4 of 16 → stride 4 → frames 0,4,8,12) is the same
+  * n/take rule as `Multimodal.decodeVideo`/`VideoHash.frameHashes`.
+  * Real video bytes take the production path instead: AVI demux →
+  * per-sampled-frame JPEG decode → integer luma → `Phash.downscale` →
+  * `Phash.hash` (`multimodal/VideoHash`; VideoHashSpec pins the muxed
+  * AVI round-trip against this same grid construction).
+  */
+object VideoQueries {
+
+  private val Videos = 200   // 100 near-dup pairs
+  private val Slots = 4      // sampled frames per video
+  private val Stride = 4     // 16-frame videos, take 4 → frames 0,4,8,12
+  private val HammingMax = 40 // ≤10 per slot, q70's per-image bound
+
+  private def basisSql: String =
+    Phash.basis.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
+  private def basisCol: Column =
+    array(Phash.basis.map(r => array(r.map(lit): _*)): _*)
+
+  // ---------------------------------------------------------------- Q75
+  val q75 = DeclaredQuery(
+    "q75_video_phash_neardup",
+    Some(s"""WITH vids AS (SELECT CAST(range AS BIGINT) AS vid FROM range(0, $Videos)),
+            |slots AS (SELECT CAST(range AS INTEGER) AS slot FROM range(0, $Slots)),
+            |cb AS (SELECT $basisSql AS c),
+            |px0 AS (
+            |  SELECT vid, slot, x, y,
+            |         md5(concat_ws(':', CAST(vid // 2 AS VARCHAR),
+            |                            CAST(slot * $Stride AS VARCHAR),
+            |                            CAST(x AS VARCHAR), CAST(y AS VARCHAR), 'vpx')) AS h,
+            |         CASE WHEN vid % 2 = 1 AND substr(md5(concat_ws(':',
+            |                CAST(vid // 2 AS VARCHAR), CAST(slot * $Stride AS VARCHAR),
+            |                CAST(x AS VARCHAR), CAST(y AS VARCHAR), 'vn')), 1, 1) = '0'
+            |              THEN 1 ELSE 0 END AS noise
+            |  FROM vids, slots, range(0, 32) tx(x), range(0, 32) ty(y)),
+            |px AS (
+            |  SELECT vid, slot, x, y,
+            |         (ascii(substr(h, 1, 1)) - CASE WHEN ascii(substr(h, 1, 1)) >= 97 THEN 87 ELSE 48 END) * 16
+            |       + (ascii(substr(h, 2, 1)) - CASE WHEN ascii(substr(h, 2, 1)) >= 97 THEN 87 ELSE 48 END)
+            |       + noise AS luma
+            |  FROM px0),
+            |s1 AS (
+            |  SELECT vid, slot, y, u, SUM(luma * c[CAST(u + 1 AS INTEGER)][CAST(x + 1 AS INTEGER)]) AS s
+            |  FROM px, range(0, 8) tu(u), cb GROUP BY vid, slot, y, u),
+            |s2 AS (
+            |  SELECT vid, slot, u, v, SUM(s * c[CAST(v + 1 AS INTEGER)][CAST(y + 1 AS INTEGER)]) AS coef
+            |  FROM s1, range(0, 8) tv(v), cb GROUP BY vid, slot, u, v),
+            |tots AS (SELECT vid, slot, SUM(coef) AS tot FROM s2
+            |         WHERE NOT (u = 0 AND v = 0) GROUP BY vid, slot),
+            |bits AS (
+            |  SELECT s2.vid, s2.slot, CAST(u * 8 + v AS INTEGER) AS idx,
+            |         CASE WHEN 63 * coef > tot THEN 1 ELSE 0 END AS bit
+            |  FROM s2 JOIN tots USING (vid, slot) WHERE NOT (u = 0 AND v = 0)),
+            |ph AS (
+            |  SELECT vid, slot, CAST(SUM(CAST(bit AS BIGINT) << (idx - 1)) AS BIGINT) AS phash
+            |  FROM bits GROUP BY vid, slot),
+            |bands AS (
+            |  SELECT vid, slot, phash, k, (phash >> CAST(16 * k AS INTEGER)) & 65535 AS band
+            |  FROM ph, range(0, 4) tk(k)),
+            |cand AS (
+            |  SELECT DISTINCT a.vid AS vid_a, b.vid AS vid_b
+            |  FROM bands a JOIN bands b
+            |    ON a.slot = b.slot AND a.k = b.k AND a.band = b.band AND a.vid < b.vid),
+            |scored AS (
+            |  SELECT c.vid_a, c.vid_b,
+            |         CAST(SUM(bit_count(xor(pa.phash, pb.phash))) AS INTEGER) AS hamming
+            |  FROM cand c
+            |  JOIN ph pa ON pa.vid = c.vid_a
+            |  JOIN ph pb ON pb.vid = c.vid_b AND pb.slot = pa.slot
+            |  GROUP BY c.vid_a, c.vid_b)
+            |SELECT vid_a, vid_b, hamming, (vid_a // 2 = vid_b // 2) AS same_base
+            |FROM scored WHERE hamming <= $HammingMax
+            |ORDER BY vid_a, vid_b""".stripMargin)) { (s, d) =>
+    val ph = framePhashes(s)
+    val bands = ph.select(col("vid"), col("slot"), col("phash"),
+        explode(array((0 until 4).map(lit): _*)).as("k"))
+      .withColumn("band", expr("shiftright(phash, cast(16 * k as int)) & 65535"))
+    val a = bands.select(col("slot"), col("k"), col("band"), col("vid").as("vid_a"))
+    val b = bands.select(col("slot"), col("k"), col("band"), col("vid").as("vid_b"))
+    val cand = a.join(b, Seq("slot", "k", "band"))
+      .filter(col("vid_a") < col("vid_b"))
+      .select("vid_a", "vid_b").distinct()
+    val pa = ph.select(col("vid").as("vid_a"), col("slot"), col("phash").as("pa"))
+    val pb = ph.select(col("vid").as("vid_b"), col("slot"), col("phash").as("pb"))
+    cand.join(pa, "vid_a").join(pb, Seq("vid_b", "slot"))
+      .groupBy("vid_a", "vid_b")
+      .agg(sum(bit_count(col("pa").bitwiseXOR(col("pb")))).cast("int").as("hamming"))
+      .filter(col("hamming") <= HammingMax)
+      .withColumn("same_base", expr("vid_a DIV 2 = vid_b DIV 2"))
+      .select("vid_a", "vid_b", "hamming", "same_base")
+      .orderBy("vid_a", "vid_b")
+  }
+
+  /** (vid, slot, phash) for the generated corpus — q70's px→s1→s2→bits
+    * chain with a frame-slot dimension. Same scale shape: lazy range
+    * cross-product pixel gen, two map-side-combinable hash-agg DCT
+    * passes keyed (vid, slot, y, u) / (vid, slot, u, v), one assembly
+    * agg — linear in videos × slots × 1024, no windows, no driver
+    * loops. */
+  private[graft] def framePhashes(s: SparkSession): DataFrame = {
+    val cb = basisCol
+    def hexv(c: Column): Column =
+      ascii(c) - when(ascii(c) >= 97, 87).otherwise(48)
+    val px = s.range(0, Videos).select(col("id").as("vid"))
+      .select(col("vid"), explode(array((0 until Slots).map(lit): _*)).as("slot"))
+      .select(col("vid"), col("slot"), explode(sequence(lit(0), lit(31))).as("x"))
+      .select(col("vid"), col("slot"), col("x"),
+        explode(sequence(lit(0), lit(31))).as("y"))
+      .withColumn("h", md5(concat_ws(":",
+        expr("vid DIV 2").cast("string"), (col("slot") * Stride).cast("string"),
+        col("x").cast("string"), col("y").cast("string"), lit("vpx"))))
+      .withColumn("noise",
+        when(col("vid") % 2 === 1 &&
+          substring(md5(concat_ws(":",
+            expr("vid DIV 2").cast("string"), (col("slot") * Stride).cast("string"),
+            col("x").cast("string"), col("y").cast("string"), lit("vn"))), 1, 1) === "0",
+          1).otherwise(0))
+      .withColumn("luma",
+        (hexv(substring(col("h"), 1, 1)) * 16 +
+          hexv(substring(col("h"), 2, 1)) + col("noise")).cast("long"))
+      .select("vid", "slot", "x", "y", "luma")
+    val s1 = px
+      .select(col("vid"), col("slot"), col("x"), col("y"), col("luma"),
+        explode(array((0 until 8).map(lit): _*)).as("u"))
+      .withColumn("t", col("luma") *
+        element_at(element_at(cb, col("u") + 1), col("x").cast("int") + 1))
+      .groupBy("vid", "slot", "y", "u").agg(sum(col("t")).as("s"))
+    val s2 = s1
+      .select(col("vid"), col("slot"), col("y"), col("u"), col("s"),
+        explode(array((0 until 8).map(lit): _*)).as("v"))
+      .withColumn("t", col("s") *
+        element_at(element_at(cb, col("v") + 1), col("y").cast("int") + 1))
+      .groupBy("vid", "slot", "u", "v").agg(sum(col("t")).as("coef"))
+      .filter(!(col("u") === 0 && col("v") === 0))
+    val tots = s2.groupBy("vid", "slot").agg(sum(col("coef")).as("tot"))
+    s2.join(tots, Seq("vid", "slot"))
+      .withColumn("idx", (col("u") * 8 + col("v")).cast("int"))
+      .withColumn("bit", when(lit(63) * col("coef") > col("tot"), 1L).otherwise(0L))
+      .groupBy("vid", "slot")
+      .agg(sum(expr("shiftleft(bit, idx - 1)")).as("phash"))
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(q75)
+}

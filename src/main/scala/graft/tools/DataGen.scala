@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   * are NOT byte-identical to the driver's generator and live in a separate
   * directory.
   *
-  * Usage: runMain graft.tools.DataGen <sf> <outDir> — e.g. 1.0 testdata_gen/sf1
+  * Usage: runMain graft.tools.DataGen <sf> <outDir> [tables]
+  *   e.g. 1.0 testdata_gen/sf1
+  *        250 testdata_gen/emb5m embeddings   — only the named tables
   */
 object DataGen {
 
@@ -69,10 +71,13 @@ object DataGen {
     val nEvents = (10000000 * sf / 10).toLong // 1M at sf1, like driver's 100k at sf0.1
     val nUsers = (15000 * sf).toLong
 
-    def write(df: DataFrame, name: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
-      println(s"[datagen] wrote $name")
-    }
+    val tableFilter: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet) else None
+    def write(df: DataFrame, name: String): Unit =
+      if (tableFilter.forall(_.contains(name))) {
+        df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+        println(s"[datagen] wrote $name")
+      }
 
     val regions = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
     write(spark.range(5).select(col("id").cast("int").as("r_regionkey"),

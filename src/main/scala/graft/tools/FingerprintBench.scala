@@ -37,6 +37,30 @@ object FingerprintBench {
       while (i < 2000) { acc ^= graft.multimodal.Phash.hash(grids(i % 64)); i += 1 }
       require(acc != imgWarm + 1) // keep the loop un-eliminable
     }
+    // video fingerprint: end-to-end per-video cost (AVI demux + 4-frame
+    // JPEG decode + downscale + pHash) on a realistic 64×48 16-frame clip
+    val vidBytes = {
+      val frames = (0 until 16).map { f =>
+        val img = new java.awt.image.BufferedImage(64, 48,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < 64 * 48) {
+          val v = (f * 131 + i * 7) % 256
+          img.setRGB(i % 64, i / 64, (v << 16) | (v << 8) | v); i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }
+      graft.multimodal.Avi.mux(64, 48, 8, frames)
+    }
+    val vidWarm = graft.multimodal.VideoHash.frameHashes(vidBytes, 4).sum
+    val vidRate = timeIt(200) {
+      var i = 0
+      var acc = 0L
+      while (i < 200) { acc ^= graft.multimodal.VideoHash.frameHashes(vidBytes, 4)(i % 4); i += 1 }
+      require(acc != vidWarm + 1)
+    }
     val clips = Array.fill(64)(Array.fill(2304)(rng.nextInt(256) - 128))
     val auWarm = clips.map(graft.multimodal.AudioHash.hash).sum
     val auRate = timeIt(20000) {
@@ -58,7 +82,7 @@ object FingerprintBench {
       words.select(graft.operators.Subword.countCol(col("word")).as("n"))
         .agg(sum("n")).head()
     }
-    println(f"""{"metric":"fingerprint_kernels","phash_per_sec":$imgRate%.0f,"audiohash_per_sec":$auRate%.0f,"subword_words_per_sec":$segRate%.0f,"n_words":$nWords%d}""")
+    println(f"""{"metric":"fingerprint_kernels","phash_per_sec":$imgRate%.0f,"audiohash_per_sec":$auRate%.0f,"videohash_per_sec":$vidRate%.0f,"subword_words_per_sec":$segRate%.0f,"n_words":$nWords%d}""")
     spark.stop()
   }
 }
