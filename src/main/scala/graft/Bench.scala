@@ -76,12 +76,20 @@ object Bench {
     // without re-measuring everything)
     val only = sys.env.get("GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // GRAFT_BENCH_PIPELINE=1 swaps the declared-query suite for the
+    // composed production shapes (PipelineShapes) — materialize-once dedup
+    // and train-once/serve-many ANN — under the same harness (reps,
+    // cleanup, session recycling). Runs as an ORDERED Seq because
+    // p_ann_search serves the index p_ann_build wrote.
+    val pipelineMode = sys.env.get("GRAFT_BENCH_PIPELINE").contains("1")
+    val universe: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      if (pipelineMode) PipelineShapes.entries else SparkEntry.queries.toSeq
     val selected = only match {
       case Some(names) =>
-        val missing = names -- SparkEntry.queries.keySet
+        val missing = names -- universe.map(_._1).toSet
         require(missing.isEmpty, s"GRAFT_BENCH_ONLY names unknown queries: $missing")
-        SparkEntry.queries.filter { case (n, _) => names(n) }
-      case None => SparkEntry.queries
+        universe.filter { case (n, _) => names(n) }
+      case None => universe
     }
     val diag = scala.collection.mutable.LinkedHashMap.empty[String, (Seq[Double], Seq[Double])]
     val results = selected.map { case (name, fn) =>
@@ -133,7 +141,7 @@ object Bench {
     // is the query id; the suffix is a human label) and cut the line to
     // ~1.2 KB. Full names remain in the stderr/disk artifact.
     val shortKey: Map[String, String] = {
-      val m = results.keys.map(n => n -> n.takeWhile(_ != '_')).toMap
+      val m = results.map { case (n, _) => n -> n.takeWhile(_ != '_') }.toMap
       if (m.values.toSet.size == m.size) m else m.keys.map(n => n -> n).toMap
     }
     // ms precision in the summary keeps the compact line ~half the size —
@@ -144,7 +152,7 @@ object Bench {
     val diagJson = diag.map { case (k, (reps, loads)) =>
       s"\"" + k + "\":{\"reps\":" + arr(reps) + ",\"load\":" + arr(loads) + "}"
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     // stdout carries ONLY this compact line: the driver's scrape truncated
     // the 8 KB diag-bearing line two rounds running (BENCH_r06/r07
     // "parsed": null) — per-query mins and the summary fit in ~2 KB and
@@ -162,12 +170,14 @@ object Bench {
     System.err.println(full)
     try {
       val sfLabel = java.nio.file.Paths.get(sfDir).getFileName.toString
-      val stamped = s"bench_out.$sfLabel.${System.currentTimeMillis / 1000}.json"
+      val kind = if (pipelineMode) "bench_pipeline" else "bench_out"
+      val stamped = s"$kind.$sfLabel.${System.currentTimeMillis / 1000}.json"
       java.nio.file.Files.write(java.nio.file.Paths.get(stamped),
         (full + "\n").getBytes("UTF-8"))
       // keep the fixed-path copy for anything that greps it, but only the
-      // FULL suite may write it — a restricted run must not clobber it
-      if (only.isEmpty) {
+      // FULL declared suite may write it — a restricted or pipeline run
+      // must not clobber the driver-read artifact
+      if (only.isEmpty && !pipelineMode) {
         java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
           (full + "\n").getBytes("UTF-8"))
         // driver-readable mirror of exactly what stdout carries, in case

@@ -1,0 +1,53 @@
+package graft
+
+import graft.pipeline.{AnnIndex, CorpusDedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Production-shape benchmark entries (GRAFT_BENCH_PIPELINE=1): the
+  * composed pipelines a deployment actually runs, timed on the same data
+  * as the declared queries. The declared suite's headline number carries
+  * contract shapes — q50/q62 re-run the whole cluster chain because each
+  * declared query is standalone by oracle contract — so BASELINE.md needs
+  * these rows NEXT TO those to show what the engine costs when stages are
+  * materialized once (CorpusDedup) and indexes are trained once
+  * (AnnIndex). Order matters: `p_ann_build` materializes the index
+  * `p_ann_search` serves from, so Bench must run these as a Seq, not a
+  * Map. */
+object PipelineShapes {
+
+  /** per-sf scratch home for the persistent index the bench builds. */
+  def annDir(sfDir: String): String = {
+    val lbl = java.nio.file.Paths.get(sfDir).getFileName.toString
+    s"bench_scratch/ann_$lbl"
+  }
+
+  val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // full per-document dedup verdict (exact canon + near-dup cluster +
+    // keep-best), each stage computed once — the q26+q39+q50 composition
+    "p_dedup_keepbest" -> ((s, d) =>
+      CorpusDedup.keepBest(Tables.documents(s, d))),
+    // q62's audit numbers FROM a materialized verdict: one cluster chain,
+    // not the declared query's three standalone re-computations
+    "p_dedup_audit" -> ((s, d) => {
+      val dd = Tables.documents(s, d)
+      CorpusDedup.profile(CorpusDedup.keepBest(dd).persist(), dd)
+    }),
+    // q72's ingest verdict as the pipeline API: existing = even doc_ids,
+    // incoming = odd (the declared query's split, so rows are comparable)
+    "p_dedup_incremental" -> ((s, d) => {
+      val dd = Tables.documents(s, d)
+      CorpusDedup.incremental(
+        dd.filter(col("doc_id") % 2 === 0),
+        dd.filter(col("doc_id") % 2 === 1))
+    }),
+    // train-once: build the persistent IVF-PQ index (result row is a
+    // sentinel; the work is the parquet artifacts under annDir)
+    "p_ann_build" -> ((s, d) => {
+      AnnIndex.build(s, d, annDir(d))
+      s.range(1).toDF("ok")
+    }),
+    // serve-many: search against the prebuilt index — no training, codes
+    // read partition-pruned to the probed cells
+    "p_ann_search" -> ((s, d) => AnnIndex.search(s, d, annDir(d))))
+}

@@ -36,26 +36,42 @@ object AnnIndex {
   /** Train quantizers on the corpus at `dataDir` and materialize the
     * index under `indexDir`. */
   def build(s: SparkSession, dataDir: String, indexDir: String,
-            p: Params = Params()): Unit = {
-    val e = Tables.embeddings(s, dataDir)
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-    val n = e.withColumn("nrm",
+            p: Params = Params()): Unit =
+    buildOf(s, Tables.embeddings(s, dataDir), indexDir, p)
+
+  /** normed (vec_id, v, nrm) view of a raw (vec_id, embedding) frame. */
+  private def normedOf(emb: DataFrame): DataFrame = emb
+    .select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    .withColumn("nrm",
       sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+
+  /** best coarse cell per vector by cosine against a broadcast centroid
+    * frame (cluster_id, cv, cnrm) — hash-agg argmax, no window. */
+  private def assignCellOf(n: DataFrame, c: DataFrame): DataFrame = n
+    .crossJoin(broadcast(c))
+    .withColumn("csim",
+      aggregate(zip_with(col("v"), col("cv"), (a, b) => a * b), lit(0.0), (a, x) => a + x)
+        / (col("nrm") * col("cnrm")))
+    .groupBy(col("vec_id"))
+    .agg(min(struct(negate(col("csim")), col("cluster_id"))).as("best"))
+    .select(col("vec_id"), col("best.cluster_id").as("cluster_id"))
+
+  /** [[build]] over an embeddings FRAME (vec_id, embedding) — the entry
+    * point for corpora that are not the sfDir table (scale runs, filtered
+    * bases for append experiments). */
+  def buildOf(s: SparkSession, emb: DataFrame, indexDir: String,
+              p: Params = Params()): Unit = {
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val n = normedOf(emb)
     // coarse quantizer: seeded picks + one mean refinement (AnnServing's
     // ivf recipe); collected literal frames keep every join a broadcast
     val cent0 = AnnServing.seedPick(s, e, p.nClusters, "centroid")
       .select(col("pick_id").as("cluster_id"), col("v").as("cv"))
       .withColumn("cnrm",
         sqrt(aggregate(transform(col("cv"), x => x * x), lit(0.0), (a, x) => a + x)))
-    def assignCell(c: DataFrame): DataFrame = n
-      .crossJoin(broadcast(c))
-      .withColumn("csim",
-        aggregate(zip_with(col("v"), col("cv"), (a, b) => a * b), lit(0.0), (a, x) => a + x)
-          / (col("nrm") * col("cnrm")))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(negate(col("csim")), col("cluster_id"))).as("best"))
-      .select(col("vec_id"), col("best.cluster_id").as("cluster_id"))
+    def assignCell(c: DataFrame): DataFrame = assignCellOf(n, c)
     val meansPlan = assignCell(cent0).join(n, Seq("vec_id"))
       .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "val")))
       .groupBy("cluster_id", "pos").agg(avg(col("val")).as("mn"))
@@ -67,7 +83,7 @@ object AnnIndex {
     val cent = s.createDataFrame(
       java.util.Arrays.asList(meansPlan.collect(): _*), meansPlan.schema)
     cent.write.mode("overwrite").parquet(s"$indexDir/centroids")
-    val book = AnnServing.pqCodebook(s, dataDir, p.m, p.k, p.iters)
+    val book = AnnServing.pqCodebookOf(s, emb, p.m, p.k, p.iters)
     book.write.mode("overwrite").parquet(s"$indexDir/codebook")
     val dim = e.select(size(col("v"))).head().getInt(0)
     val codes = AnnServing
@@ -78,15 +94,43 @@ object AnnIndex {
       .parquet(s"$indexDir/codes")
   }
 
+  /** Append an INCREMENT's codes to an existing index — the
+    * "append-without-retrain" half of the lifecycle: the increment is
+    * coded with the ALREADY-TRAINED quantizers (centroids + codebook read
+    * back from the index, broadcast-sized) and its code rows land in their
+    * cell partitions via parquet append. Nothing about the base corpus is
+    * touched or re-read; retraining cadence stays a deployment choice.
+    * Cost is O(increment): one cell assignment + one code assignment. */
+  def append(s: SparkSession, emb: DataFrame, indexDir: String): Unit = {
+    val cent = s.read.parquet(s"$indexDir/centroids")
+    val book = s.read.parquet(s"$indexDir/codebook")
+    val m = book.agg(max(col("sub"))).head().getInt(0) + 1
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val dim = e.select(size(col("v"))).head().getInt(0)
+    val codes = AnnServing
+      .assignCodes(AnnServing.subvectors(e, m, dim / m), book)
+      .select(col("vec_id"), col("sub"), col("code"))
+      .join(assignCellOf(normedOf(emb), cent), Seq("vec_id"))
+    codes.write.mode("append").partitionBy("cluster_id")
+      .parquet(s"$indexDir/codes")
+  }
+
   /** Top-k for the probe set (vec_id < 5 of `dataDir`, as everywhere)
     * against a prebuilt index: cells prune the code READ, ADC ranks the
     * shortlist, exact L2 reranks it. No training happens here. */
   def search(s: SparkSession, dataDir: String, indexDir: String,
+             nprobe: Int = 4, shortlist: Int = 500, topK: Int = 5): DataFrame =
+    searchOf(s, Tables.embeddings(s, dataDir), indexDir, nprobe, shortlist, topK)
+
+  /** [[search]] over an embeddings FRAME (vec_id, embedding) supplying both
+    * the probe set and the rerank raw vectors. */
+  def searchOf(s: SparkSession, emb: DataFrame, indexDir: String,
              nprobe: Int = 4, shortlist: Int = 500, topK: Int = 5): DataFrame = {
     val cent = s.read.parquet(s"$indexDir/centroids")
     val book = s.read.parquet(s"$indexDir/codebook")
     val m = book.agg(max(col("sub"))).head().getInt(0) + 1
-    val e = Tables.embeddings(s, dataDir)
+    val e = emb
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
     val dim = e.select(size(col("v"))).head().getInt(0)
@@ -125,6 +169,6 @@ object AnnIndex {
         Window.partitionBy(col("probe_id")).orderBy(col("adc_dist").asc, col("vec_id"))))
       .filter(col("rk") <= shortlist)
       .select(col("probe_id"), col("vec_id"))
-    AnnServing.rerankExact(s, dataDir, cand, topK)
+    AnnServing.rerankExactOf(s, emb, cand, topK)
   }
 }

@@ -133,9 +133,15 @@ object AnnServing {
     * sample of at most ~`sampleTarget` vectors. Returns (sub, code, cv)
     * collected as a literal frame (m·k rows — 2048 at 8×256). */
   def pqCodebook(s: SparkSession, d: String, m: Int, k: Int, iters: Int = 4,
-                 sampleTarget: Long = 50000L): DataFrame = {
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+                 sampleTarget: Long = 50000L): DataFrame =
+    pqCodebookOf(s, Tables.embeddings(s, d), m, k, iters, sampleTarget)
+
+  /** [[pqCodebook]] over an embeddings FRAME (vec_id, embedding) instead of
+    * a data dir — the entry point for corpora that are not the sfDir table
+    * (AnnIndex scale runs, append increments). */
+  def pqCodebookOf(s: SparkSession, emb: DataFrame, m: Int, k: Int,
+                   iters: Int = 4, sampleTarget: Long = 50000L): DataFrame = {
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val dim = e.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subDim = dim / m
@@ -227,9 +233,13 @@ object AnnServing {
     * is joined on the tiny broadcast candidate key set — a point-lookup-
     * shaped read of only the shortlisted vectors. */
   private[graft] def rerankExact(s: SparkSession, d: String, cand: DataFrame,
+                          topK: Int): DataFrame =
+    rerankExactOf(s, Tables.embeddings(s, d), cand, topK)
+
+  /** [[rerankExact]] over an embeddings FRAME (vec_id, embedding). */
+  private[graft] def rerankExactOf(s: SparkSession, emb: DataFrame, cand: DataFrame,
                           topK: Int): DataFrame = {
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val probeVecs = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"))
     e.join(broadcast(cand), Seq("vec_id"))

@@ -820,7 +820,7 @@ object TextQueries {
     * 256 md5-prefix buckets (the numeric value of the first two hex chars,
     * monotone in the order key), per-bucket window, tiny broadcast offsets
     * frame — never a single-reducer global window. */
-  private[queries] def packOffsets(t: DataFrame): DataFrame = withStartOffset(t)
+  private[graft] def packOffsets(t: DataFrame): DataFrame = withStartOffset(t)
 
   private def withStartOffset(t: DataFrame): DataFrame = {
     val withB = t

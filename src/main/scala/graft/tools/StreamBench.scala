@@ -18,12 +18,16 @@ import org.apache.spark.sql.streaming.OutputMode
   * including state-store commits. Rates are single-box local[32] —
   * cluster deployments shard by the group key.
   *
-  * Usage: runMain graft.tools.StreamBench <sfDir> [chunks]
+  * Usage: runMain graft.tools.StreamBench <sfDir> [chunks] [ops-csv]
+  * (ops-csv ⊆ asof,neardup,exactdedup — default all three)
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val chunks = args.lift(1).map(_.toInt).getOrElse(8)
+    val ops: Set[String] = args.lift(2)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set("asof", "neardup", "exactdedup"))
     val spark = graft.Session.local(appName = "graft-stream-bench")
     spark.sparkContext.setLogLevel("WARN")
     // the fuzz-hardened checkpoint posture from SparkSpec: checksummed
@@ -35,10 +39,19 @@ object StreamBench {
     if (sys.env.get("GRAFT_STATE_STORE").contains("rocksdb"))
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // GRAFT_ROCKSDB_CHANGELOG=1: per-commit incremental changelog upload
+    // instead of the default FULL RocksDB snapshot per commit — the knob
+    // the r8 near-dedup regression implicated (2M tiny band-bucket keys
+    // make each full snapshot corpus-sized while the per-batch delta is
+    // batch-sized)
+    if (sys.env.get("GRAFT_ROCKSDB_CHANGELOG").contains("1"))
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
 
     // ---- as-of join over events (clicks = versions, errors = probes)
+    if (ops("asof")) {
     val tagged = Tables.events(spark, sfDir)
       .withColumn("eus", unix_micros(col("ts")))
       .filter(col("event_type").isin("click", "error"))
@@ -60,8 +73,10 @@ object StreamBench {
       }
       q.stop()
     }
+    }
 
     // ---- near-dup band-bucket dedup over documents
+    if (ops("neardup")) {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .orderBy("doc_id").collect()
@@ -79,11 +94,13 @@ object StreamBench {
       }
       q.stop()
     }
+    }
 
     // ---- exact dedup over documents (content-hash key; state bounded by
     // the watermark via dropDuplicatesWithinWatermark). Event time is a
     // synthetic monotone feed clock — documents carry none — so the
     // watermark advances exactly as a production ingest's would.
+    if (ops("exactdedup")) {
     val hashed = Tables.documents(spark, sfDir)
       .select(col("doc_id"), md5(col("text")).as("h"),
         timestamp_micros(lit(1700000000000000L) + col("doc_id") * 1000000L).as("ts"))
@@ -100,6 +117,7 @@ object StreamBench {
         in.addData(c.toSeq: _*); q.processAllAvailable()
       }
       q.stop()
+    }
     }
     spark.stop()
   }

@@ -189,7 +189,12 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     val textA = "the quick brown fox jumps over the lazy dog again and again today"
     val textD = "yet another entirely unrelated passage to tick the processing clock forward"
-    val ttlMs = 2000L
+    // the within-TTL phase must survive scheduling gaps between doc 1's
+    // state write and doc 3's micro-batch — at 2 s the test flaked
+    // whenever a loaded box stretched that gap past the TTL (r9); 8 s
+    // keeps the expiry phase's sleep bounded while giving the
+    // within-TTL phase real headroom
+    val ttlMs = 8000L
     val input = MemoryStream[(Long, String)]
     val cands = StreamingOps.nearDupCandidates(
       input.toDF().toDF("doc_id", "text"), "doc_id", "text", ttlMs = Some(ttlMs))
