@@ -75,7 +75,18 @@ object Bpe {
     val cnts: Array[Long] = dict.map(_._2)
     type Pair = (String, String)
     val pairCnt = mutable.HashMap.empty[Pair, Long]
-    val pairWords = mutable.HashMap.empty[Pair, mutable.BitSet]
+    // inverted index pair → word ids as a flat int buffer, NOT a BitSet:
+    // a BitSet's backing array spans up to the LARGEST id added, so one
+    // rare pair seen once at word 10^6 costs 125 KB — at a real 10^6-word
+    // dict the index OOMed 32 GB (r9). A buffer costs memory proportional
+    // to actual incidences; duplicate ids (same pair twice in one word,
+    // or re-added after a merge) are safe because the merge loop
+    // rechecks containment against the live word before applying.
+    val pairWords = mutable.HashMap.empty[Pair, mutable.ArrayBuffer[Int]]
+    def addIncidence(p: Pair, wi: Int): Unit = {
+      val buf = pairWords.getOrElseUpdate(p, mutable.ArrayBuffer.empty[Int])
+      if (buf.isEmpty || buf(buf.length - 1) != wi) buf += wi
+    }
     def pairsOf(toks: Array[String]): Iterator[Pair] =
       if (toks.length < 2) Iterator.empty
       else (0 until toks.length - 1).iterator.map(i => (toks(i), toks(i + 1)))
@@ -83,7 +94,7 @@ object Bpe {
     while (w < words.length) {
       for (p <- pairsOf(words(w))) {
         pairCnt.updateWith(p) { c => Some(c.getOrElse(0L) + cnts(w)) }
-        pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += w
+        addIncidence(p, w)
       }
       w += 1
     }
@@ -118,7 +129,7 @@ object Bpe {
         case Some((_, a, b)) =>
           merges += ((a, b))
           val touched = mutable.HashSet.empty[Pair]
-          for (wi <- pairWords.getOrElse((a, b), mutable.BitSet.empty)) {
+          for (wi <- pairWords.getOrElse((a, b), mutable.ArrayBuffer.empty[Int])) {
             val before = words(wi)
             // the index is lazily stale-tolerant: a word may no longer
             // contain the pair (an earlier merge consumed it) — recheck
@@ -135,7 +146,7 @@ object Bpe {
               }
               for (p <- pairsOf(after)) {
                 pairCnt.updateWith(p)(c => Some(c.getOrElse(0L) + cnts(wi)))
-                pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+                addIncidence(p, wi)
                 touched += p
               }
               words(wi) = after

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.Tables
-import graft.queries.AnnServing
+import graft.queries.{AnnKernels, AnnServing}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -39,40 +39,29 @@ object AnnIndex {
             p: Params = Params()): Unit =
     buildOf(s, Tables.embeddings(s, dataDir), indexDir, p)
 
-  /** normed (vec_id, v, nrm) view of a raw (vec_id, embedding) frame. */
-  private def normedOf(emb: DataFrame): DataFrame = emb
-    .select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
-    .withColumn("nrm",
-      sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
-
-  /** best coarse cell per vector by cosine against a broadcast centroid
-    * frame (cluster_id, cv, cnrm) — hash-agg argmax, no window. */
-  private def assignCellOf(n: DataFrame, c: DataFrame): DataFrame = n
-    .crossJoin(broadcast(c))
-    .withColumn("csim",
-      aggregate(zip_with(col("v"), col("cv"), (a, b) => a * b), lit(0.0), (a, x) => a + x)
-        / (col("nrm") * col("cnrm")))
-    .groupBy(col("vec_id"))
-    .agg(min(struct(negate(col("csim")), col("cluster_id"))).as("best"))
-    .select(col("vec_id"), col("best.cluster_id").as("cluster_id"))
-
   /** [[build]] over an embeddings FRAME (vec_id, embedding) — the entry
     * point for corpora that are not the sfDir table (scale runs, filtered
-    * bases for append experiments). */
+    * bases for append experiments).
+    *
+    * Assignment steps run the [[AnnKernels]] JVM twins of AnnServing's
+    * expression shapes: the expression argmin (`min(struct(...))` over a
+    * crossJoin/broadcast-join candidate frame) sorts n×k interpreted-HOF
+    * rows — 10^10 for a 5M-vector 8×256 build — where the kernel is
+    * k×dim multiply-adds per input row with no candidate frame at all.
+    * Parity is spec-pinned (AnnServingSpec). */
   def buildOf(s: SparkSession, emb: DataFrame, indexDir: String,
               p: Params = Params()): Unit = {
     val e = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    val n = normedOf(emb)
     // coarse quantizer: seeded picks + one mean refinement (AnnServing's
     // ivf recipe); collected literal frames keep every join a broadcast
     val cent0 = AnnServing.seedPick(s, e, p.nClusters, "centroid")
       .select(col("pick_id").as("cluster_id"), col("v").as("cv"))
       .withColumn("cnrm",
         sqrt(aggregate(transform(col("cv"), x => x * x), lit(0.0), (a, x) => a + x)))
-    def assignCell(c: DataFrame): DataFrame = assignCellOf(n, c)
-    val meansPlan = assignCell(cent0).join(n, Seq("vec_id"))
+    def assignCell(c: DataFrame): DataFrame =
+      AnnKernels.assignCellsJvm(e, AnnKernels.centArray(c))
+    val meansPlan = assignCell(cent0).join(e, Seq("vec_id"))
       .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "val")))
       .groupBy("cluster_id", "pos").agg(avg(col("val")).as("mn"))
       .groupBy("cluster_id")
@@ -83,12 +72,10 @@ object AnnIndex {
     val cent = s.createDataFrame(
       java.util.Arrays.asList(meansPlan.collect(): _*), meansPlan.schema)
     cent.write.mode("overwrite").parquet(s"$indexDir/centroids")
-    val book = AnnServing.pqCodebookOf(s, emb, p.m, p.k, p.iters)
+    val book = AnnServing.pqCodebookOf(s, emb, p.m, p.k, p.iters,
+      jvmAssign = true)
     book.write.mode("overwrite").parquet(s"$indexDir/codebook")
-    val dim = e.select(size(col("v"))).head().getInt(0)
-    val codes = AnnServing
-      .assignCodes(AnnServing.subvectors(e, p.m, dim / p.m), book)
-      .select(col("vec_id"), col("sub"), col("code"))
+    val codes = AnnKernels.assignCodesJvm(e, AnnKernels.bookArrays(book))
       .join(assignCell(cent), Seq("vec_id"))
     codes.write.mode("overwrite").partitionBy("cluster_id")
       .parquet(s"$indexDir/codes")
@@ -104,14 +91,11 @@ object AnnIndex {
   def append(s: SparkSession, emb: DataFrame, indexDir: String): Unit = {
     val cent = s.read.parquet(s"$indexDir/centroids")
     val book = s.read.parquet(s"$indexDir/codebook")
-    val m = book.agg(max(col("sub"))).head().getInt(0) + 1
     val e = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    val dim = e.select(size(col("v"))).head().getInt(0)
-    val codes = AnnServing
-      .assignCodes(AnnServing.subvectors(e, m, dim / m), book)
-      .select(col("vec_id"), col("sub"), col("code"))
-      .join(assignCellOf(normedOf(emb), cent), Seq("vec_id"))
+    val codes = AnnKernels.assignCodesJvm(e, AnnKernels.bookArrays(book))
+      .join(AnnKernels.assignCellsJvm(e, AnnKernels.centArray(cent)),
+        Seq("vec_id"))
     codes.write.mode("append").partitionBy("cluster_id")
       .parquet(s"$indexDir/codes")
   }

@@ -119,10 +119,16 @@ object AnnServing {
     * (vec_id, sub, code, dist). The n×m×k candidate frame never crosses a
     * window shuffle: partial min(struct) runs map-side. */
   private[graft] def assignCodes(subs: DataFrame, book: DataFrame): DataFrame = subs
-    .join(broadcast(book), Seq("sub"))
+    // hoist the per-row ||vs||^2 and per-codeword ||cv||^2 out of the
+    // n·m×k candidate frame: they are constant across the k candidates /
+    // the corpus respectively, and computing them inside the join paid
+    // two extra array folds on every candidate row (3x the fold work on
+    // the 10^10-row frame of a 5M-vector build — r9). Same left-assoc
+    // (a - b) + c arithmetic, so distances stay bit-identical.
+    .withColumn("vnn", dot(col("vs"), col("vs")))
+    .join(broadcast(book.withColumn("cnn", dot(col("cv"), col("cv")))), Seq("sub"))
     .withColumn("dist",
-      dot(col("vs"), col("vs")) - lit(2) * dot(col("vs"), col("cv"))
-        + dot(col("cv"), col("cv")))
+      col("vnn") - lit(2) * dot(col("vs"), col("cv")) + col("cnn"))
     .groupBy(col("vec_id"), col("sub"))
     .agg(min(struct(col("dist"), col("code"))).as("best"))
     .select(col("vec_id"), col("sub"),
@@ -138,9 +144,13 @@ object AnnServing {
 
   /** [[pqCodebook]] over an embeddings FRAME (vec_id, embedding) instead of
     * a data dir — the entry point for corpora that are not the sfDir table
-    * (AnnIndex scale runs, append increments). */
+    * (AnnIndex scale runs, append increments). `jvmAssign` swaps the
+    * training loop's sample assignment to the [[AnnKernels]] JVM twin
+    * (bit-parity, spec-pinned) — the production-build setting; the
+    * declared q55/q56 keep the expression shape their oracle replays. */
   def pqCodebookOf(s: SparkSession, emb: DataFrame, m: Int, k: Int,
-                   iters: Int = 4, sampleTarget: Long = 50000L): DataFrame = {
+                   iters: Int = 4, sampleTarget: Long = 50000L,
+                   jvmAssign: Boolean = false): DataFrame = {
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val dim = e.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
@@ -158,7 +168,10 @@ object AnnServing {
         java.util.Arrays.asList(seedSubsPlan.collect(): _*), seedSubsPlan.schema)
     }
     for (_ <- 0 until iters) {
-      val asgn = assignCodes(sampleSubs, book)
+      val asgn = (if (jvmAssign)
+        AnnKernels.assignCodesJvm(sample, AnnKernels.bookArrays(book))
+      else
+        assignCodes(sampleSubs, book).select(col("vec_id"), col("sub"), col("code")))
         .join(sampleSubs, Seq("vec_id", "sub"))
       val meansPlan = asgn
         .select(col("sub"), col("code"), posexplode(col("vs")).as(Seq("pos", "val")))

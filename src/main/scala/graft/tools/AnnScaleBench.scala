@@ -22,7 +22,10 @@ import org.apache.spark.sql.functions._
   *     exact brute-force L2 top-5 both before and after the append, so
   *     "recall unchanged" is measured, not asserted.
   *
-  * Usage: runMain graft.tools.AnnScaleBench <embDir> [appendFrac] [nClusters] [indexDir]
+  * Usage: runMain graft.tools.AnnScaleBench <embDir> [appendFrac] [nClusters] [indexDir] [nprobe] [shortlist] [serveonly]
+  * `serveonly` reuses an existing indexDir (post-append state) and only
+  * measures serve+recall at the given knobs — the knob-sweep mode for
+  * the recall-vs-cost curve at this corpus size.
   */
 object AnnScaleBench {
   def main(args: Array[String]): Unit = {
@@ -31,6 +34,9 @@ object AnnScaleBench {
     val nClusters = args.lift(2).map(_.toInt).getOrElse(64)
     val indexDir = args.lift(3).getOrElse(
       java.nio.file.Files.createTempDirectory("annscale").toString)
+    val nprobe = args.lift(4).map(_.toInt).getOrElse(8)
+    val shortlist = args.lift(5).map(_.toInt).getOrElse(500)
+    val serveOnly = args.contains("serveonly")
     val spark = graft.Session.local(appName = "graft-ann-scale-bench")
     spark.sparkContext.setLogLevel("WARN")
     def timed[A](body: => A): (A, Double) = {
@@ -43,12 +49,6 @@ object AnnScaleBench {
     val nBase = nAll - math.max(1L, (nAll * appendFrac).toLong)
     val base = emb.filter(col("vec_id") < nBase)
     val increment = emb.filter(col("vec_id") >= nBase)
-
-    val p = AnnIndex.Params(nClusters = nClusters)
-    val (_, buildS) = timed(AnnIndex.buildOf(spark, base, indexDir, p))
-    // serve three times: first pays file-index warmup, min is steady state
-    val serves = (1 to 3).map(_ =>
-      timed(AnnIndex.searchOf(spark, base, indexDir, nprobe = 8).count())._2)
 
     // exact brute-force L2 top-5 for the 5 probes — the recall reference
     def exactTop5(corpus: DataFrame): Map[Long, Set[Long]] = {
@@ -74,16 +74,34 @@ object AnnScaleBench {
         got.getOrElse(k, Set.empty).intersect(ex).size.toDouble / ex.size }
       hits.sum / hits.size
     }
+    if (serveOnly) {
+      // knob-sweep mode: reuse the existing (post-append) index, measure
+      // serve cost + recall at the given (nprobe, shortlist) only
+      val serves = (1 to 3).map(_ =>
+        timed(AnnIndex.searchOf(spark, emb, indexDir, nprobe, shortlist).count())._2)
+      val recall = recallOf(
+        AnnIndex.searchOf(spark, emb, indexDir, nprobe, shortlist), exactTop5(emb))
+      println(f"""{"metric":"ann_scale_serve","n":$nAll%d,"nprobe":$nprobe%d,"shortlist":$shortlist%d,"serve_secs":[${serves.map(x => f"$x%.2f").mkString(",")}],"serve_min_sec":${serves.min}%.2f,"recall5":$recall%.3f,"emb":"$embDir"}""")
+      spark.stop()
+      return
+    }
+
+    val p = AnnIndex.Params(nClusters = nClusters)
+    val (_, buildS) = timed(AnnIndex.buildOf(spark, base, indexDir, p))
+    // serve three times: first pays file-index warmup, min is steady state
+    val serves = (1 to 3).map(_ =>
+      timed(AnnIndex.searchOf(spark, base, indexDir, nprobe, shortlist).count())._2)
+
     val exactBase = exactTop5(base)
     val recallBase = recallOf(
-      AnnIndex.searchOf(spark, base, indexDir, nprobe = 8), exactBase)
+      AnnIndex.searchOf(spark, base, indexDir, nprobe, shortlist), exactBase)
 
     val (_, appendS) = timed(AnnIndex.append(spark, increment, indexDir))
     val servesAfter = (1 to 3).map(_ =>
-      timed(AnnIndex.searchOf(spark, emb, indexDir, nprobe = 8).count())._2)
+      timed(AnnIndex.searchOf(spark, emb, indexDir, nprobe, shortlist).count())._2)
     val exactFull = exactTop5(emb)
     val recallAfter = recallOf(
-      AnnIndex.searchOf(spark, emb, indexDir, nprobe = 8), exactFull)
+      AnnIndex.searchOf(spark, emb, indexDir, nprobe, shortlist), exactFull)
 
     println(f"""{"metric":"ann_scale","n_base":$nBase%d,"n_append":${nAll - nBase}%d,"n_clusters":$nClusters%d,"build_sec":$buildS%.2f,"serve_secs":[${serves.map(x => f"$x%.2f").mkString(",")}],"serve_min_sec":${serves.min}%.2f,"append_sec":$appendS%.2f,"serve_after_secs":[${servesAfter.map(x => f"$x%.2f").mkString(",")}],"serve_after_min_sec":${servesAfter.min}%.2f,"recall5_base":$recallBase%.3f,"recall5_after":$recallAfter%.3f,"emb":"$embDir"}""")
     spark.stop()

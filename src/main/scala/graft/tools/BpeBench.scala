@@ -16,7 +16,53 @@ package graft.tools
   * production packing knob" measurement, not just trainer cost.
   */
 object BpeBench {
+
+  /** `synth <nWords> <nMerges>`: time [[graft.operators.Bpe.trainDict]]
+    * alone on a REALISTIC word-frequency dictionary — the trained-vocab
+    * scale evidence the sf corpora cannot give (their generator draws
+    * from ~100 distinct words, so pair merges exhaust at ~90; a real
+    * corpus's dict is ~10^5-10^7 words and 32k merges deep). Words are
+    * deterministic syllable compositions (so adjacent pairs share
+    * substructure, as real language does) with Zipf counts; the trainer
+    * input is exactly what one corpus scan produces, so this isolates
+    * the per-merge cost that was 0.3 s/merge in the one-job-per-merge
+    * shape. */
+  private def synthDict(nWords: Int): Iterator[(String, Long)] = {
+    val onsets = Array("b", "c", "d", "f", "g", "h", "j", "k", "l", "m",
+      "n", "p", "r", "s", "t", "v", "w", "z", "st", "tr", "ch", "sh")
+    val nuclei = Array("a", "e", "i", "o", "u", "ai", "ea", "ou")
+    val codas = Array("", "n", "r", "s", "t", "l", "m", "nd", "st")
+    def h(x: Long): Long = { // splitmix64 — deterministic, platform-free
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def syl(x: Long): String =
+      onsets((h(x) % onsets.length).toInt.abs) +
+        nuclei((h(x * 31 + 7) % nuclei.length).toInt.abs) +
+        codas((h(x * 17 + 3) % codas.length).toInt.abs)
+    (0 until nWords).iterator.map { i =>
+      val n = 1 + (h(i.toLong * 13 + 1) % 4).toInt.abs
+      val w = (0 until n).map(j => syl(i.toLong * 5 + j)).mkString
+      // Zipf-ish counts: rank r gets ~nWords/r
+      (w, math.max(1L, nWords.toLong / (i + 1)))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("synth")) {
+      val nWords = args.lift(1).map(_.toInt).getOrElse(100000)
+      val nMerges = args.lift(2).map(_.toInt).getOrElse(32000)
+      // distinct-ify (syllable compositions collide): dict semantics
+      val dict = synthDict(nWords).toSeq.groupBy(_._1)
+        .map { case (w, xs) => (w, xs.map(_._2).sum) }
+      val t0 = System.nanoTime()
+      val merges = graft.operators.Bpe.trainDict(dict.iterator, nMerges)
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"""{"metric":"bpe_train_synth","dict_words":${dict.size}%d,"merges":${merges.length}%d,"wall_sec":$wall%.2f,"sec_per_merge":${wall / math.max(1, merges.length)}%.6f}""")
+      return
+    }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nMerges = args.lift(1).map(_.toInt).getOrElse(32)
     val slow = args.contains("slow")

@@ -80,6 +80,49 @@ class AnnServingSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("AnnKernels JVM assignment twins match the expression shapes exactly") {
+    import graft.queries.AnnKernels
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    // ---- cells: expression shape (crossJoin + min(struct(-csim, id)))
+    val cent = AnnServing.seedPick(spark, e, 4, "centroid")
+      .select(col("pick_id").as("cluster_id"), col("v").as("cv"))
+      .withColumn("cnrm",
+        sqrt(aggregate(transform(col("cv"), x => x * x), lit(0.0), (a, x) => a + x)))
+    val exprCells = e
+      .withColumn("nrm",
+        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+      .crossJoin(broadcast(cent))
+      .withColumn("csim",
+        aggregate(zip_with(col("v"), col("cv"), (a, b) => a * b), lit(0.0), (a, x) => a + x)
+          / (col("nrm") * col("cnrm")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(negate(col("csim")), col("cluster_id"))).as("best"))
+      .select(col("vec_id"), col("best.cluster_id").as("cluster_id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val jvmCells = AnnKernels.assignCellsJvm(e, AnnKernels.centArray(cent))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(jvmCells == exprCells)
+    // ---- codes: expression shape (broadcast join + min(struct(dist, code)))
+    val book = AnnServing.pqCodebook(spark, sf0001, m = 4, k = 8, iters = 1)
+    val dim = e.select(size(col("v"))).head().getInt(0)
+    val exprCodes = AnnServing
+      .assignCodes(AnnServing.subvectors(e, 4, dim / 4), book)
+      .select("vec_id", "sub", "code").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val jvmCodes = AnnKernels.assignCodesJvm(e, AnnKernels.bookArrays(book))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(jvmCodes == exprCodes)
+    // ---- full codebook training with jvmAssign: identical codebook out
+    val emb = Tables.embeddings(spark, sf0001)
+    val bookExpr = AnnServing.pqCodebookOf(spark, emb, 4, 8, iters = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    val bookJvm = AnnServing.pqCodebookOf(spark, emb, 4, 8, iters = 2,
+      jvmAssign = true)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    assert(bookJvm == bookExpr)
+  }
+
   test("pqCodebook has the full m x k shape with no lost codewords") {
     val book = AnnServing.pqCodebook(spark, sf0001, m = 4, k = 8, iters = 2)
       .collect()
