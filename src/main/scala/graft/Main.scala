@@ -30,6 +30,9 @@ import scala.jdk.CollectionConverters._
   *   - `ingest`  — incremental dedup of `paths.incoming` against the
   *                 `paths.documents` corpus (exact_dup/near_dup/novel);
   *                 writes `output/ingest`
+  *   - `decontaminate` — flag `paths.documents` docs sharing any
+  *                 word-13-gram with `paths.benchmarks`
+  *                 (pipeline/Curation); writes `output/decontaminate`
   *   - `annbuild`/`annsearch` — persistent IVF-PQ index lifecycle over
   *                 `paths.data_dir`'s embeddings: build materializes
   *                 centroids/codebook/cell-partitioned codes under
@@ -54,6 +57,7 @@ object Main {
                            scorer: String,
                            documents: Option[String],
                            incoming: Option[String],
+                           benchmarks: Option[String],
                            dataDir: Option[String],
                            indexDir: Option[String])
 
@@ -84,7 +88,8 @@ object Main {
       s("output"),
       // root-level `scorer` key: the predict command's model plug-point
       root.get("scorer").map(_.toString).filter(_.nonEmpty).getOrElse("identity"),
-      s("documents"), s("incoming"), s("data_dir"), s("index_dir"))
+      s("documents"), s("incoming"), s("benchmarks"), s("data_dir"),
+      s("index_dir"))
   }
 
   /** Run one command; returns a small summary map (printed by main, and
@@ -215,6 +220,27 @@ object Main {
           "near_dups" -> counts.getOrElse("near_dup", 0L).toString,
           "novel" -> counts.getOrElse("novel", 0L).toString)
 
+      case "decontaminate" =>
+        // benchmark decontamination: flag paths.documents docs sharing any
+        // word-13-gram with paths.benchmarks (pipeline/Curation — q77's
+        // production twin with the benchmark set as a real input)
+        val docsPath = p.documents.getOrElse(throw new IllegalArgumentException(
+          "decontaminate needs paths.documents (parquet with doc_id, text)"))
+        val benchPath = p.benchmarks.getOrElse(throw new IllegalArgumentException(
+          "decontaminate needs paths.benchmarks (parquet with doc_id, text)"))
+        val report = Curation.decontaminate(
+          spark.read.parquet(docsPath), spark.read.parquet(benchPath)).persist()
+        val contaminated = report.count()
+        val worst = report.orderBy(col("contamination").desc).limit(1)
+          .collect().headOption
+        p.output.foreach(o =>
+          report.write.mode("overwrite").parquet(s"$o/decontaminate"))
+        report.unpersist()
+        Map("contaminated" -> contaminated.toString,
+          "worst_doc" -> worst.map(_.getAs[Long]("doc_id").toString).getOrElse("-"),
+          "worst_frac" -> worst.map(r => f"${r.getAs[Double]("contamination")}%.4f")
+            .getOrElse("-"))
+
       case "annbuild" =>
         // persistent IVF-PQ index over paths.data_dir's embeddings table,
         // materialized under paths.index_dir (pipeline/AnnIndex)
@@ -263,14 +289,14 @@ object Main {
         Map("results" -> n.toString)
 
       case other => throw new IllegalArgumentException(
-        s"unknown command '$other' — expected cache|serve|explore|predict|dedup|ingest|annbuild|annsearch")
+        s"unknown command '$other' — expected cache|serve|explore|predict|dedup|ingest|decontaminate|annbuild|annsearch")
     }
   }
 
   def main(args: Array[String]): Unit = {
     require(args.length == 2,
       "usage: graft.Main <data-config.yaml> " +
-        "<cache|serve|explore|predict|dedup|ingest|annbuild|annsearch>")
+        "<cache|serve|explore|predict|dedup|ingest|decontaminate|annbuild|annsearch>")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.shuffle.partitions",

@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import graft.util.Det
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Production-shape corpus curation (the pipeline twins of declared q77 /
+  * q78): benchmark decontamination against an ARBITRARY benchmark frame
+  * and mixture (quota) sampling toward arbitrary target shares. The
+  * declared queries pin the algorithm against DuckDB on fixed knobs
+  * (13-gram window, `doc_id % 37` holdout, uniform 20% mix); these APIs
+  * are the same plans with the knobs as parameters, returning the frames
+  * a pipeline consumes (contaminated-doc list, sampled corpus).
+  */
+object Curation {
+
+  /** Word n-gram md5 digests of `textCol`, one row per (id, gram digest).
+    * Digests travel, never n-word strings — the shuffle and join keys are
+    * 32-char hex. */
+  private def gramHashes(df: DataFrame, idCol: String, textCol: String,
+                         n: Int): DataFrame = {
+    val w = split(col(textCol), " ")
+    val grams = element_at(transform(array(w), wb =>
+      when(size(wb) >= n, transform(sequence(lit(1), size(wb) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(wb, i + o)): _*)))
+        .otherwise(array())), 1)
+    df.select(col(idCol), explode(grams).as("g"))
+      .select(col(idCol), md5(col("g")).as("gh"))
+  }
+
+  /** Contaminated-training-doc report: every `train` doc sharing at least
+    * one word-`n`-gram with any `bench` doc, with distinct shared-gram /
+    * benchmark-doc counts and the contamination fraction. Both inputs
+    * need (`doc_id`, `text`). Scale shape = q77's: digest hash join
+    * against the DISTINCT benchmark side, distinct hash-aggs per doc,
+    * nothing all-pairs, nothing collected. */
+  def decontaminate(train: DataFrame, bench: DataFrame, n: Int = 13): DataFrame = {
+    val tg = gramHashes(train, "doc_id", "text", n)
+    val bg = gramHashes(bench, "doc_id", "text", n)
+      .select(col("doc_id").as("bench_id"), col("gh")).distinct()
+    val sizes = tg.groupBy("doc_id").agg(countDistinct(col("gh")).as("n_grams"))
+    tg.join(bg, "gh")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gh")).as("n_shared"),
+        countDistinct(col("bench_id")).as("n_bench"))
+      .join(sizes, "doc_id")
+      .select(col("doc_id"), col("n_grams"), col("n_shared"), col("n_bench"),
+        (col("n_shared").cast("double") / col("n_grams").cast("double"))
+          .as("contamination"))
+  }
+
+  /** The distinct benchmark gram-digest set as a driver-side Set — the
+    * broadcast input of [[graft.streaming.StreamingOps.decontaminateStream]].
+    * Benchmark suites are eval sets (thousands of docs), so their gram
+    * set is broadcast-sized by construction; the unbounded TRAIN side
+    * never collects. */
+  def benchmarkGramSet(bench: DataFrame, n: Int = 13): Set[String] =
+    gramHashes(bench, "doc_id", "text", n)
+      .select("gh").distinct().collect().map(_.getString(0)).toSet
+
+  /** Deterministic per-stratum Bernoulli sampling toward `targets`
+    * (stratum → share). `budget` is the total sample size target;
+    * acceptance rate per stratum is `min(1, share·budget/n_stratum)` and
+    * the accept test is the seeded uniform `u(doc_id) < rate`
+    * (partition- and retry-invariant — never `rand()`). Returns the
+    * sampled rows of `docs` (all columns) plus the per-row `rate`.
+    * Strata absent from `targets` are dropped (share 0). */
+  def mixtureSample(docs: DataFrame, stratumCol: String,
+                    targets: Map[String, Double], budget: Long,
+                    seed: String = "mix"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val shares = targets.toSeq.toDF(stratumCol, "share")
+    val rates = docs.groupBy(stratumCol).agg(count(lit(1)).as("n_in"))
+      .join(broadcast(shares), stratumCol)
+      .select(col(stratumCol),
+        least(lit(1.0), (col("share") * budget) / col("n_in")).as("rate"))
+    val u: Column = Det.unit60(Det.seededKey(seed, col("doc_id")))
+    docs.join(broadcast(rates), stratumCol)
+      .where(u < col("rate"))
+  }
+}

@@ -1,0 +1,145 @@
+package graft.queries
+
+import graft.{DeclaredQuery, Tables}
+import graft.util.Det
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a production training-data pipeline runs
+  * between dedup and packing: benchmark decontamination and mixture
+  * (quota) sampling. Both are new surface beyond the reference (which has
+  * no text pipeline) — declared here with full DuckDB oracles like every
+  * other query.
+  */
+object CurationQueries {
+
+  // ---------------------------------------------------------------- Q77
+  /** X41: benchmark decontamination — flag training documents that share
+    * at least one word-13-gram with any held-out benchmark document
+    * (the GPT-3/PaLM-style n-gram contamination rule; 13 is the published
+    * window). Benchmark set = `doc_id % 37 == 0` (a deterministic ~2.7%
+    * holdout); result lists every contaminated TRAIN document with its
+    * shared-gram and benchmark-doc counts.
+    *
+    * Scale shape: grams are built per-row with a bound HOF (the q27
+    * shingle pattern), hashed to md5 immediately — the shuffle and the
+    * join key carry 32-char digests, never 13-word strings. The join is a
+    * plain hash join on the gram digest: the benchmark side is DISTINCT
+    * (bench_id, gram) — ~3% of the corpus — and matches are rare, so the
+    * probe output stays tiny. Per-doc gram counts are map-side-combinable
+    * distinct aggs. Nothing is all-pairs; nothing collects.
+    */
+  private def words: Column = split(col("text"), " ")
+
+  /** Bind the split array once (q27's trick — otherwise Catalyst inlines
+    * `split(text)` at each of the 13 element_at references). */
+  private def bound(arr: Column)(f: Column => Column): Column =
+    element_at(transform(array(arr), f), 1)
+
+  private def grams13: Column = bound(words) { w =>
+    when(size(w) >= 13, transform(sequence(lit(1), size(w) - 12),
+      i => concat_ws(" ", (0 until 13).map(o => element_at(w, i + o)): _*)))
+      .otherwise(array())
+  }
+
+  private val gram13Sql: String =
+    (0 until 13).map(o => if (o == 0) "w[i]" else s"w[i+$o]").mkString(" || ' ' || ")
+
+  val q77 = DeclaredQuery(
+    "q77_decontaminate",
+    Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            |g0 AS (SELECT doc_id,
+            |              list_transform(range(1, len(w) - 11), i -> $gram13Sql) AS gs
+            |       FROM w WHERE len(w) >= 13),
+            |g AS (SELECT doc_id, md5(unnest(gs)) AS gh FROM g0),
+            |b AS (SELECT DISTINCT doc_id AS bench_id, gh FROM g WHERE doc_id % 37 = 0),
+            |tr AS (SELECT doc_id, gh FROM g WHERE doc_id % 37 <> 0),
+            |sz AS (SELECT doc_id, COUNT(DISTINCT gh) AS n_grams FROM tr GROUP BY 1),
+            |hit AS (SELECT tr.doc_id, tr.gh, b.bench_id FROM tr JOIN b ON tr.gh = b.gh),
+            |a AS (SELECT doc_id, COUNT(DISTINCT gh) AS n_shared,
+            |             COUNT(DISTINCT bench_id) AS n_bench
+            |      FROM hit GROUP BY 1)
+            |SELECT a.doc_id, sz.n_grams, a.n_shared, a.n_bench,
+            |       CAST(a.n_shared AS DOUBLE) / CAST(sz.n_grams AS DOUBLE) AS contamination
+            |FROM a JOIN sz ON a.doc_id = sz.doc_id
+            |ORDER BY a.doc_id""".stripMargin)) { (s, d) =>
+    val g = Tables.documents(s, d)
+      .select(col("doc_id"), explode(grams13).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("gh"))
+    val bench = g.where(col("doc_id") % 37 === 0)
+      .select(col("doc_id").as("bench_id"), col("gh")).distinct()
+    val train = g.where(col("doc_id") % 37 =!= 0)
+    val sizes = train.groupBy("doc_id")
+      .agg(countDistinct(col("gh")).as("n_grams"))
+    val agg = train.join(bench, "gh")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gh")).as("n_shared"),
+        countDistinct(col("bench_id")).as("n_bench"))
+    agg.join(sizes, "doc_id")
+      .select(col("doc_id"), col("n_grams"), col("n_shared"), col("n_bench"),
+        (col("n_shared").cast("double") / col("n_grams").cast("double"))
+          .as("contamination"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- Q78
+  /** X42: mixture (quota) sampling — deterministic per-stratum Bernoulli
+    * sampling that re-shapes the corpus toward a target language mix
+    * (uniform 20% per language here; `en` is ~39% of the corpus, so it is
+    * down-sampled while the minority languages keep everything). The
+    * sample budget is three quarters of the corpus; per-language
+    * acceptance rate is
+    * `min(1, target_share · M / n_lang)` and acceptance is the seeded
+    * uniform `u(doc_id) < rate` — [[Det.unit60]] over a shared md5, so
+    * partition- and engine-invariant (never `rand()`; SURVEY §7.4.2).
+    *
+    * Scale shape: one corpus scan for the per-language counts (5 rows,
+    * broadcast back), one scan for the accept/count — no window over the
+    * corpus, no collect; the per-lang report frame is bounded by the
+    * language cardinality.
+    */
+  private val q78Share = 0.2
+
+  val q78 = DeclaredQuery(
+    "q78_mixture_sample",
+    // 0.2e0 / 1e0: scientific notation forces DOUBLE literals in DuckDB
+    // (plain 0.2 is DECIMAL there but Double in Spark — a parity trap)
+    Some(s"""WITH t AS (SELECT COUNT(*) * 3 // 4 AS m FROM documents),
+            |l AS (SELECT lang, COUNT(*) AS n_in FROM documents GROUP BY lang),
+            |r AS (SELECT lang, n_in,
+            |             LEAST(1e0, (${q78Share}e0 * t.m) / n_in) AS rate
+            |      FROM l CROSS JOIN t),
+            |u AS (SELECT lang, ${Det.sql.seededKey("q78", "doc_id")} AS h
+            |      FROM documents),
+            |s AS (SELECT u.lang, COUNT(*) AS n_sampled
+            |      FROM u JOIN r ON u.lang = r.lang
+            |      WHERE ${Det.sql.unit60("h")} < r.rate
+            |      GROUP BY u.lang),
+            |tot AS (SELECT SUM(n_sampled) AS ts FROM s)
+            |SELECT r.lang, r.n_in, r.rate, s.n_sampled,
+            |       CAST(s.n_sampled AS DOUBLE) / CAST(tot.ts AS DOUBLE) AS achieved_share
+            |FROM r JOIN s ON r.lang = s.lang CROSS JOIN tot
+            |ORDER BY r.lang""".stripMargin)) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val m = docs.agg(count(lit(1)).as("n_total"))
+      .select(expr("n_total * 3 DIV 4").as("m"))
+    val rates = docs.groupBy("lang").agg(count(lit(1)).as("n_in"))
+      .crossJoin(broadcast(m))
+      .select(col("lang"), col("n_in"),
+        least(lit(1.0), (lit(q78Share) * col("m")) / col("n_in")).as("rate"))
+    val u = Det.unit60(Det.seededKey("q78", col("doc_id")))
+    val sampled = docs.select(col("lang"), u.as("u"))
+      .join(broadcast(rates.select("lang", "rate")), "lang")
+      .where(col("u") < col("rate"))
+      .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+    val tot = sampled.agg(sum(col("n_sampled")).as("ts"))
+    rates.join(sampled, "lang")
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_in"), col("rate"), col("n_sampled"),
+        (col("n_sampled").cast("double") / col("ts").cast("double"))
+          .as("achieved_share"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(q77, q78)
+}

@@ -685,16 +685,50 @@ object RelationalQueries {
   }
 
   // ---------------------------------------------------------------- Q23
-  /** X7: approx_count_distinct sanity — tolerance-checked, not hashable
-    * (HLL sketches differ across engines by design) → no oracle, driver
-    * records a rows-only check. Exact count rides along for the tolerance
-    * comparison. */
-  val q23 = DeclaredQuery("q23_approx_distinct", None) { (s, d) =>
-    li(s, d).agg(
-      approx_count_distinct(col("l_partkey")).as("approx_parts"),
-      countDistinct(col("l_partkey")).as("exact_parts"))
-      .withColumn("rel_err",
-        abs(col("approx_parts") - col("exact_parts")).cast("double") / col("exact_parts").cast("double"))
+  /** X7: approximate distinct count — per-returnflag KMV sketch
+    * ([[graft.operators.KmvSketch]]), the oracle-decidable replacement for
+    * the rounds-1–8 HLL posture. HLL sketches (Spark's
+    * `approx_count_distinct`) are engine-internal and can only ever be
+    * tolerance-checked; the KMV estimate is a pure function of the k
+    * smallest md5-derived 60-bit hashes, which DuckDB reproduces exactly
+    * (hex → integer by positional arithmetic, [[graft.util.Det.sql.hex60]]),
+    * so all three gate checks (rows/schema/hash) apply. Exact count rides
+    * along for the relative-error column. */
+  val q23 = DeclaredQuery(
+    "q23_approx_distinct",
+    Some(s"""WITH h AS (SELECT DISTINCT l_returnflag AS flag,
+            |                  md5(CAST(l_partkey AS VARCHAR)) AS h FROM lineitem),
+            |v AS (SELECT DISTINCT flag, ${Det.sql.hex60("h")} AS hv FROM h),
+            |r AS (SELECT flag, hv,
+            |             row_number() OVER (PARTITION BY flag ORDER BY hv) AS rk,
+            |             COUNT(*) OVER (PARTITION BY flag) AS nd FROM v),
+            |kth AS (SELECT flag, nd, hv AS kv FROM r WHERE rk = LEAST(nd, 64)),
+            |est AS (SELECT flag,
+            |               CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+            |                    ELSE 63e0 * 1152921504606846976 / CAST(kv AS DOUBLE)
+            |               END AS approx_parts,
+            |               LEAST(nd, 64) AS support FROM kth),
+            |ex AS (SELECT l_returnflag AS flag,
+            |              COUNT(DISTINCT l_partkey) AS exact_parts
+            |       FROM lineitem GROUP BY 1)
+            |SELECT est.flag, est.approx_parts, est.support, ex.exact_parts,
+            |       abs(est.approx_parts - ex.exact_parts) / ex.exact_parts AS rel_err
+            |FROM est JOIN ex ON est.flag = ex.flag
+            |ORDER BY est.flag""".stripMargin)) { (s, d) =>
+    import graft.operators.KmvSketch
+    val hv = Det.hex60(md5(col("l_partkey").cast("string")))
+    li(s, d)
+      .select(col("l_returnflag").as("flag"), col("l_partkey"), hv.as("hv"))
+      .groupBy("flag")
+      .agg(KmvSketch(col("hv")).as("kmv"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("flag"),
+        col("kmv.estimate").as("approx_parts"),
+        col("kmv.support").as("support"),
+        col("exact_parts"),
+        (abs(col("kmv.estimate") - col("exact_parts")) / col("exact_parts"))
+          .as("rel_err"))
+      .orderBy("flag")
   }
 
   val all: Seq[DeclaredQuery] = Seq(

@@ -273,4 +273,71 @@ object StreamingOps {
         }
       }
   }
+
+  /** one decontamination verdict: a doc with its gram/shared-gram counts
+    * (`nShared > 0` ⇔ contaminated). */
+  final case class ContamVerdict(docId: Long, nGrams: Long, nShared: Long)
+
+  /** Word n-gram md5 digests of one document — byte-parity with the batch
+    * gram scheme (q77 / pipeline.Curation.gramHashes: split on single
+    * spaces keeping empties, n-word windows joined by spaces, lowercase
+    * md5 hex). Pinned by StreamingSpec's batch-parity assertion. */
+  def gramHashesOf(digest: java.security.MessageDigest, text: String,
+                   n: Int): Iterator[String] = {
+    def md5Hex(s: String): String = {
+      digest.reset()
+      val d = digest.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val cs = new Array[Char](d.length * 2)
+      var i = 0
+      while (i < d.length) {
+        cs(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+        cs(2 * i + 1) = hexDigits(d(i) & 0xf)
+        i += 1
+      }
+      new String(cs)
+    }
+    val toks = text.split(" ", -1)
+    if (toks.length < n) Iterator.empty
+    else (0 to toks.length - n).iterator.map { i =>
+      val sb = new java.lang.StringBuilder(toks(i))
+      var o = 1
+      while (o < n) { sb.append(' ').append(toks(i + o)); o += 1 }
+      md5Hex(sb.toString)
+    }
+  }
+
+  /** Ingest-time benchmark decontamination (X41's streaming twin): check
+    * each ARRIVING document against a fixed benchmark gram-digest set —
+    * [[graft.pipeline.Curation.benchmarkGramSet]] — broadcast to the
+    * executors. STATELESS by design: no streaming aggregation, no state
+    * store, so throughput is one JVM hash pass per doc and the operator
+    * composes with any downstream sink mode. (The alternative — explode
+    * grams into a stream-static join + windowed count — needs a watermark
+    * and shuffles every gram; the benchmark side is an eval suite, which
+    * is broadcast-sized by construction, so the broadcast shape wins at
+    * any corpus scale: the UNBOUNDED side streams through map-only.) */
+  def decontaminateStream(docs: DataFrame, idCol: String, textCol: String,
+                          benchGrams: Set[String], n: Int = 13): Dataset[ContamVerdict] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(benchGrams)
+    docs.select(col(idCol).cast("long").as("docId"), col(textCol).as("_text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        val bench = bc.value
+        rows.map { case (id, text) =>
+          var nGrams = 0L
+          var nShared = 0L
+          val seen = new java.util.HashSet[String]()
+          if (text != null) gramHashesOf(digest, text, n).foreach { gh =>
+            if (seen.add(gh)) {
+              nGrams += 1
+              if (bench.contains(gh)) nShared += 1
+            }
+          }
+          ContamVerdict(id, nGrams, nShared)
+        }
+      }
+  }
 }

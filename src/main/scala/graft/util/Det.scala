@@ -33,10 +33,32 @@ object Det {
   /** cents → dollars as double; single IEEE division, engine-identical. */
   def unCents(c: Column): Column = c.cast("double") / lit(100.0)
 
+  /** First 15 hex chars of an md5 hex string as a 60-bit non-negative
+    * long — the shared uniform integer hash behind the KMV sketch (q23)
+    * and deterministic Bernoulli sampling (q78). Spark spells it `conv`;
+    * the DuckDB twin ([[sql.hex60]]) is positional digit arithmetic —
+    * same value, different spelling, both exact (60 bits < 2^63). */
+  def hex60(md5Hex: Column): Column =
+    conv(substring(md5Hex, 1, 15), 16, 10).cast("long")
+
+  /** [[hex60]] scaled to a uniform double in [0,1): single IEEE division
+    * by 2^60 (exactly representable), engine-identical. */
+  def unit60(md5Hex: Column): Column =
+    hex60(md5Hex).cast("double") / lit((1L << 60).toDouble)
+
   /** DuckDB-side spellings, kept next to their Spark twins. */
   object sql {
     def seededKey(seed: String, keys: String*): String =
       s"md5(concat_ws(':', ${keys.map(k => s"CAST($k AS VARCHAR)").mkString(", ")}, '$seed'))"
+    /** hex → 60-bit BIGINT by positional arithmetic (DuckDB has no base
+      * conversion; 15 nibbles keep every term and the sum within int64). */
+    def hex60(h: String): String =
+      (0 until 15).map { i =>
+        val w = 1L << (4 * (14 - i)) // 16^(14-i)
+        s"(strpos('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * $w"
+      }.mkString("(", " + ", ")")
+    def unit60(h: String): String =
+      s"(CAST(${hex60(h)} AS DOUBLE) / 1152921504606846976)"
     def cents(x: String): String = s"CAST(ROUND(($x)*100) AS BIGINT)"
     /** exact cent sum → dollars; SUM(BIGINT) is HUGEINT in DuckDB, cast back. */
     def sumMoney(x: String): String =
