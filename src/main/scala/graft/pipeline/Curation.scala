@@ -79,4 +79,28 @@ object Curation {
     docs.join(broadcast(rates), stratumCol)
       .where(u < col("rate"))
   }
+
+  /** Leakage-safe split assignment (q80's pipeline twin): given a
+    * materialized near-dup verdict frame `labels` (`doc_id`,
+    * `cluster_id` — e.g. [[CorpusDedup]]'s cluster labels), assign every
+    * CLUSTER to one of `splits` by the seeded cluster-keyed uniform, so
+    * near-duplicates can never straddle a split boundary and leak
+    * training text into evaluation. `splits` maps name → share (must sum
+    * to ~1; boundaries are cumulative-share thresholds on the same
+    * [[Det.unit60]] value the declared query uses). One projection over
+    * `labels`, no shuffle — the cluster chain was paid when the verdict
+    * materialized. */
+  def leakageSafeSplit(labels: DataFrame,
+                       splits: Seq[(String, Double)] = Seq(
+                         "train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+                       seed: String = ":q80"): DataFrame = {
+    val u: Column = Det.unit60(
+      md5(concat(col("cluster_id").cast("string"), lit(seed))))
+    val cum = splits.scanLeft(0.0) { case (acc, (_, s)) => acc + s }.tail
+    val split = splits.init.zip(cum.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), hi), els) =>
+      when(u < hi, name).otherwise(els)
+    }
+    labels.withColumn("split", split)
+  }
 }

@@ -1596,7 +1596,131 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- Q79
+  /** Okapi BM25 retrieval (X43) — corpus-side scoring of a fixed query
+    * against every document, the retrieval primitive behind
+    * dedup-by-retrieval and RAG-style curation (Robertson & Zaragoza 2009,
+    * "The Probabilistic Relevance Framework: BM25 and Beyond"). Extends
+    * q48's TF-IDF with document-length normalization (k1=1.2, b=0.75) and
+    * the BM25+ positive idf `ln(1 + (N-df+0.5)/(df+0.5))`.
+    *
+    * Determinism: the per-doc score is a sum over QUERY terms — summed in
+    * FIXED textual order (tf pivoted to columns by conditional hash-agg,
+    * then `s1 + s2 + s3` left-to-right), never a groupBy-sum whose
+    * partition order the engine picks. Both engines therefore run the
+    * same IEEE op sequence on the same integers (tf/df/dl exact), so the
+    * doubles agree to the bit, not just to the compare tolerance.
+    *
+    * Scale shape: one explode feeding a map-side-combinable conditional
+    * hash-agg (one row per doc, 3 int columns — never per-(doc,term)),
+    * a broadcast 1-row corpus-stats frame, and TakeOrderedAndProject for
+    * the global top-10 (no global sort, no single-reducer window on the
+    * corpus; the row_number window runs on the 10 collected rows). */
+  val q79 = {
+    val qterms = Seq("data", "join", "stream") // fixed query, declared order
+    def sqlTf(t: String) = s"SUM(CASE WHEN term = '$t' THEN 1 ELSE 0 END)"
+    def sqlScore(i: Int) =
+      s"""ln(1.0 + (CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))
+         | * (CAST(tf$i AS DOUBLE) * 2.2
+         |    / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))""".stripMargin
+    DeclaredQuery(
+      "q79_bm25",
+      Some(s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+              |tf AS (SELECT doc_id,
+              |              ${qterms.zipWithIndex.map { case (t, i) => s"${sqlTf(t)} AS tf${i + 1}" }.mkString(", ")}
+              |       FROM t GROUP BY doc_id),
+              |d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+              |g AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM d),
+              |df AS (SELECT ${qterms.indices.map(i => s"SUM(CASE WHEN tf${i + 1} > 0 THEN 1 ELSE 0 END) AS df${i + 1}").mkString(", ")}
+              |       FROM tf),
+              |scored AS (
+              |  SELECT tf.doc_id,
+              |         ${qterms.indices.map(i => s"(${sqlScore(i + 1)})").mkString("\n         + ")} AS score
+              |  FROM tf JOIN d USING (doc_id) CROSS JOIN g CROSS JOIN df),
+              |r AS (SELECT doc_id, score,
+              |             row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+              |      FROM scored)
+              |SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, score
+              |FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin)) { (s, d) =>
+      val terms = docs(s, d).select(col("doc_id"), explode(words).as("term"))
+      val tf = terms.groupBy("doc_id").agg(
+        sum(when(col("term") === qterms(0), 1).otherwise(0)).as("tf1"),
+        sum(when(col("term") === qterms(1), 1).otherwise(0)).as("tf2"),
+        sum(when(col("term") === qterms(2), 1).otherwise(0)).as("tf3"))
+      val dl = docs(s, d).select(col("doc_id"), size(words).cast("long").as("dl"))
+      val g = dl.agg(count(lit(1)).as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+      val dfreq = tf.agg(
+        sum(when(col("tf1") > 0, 1).otherwise(0)).as("df1"),
+        sum(when(col("tf2") > 0, 1).otherwise(0)).as("df2"),
+        sum(when(col("tf3") > 0, 1).otherwise(0)).as("df3"))
+      def score(i: Int): Column = {
+        val tfD = col(s"tf$i").cast("double")
+        val dfD = col(s"df$i").cast("double")
+        val idf = log(lit(1.0) + (col("n").cast("double") - dfD + 0.5) / (dfD + 0.5))
+        idf * (tfD * lit(2.2) /
+          (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
+      }
+      val scored = tf.join(dl, "doc_id")
+        .crossJoin(broadcast(g)).crossJoin(broadcast(dfreq))
+        .select(col("doc_id"), (score(1) + score(2) + score(3)).as("score"))
+      // TakeOrderedAndProject picks the 10; the window then runs on 10 rows
+      val top = scored.orderBy(col("score").desc, col("doc_id")).limit(10)
+      top.withColumn("rnk",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))
+        .select(col("rnk"), col("doc_id"), col("score"))
+        .orderBy("rnk")
+    }
+  }
+
+  // ---------------------------------------------------------------- Q80
+  /** Leakage-safe train/val/test split (X44) — the split-time twin of
+    * decontamination (q77): near-duplicate documents must land in the
+    * SAME split, or held-out evaluation leaks training data through a
+    * paraphrase. Splitting doc-wise (q07's shape) gives each near-dup
+    * pair an ~2·p·(1−p) chance of straddling the boundary; splitting
+    * CLUSTER-wise makes straddling impossible by construction. Clusters
+    * are q39's MinHash band → connected-components labels; the split is
+    * the seeded cluster-keyed Bernoulli (80/10/10) on
+    * [[graft.util.Det.unit60]] of the canonical label — engine- and
+    * partition-invariant, never rand().
+    *
+    * Scale shape: the cluster chain is q39's (band-bucketed edges, CC at
+    * one job per round, diameter-bound); the split itself adds one
+    * cluster-keyed window (count) and a per-row projection. Standalone
+    * contract re-runs the chain like q50/q62; the pipeline twin
+    * ([[graft.pipeline.Curation.leakageSafeSplit]]) takes a materialized
+    * verdict frame instead. */
+  val q80 = DeclaredQuery(
+    "q80_leakage_split",
+    Some {
+      val u = graft.util.Det.sql.unit60("h")
+      s"""${oracleShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$oracleClusterCtes,
+         |su AS (SELECT doc_id, cluster_id,
+         |              md5(CAST(cluster_id AS VARCHAR) || ':q80') AS h FROM reach),
+         |sp AS (SELECT doc_id, cluster_id,
+         |              COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |              CASE WHEN $u < 0.8 THEN 'train'
+         |                   WHEN $u < 0.9 THEN 'val'
+         |                   ELSE 'test' END AS split
+         |       FROM su)
+         |SELECT doc_id, cluster_id, cluster_size, split
+         |FROM sp ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    val labels = nearDupClustersOf(docs(s, d))
+    val u = graft.util.Det.unit60(
+      md5(concat(col("cluster_id").cast("string"), lit(":q80"))))
+    labels
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .withColumn("split",
+        when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"), col("split"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[DeclaredQuery] = Seq(q26, q26t, q27, q27p, q28, q29, q30, q31,
     q32, q33, q37, q38, q39, q42, q44, q47, q48, q49, q50, q52, q53, q54, q59,
-    q61, q62, q64, q65, q66, q67, q72, q73, q74)
+    q61, q62, q64, q65, q66, q67, q72, q73, q74, q79, q80)
 }
