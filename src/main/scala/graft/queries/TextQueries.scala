@@ -1724,7 +1724,54 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- Q81
+  /** Count-min-sketch term frequencies (X45) — the bounded-memory
+    * frequency sketch ([[graft.operators.CountMinSketch]]; Cormode &
+    * Muthukrishnan 2005) next to q23's KMV distinct sketch: a d=4 × w=64
+    * counter matrix over the corpus token stream, probed for every
+    * distinct term, with the exact count riding along so the one-sided
+    * error (`est ≥ exact`, always) is visible per term.
+    *
+    * Oracle-decidable where Spark's built-in CMS is not: buckets are
+    * `hex60(md5(term||'#j')) % w` and counters are sums — every piece is
+    * engine-replayable integer arithmetic, so the estimates hash-compare
+    * exactly (the DuckDB twin spells the min over rows as LEAST of four
+    * bucket joins).
+    *
+    * Scale shape: the counter matrix is 256 rows REGARDLESS of corpus
+    * size (map-side-combinable hash-agg, mergeable by addition);
+    * [[graft.operators.CountMinSketch.counters]] hashes each DISTINCT
+    * term once (vocab-sized pre-agg), never each occurrence. */
+  val q81 = {
+    val (d, w) = (4, 64)
+    def b(j: Int) = graft.operators.CountMinSketch.sql.bucket("pt.term", j, w)
+    def bc(j: Int) = graft.operators.CountMinSketch.sql.bucket("term", j, w)
+    DeclaredQuery(
+      "q81_cms_heavy_hitters",
+      Some(s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+              |pt AS (SELECT term, COUNT(*) AS n FROM t GROUP BY term),
+              |c AS (SELECT row, bucket, CAST(SUM(n) AS BIGINT) AS c FROM (
+              |        ${(0 until d).map(j => s"SELECT $j AS row, ${bc(j)} AS bucket, n FROM pt")
+                         .mkString("\n        UNION ALL ")})
+              |      GROUP BY row, bucket)
+              |SELECT pt.term, pt.n AS exact, LEAST(${(0 until d).map(j => s"c$j.c").mkString(", ")}) AS est,
+              |       LEAST(${(0 until d).map(j => s"c$j.c").mkString(", ")}) - pt.n AS overcount
+              |FROM pt ${(0 until d).map(j =>
+                  s"JOIN c c$j ON c$j.row = $j AND c$j.bucket = ${b(j)}").mkString("\n     ")}
+              |ORDER BY pt.term""".stripMargin)) { (s, dd) =>
+      import graft.operators.CountMinSketch
+      val toks = docs(s, dd).select(explode(words).as("term"))
+      val cnt = CountMinSketch.counters(toks, "term", d, w)
+      val exact = toks.groupBy("term").agg(count(lit(1)).as("exact"))
+      val est = CountMinSketch.estimate(exact.select("term"), "term", cnt, d, w)
+      exact.join(est, "term")
+        .select(col("term"), col("exact"), col("est"),
+          (col("est") - col("exact")).as("overcount"))
+        .orderBy("term")
+    }
+  }
+
   val all: Seq[DeclaredQuery] = Seq(q26, q26t, q27, q27p, q28, q29, q30, q31,
     q32, q33, q37, q38, q39, q42, q44, q47, q48, q49, q50, q52, q53, q54, q59,
-    q61, q62, q64, q65, q66, q67, q72, q73, q74, q79, q80)
+    q61, q62, q64, q65, q66, q67, q72, q73, q74, q79, q80, q81)
 }
