@@ -1771,7 +1771,62 @@ object TextQueries {
     }
   }
 
+  // ---------------------------------------------------------------- Q82
+  /** Bloom-filter membership pre-filter (X46) — the dedup fast-path: a
+    * self-sized Bloom filter ([[graft.operators.BloomFilter]], d=3,
+    * m = next-pow2(32·n) → FP rate ≈ 7·10⁻⁴ at ANY corpus size) built
+    * over the even-half content digests, probed by the odd half, with the
+    * exact membership verdict riding along so false positives are visible
+    * per doc (false negatives are impossible by construction — the law
+    * BloomSpec pins). The incremental-ingest use: probe the filter before
+    * the exact content join and only candidates pay the join.
+    *
+    * Oracle-decidable like q81's CMS (and unlike engine-internal bloom
+    * aggs): positions are `hex60(md5(key||'@j')) % m` with m replayed by
+    * `POWER(2, CEIL(LOG2(32·n)))` — exact IEEE at a power of two — so the
+    * set-bit SET is engine-identical and every verdict hash-compares. */
+  val q82 = {
+    val d = 3
+    def sp(key: String, j: Int) = graft.operators.BloomFilter.sql.position(key, j, "m")
+    DeclaredQuery(
+      "q82_bloom_prefilter",
+      Some(s"""WITH idx AS (SELECT DISTINCT md5(text) AS k FROM documents WHERE doc_id % 2 = 0),
+              |mm AS (SELECT CAST(POWER(2, CEIL(LOG2(32.0 * COUNT(*)))) AS BIGINT) AS m FROM idx),
+              |bits AS (SELECT DISTINCT pos FROM (
+              |        ${(0 until d).map(j => s"SELECT ${sp("k", j)} AS pos FROM idx CROSS JOIN mm")
+                         .mkString("\n        UNION ")})),
+              |probe AS (SELECT doc_id, md5(text) AS k FROM documents WHERE doc_id % 2 = 1),
+              |ph AS (${(0 until d).map(j =>
+                        s"SELECT doc_id, ${sp("k", j)} AS pos FROM probe CROSS JOIN mm")
+                        .mkString("\n       UNION ALL ")}),
+              |bh AS (SELECT ph.doc_id,
+              |              MIN(CASE WHEN bits.pos IS NULL THEN 0 ELSE 1 END) = 1 AS bloom_hit
+              |       FROM ph LEFT JOIN bits USING (pos) GROUP BY ph.doc_id),
+              |ex AS (SELECT p.doc_id, (idx.k IS NOT NULL) AS exact_hit
+              |       FROM probe p LEFT JOIN idx ON p.k = idx.k)
+              |SELECT bh.doc_id, bh.bloom_hit, ex.exact_hit,
+              |       (bh.bloom_hit AND NOT ex.exact_hit) AS false_positive
+              |FROM bh JOIN ex USING (doc_id) ORDER BY bh.doc_id""".stripMargin)) { (s, dd) =>
+      import graft.operators.BloomFilter
+      val idx = docs(s, dd).filter(col("doc_id") % 2 === 0)
+        .select(md5(col("text")).as("k")).distinct().persist()
+      // one tiny count job for the self-sizing, the q57/q43 precedent
+      val m = BloomFilter.sized(idx.count())
+      val filter = BloomFilter.bits(idx, "k", d, m)
+      val probe = docs(s, dd).filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), md5(col("text")).as("k"))
+      val bh = BloomFilter.mightContain(probe, "doc_id", "k", filter, d, m)
+      val ex = probe.join(idx.withColumn("_e", lit(1)), Seq("k"), "left")
+        .select(col("doc_id"), (coalesce(col("_e"), lit(0)) === 1).as("exact_hit"))
+      val out = bh.join(ex, "doc_id")
+        .select(col("doc_id"), col("bloom_hit"), col("exact_hit"),
+          (col("bloom_hit") && !col("exact_hit")).as("false_positive"))
+        .orderBy("doc_id")
+      out
+    }
+  }
+
   val all: Seq[DeclaredQuery] = Seq(q26, q26t, q27, q27p, q28, q29, q30, q31,
     q32, q33, q37, q38, q39, q42, q44, q47, q48, q49, q50, q52, q53, q54, q59,
-    q61, q62, q64, q65, q66, q67, q72, q73, q74, q79, q80, q81)
+    q61, q62, q64, q65, q66, q67, q72, q73, q74, q79, q80, q81, q82)
 }
