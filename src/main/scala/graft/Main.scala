@@ -27,6 +27,10 @@ import scala.jdk.CollectionConverters._
   *   - `dedup`   — corpus dedup over `paths.documents`: exact content
   *                 hash → MinHash near-dup clusters → keep-best-quality
   *                 (pipeline/CorpusDedup); writes `output/dedup`
+  *   - `split`   — leakage-safe train/val/test assignment over
+  *                 `paths.documents`: one dedup chain, then clusters —
+  *                 not docs — draw the split (pipeline/Curation);
+  *                 writes `output/split`
   *   - `ingest`  — incremental dedup of `paths.incoming` against the
   *                 `paths.documents` corpus (exact_dup/near_dup/novel);
   *                 writes `output/ingest`
@@ -199,6 +203,25 @@ object Main {
           "near_dups_dropped" -> nearDups.toString,
           "token_frac_removed" -> f"$fracRemoved%.4f")
 
+      case "split" =>
+        // leakage-safe train/val/test split: near-dup clusters (one chain,
+        // materialized once — CorpusDedup.keepBest's labels) assigned
+        // CLUSTER-wise by Curation.leakageSafeSplit, so near-duplicates
+        // can never straddle a split boundary (q80's production twin)
+        val docsPath = p.documents.getOrElse(throw new IllegalArgumentException(
+          "split needs paths.documents (parquet with doc_id, text)"))
+        val verdicts = CorpusDedup.keepBest(spark.read.parquet(docsPath))
+        val assigned = Curation.leakageSafeSplit(
+          verdicts.select("doc_id", "cluster_id", "kept")).persist()
+        val counts = assigned.groupBy("split").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        p.output.foreach(o =>
+          assigned.write.mode("overwrite").parquet(s"$o/split"))
+        assigned.unpersist()
+        Map("train" -> counts.getOrElse("train", 0L).toString,
+          "val" -> counts.getOrElse("val", 0L).toString,
+          "test" -> counts.getOrElse("test", 0L).toString)
+
       case "ingest" =>
         // incremental dedup: judge paths.incoming against paths.documents
         // (the existing corpus) — exact_dup / near_dup / novel per doc,
@@ -289,7 +312,7 @@ object Main {
         Map("results" -> n.toString)
 
       case other => throw new IllegalArgumentException(
-        s"unknown command '$other' — expected cache|serve|explore|predict|dedup|ingest|decontaminate|annbuild|annsearch")
+        s"unknown command '$other' — expected cache|serve|explore|predict|dedup|split|ingest|decontaminate|annbuild|annsearch")
     }
   }
 
