@@ -141,5 +141,68 @@ object CurationQueries {
       .orderBy("lang")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(q77, q78)
+  // ---------------------------------------------------------------- Q83
+  /** X47: filter-funnel attrition report — the per-rule survivor table a
+    * curation run publishes (the Dolma/RefinedWeb-style "what did each
+    * filter cost" audit): four quality rules applied as a CUMULATIVE
+    * conjunction (length floor → language → chars-per-token band →
+    * distinct-token repetition floor), one row per stage with docs in/out
+    * and the drop fraction. The rules reuse the corpus's declared feature
+    * set (q29–q31's shapes); the report is the funnel, not the filter —
+    * a selection would `where` the final conjunction.
+    *
+    * Scale shape: ONE scan — per-doc booleans feed a single 1-row
+    * conditional agg; the 4-stage report is exploded from that row
+    * (never four passes, never a collect). */
+  val q83 = DeclaredQuery(
+    "q83_filter_funnel",
+    Some("""WITH f AS (SELECT
+           |    len(string_split(text, ' ')) >= 20 AS b1,
+           |    lang = 'en' AS b2,
+           |    (CAST(n_chars AS DOUBLE) / len(string_split(text, ' '))) BETWEEN 3 AND 8 AS b3,
+           |    (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           |       / len(string_split(text, ' '))) >= 0.25 AS b4
+           |  FROM documents),
+           |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+           |    CAST(SUM(CASE WHEN b1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+           |    CAST(SUM(CASE WHEN b1 AND b2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+           |    CAST(SUM(CASE WHEN b1 AND b2 AND b3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+           |    CAST(SUM(CASE WHEN b1 AND b2 AND b3 AND b4 THEN 1 ELSE 0 END) AS BIGINT) AS s4
+           |  FROM f)
+           |SELECT stage, rule, docs_in, docs_out, docs_in - docs_out AS dropped,
+           |       CAST(docs_in - docs_out AS DOUBLE) / CAST(docs_in AS DOUBLE) AS drop_frac
+           |FROM (
+           |  SELECT 1 AS stage, 'min_length' AS rule, s0 AS docs_in, s1 AS docs_out FROM a
+           |  UNION ALL SELECT 2, 'lang_en', s1, s2 FROM a
+           |  UNION ALL SELECT 3, 'chars_per_token', s2, s3 FROM a
+           |  UNION ALL SELECT 4, 'repetition', s3, s4 FROM a)
+           |ORDER BY stage""".stripMargin)) { (s, d) =>
+    val w = words
+    val nTok = size(w)
+    val b1 = nTok >= 20
+    val b2 = col("lang") === "en"
+    val b3 = (col("n_chars").cast("double") / nTok)
+      .between(3, 8)
+    val b4 = (size(array_distinct(w)).cast("double") / nTok) >= 0.25
+    def srv(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val a = Tables.documents(s, d)
+      .agg(count(lit(1)).as("s0"), srv(b1).as("s1"), srv(b1 && b2).as("s2"),
+        srv(b1 && b2 && b3).as("s3"), srv(b1 && b2 && b3 && b4).as("s4"))
+    a.select(explode(array(
+        struct(lit(1).as("stage"), lit("min_length").as("rule"),
+          col("s0").as("docs_in"), col("s1").as("docs_out")),
+        struct(lit(2).as("stage"), lit("lang_en").as("rule"),
+          col("s1").as("docs_in"), col("s2").as("docs_out")),
+        struct(lit(3).as("stage"), lit("chars_per_token").as("rule"),
+          col("s2").as("docs_in"), col("s3").as("docs_out")),
+        struct(lit(4).as("stage"), lit("repetition").as("rule"),
+          col("s3").as("docs_in"), col("s4").as("docs_out")))).as("x"))
+      .select(col("x.stage"), col("x.rule"), col("x.docs_in"), col("x.docs_out"))
+      .withColumn("dropped", col("docs_in") - col("docs_out"))
+      .withColumn("drop_frac",
+        col("dropped").cast("double") / col("docs_in").cast("double"))
+      .orderBy("stage")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(q77, q78, q83)
 }

@@ -340,4 +340,25 @@ object StreamingOps {
         }
       }
   }
+
+  /** Streaming count-min counter maintenance
+    * ([[graft.operators.CountMinSketch]] as a streaming aggregation): the
+    * running d×w counter matrix of `termCol` occurrences in an unbounded
+    * stream, in Complete/Update output mode. The state IS the sketch —
+    * d·w rows regardless of stream length (the whole point of a sketch as
+    * streaming state: bounded memory with no watermark/eviction needed),
+    * and because counters are sums of engine-replayable buckets, the
+    * streaming matrix equals the batch [[graft.operators.CountMinSketch.counters]]
+    * of the same prefix EXACTLY — parity pinned by StreamingSpec. */
+  def cmsStream(terms: DataFrame, termCol: String, d: Int, w: Int): DataFrame = {
+    import graft.operators.CountMinSketch
+    terms
+      .withColumn("row", explode(array((0 until d).map(lit): _*)))
+      .withColumn("bucket",
+        (0 until d).foldLeft(lit(-1)) { (acc, j) =>
+          when(col("row") === j, CountMinSketch.bucket(col(termCol), j, w))
+            .otherwise(acc)
+        })
+      .groupBy("row", "bucket").agg(count(lit(1)).as("c"))
+  }
 }

@@ -306,4 +306,32 @@ class StreamingSpec extends SparkSpec {
         s"parity mismatch at $k: stream=$got batch=$r")
     }
   }
+
+  test("streaming CMS counters equal the batch sketch of the same prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val words = Seq("spark", "join", "filter", "scan", "merge", "window")
+    val data = (0 until 3000).map(i => words(i % words.length) + (i % 7))
+    val input = MemoryStream[String]
+    val terms = input.toDF().toDF("term")
+    val agg = StreamingOps.cmsStream(terms, "term", d = 4, w = 64)
+    val q = agg.writeStream.format("memory")
+      .queryName("cms_out").outputMode(OutputMode.Complete()).start()
+    try {
+      // two micro-batches: the state must accumulate across them
+      input.addData(data.take(1000))
+      q.processAllAvailable()
+      input.addData(data.drop(1000))
+      q.processAllAvailable()
+      val stream = spark.table("cms_out").collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val batch = graft.operators.CountMinSketch
+        .counters(data.toDF("term"), "term", 4, 64)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(stream == batch,
+        "the streaming counter matrix must equal the batch sketch exactly")
+      // bounded state: never more than d*w counter rows however long the stream
+      assert(stream.size <= 4 * 64)
+    } finally q.stop()
+  }
 }
