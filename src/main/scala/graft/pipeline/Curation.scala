@@ -103,4 +103,23 @@ object Curation {
     }
     labels.withColumn("split", split)
   }
+
+  /** Linear classifier inference over bag-of-words features (q84's
+    * production twin): per-doc logit = Σ weight(term) over all token
+    * occurrences, scored through a sigmoid. `weights` is the trained
+    * model as a (term, weight) frame — vocabulary-sized, so Catalyst
+    * broadcasts the join; terms absent from the model contribute 0
+    * (left join + coalesce), the standard out-of-vocabulary posture.
+    * One explode into a doc-keyed hash-agg; integer weights keep the
+    * logit partition-order-exact (the q84 determinism contract). */
+  def linearScore(docs: DataFrame, weights: DataFrame,
+                  scale: Double = 16.0): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .join(broadcast(weights), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("weight"), lit(0L))).as("logit"))
+      .select(col("doc_id"), col("logit"),
+        (lit(1.0) / (lit(1.0) + exp(-(col("logit").cast("double") / scale))))
+          .as("score"),
+        (col("logit") < 0).as("flagged"))
 }

@@ -204,5 +204,43 @@ object CurationQueries {
       .orderBy("stage")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(q77, q78, q83)
+  // ---------------------------------------------------------------- Q84
+  /** X48: linear quality-classifier inference — the GPT-3-style logistic
+    * filter (hashed bag-of-words features · weight vector → logit →
+    * sigmoid) run as a query. The declared weights are hash-derived
+    * integers in [−8, 8] (`hex60(md5(term||'#w84')) % 17 − 8`) so the
+    * oracle replays them without a model fixture; a REAL trained model
+    * plugs in as a broadcast (term, weight) frame via
+    * [[graft.pipeline.Curation.linearScore]] — same plan, weights joined
+    * instead of hashed (parity pinned by CurationPipelineSpec).
+    *
+    * Determinism: the logit is an INTEGER sum (integer weights × integer
+    * occurrence counts), so partition order cannot perturb it; the
+    * sigmoid is one exp per doc on an integer-derived argument, and no
+    * ordering depends on the double. Scale shape: one explode into a
+    * doc-keyed hash-agg (map-side combinable), no joins, no windows. */
+  val q84 = {
+    val wSql = s"(${Det.sql.hex60("md5(term || '#w84')")} % 17 - 8)"
+    DeclaredQuery(
+      "q84_classifier_score",
+      Some(s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+              |l AS (SELECT doc_id, CAST(SUM($wSql) AS BIGINT) AS logit
+              |      FROM t GROUP BY doc_id)
+              |SELECT doc_id, logit,
+              |       1.0 / (1.0 + exp(-(CAST(logit AS DOUBLE) / 16.0))) AS score,
+              |       logit < 0 AS flagged
+              |FROM l ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      val weight = pmod(Det.hex60(md5(concat(col("term"), lit("#w84")))), lit(17L)) - 8L
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(words).as("term"))
+        .groupBy("doc_id").agg(sum(weight).as("logit"))
+        .select(col("doc_id"), col("logit"),
+          (lit(1.0) / (lit(1.0) + exp(-(col("logit").cast("double") / 16.0))))
+            .as("score"),
+          (col("logit") < 0).as("flagged"))
+        .orderBy("doc_id")
+    }
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(q77, q78, q83, q84)
 }

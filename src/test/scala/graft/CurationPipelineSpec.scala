@@ -98,4 +98,19 @@ class CurationPipelineSpec extends SparkSpec {
     assert(written.where(col("contamination") > 1.0).count() == 0)
     assert(res("worst_doc") != "-")
   }
+
+  test("Curation.linearScore with q84's hash weights equals declared q84") {
+    val docs = Tables.documents(spark, sf0001)
+    // materialize q84's hash-derived weights as a (term, weight) model
+    // frame — the shape a real trained classifier arrives in
+    val vocab = docs.select(explode(split(col("text"), " ")).as("term")).distinct()
+    val weights = vocab.select(col("term"),
+      (pmod(graft.util.Det.hex60(md5(concat(col("term"), lit("#w84")))),
+        lit(17L)) - 8L).as("weight"))
+    val piped = Curation.linearScore(docs, weights)
+      .orderBy("doc_id").collect().toSeq
+    val declared = graft.queries.CurationQueries.q84.build(spark, sf0001)
+      .collect().toSeq
+    assert(piped == declared)
+  }
 }
