@@ -14,7 +14,8 @@ object SparkEntry {
     RelationalQueries.all ++ CircleQuery.all ++ EventQueries.all ++
       VectorQueries.all ++ TextQueries.all ++ TensorQueries.all ++
       SubwordQueries.all ++ ImageQueries.all ++ AudioQueries.all ++
-      VideoQueries.all ++ PiiQueries.all ++ CurationQueries.all
+      VideoQueries.all ++ PiiQueries.all ++ CurationQueries.all ++
+      RetrievalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
