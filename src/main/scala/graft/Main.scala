@@ -31,6 +31,9 @@ import scala.jdk.CollectionConverters._
   *                 `paths.documents`: one dedup chain, then clusters —
   *                 not docs — draw the split (pipeline/Curation);
   *                 writes `output/split`
+  *   - `score`   — linear classifier inference of `paths.documents`
+  *                 against the `paths.weights` (term, weight) model
+  *                 (pipeline/Curation); writes `output/score`
   *   - `ingest`  — incremental dedup of `paths.incoming` against the
   *                 `paths.documents` corpus (exact_dup/near_dup/novel);
   *                 writes `output/ingest`
@@ -61,6 +64,7 @@ object Main {
                            scorer: String,
                            documents: Option[String],
                            incoming: Option[String],
+                           weights: Option[String],
                            benchmarks: Option[String],
                            dataDir: Option[String],
                            indexDir: Option[String])
@@ -92,7 +96,7 @@ object Main {
       s("output"),
       // root-level `scorer` key: the predict command's model plug-point
       root.get("scorer").map(_.toString).filter(_.nonEmpty).getOrElse("identity"),
-      s("documents"), s("incoming"), s("benchmarks"), s("data_dir"),
+      s("documents"), s("incoming"), s("weights"), s("benchmarks"), s("data_dir"),
       s("index_dir"))
   }
 
@@ -222,6 +226,25 @@ object Main {
           "val" -> counts.getOrElse("val", 0L).toString,
           "test" -> counts.getOrElse("test", 0L).toString)
 
+      case "score" =>
+        // linear quality-classifier inference: per-doc logit/sigmoid of
+        // paths.documents against the trained (term, weight) model at
+        // paths.weights (Curation.linearScore — q84's production twin)
+        val docsPath = p.documents.getOrElse(throw new IllegalArgumentException(
+          "score needs paths.documents (parquet with doc_id, text)"))
+        val weightsPath = p.weights.getOrElse(throw new IllegalArgumentException(
+          "score needs paths.weights (parquet with term, weight)"))
+        val scored = Curation.linearScore(
+          spark.read.parquet(docsPath), spark.read.parquet(weightsPath))
+          .persist()
+        val total = scored.count()
+        val flagged = scored.filter(col("flagged")).count()
+        p.output.foreach(o =>
+          scored.write.mode("overwrite").parquet(s"$o/score"))
+        scored.unpersist()
+        Map("docs" -> total.toString, "flagged" -> flagged.toString,
+          "kept" -> (total - flagged).toString)
+
       case "ingest" =>
         // incremental dedup: judge paths.incoming against paths.documents
         // (the existing corpus) — exact_dup / near_dup / novel per doc,
@@ -312,7 +335,7 @@ object Main {
         Map("results" -> n.toString)
 
       case other => throw new IllegalArgumentException(
-        s"unknown command '$other' — expected cache|serve|explore|predict|dedup|split|ingest|decontaminate|annbuild|annsearch")
+        s"unknown command '$other' — expected cache|serve|explore|predict|dedup|split|score|ingest|decontaminate|annbuild|annsearch")
     }
   }
 
