@@ -153,4 +153,64 @@ object GraftProperties extends Properties("graft") {
       graft.multimodal.AudioHash.hash(s) ==
         graft.multimodal.AudioHash.hash(s.map(v => v * 3))
     }
+
+  // ---- sketch-family laws, against the REAL hash arithmetic (the same
+  // md5→60-bit derivation Det.hex60 / CountMinSketch.bucket /
+  // BloomFilter.position run in-engine, re-spelled in plain JVM here so
+  // the law is checked generatively and engine-independently)
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def hex60(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16)
+
+  private val termsGen: Gen[List[String]] =
+    Gen.listOfN(200, Gen.oneOf((0 until 25).map(i => s"t$i")))
+
+  property("CMS estimate never undercounts, for any term multiset") =
+    Prop.forAll(termsGen) { terms =>
+      val (d, w) = (4, 16) // narrow on purpose: collisions must occur
+      val counters = scala.collection.mutable.Map.empty[(Int, Long), Long]
+      terms.foreach(t => (0 until d).foreach { j =>
+        val b = hex60(s"$t#$j") % w
+        counters((j, b)) = counters.getOrElse((j, b), 0L) + 1
+      })
+      val exact = terms.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      exact.forall { case (t, n) =>
+        val est = (0 until d).map(j => counters((j, hex60(s"$t#$j") % w))).min
+        est >= n
+      }
+    }
+
+  property("CMS counters are shard-merge invariant") =
+    Prop.forAll(termsGen, Gen.choose(0, 200)) { (terms, cut) =>
+      def matrix(ts: Seq[String]): Map[(Int, Long), Long] = {
+        val m = scala.collection.mutable.Map.empty[(Int, Long), Long]
+        ts.foreach(t => (0 until 4).foreach { j =>
+          val b = hex60(s"$t#$j") % 16
+          m((j, b)) = m.getOrElse((j, b), 0L) + 1
+        })
+        m.toMap
+      }
+      val (a, b) = terms.splitAt(cut min terms.length)
+      val merged = (matrix(a).keySet ++ matrix(b).keySet).map { k =>
+        k -> (matrix(a).getOrElse(k, 0L) + matrix(b).getOrElse(k, 0L))
+      }.toMap
+      merged == matrix(terms)
+    }
+
+  property("Bloom filter never false-negatives, for any key set") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty))) { keys =>
+      val m = graft.operators.BloomFilter.sized(keys.size.toLong)
+      val bits = keys.flatMap(k => (0 until 3).map(j => hex60(s"$k@$j") % m)).toSet
+      keys.forall(k => (0 until 3).forall(j => bits(hex60(s"$k@$j") % m)))
+    }
+
+  property("Bloom sized() is the minimal power of two >= 32n") =
+    Prop.forAll(Gen.choose(1L, 1L << 40)) { n =>
+      val m = graft.operators.BloomFilter.sized(n)
+      (m & (m - 1)) == 0 && m >= 32 * n && m / 2 < 32 * n
+    }
 }
