@@ -342,11 +342,15 @@ object Main {
   def main(args: Array[String]): Unit = {
     require(args.length == 2,
       "usage: graft.Main <data-config.yaml> " +
-        "<cache|serve|explore|predict|dedup|ingest|decontaminate|annbuild|annsearch>")
+        "<cache|serve|explore|predict|dedup|split|score|ingest|decontaminate|annbuild|annsearch>")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      // Tables.events (and every timestamp reader) assumes a UTC session;
+      // this is the one session-constructing entry point that doesn't go
+      // through Session/Verify/Bench's builders, so pin it here too
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .appName("graft")
       .getOrCreate()

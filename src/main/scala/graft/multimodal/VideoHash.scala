@@ -54,12 +54,14 @@ object VideoHash {
   }
 
   /** summed slot-aligned hamming distance between two signatures (shorter
-    * video's missing slots count as maximally distant). */
+    * video's missing slots count as maximally distant — 63, the pHash's
+    * actual per-slot maximum: the hash is 63-bit, so counting 64 would
+    * score a missing slot as more distant than any real frame can be). */
   def distance(a: Array[Long], b: Array[Long]): Int = {
     val n = math.max(a.length, b.length)
     var d = 0; var i = 0
     while (i < n) {
-      d += (if (i < a.length && i < b.length) Phash.hamming(a(i), b(i)) else 64)
+      d += (if (i < a.length && i < b.length) Phash.hamming(a(i), b(i)) else 63)
       i += 1
     }
     d

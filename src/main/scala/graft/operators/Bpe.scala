@@ -71,7 +71,22 @@ object Bpe {
     // iteration order (ties are fully broken by the ordering, but a stable
     // walk makes debugging reproducible too)
     val dict = dictIn.toArray.sortBy(_._1)
-    val words: Array[Array[String]] = dict.map(_._1.split(""))
+    // split by CODE POINTS, not String.split("")'s UTF-16 units: Spark's
+    // split(word, "") keeps a surrogate pair together as one token, while
+    // String.split("") tears it into two lone surrogates — a
+    // supplementary-plane word would give the two trainers different
+    // initial segmentations (caught by SubwordSpec's tie-break fixture)
+    def codePointTokens(w: String): Array[String] = {
+      val out = mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        out += w.substring(i, i + n)
+        i += n
+      }
+      out.toArray
+    }
+    val words: Array[Array[String]] = dict.map(d => codePointTokens(d._1))
     val cnts: Array[Long] = dict.map(_._2)
     type Pair = (String, String)
     val pairCnt = mutable.HashMap.empty[Pair, Long]
@@ -99,9 +114,24 @@ object Bpe {
       w += 1
     }
     // max-heap: count DESC, then (a, b) lexicographic ASC — Reverse on the
-    // string legs turns PriorityQueue's max into lexicographic min
+    // string legs turns PriorityQueue's max into lexicographic min.
+    // The string legs compare UTF-8 BYTES, not java.lang.String UTF-16
+    // code units: the distributed trainMerges breaks ties through Spark's
+    // orderBy, which is UTF8String binary order, and the two differ for
+    // supplementary-plane tokens vs [U+E000,U+FFFF] (0xFFFF > 0xD800 in
+    // UTF-16 but EF BF BF < F0 90 80 80 in UTF-8) — String ordering here
+    // would let the trainers diverge at exactly such a tie.
+    val utf8Order: Ordering[String] = (x: String, y: String) => {
+      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(a.length, b.length)
+      var c = 0
+      while (c == 0 && i < n) { c = (a(i) & 0xff) - (b(i) & 0xff); i += 1 }
+      if (c != 0) c else a.length - b.length
+    }
     implicit val ord: Ordering[(Long, String, String)] =
-      Ordering.Tuple3(Ordering.Long, Ordering.String.reverse, Ordering.String.reverse)
+      Ordering.Tuple3(Ordering.Long, utf8Order.reverse, utf8Order.reverse)
     val heap = mutable.PriorityQueue.empty[(Long, String, String)]
     pairCnt.foreach { case ((a, b), c) => if (c >= 2) heap.enqueue((c, a, b)) }
     def applyTo(toks: Array[String], a: String, b: String): Array[String] = {

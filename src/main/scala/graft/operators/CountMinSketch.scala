@@ -48,7 +48,10 @@ object CountMinSketch {
   /** CMS point estimates for `probe`'s `termCol`: min over the d rows of
     * the matching counters. `cnt` must be [[counters]]' output (or a sum
     * of several — the sketch is mergeable by addition). Returns
-    * (`termCol`, `est`). */
+    * (`termCol`, `est`). The join is LEFT with an empty bucket counting
+    * as 0 — an out-of-sketch probe term must estimate 0, not vanish (all
+    * d buckets empty) or overestimate (min over only the non-empty
+    * buckets). */
   def estimate(probe: DataFrame, termCol: String, cnt: DataFrame,
                d: Int, w: Int): DataFrame = {
     val rows = explode(array((0 until d).map(lit): _*)).as("row")
@@ -57,8 +60,8 @@ object CountMinSketch {
         (0 until d).foldLeft(lit(-1)) { (acc, j) =>
           when(col("row") === j, bucket(col(termCol), j, w)).otherwise(acc)
         })
-      .join(broadcast(cnt), Seq("row", "bucket"))
-      .groupBy(termCol).agg(min(col("c")).as("est"))
+      .join(broadcast(cnt), Seq("row", "bucket"), "left")
+      .groupBy(termCol).agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 
   /** DuckDB spellings of the same arithmetic, kept beside the Spark twins

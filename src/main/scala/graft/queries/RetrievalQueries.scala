@@ -15,7 +15,6 @@ import org.apache.spark.sql.functions._
   */
 object RetrievalQueries {
 
-  private val qterms = Seq("data", "join", "stream") // q79's fixed query
   private val armK = 50 // per-arm candidate depth
   private val rrfK = 60 // Cormack et al.'s constant
 
@@ -32,27 +31,11 @@ object RetrievalQueries {
     * 50∪50-row full-outer join, and every rank window runs on an
     * arm-bounded frame (onePartition — the plan-audit rule). */
   val q85 = {
-    def sqlTf(t: String) = s"SUM(CASE WHEN term = '$t' THEN 1 ELSE 0 END)"
-    def sqlScore(i: Int) =
-      s"""ln(1.0 + (CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))
-         | * (CAST(tf$i AS DOUBLE) * 2.2
-         |    / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))""".stripMargin
     DeclaredQuery(
       "q85_hybrid_rrf",
-      Some(s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-              |tf AS (SELECT doc_id,
-              |              ${qterms.zipWithIndex.map { case (t, i) => s"${sqlTf(t)} AS tf${i + 1}" }.mkString(", ")}
-              |       FROM t GROUP BY doc_id),
-              |d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
-              |g AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM d),
-              |df AS (SELECT ${qterms.indices.map(i => s"SUM(CASE WHEN tf${i + 1} > 0 THEN 1 ELSE 0 END) AS df${i + 1}").mkString(", ")}
-              |       FROM tf),
-              |bm AS (
-              |  SELECT tf.doc_id,
-              |         ${qterms.indices.map(i => s"(${sqlScore(i + 1)})").mkString("\n         + ")} AS score
-              |  FROM tf JOIN d USING (doc_id) CROSS JOIN g CROSS JOIN df),
+      Some(s"""WITH ${Bm25.sqlCtes},
               |lex AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS lex_rank
-              |        FROM bm QUALIFY lex_rank <= $armK),
+              |        FROM scored QUALIFY lex_rank <= $armK),
               |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               |nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
               |qv AS (SELECT v AS pv, nrm AS pnrm FROM nn WHERE vec_id = 0),
@@ -72,33 +55,9 @@ object RetrievalQueries {
               |FROM top ORDER BY rnk""".stripMargin)) { (s, dd) =>
       import graft.operators.Ranks.onePartition
 
-      // ------------------------------------------------- lexical arm (q79)
-      val words: Column = split(col("text"), " ")
-      val terms = Tables.documents(s, dd)
-        .select(col("doc_id"), explode(words).as("term"))
-      val tf = terms.groupBy("doc_id").agg(
-        sum(when(col("term") === qterms(0), 1).otherwise(0)).as("tf1"),
-        sum(when(col("term") === qterms(1), 1).otherwise(0)).as("tf2"),
-        sum(when(col("term") === qterms(2), 1).otherwise(0)).as("tf3"))
-      val dl = Tables.documents(s, dd)
-        .select(col("doc_id"), size(words).cast("long").as("dl"))
-      val g = dl.agg(count(lit(1)).as("n"),
-        (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
-      val dfreq = tf.agg(
-        sum(when(col("tf1") > 0, 1).otherwise(0)).as("df1"),
-        sum(when(col("tf2") > 0, 1).otherwise(0)).as("df2"),
-        sum(when(col("tf3") > 0, 1).otherwise(0)).as("df3"))
-      def score(i: Int): Column = {
-        val tfD = col(s"tf$i").cast("double")
-        val dfD = col(s"df$i").cast("double")
-        val idf = log(lit(1.0) + (col("n").cast("double") - dfD + 0.5) / (dfD + 0.5))
-        idf * (tfD * lit(2.2) /
-          (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
-      }
-      val bm = tf.join(dl, "doc_id")
-        .crossJoin(broadcast(g)).crossJoin(broadcast(dfreq))
-        .select(col("doc_id"), (score(1) + score(2) + score(3)).as("score"))
-      val lex = bm.orderBy(col("score").desc, col("doc_id")).limit(armK)
+      // lexical arm: the SHARED Bm25 scorer — one implementation with q79
+      val lex = Bm25.scored(s, dd)
+        .orderBy(col("score").desc, col("doc_id")).limit(armK)
         .withColumn("lex_rank", row_number().over(Window
           .partitionBy(onePartition(col("doc_id")))
           .orderBy(col("score").desc, col("doc_id"))).cast("int"))

@@ -1616,65 +1616,25 @@ object TextQueries {
     * a broadcast 1-row corpus-stats frame, and TakeOrderedAndProject for
     * the global top-10 (no global sort, no single-reducer window on the
     * corpus; the row_number window runs on the 10 collected rows). */
-  val q79 = {
-    val qterms = Seq("data", "join", "stream") // fixed query, declared order
-    def sqlTf(t: String) = s"SUM(CASE WHEN term = '$t' THEN 1 ELSE 0 END)"
-    def sqlScore(i: Int) =
-      s"""ln(1.0 + (CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))
-         | * (CAST(tf$i AS DOUBLE) * 2.2
-         |    / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))""".stripMargin
-    DeclaredQuery(
-      "q79_bm25",
-      Some(s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-              |tf AS (SELECT doc_id,
-              |              ${qterms.zipWithIndex.map { case (t, i) => s"${sqlTf(t)} AS tf${i + 1}" }.mkString(", ")}
-              |       FROM t GROUP BY doc_id),
-              |d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
-              |g AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM d),
-              |df AS (SELECT ${qterms.indices.map(i => s"SUM(CASE WHEN tf${i + 1} > 0 THEN 1 ELSE 0 END) AS df${i + 1}").mkString(", ")}
-              |       FROM tf),
-              |scored AS (
-              |  SELECT tf.doc_id,
-              |         ${qterms.indices.map(i => s"(${sqlScore(i + 1)})").mkString("\n         + ")} AS score
-              |  FROM tf JOIN d USING (doc_id) CROSS JOIN g CROSS JOIN df),
-              |r AS (SELECT doc_id, score,
-              |             row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
-              |      FROM scored)
-              |SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, score
-              |FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin)) { (s, d) =>
-      val terms = docs(s, d).select(col("doc_id"), explode(words).as("term"))
-      val tf = terms.groupBy("doc_id").agg(
-        sum(when(col("term") === qterms(0), 1).otherwise(0)).as("tf1"),
-        sum(when(col("term") === qterms(1), 1).otherwise(0)).as("tf2"),
-        sum(when(col("term") === qterms(2), 1).otherwise(0)).as("tf3"))
-      val dl = docs(s, d).select(col("doc_id"), size(words).cast("long").as("dl"))
-      val g = dl.agg(count(lit(1)).as("n"),
-        (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
-      val dfreq = tf.agg(
-        sum(when(col("tf1") > 0, 1).otherwise(0)).as("df1"),
-        sum(when(col("tf2") > 0, 1).otherwise(0)).as("df2"),
-        sum(when(col("tf3") > 0, 1).otherwise(0)).as("df3"))
-      def score(i: Int): Column = {
-        val tfD = col(s"tf$i").cast("double")
-        val dfD = col(s"df$i").cast("double")
-        val idf = log(lit(1.0) + (col("n").cast("double") - dfD + 0.5) / (dfD + 0.5))
-        idf * (tfD * lit(2.2) /
-          (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
-      }
-      val scored = tf.join(dl, "doc_id")
-        .crossJoin(broadcast(g)).crossJoin(broadcast(dfreq))
-        .select(col("doc_id"), (score(1) + score(2) + score(3)).as("score"))
-      // TakeOrderedAndProject picks the 10; the rnk window then runs on the
-      // 10 collected rows — onePartition keeps the partition spec non-empty
-      // (the input is bounded by the limit, the plan-audit rule stays tight)
-      val top = scored.orderBy(col("score").desc, col("doc_id")).limit(10)
-      top.withColumn("rnk",
-        row_number().over(Window
-          .partitionBy(graft.operators.Ranks.onePartition(col("doc_id")))
-          .orderBy(col("score").desc, col("doc_id"))).cast("int"))
-        .select(col("rnk"), col("doc_id"), col("score"))
-        .orderBy("rnk")
-    }
+  val q79 = DeclaredQuery(
+    "q79_bm25",
+    Some(s"""WITH ${Bm25.sqlCtes},
+            |r AS (SELECT doc_id, score,
+            |             row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+            |      FROM scored)
+            |SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, score
+            |FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin)) { (s, d) =>
+    // TakeOrderedAndProject picks the 10; the rnk window then runs on the
+    // 10 collected rows — onePartition keeps the partition spec non-empty
+    // (the input is bounded by the limit, the plan-audit rule stays tight)
+    val top = Bm25.scored(s, d)
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+    top.withColumn("rnk",
+      row_number().over(Window
+        .partitionBy(graft.operators.Ranks.onePartition(col("doc_id")))
+        .orderBy(col("score").desc, col("doc_id"))).cast("int"))
+      .select(col("rnk"), col("doc_id"), col("score"))
+      .orderBy("rnk")
   }
 
   // ---------------------------------------------------------------- Q80

@@ -39,6 +39,21 @@ class CmsSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  test("out-of-sketch probe terms estimate 0, never vanish or overestimate") {
+    val keys = spark.range(50).select(concat(lit("in"), col("id")).as("term"))
+    val cnt = CountMinSketch.counters(keys, "term", d, w)
+    // probes disjoint from the sketched keys: with w=64 and 50 keys some
+    // of their buckets are empty — the estimate must be 0 whenever ANY of
+    // the d buckets is empty, and every probe must appear in the output
+    val probes = spark.range(200).select(concat(lit("out"), col("id")).as("term"))
+    val est = CountMinSketch.estimate(probes, "term", cnt, d, w)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.size == 200, "every probe term must get a verdict")
+    assert(est.values.forall(_ >= 0L))
+    assert(est.values.exists(_ == 0L),
+      "some disjoint probe must hit an empty bucket at this load")
+  }
+
   test("counters are partition invariant") {
     val p1 = CountMinSketch.counters(toks.repartition(1), "term", d, w)
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap

@@ -86,6 +86,20 @@ class SubwordSpec extends SparkSpec {
     assert(fast == slow)
   }
 
+  test("fast trainer breaks ties in UTF-8 byte order like Spark, not UTF-16") {
+    import spark.implicits._
+    // U+FFFF sorts AFTER U+10000 in Java String order (0xFFFF > 0xD800)
+    // but BEFORE it in UTF-8 byte order (EF BF BF < F0 90 80 80) — a tied
+    // top pair on these tokens is exactly where the two trainers could
+    // diverge if the heap used String ordering
+    val hi = "\uffff"
+    val supp = "\ud800\udc00" // U+10000 as its surrogate pair
+    val docs = Seq(s"$hi$supp $hi$supp $supp$hi $supp$hi").toDF("text")
+    val slow = Bpe.trainMerges(docs, 4)
+    val fast = Bpe.trainMergesFast(docs, 4)
+    assert(fast == slow, s"tie-break divergence: fast=$fast slow=$slow")
+  }
+
   test("trained merges feed the greedy segmenter as a vocab") {
     val docs = Seq("lower lower lowest newest newest").toDF("text")
     val merges = Bpe.trainMerges(docs, 6)

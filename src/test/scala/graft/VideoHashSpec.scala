@@ -51,7 +51,7 @@ class VideoHashSpec extends SparkSpec {
   test("distance: length mismatch counts missing slots as maximal") {
     val a = VideoHash.frameHashes(avi(3), 4)
     assert(VideoHash.distance(a, a.take(2)) ==
-      VideoHash.distance(a.take(2), a.take(2)) + 2 * 64)
+      VideoHash.distance(a.take(2), a.take(2)) + 2 * 63)
   }
 
   test("hashVideo column form matches the kernel, and the declared q75 chain " +
