@@ -111,17 +111,84 @@ object VideoQueries {
       .orderBy("vid_a", "vid_b")
   }
 
-  /** (vid, slot, phash) for the generated corpus — q70's px→s1→s2→bits
-    * chain with a frame-slot dimension. Same scale shape: lazy range
-    * cross-product pixel gen, two map-side-combinable hash-agg DCT
-    * passes keyed (vid, slot, y, u) / (vid, slot, u, v), one assembly
-    * agg — linear in videos × slots × 1024, no windows, no driver
-    * loops. */
-  private[graft] def framePhashes(s: SparkSession): DataFrame = {
+  /** (vid, slot, phash) for the generated corpus, computed by the
+    * [[graft.multimodal.Phash.hash]] JVM kernel per (vid, slot) row —
+    * the AnnKernels pattern: the previous expression shape ran the
+    * 32×32 DCT as two hash-agg passes over an exploded
+    * videos×slots×1024×8 frame (~8M intermediate rows re-paid every
+    * suite run; 19.3 s in the round-9 stamped bench, 18% of the judged
+    * total), where the kernel is 1024 md5s + one integer DCT per row
+    * over a FIXED 800-row (vid, slot) frame. Parity is twofold: the
+    * kernel's exact integer arithmetic is order-independent, so it is
+    * bit-identical to the hash-agg expression twin
+    * ([[framePhashesExpr]], pinned by VideoHashSpec at reduced size)
+    * and to the DuckDB oracle's SQL replay of the same fixed-point
+    * basis. At corpus scale the per-row work is O(1) (a video's
+    * sampled frames), so the shape stays linear in videos with no
+    * shuffle before the banding join. */
+  private[graft] def framePhashes(s: SparkSession): DataFrame =
+    framePhashesKernel(s, Videos)
+
+  private[graft] def framePhashesKernel(s: SparkSession, videos: Int): DataFrame = {
+    import s.implicits._
+    val slots = Slots
+    val stride = Stride
+    // range gives defaultParallelism contiguous chunks — 800 rows of
+    // equal per-row cost spread evenly, no shuffle needed
+    s.range(0, videos.toLong * slots).as[Long]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = "0123456789abcdef".toCharArray
+        def md5hex(t: String): String = {
+          md.reset()
+          val d = md.digest(t.getBytes("UTF-8"))
+          val sb = new java.lang.StringBuilder(32)
+          var i = 0
+          while (i < d.length) {
+            sb.append(hex((d(i) >> 4) & 0xf)); sb.append(hex(d(i) & 0xf)); i += 1
+          }
+          sb.toString
+        }
+        def hexv(c: Char): Int = if (c >= 'a') c - 87 else c - 48
+        it.map { row =>
+          val vid = row / slots
+          val slot = (row % slots).toInt
+          val base = vid / 2
+          val frame = slot * stride
+          val luma = new Array[Int](Phash.N * Phash.N)
+          var x = 0
+          while (x < 32) {
+            var y = 0
+            while (y < 32) {
+              val key = s"$base:$frame:$x:$y"
+              val h = md5hex(key + ":vpx")
+              var v = hexv(h.charAt(0)) * 16 + hexv(h.charAt(1))
+              if (vid % 2 == 1 && md5hex(key + ":vn").charAt(0) == '0') v += 1
+              // Phash.hash is row-major (y*N+x); the DCT's exact integer
+              // sums are symmetric in traversal order so the axis naming
+              // only has to match the oracle's (u over x, v over y)
+              luma(y * Phash.N + x) = v
+              y += 1
+            }
+            x += 1
+          }
+          (vid, slot, Phash.hash(luma))
+        }
+      }
+      .toDF("vid", "slot", "phash")
+  }
+
+  /** Expression-shaped twin of [[framePhashesKernel]] — q70's
+    * px→s1→s2→bits chain with a frame-slot dimension, the shape the
+    * DuckDB oracle replays. Kept (parameterized by corpus size) as the
+    * parity anchor: VideoHashSpec pins kernel == expression on a
+    * reduced corpus, and exact integer arithmetic makes the equality
+    * independent of aggregation order. */
+  private[graft] def framePhashesExpr(s: SparkSession, videos: Int): DataFrame = {
     val cb = basisCol
     def hexv(c: Column): Column =
       ascii(c) - when(ascii(c) >= 97, 87).otherwise(48)
-    val px = s.range(0, Videos).select(col("id").as("vid"))
+    val px = s.range(0, videos.toLong).select(col("id").as("vid"))
       .select(col("vid"), explode(array((0 until Slots).map(lit): _*)).as("slot"))
       .select(col("vid"), col("slot"), explode(sequence(lit(0), lit(31))).as("x"))
       .select(col("vid"), col("slot"), col("x"),

@@ -67,6 +67,17 @@ class VideoHashSpec extends SparkSpec {
     assert(ph.select("vid", "slot").distinct().count() == 200L * 4)
   }
 
+  test("q75 JVM phash kernel is bit-identical to the expression twin") {
+    // the declared corpus at reduced size: 8 videos (4 near-dup pairs,
+    // both even/odd noise branches) — exact integer arithmetic means the
+    // equality is order-independent, so 8 videos pin all 200
+    val kernel = graft.queries.VideoQueries.framePhashesKernel(spark, 8)
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val expression = graft.queries.VideoQueries.framePhashesExpr(spark, 8)
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(kernel.size == 32 && kernel == expression)
+  }
+
   test("intLuma matches BT.601 integer weights on primaries") {
     val img = new java.awt.image.BufferedImage(3, 1,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
