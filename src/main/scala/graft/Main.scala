@@ -277,8 +277,10 @@ object Main {
         val report = Curation.decontaminate(
           spark.read.parquet(docsPath), spark.read.parquet(benchPath)).persist()
         val contaminated = report.count()
-        val worst = report.orderBy(col("contamination").desc).limit(1)
-          .collect().headOption
+        // doc_id tie-break: two docs tied on contamination must not make
+        // the reported worst_doc plan-dependent
+        val worst = report.orderBy(col("contamination").desc, col("doc_id"))
+          .limit(1).collect().headOption
         p.output.foreach(o =>
           report.write.mode("overwrite").parquet(s"$o/decontaminate"))
         report.unpersist()

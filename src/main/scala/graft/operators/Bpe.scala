@@ -71,11 +71,11 @@ object Bpe {
     // iteration order (ties are fully broken by the ordering, but a stable
     // walk makes debugging reproducible too)
     val dict = dictIn.toArray.sortBy(_._1)
-    // split by CODE POINTS, not String.split("")'s UTF-16 units: Spark's
-    // split(word, "") keeps a surrogate pair together as one token, while
-    // String.split("") tears it into two lone surrogates — a
-    // supplementary-plane word would give the two trainers different
-    // initial segmentations (caught by SubwordSpec's tie-break fixture)
+    // explicit code-point segmentation, so the initial tokens match
+    // Spark's split(word, "") (one token per code point, surrogate pairs
+    // intact) by construction rather than by the regex engine's
+    // zero-width-match advancement rules — JDK-independent and obvious
+    // to audit (SubwordSpec's U+10000 fixture pins the parity)
     def codePointTokens(w: String): Array[String] = {
       val out = mutable.ArrayBuffer.empty[String]
       var i = 0

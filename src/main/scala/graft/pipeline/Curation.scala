@@ -113,7 +113,16 @@ object Curation {
     * One explode into a doc-keyed hash-agg; integer weights keep the
     * logit partition-order-exact (the q84 determinism contract). */
   def linearScore(docs: DataFrame, weights: DataFrame,
-                  scale: Double = 16.0): DataFrame =
+                  scale: Double = 16.0): DataFrame = {
+    // a model frame with duplicate term rows would silently multiply
+    // join rows and double-count that term's weight in every logit;
+    // the frame is vocabulary-sized (broadcast contract), so the check
+    // is one tiny agg job
+    val w = weights.agg(count(lit(1)), countDistinct(col("term"))).head()
+    require(w.getLong(0) == w.getLong(1),
+      s"model frame has duplicate term rows (${w.getLong(0)} rows, " +
+        s"${w.getLong(1)} distinct terms) — each duplicate would " +
+        "double-count its weight in the join")
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .join(broadcast(weights), Seq("term"), "left")
       .groupBy("doc_id")
@@ -122,4 +131,5 @@ object Curation {
         (lit(1.0) / (lit(1.0) + exp(-(col("logit").cast("double") / scale))))
           .as("score"),
         (col("logit") < 0).as("flagged"))
+  }
 }

@@ -30,12 +30,18 @@ class BloomSpec extends SparkSpec {
   }
 
   test("filters merge by union-distinct") {
-    val keys = spark.range(2000).select(md5(col("id").cast("string")).as("k"))
+    val ids = spark.range(2000)
+    def keysOf(d: org.apache.spark.sql.DataFrame) =
+      d.select(md5(col("id").cast("string")).as("k"))
+    val keys = keysOf(ids.toDF())
     val m = BloomFilter.sized(2000)
     val whole = BloomFilter.bits(keys, "k", 3, m)
       .collect().map(_.getLong(0)).toSet
-    val h1 = BloomFilter.bits(keys.limit(1000), "k", 3, m)
-    val h2 = BloomFilter.bits(keys.exceptAll(keys.limit(1000)), "k", 3, m)
+    // shard deterministically by id parity: limit() without an ordering
+    // is formally nondeterministic, so two limit-derived shards are not
+    // guaranteed to partition the key set
+    val h1 = BloomFilter.bits(keysOf(ids.filter(col("id") % 2 === 0).toDF()), "k", 3, m)
+    val h2 = BloomFilter.bits(keysOf(ids.filter(col("id") % 2 === 1).toDF()), "k", 3, m)
     val merged = h1.unionByName(h2).distinct().collect().map(_.getLong(0)).toSet
     assert(merged == whole)
   }
