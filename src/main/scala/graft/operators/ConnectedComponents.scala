@@ -43,13 +43,20 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** pointer jumps per round: each is one more tiny shuffle join against
-    * the round's materialized label map, and one more chain hop contracted
-    * — rounds scale as log_{Jumps+2}(deepest chain), so a handful of jumps
-    * trades marginal per-round cost for several fewer (fixed-overhead)
-    * rounds. 2 measured best at sf0.1: vs 1 it cuts rounds ~one third for
-    * one extra tiny join inside the same job. */
-  private val Jumps = 2
+  /** pointer jumps per round: each is one more label-frame shuffle join
+    * against the round's materialized label map, and one more chain hop
+    * contracted — rounds scale as log_{jumps+2}(deepest chain). Jump depth
+    * ESCALATES with the round count: near-dup cluster graphs are shallow
+    * (diameter-bound rounds, measured since round 6), so the common case
+    * converges in ~3 rounds where extra jumps cannot cut rounds (the
+    * changes are neighbor-min flood, not chain contraction — measured:
+    * jumps 1/2/4/6 all take 3 rounds on the corpus graph) and each jump
+    * join shuffles the corpus-sized label frame for nothing. Only a graph
+    * that is still unconverged after [[EscalateAfter]] rounds has
+    * demonstrated depth, and only then is the extra contraction paid. */
+  private val EscalateAfter = 3
+  private val JumpsShallow = sys.env.get("GRAFT_CC_JUMPS").map(_.toInt).getOrElse(1)
+  private val JumpsDeep = sys.env.get("GRAFT_CC_JUMPS").map(_.toInt).getOrElse(3)
 
   /** @param vertices one row per vertex
     * @param idCol    vertex id column in `vertices` (orderable; min wins)
@@ -79,37 +86,44 @@ object ConnectedComponents {
     var labels = rebase(labelsCk)
     var converged = false
     var iter = 0
+    val lblType = labels.schema("_lbl").dataType
     while (!converged && iter < maxIter) {
       val prevCk = labelsCk
-      val prev = labels
       // step 1: neighbor min — lazily cached so step 2's self-join reads
       // the InMemoryRelation instead of re-running the join (the
       // referenced-twice re-execution trap), WITHOUT spending a separate
-      // eager-materialization job: the round's one action below computes it
+      // eager-materialization job: the round's one action below computes it.
+      // The previous label RIDES THROUGH the aggregation (the self branch
+      // contributes exactly one non-null _old per _id; max ignores the edge
+      // branch's nulls), so the convergence check at the end of the round
+      // needs no separate join back to the previous frame — one shuffle
+      // fewer per round than the join-with-prev shape.
       val mins = edges
         .join(labels.select(col("_id").as("_nb"), col("_lbl").as("_nl")), Seq("_nb"))
-        .select(col("_x").as("_id"), col("_nl").as("_lbl"))
-        .unionByName(labels)
-        .groupBy("_id").agg(min(col("_lbl")).as("_lbl"))
+        .select(col("_x").as("_id"), col("_nl").as("_lbl"),
+          lit(null).cast(lblType).as("_old"))
+        .unionByName(labels.select(col("_id"), col("_lbl"),
+          col("_lbl").as("_old")))
+        .groupBy("_id").agg(min(col("_lbl")).as("_lbl"), max(col("_old")).as("_old"))
         .persist()
       // step 2: chained pointer jumps — follow the representative's own
-      // label `Jumps` times off the one cached mins frame, so each
-      // round contracts label chains by depth Jumps+1, not 2 (rounds ~
-      // log_{Jumps+2} of the deepest chain). A label is always a live
-      // vertex id (it is the min of vertex ids), so the lookup always
-      // matches; left join + coalesce only guards degenerate empty inputs
+      // label off the one cached mins frame, so each round contracts
+      // label chains by depth jumps+1, not 2 (rounds ~ log_{jumps+2} of
+      // the deepest chain). A label is always a live vertex id (it is the
+      // min of vertex ids), so the lookup always matches; left join +
+      // coalesce only guards degenerate empty inputs
+      val jumps = if (iter < EscalateAfter) JumpsShallow else JumpsDeep
       val reps = mins.select(col("_id").as("_lbl"), col("_lbl").as("_ll"))
       var jumped = mins
-      for (_ <- 1 to Jumps)
+      for (_ <- 1 to jumps)
         jumped = jumped.join(reps, Seq("_lbl"), "left")
           .select(col("_id"),
-            least(col("_lbl"), coalesce(col("_ll"), col("_lbl"))).as("_lbl"))
+            least(col("_lbl"), coalesce(col("_ll"), col("_lbl"))).as("_lbl"),
+            col("_old"))
       // lazy checkpoint: the convergence count below is the round's SINGLE
       // action — it computes the joins, fills the mins cache, persists the
       // checkpoint blocks, and counts changed labels in one job
-      val nextCk = jumped
-        .join(prev.withColumnRenamed("_lbl", "_old"), "_id")
-        .localCheckpoint(false)
+      val nextCk = jumped.localCheckpoint(false)
       val changed = nextCk.filter(col("_lbl") =!= col("_old")).count()
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] round ${iter + 1}: changed=$changed t=${System.nanoTime() / 1000000000L % 10000}")
