@@ -153,12 +153,41 @@ object Bench {
       s"\"" + k + "\":{\"reps\":" + arr(reps) + ",\"load\":" + arr(loads) + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // inflated cells carry their own evidence INLINE: a judged artifact
+    // showing one query at 5× its quiet cost is attributable (reps spread
+    // + loadavg at each rep) without the full-diag disk artifact. Only
+    // flagged queries (rep spread >1.5× or loadavg >4 during a rep) are
+    // included, worst spread first, and the serialized object is capped
+    // so the compact line stays inside the driver's bounded stdout tail.
+    val flagged = diag.toSeq
+      .filter { case (_, (reps, loads)) =>
+        (reps.size > 1 && reps.max > reps.min * 1.5 && reps.max - reps.min > 0.5) ||
+          loads.exists(_ > 4.0)
+      }
+      .sortBy { case (_, (reps, _)) =>
+        -(if (reps.isEmpty || reps.min == 0) 0.0 else reps.max / reps.min)
+      }
+    val flagsJson = {
+      val sb = new StringBuilder("{")
+      var n = 0
+      flagged.foreach { case (k, (reps, loads)) =>
+        val entry = "\"" + shortKey.getOrElse(k, k) + "\":{\"reps\":" +
+          reps.map(r => f"$r%.2f").mkString("[", ",", "]") +
+          ",\"load\":" + loads.map(l => f"$l%.1f").mkString("[", ",", "]") + "}"
+        if (sb.length + entry.length < 580) {
+          if (n > 0) sb.append(',')
+          sb.append(entry)
+          n += 1
+        }
+      }
+      sb.append('}').toString
+    }
     // stdout carries ONLY this compact line: the driver's scrape truncated
     // the 8 KB diag-bearing line two rounds running (BENCH_r06/r07
     // "parsed": null) — per-query mins and the summary fit in ~2 KB and
     // must be the one thing the scrape has to survive
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"queries":$qs,"reps":$benchReps,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"queries":$qs,"reps":$benchReps,"load_flags":$flagsJson,"sf":"$sfDir"}"""
     val fullQs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val full =

@@ -310,8 +310,9 @@ object Main {
         }
         def ai(k: String, dflt: Int): Int =
           ann.get(k).map(_.toString.toInt).getOrElse(dflt)
+        // n_clusters 0 (the default) self-sizes to ≈√n at build time
         val params = AnnIndex.Params(
-          nClusters = ai("n_clusters", 16), m = ai("m", 8),
+          nClusters = ai("n_clusters", 0), m = ai("m", 8),
           k = ai("k", 256), iters = ai("iters", 4))
         AnnIndex.build(spark, dataDir, indexDir, params)
         Map("index_dir" -> indexDir,

@@ -30,8 +30,20 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
-  final case class Params(nClusters: Int = 16, m: Int = 8, k: Int = 256,
+  /** nClusters <= 0 means SELF-SIZED: nlist ≈ √n (the FAISS IVF practice
+    * and the q57 self-sized-planes pattern — a fixed cell count that is
+    * right at one corpus size is wrong at 100× it; the round-9 5M build
+    * used 64 fixed cells = 78k vectors/cell and paid for it in recall).
+    * √n balances the two serve-side costs: centroid scan (nlist) and
+    * per-probed-cell work (n/nlist). */
+  final case class Params(nClusters: Int = 0, m: Int = 8, k: Int = 256,
                           iters: Int = 4)
+
+  /** clamp keeps degenerate corpora sane: >=16 so tiny test corpora still
+    * exercise multi-cell pruning, <=65536 so the centroid frame stays a
+    * broadcast-sized artifact (64k × 64-dim doubles ≈ 34 MB ceiling). */
+  def sizedClusters(n: Long): Int =
+    math.max(16, math.min(65536, math.round(math.sqrt(n.toDouble)).toInt))
 
   /** Train quantizers on the corpus at `dataDir` and materialize the
     * index under `indexDir`. */
@@ -53,9 +65,11 @@ object AnnIndex {
               p: Params = Params()): Unit = {
     val e = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
+    val nClusters =
+      if (p.nClusters > 0) p.nClusters else sizedClusters(e.count())
     // coarse quantizer: seeded picks + one mean refinement (AnnServing's
     // ivf recipe); collected literal frames keep every join a broadcast
-    val cent0 = AnnServing.seedPick(s, e, p.nClusters, "centroid")
+    val cent0 = AnnServing.seedPick(s, e, nClusters, "centroid")
       .select(col("pick_id").as("cluster_id"), col("v").as("cv"))
       .withColumn("cnrm",
         sqrt(aggregate(transform(col("cv"), x => x * x), lit(0.0), (a, x) => a + x)))
@@ -69,15 +83,20 @@ object AnnIndex {
         x => x("mn")).as("cv"))
       .withColumn("cnrm",
         sqrt(aggregate(transform(col("cv"), x => x * x), lit(0.0), (a, x) => a + x)))
-    val cent = s.createDataFrame(
-      java.util.Arrays.asList(meansPlan.collect(): _*), meansPlan.schema)
+    val cent = graft.util.Bounded.literalFrame(
+      meansPlan, 65536, "index centroid frame")
     cent.write.mode("overwrite").parquet(s"$indexDir/centroids")
     val book = AnnServing.pqCodebookOf(s, emb, p.m, p.k, p.iters,
       jvmAssign = true)
     book.write.mode("overwrite").parquet(s"$indexDir/codebook")
     val codes = AnnKernels.assignCodesJvm(e, AnnKernels.bookArrays(book))
       .join(assignCell(cent), Seq("vec_id"))
-    codes.write.mode("overwrite").partitionBy("cluster_id")
+    // repartition on the partition column before the dynamic write: with
+    // a √n-sized nlist (thousands of cells) an unclustered write has every
+    // task emitting a file into every cell directory — nlist × tasks tiny
+    // files; clustering first gives one file per cell
+    codes.repartition(col("cluster_id"))
+      .write.mode("overwrite").partitionBy("cluster_id")
       .parquet(s"$indexDir/codes")
   }
 
@@ -96,7 +115,8 @@ object AnnIndex {
     val codes = AnnKernels.assignCodesJvm(e, AnnKernels.bookArrays(book))
       .join(AnnKernels.assignCellsJvm(e, AnnKernels.centArray(cent)),
         Seq("vec_id"))
-    codes.write.mode("append").partitionBy("cluster_id")
+    codes.repartition(col("cluster_id"))
+      .write.mode("append").partitionBy("cluster_id")
       .parquet(s"$indexDir/codes")
   }
 

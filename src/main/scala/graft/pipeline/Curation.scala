@@ -54,9 +54,17 @@ object Curation {
     * Benchmark suites are eval sets (thousands of docs), so their gram
     * set is broadcast-sized by construction; the unbounded TRAIN side
     * never collects. */
-  def benchmarkGramSet(bench: DataFrame, n: Int = 13): Set[String] =
-    gramHashes(bench, "doc_id", "text", n)
-      .select("gh").distinct().collect().map(_.getString(0)).toSet
+  def benchmarkGramSet(bench: DataFrame, n: Int = 13): Set[String] = {
+    val grams = gramHashes(bench, "doc_id", "text", n)
+      .select("gh").distinct().collect()
+    // eval suites are thousands of docs → at most low millions of
+    // distinct gram digests; a corpus mistakenly passed as the bench
+    // side must fail here, not OOM the driver or bloat every broadcast
+    require(grams.length <= (1 << 22),
+      s"benchmark gram set has ${grams.length} distinct grams (bound " +
+        s"${1 << 22}) — this looks like a training corpus, not an eval set")
+    grams.map(_.getString(0)).toSet
+  }
 
   /** Deterministic per-stratum Bernoulli sampling toward `targets`
     * (stratum → share). `budget` is the total sample size target;

@@ -33,11 +33,18 @@ import org.apache.spark.sql.functions._
   */
 object AnnKernels {
 
-  /** centroid frame (cluster_id, cv, cnrm) → local array sorted by id. */
-  private[graft] def centArray(cent: DataFrame): Array[(Int, Array[Double], Double)] =
-    cent.select(col("cluster_id"), col("cv"), col("cnrm")).collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+  /** centroid frame (cluster_id, cv, cnrm) → local array sorted by id.
+    * Bounded by construction: the coarse quantizer is ≤65536 cells
+    * (AnnIndex.sizedClusters' clamp) — asserted here so a caller passing
+    * a corpus-sized frame fails loudly instead of collecting it. */
+  private[graft] def centArray(cent: DataFrame): Array[(Int, Array[Double], Double)] = {
+    val rows = cent.select(col("cluster_id"), col("cv"), col("cnrm")).collect()
+    require(rows.length <= 65536,
+      s"centroid frame has ${rows.length} rows — a coarse quantizer is " +
+        "broadcast-sized (<=65536); this looks like a corpus frame")
+    rows.map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
       .sortBy(_._1)
+  }
 
   /** best coarse cell per vector by cosine — JVM twin of the
     * crossJoin + min(struct(-csim, cluster_id)) shape. Input frame must
@@ -46,7 +53,12 @@ object AnnKernels {
       e: DataFrame, cents: Array[(Int, Array[Double], Double)]): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
+    // explicit broadcast, not closure capture: a √n-sized quantizer at 5M
+    // vectors is ~2k cells × 64 dims ≈ 1 MB+ — shipped once per executor
+    // via the broadcast store instead of serialized into every task
+    val bc = s.sparkContext.broadcast(cents)
     e.select(col("vec_id"), col("v")).as[(Long, Array[Double])].mapPartitions { it =>
+      val cents = bc.value
       it.map { case (id, v) =>
         var nn = 0.0
         var i = 0
@@ -81,7 +93,13 @@ object AnnKernels {
     * pick ids ≤ k) and the emitted column stays INT so the codes
     * artifact schema matches the expression path's. */
   private[graft] def bookArrays(book: DataFrame): Array[Array[(Int, Array[Double], Double)]] = {
-    val rows = book.select(col("sub"), col("code").cast("int"), col("cv")).collect()
+    val collected = book.select(col("sub"), col("code").cast("int"), col("cv")).collect()
+    // a PQ codebook is m·k rows (m<=64 subspaces × k<=65536 codes by any
+    // sane parameterization) — corpus-sized inputs fail loudly
+    require(collected.length <= (1 << 20),
+      s"codebook frame has ${collected.length} rows — a PQ codebook is " +
+        "m·k broadcast-sized; this looks like a corpus frame")
+    val rows = collected
       .map { r =>
         val cv = r.getSeq[Double](2).toArray
         var nn = 0.0
@@ -103,7 +121,9 @@ object AnnKernels {
     val s = e.sparkSession
     import s.implicits._
     val m = bySub.length
+    val bc = s.sparkContext.broadcast(bySub)
     e.select(col("vec_id"), col("v")).as[(Long, Array[Double])].mapPartitions { it =>
+      val bySub = bc.value
       it.flatMap { case (id, v) =>
         val subDim = v.length / m
         (0 until m).iterator.map { sub =>

@@ -44,7 +44,7 @@ object AnnServing {
         Window.partitionBy(graft.operators.Ranks.onePartition(col("vec_id")))
           .orderBy(col("_sk"), col("vec_id"))))
       .select(col("pick_id"), col("v"))
-    s.createDataFrame(java.util.Arrays.asList(plan.collect(): _*), plan.schema)
+    graft.util.Bounded.literalFrame(plan, k, s"seedPick($tag)")
   }
 
   /** IVF top-k: `nClusters` centroids (seeded init + `iters` k-means
@@ -76,17 +76,16 @@ object AnnServing {
         .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
           x => x("m")).as("cv"))
         .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
-      val means = s.createDataFrame(
-        java.util.Arrays.asList(meansPlan.collect(): _*), meansPlan.schema)
+      val means = graft.util.Bounded.literalFrame(
+        meansPlan, nClusters, "ivf cluster means")
       // a cluster that lost all members keeps its previous centroid
-      cent = s.createDataFrame(java.util.Arrays.asList(
+      cent = graft.util.Bounded.literalFrame(
         cent.select(col("cluster_id"), col("cv").as("cv0"), col("cnrm").as("cnrm0"))
           .join(means, Seq("cluster_id"), "left")
           .select(col("cluster_id"),
             coalesce(col("cv"), col("cv0")).as("cv"),
-            coalesce(col("cnrm"), col("cnrm0")).as("cnrm"))
-          .collect(): _*),
-        org.apache.spark.sql.types.StructType(meansPlan.schema.fields))
+            coalesce(col("cnrm"), col("cnrm0")).as("cnrm")),
+        nClusters, "ivf centroid frame")
     }
     val asgn = assigned(n, cent)
     val probesBase = n.filter(col("vec_id") < 5)
@@ -164,8 +163,7 @@ object AnnServing {
       val seedSubsPlan = subvectors(
         seeds.select(col("pick_id").as("vec_id"), col("v")), m, subDim)
         .select(col("sub"), col("vec_id").as("code"), col("vs").as("cv"))
-      s.createDataFrame(
-        java.util.Arrays.asList(seedSubsPlan.collect(): _*), seedSubsPlan.schema)
+      graft.util.Bounded.literalFrame(seedSubsPlan, m * k, "pq seed codebook")
     }
     for (_ <- 0 until iters) {
       val asgn = (if (jvmAssign)
@@ -179,15 +177,15 @@ object AnnServing {
         .groupBy("sub", "code")
         .agg(transform(sort_array(collect_list(struct(col("pos"), col("mn")))),
           x => x("mn")).as("cv"))
-      val means = s.createDataFrame(
-        java.util.Arrays.asList(meansPlan.collect(): _*), meansPlan.schema)
+      val means = graft.util.Bounded.literalFrame(
+        meansPlan, m * k, "pq codeword means")
       // empty codewords keep their previous centroid (common at k=256 on
       // small sample shards; dropping them would shrink the codebook)
-      book = s.createDataFrame(java.util.Arrays.asList(
+      book = graft.util.Bounded.literalFrame(
         book.select(col("sub"), col("code"), col("cv").as("cv0"))
           .join(means, Seq("sub", "code"), "left")
-          .select(col("sub"), col("code"), coalesce(col("cv"), col("cv0")).as("cv"))
-          .collect(): _*), means.schema)
+          .select(col("sub"), col("code"), coalesce(col("cv"), col("cv0")).as("cv")),
+        m * k, "pq codebook frame")
     }
     book
   }
@@ -306,8 +304,8 @@ object AnnServing {
       .agg(transform(sort_array(collect_list(struct(col("pos"), col("mn")))),
         x => x("mn")).as("cv"))
       .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
-    val cent = s.createDataFrame(
-      java.util.Arrays.asList(meansPlan.collect(): _*), meansPlan.schema)
+    val cent = graft.util.Bounded.literalFrame(
+      meansPlan, nClusters, "ivfpq centroid frame")
     val cells = assignCell(n, cent)
     // probe cells: nprobe most-similar centroids per probe
     val probeCells = n.filter(col("vec_id") < 5).crossJoin(broadcast(cent))

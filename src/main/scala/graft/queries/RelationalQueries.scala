@@ -352,8 +352,8 @@ object RelationalQueries {
       count(lit(1)).as("_bn"),
       sum(col("c")).as("_bsc"),
       sum((col("c") * col("c")).cast(DecimalType(38, 0))).as("_bsc2"))
-    val bagg = s.createDataFrame(
-      java.util.Arrays.asList(baggPlan.collect(): _*), baggPlan.schema)
+    // 2 flags × ≤ a few hundred 100k-wide price buckets
+    val bagg = graft.util.Bounded.literalFrame(baggPlan, 4096, "price moment buckets")
     val stats = bagg.groupBy("flag").agg(
       sum(col("_bn")).as("n"),
       sum(col("_bsc")).as("_sc"),

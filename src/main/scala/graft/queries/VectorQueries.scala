@@ -215,8 +215,7 @@ object VectorQueries {
         Window.partitionBy(graft.operators.Ranks.onePartition(col("vec_id")))
           .orderBy(col("_ck"), col("vec_id"))))
       .select(col("cluster_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val cent = s.createDataFrame(
-      java.util.Arrays.asList(centPicked.collect(): _*), centPicked.schema)
+    val cent = graft.util.Bounded.literalFrame(centPicked, 16, "q43 centroids")
     def assignTo(base: DataFrame): DataFrame = base.crossJoin(broadcast(cent))
       .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
       .withColumn("ark", row_number().over(
@@ -339,8 +338,7 @@ object VectorQueries {
         Window.partitionBy(graft.operators.Ranks.onePartition(col("vec_id")))
           .orderBy(col("_ck"), col("vec_id"))))
       .select(col("cluster_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val cent0 = s.createDataFrame(
-      java.util.Arrays.asList(cent0Picked.collect(): _*), cent0Picked.schema)
+    val cent0 = graft.util.Bounded.literalFrame(cent0Picked, 16, "ivf seed centroids")
     def assignTo(base: DataFrame, cent: DataFrame): DataFrame = base
       .crossJoin(broadcast(cent))
       .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
@@ -367,8 +365,7 @@ object VectorQueries {
         x => x("m")).as("cv"))
       .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
       .select(col("cluster_id"), col("cv"), col("cnrm"))
-    val cent1 = s.createDataFrame(
-      java.util.Arrays.asList(cent1Plan.collect(): _*), cent1Plan.schema)
+    val cent1 = graft.util.Bounded.literalFrame(cent1Plan, 16, "ivf refined centroids")
     val a2 = assignTo(n, cent1)
     val asgn = a2.filter(col("ark") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cluster_id"))
@@ -524,8 +521,7 @@ object VectorQueries {
         Window.partitionBy(graft.operators.Ranks.onePartition(col("vec_id")))
           .orderBy(col("_sk"), col("vec_id"))))
       .select(col("code"), col("vec_id"))
-    val seeds = s.createDataFrame(
-      java.util.Arrays.asList(seedsPlan.collect(): _*), seedsPlan.schema)
+    val seeds = graft.util.Bounded.literalFrame(seedsPlan, 16, "pq seed picks")
     val c0 = subs.join(broadcast(seeds), "vec_id")
       .select(col("sub"), col("code"), col("vs").as("cv"))
     val a1 = pqAssign(subs, c0).select(col("vec_id"), col("sub"), col("code"), col("vs"))
@@ -541,8 +537,7 @@ object VectorQueries {
     val c1Plan = csum.groupBy("sub", "code").agg(
       transform(sort_array(collect_list(struct(col("pos"), (col("sv") / col("cnt")).as("m")))),
         x => x("m")).as("cv"))
-    val c1 = s.createDataFrame(
-      java.util.Arrays.asList(c1Plan.collect(): _*), c1Plan.schema)
+    val c1 = graft.util.Bounded.literalFrame(c1Plan, 16 * 4, "pq codebook")
     (subs, c1)
   }
 

@@ -31,7 +31,9 @@ object AnnScaleBench {
   def main(args: Array[String]): Unit = {
     val embDir = args.headOption.getOrElse("bench_scratch/emb5m")
     val appendFrac = args.lift(1).map(_.toDouble).getOrElse(0.01)
-    val nClusters = args.lift(2).map(_.toInt).getOrElse(64)
+    // 0 = self-sized ≈√n (the default posture); a fixed count remains a
+    // knob for sizing-rule comparisons
+    val nClusters = args.lift(2).map(_.toInt).getOrElse(0)
     val indexDir = args.lift(3).getOrElse(
       java.nio.file.Files.createTempDirectory("annscale").toString)
     val nprobe = args.lift(4).map(_.toInt).getOrElse(8)
