@@ -341,6 +341,38 @@ object StreamingOps {
       }
   }
 
+  /** Stream-stream enrichment join (the events-enrichment shape a feeds
+    * pipeline hits: impressions ⋈ clicks, docs ⋈ annotations): equi-join
+    * on `keyOn` plus an EVENT-TIME interval — right rows match left rows
+    * whose timestamp is within [-lowerMs, +upperMs] of theirs. Both sides
+    * carry a watermark and the range condition binds the two event-time
+    * columns directly, which is exactly what Spark's stream-stream join
+    * needs to derive a state watermark: buffered rows older than
+    * (watermark − interval bound) are EVICTED, so state is
+    * O(rate × (watermark + interval)) per side — bounded on an unbounded
+    * stream — instead of joining against all history.
+    *
+    * `joinType` supports "inner" and "leftOuter" (the outer side emits
+    * its null-padded row only once the watermark proves no match can
+    * still arrive — late-emission, not wrong-emission). Column names must
+    * be disjoint across the two sides except the join key; the caller
+    * picks distinct ts column names (the usual `l_ts`/`r_ts` discipline)
+    * because BOTH appear in the output.
+    *
+    * Works identically on batch frames (watermarks are no-ops there), so
+    * the spec pins streaming == batch join on the same data. */
+  def enrichStream(left: DataFrame, leftTs: String, leftWatermark: String,
+                   right: DataFrame, rightTs: String, rightWatermark: String,
+                   keyOn: Column, lowerMs: Long, upperMs: Long,
+                   joinType: String = "inner"): DataFrame = {
+    val l = left.withWatermark(leftTs, leftWatermark)
+    val r = right.withWatermark(rightTs, rightWatermark)
+    val range =
+      col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lowerMs MILLISECONDS") &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $upperMs MILLISECONDS")
+    l.join(r, keyOn && range, joinType)
+  }
+
   /** Streaming count-min counter maintenance
     * ([[graft.operators.CountMinSketch]] as a streaming aggregation): the
     * running d×w counter matrix of `termCol` occurrences in an unbounded

@@ -90,6 +90,8 @@ object AnnScaleBench {
 
     val p = AnnIndex.Params(nClusters = nClusters)
     val (_, buildS) = timed(AnnIndex.buildOf(spark, base, indexDir, p))
+    // report the RESOLVED cell count (nClusters=0 self-sizes inside build)
+    val cells = spark.read.parquet(s"$indexDir/centroids").count()
     // serve three times: first pays file-index warmup, min is steady state
     val serves = (1 to 3).map(_ =>
       timed(AnnIndex.searchOf(spark, base, indexDir, nprobe, shortlist).count())._2)
@@ -105,7 +107,7 @@ object AnnScaleBench {
     val recallAfter = recallOf(
       AnnIndex.searchOf(spark, emb, indexDir, nprobe, shortlist), exactFull)
 
-    println(f"""{"metric":"ann_scale","n_base":$nBase%d,"n_append":${nAll - nBase}%d,"n_clusters":$nClusters%d,"build_sec":$buildS%.2f,"serve_secs":[${serves.map(x => f"$x%.2f").mkString(",")}],"serve_min_sec":${serves.min}%.2f,"append_sec":$appendS%.2f,"serve_after_secs":[${servesAfter.map(x => f"$x%.2f").mkString(",")}],"serve_after_min_sec":${servesAfter.min}%.2f,"recall5_base":$recallBase%.3f,"recall5_after":$recallAfter%.3f,"emb":"$embDir"}""")
+    println(f"""{"metric":"ann_scale","n_base":$nBase%d,"n_append":${nAll - nBase}%d,"n_clusters":$cells%d,"build_sec":$buildS%.2f,"serve_secs":[${serves.map(x => f"$x%.2f").mkString(",")}],"serve_min_sec":${serves.min}%.2f,"append_sec":$appendS%.2f,"serve_after_secs":[${servesAfter.map(x => f"$x%.2f").mkString(",")}],"serve_after_min_sec":${servesAfter.min}%.2f,"recall5_base":$recallBase%.3f,"recall5_after":$recallAfter%.3f,"emb":"$embDir"}""")
     spark.stop()
   }
 }

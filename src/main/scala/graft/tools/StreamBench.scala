@@ -19,7 +19,7 @@ import org.apache.spark.sql.streaming.OutputMode
   * cluster deployments shard by the group key.
   *
   * Usage: runMain graft.tools.StreamBench <sfDir> [chunks] [ops-csv]
-  * (ops-csv ⊆ asof,neardup,exactdedup — default all three)
+  * (ops-csv ⊆ asof,neardup,exactdedup,enrich — default all four)
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
@@ -27,7 +27,7 @@ object StreamBench {
     val chunks = args.lift(1).map(_.toInt).getOrElse(8)
     val ops: Set[String] = args.lift(2)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .getOrElse(Set("asof", "neardup", "exactdedup"))
+      .getOrElse(Set("asof", "neardup", "exactdedup", "enrich"))
     val spark = graft.Session.local(appName = "graft-stream-bench")
     spark.sparkContext.setLogLevel("WARN")
     // the fuzz-hardened checkpoint posture from SparkSpec: checksummed
@@ -116,6 +116,42 @@ object StreamBench {
       hashed.grouped(math.max(1, hashed.length / chunks)).foreach { c =>
         in.addData(c.toSeq: _*); q.processAllAvailable()
       }
+      q.stop()
+    }
+    }
+    // ---- stream-stream interval enrichment over events (views ⋈ clicks
+    // per user within ±1 h): Spark's watermarked stream-stream join —
+    // state bounded by watermark + interval on both sides
+    if (ops("enrich")) {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("event_type"), col("user_id"), col("ts"),
+        col("event_id"), col("value"))
+      .orderBy("ts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4)))
+    val views = ev.filter(_._1 == "view").map(e => (e._2, e._3, e._4))
+    val clicks = ev.filter(_._1 == "click").map(e => (e._2, e._3, e._4, e._5))
+    timeIt("enrich", views.length + clicks.length, chunks) {
+      val lIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val rIn = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+      val q = StreamingOps.enrichStream(
+        lIn.toDF().repartition(32).toDF("key", "l_ts", "view_id"),
+        "l_ts", "1 hour",
+        rIn.toDF().repartition(32).toDF("r_key", "r_ts", "click_id", "click_value"),
+        "r_ts", "1 hour",
+        col("key") === col("r_key"),
+        lowerMs = 3600L * 1000L, upperMs = 3600L * 1000L)
+        .writeStream.format("memory").queryName("sb_enrich")
+        .outputMode(OutputMode.Append()).start()
+      val lStep = math.max(1, views.length / chunks)
+      val rStep = math.max(1, clicks.length / chunks)
+      views.grouped(lStep).zipAll(clicks.grouped(rStep), Array.empty[(Long, java.sql.Timestamp, Long)], Array.empty[(Long, java.sql.Timestamp, Long, Double)])
+        .foreach { case (lc, rc) =>
+          if (lc.nonEmpty) lIn.addData(lc.toSeq: _*)
+          if (rc.nonEmpty) rIn.addData(rc.toSeq: _*)
+          q.processAllAvailable()
+        }
       q.stop()
     }
     }

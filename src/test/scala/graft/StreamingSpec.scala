@@ -334,4 +334,63 @@ class StreamingSpec extends SparkSpec {
       assert(stream.size <= 4 * 64)
     } finally q.stop()
   }
+
+  test("enrichStream: stream-stream interval join matches the batch join; " +
+    "leftOuter emits unmatched only after the watermark closes the interval") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val lIn = MemoryStream[(Timestamp, Long, String)]
+    val rIn = MemoryStream[(Timestamp, Long, String)]
+    val l = lIn.toDF().toDF("l_ts", "key", "l_payload")
+    val r = rIn.toDF().toDF("r_ts", "r_key", "r_payload")
+    def joined(jt: String) = StreamingOps.enrichStream(
+      l, "l_ts", "10 minutes", r, "r_ts", "10 minutes",
+      col("key") === col("r_key"), lowerMs = 120000, upperMs = 120000,
+      joinType = jt)
+    val q = joined("inner").writeStream.format("memory")
+      .queryName("enrich_inner").outputMode(OutputMode.Append()).start()
+    val qo = joined("leftOuter").writeStream.format("memory")
+      .queryName("enrich_outer").outputMode(OutputMode.Append()).start()
+    try {
+      // key 1: click 1 min after the impression (inside ±2 min);
+      // key 2: follow-up 5 min later (outside); key 3: no right row at all
+      lIn.addData((ts(0), 1L, "imp1"), (ts(0), 2L, "imp2"), (ts(1), 3L, "imp3"))
+      rIn.addData((ts(1), 1L, "click1"), (ts(5), 2L, "late2"))
+      q.processAllAvailable(); qo.processAllAvailable()
+      val inner = spark.table("enrich_inner").collect()
+      assert(inner.length == 1 && inner(0).getAs[String]("l_payload") == "imp1"
+        && inner(0).getAs[String]("r_payload") == "click1", s"${inner.toSeq}")
+      // outer: unmatched lefts must NOT emit yet — a match could still arrive
+      assert(spark.table("enrich_outer")
+        .filter(col("r_payload").isNull).count() == 0)
+      // push both watermarks far past the interval horizon
+      lIn.addData((ts(59), 9L, "wm"))
+      rIn.addData((ts(59), 9L, "wm"))
+      q.processAllAvailable(); qo.processAllAvailable()
+      // second batch so the advanced watermark actually evicts/emits
+      lIn.addData((ts(59, 30), 9L, "wm2"))
+      rIn.addData((ts(59, 30), 9L, "wm2"))
+      q.processAllAvailable(); qo.processAllAvailable()
+      val unmatched = spark.table("enrich_outer")
+        .filter(col("r_payload").isNull)
+        .select("l_payload").collect().map(_.getString(0)).toSet
+      assert(unmatched == Set("imp2", "imp3"),
+        s"watermark-closed unmatched lefts: $unmatched")
+      // batch parity: the same frames joined as static data give the same
+      // matched pairs (watermarks are no-ops on batch)
+      val lb = Seq((ts(0), 1L, "imp1"), (ts(0), 2L, "imp2"), (ts(1), 3L, "imp3"))
+        .toDF("l_ts", "key", "l_payload")
+      val rb = Seq((ts(1), 1L, "click1"), (ts(5), 2L, "late2"))
+        .toDF("r_ts", "r_key", "r_payload")
+      val batch = StreamingOps.enrichStream(
+        lb, "l_ts", "10 minutes", rb, "r_ts", "10 minutes",
+        col("key") === col("r_key"), 120000, 120000)
+        .select("l_payload", "r_payload").collect()
+        .map(row => (row.getString(0), row.getString(1))).toSet
+      assert(batch ==
+        spark.table("enrich_inner").filter(col("key") < 9)
+          .select("l_payload", "r_payload")
+          .collect().map(row => (row.getString(0), row.getString(1))).toSet)
+    } finally { q.stop(); qo.stop() }
+  }
 }
