@@ -89,5 +89,35 @@ object SubwordQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(q68, q69)
+  // ---------------------------------------------------------------- Q86
+  /** q68's subword statistics with the TRAINED vocabulary
+    * ([[graft.operators.TrainedBpe]] — `Bpe.trainDict` output at 1,500
+    * merges, checked in as a fixture): the round-10 close of the loop
+    * from trainer to declared query. The vocab was trained on a
+    * DISJOINT realistic dictionary, so corpus words receive non-trivial
+    * multi-unit segmentations (1–4 tokens/word, not the all-1s a
+    * corpus-trained inventory would give here). The oracle replays the
+    * same greedy longest-match over the same 1,500-unit inventory in a
+    * recursive CTE — pure string/integer arithmetic, hash-exact.
+    *
+    * Scale shape = q68's: the segmentation loop (now against a
+    * 1,500-unit inventory, unit lengths 2..17) runs on DISTINCT words
+    * only; the corpus pays one explode + word join + doc hash-agg. */
+  val q86 = DeclaredQuery(
+    "q86_subword_trained",
+    Some(s"""WITH RECURSIVE ${Subword.oracleCtes(graft.operators.TrainedBpe.vocab)}
+            |SELECT doc_id,
+            |       CAST(COUNT(*) AS INTEGER) AS n_words,
+            |       CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+            |       CAST(MAX(n_sub) AS INTEGER) AS max_word_subwords,
+            |       CAST(SUM(n_sub) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS subwords_per_word
+            |FROM tokj JOIN sw USING (word)
+            |GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, d) =>
+    Subword.docCounts(docs(s, d), graft.operators.TrainedBpe.vocab)
+      .withColumn("subwords_per_word",
+        col("n_subwords").cast("double") / col("n_words").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(q68, q69, q86)
 }

@@ -63,6 +63,32 @@ object BpeBench {
       println(f"""{"metric":"bpe_train_synth","dict_words":${dict.size}%d,"merges":${merges.length}%d,"wall_sec":$wall%.2f,"sec_per_merge":${wall / math.max(1, merges.length)}%.6f}""")
       return
     }
+    if (args.headOption.contains("fixture")) {
+      // regenerate the checked-in trained-vocab fixture
+      // (src/main/resources/graft/bpe_merges_trained.txt — see
+      // operators.TrainedBpe): synthDict's realistic Zipf dictionary at
+      // real merge depth (the sf corpora exhaust pair merges at ~90).
+      // Deliberately NOT seeded with the corpus generator's words —
+      // seeding makes every corpus word a whole unit and the declared
+      // q86 degenerates to n_sub = 1 everywhere; training on a disjoint
+      // dictionary is the realistic cross-domain application and gives
+      // corpus words non-trivial multi-unit segmentations.
+      // Deterministic end-to-end: same dict, same tie rules, same file.
+      val nWords = args.lift(1).map(_.toInt).getOrElse(100000)
+      val nMerges = args.lift(2).map(_.toInt).getOrElse(1500)
+      val out = args.lift(3).getOrElse(
+        "src/main/resources/graft/bpe_merges_trained.txt")
+      val dict = synthDict(nWords).toSeq
+        .groupBy(_._1).map { case (w, xs) => (w, xs.map(_._2).sum) }
+      val t0 = System.nanoTime()
+      val merges = graft.operators.Bpe.trainDict(dict.iterator, nMerges)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val body = merges.map { case (a, b) => s"$a\t$b" }.mkString("", "\n", "\n")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        body.getBytes("UTF-8"))
+      println(f"""{"metric":"bpe_fixture","dict_words":${dict.size}%d,"merges":${merges.length}%d,"wall_sec":$wall%.2f,"out":"$out"}""")
+      return
+    }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nMerges = args.lift(1).map(_.toInt).getOrElse(32)
     val slow = args.contains("slow")

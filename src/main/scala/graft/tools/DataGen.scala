@@ -46,7 +46,8 @@ object DataGen {
   private val PAdjs = Seq("large", "hot", "blue", "small", "red", "green", "cold", "dim")
   private val PNouns = Seq("ring", "bolt", "gear", "tube", "rod", "cap", "pin", "disc")
   private val EventTypes = Seq("signup", "click", "error", "view", "purchase")
-  private val Vocab = Seq(
+  /** the documents vocabulary. */
+  private[tools] val DocVocab = Seq(
     "spark", "table", "query", "hash", "line", "slow", "fast", "value", "filter",
     "customer", "stream", "key", "group", "scan", "order", "window", "join",
     "part", "vector", "small", "big", "data", "row", "sort", "column", "batch",
@@ -153,12 +154,12 @@ object DataGen {
     // ≈ N — the adversarial topology for connected components' round
     // count (real corpora measured ≤ ~16 hops; this forces ≥ N hops).
     val chainDocs = sys.env.getOrElse("GRAFT_CHAIN_DOCS", "0").toLong
-    def streamWord(j: Column): Column = element_at(array(Vocab.map(lit): _*),
-      pmod(xxhash64(j, lit("d_chain")), lit(Vocab.size.toLong)).cast("int") + 1)
+    def streamWord(j: Column): Column = element_at(array(DocVocab.map(lit): _*),
+      pmod(xxhash64(j, lit("d_chain")), lit(DocVocab.size.toLong)).cast("int") + 1)
     val normalWords = transform(
       sequence(lit(0L), (uint(baseId, "d_len", 86) + 14).cast("long")),
-      i => element_at(array(Vocab.map(lit): _*),
-        pmod(xxhash64(baseId, i, lit("d_w")), lit(Vocab.size.toLong)).cast("int") + 1))
+      i => element_at(array(DocVocab.map(lit): _*),
+        pmod(xxhash64(baseId, i, lit("d_w")), lit(DocVocab.size.toLong)).cast("int") + 1))
     val words = if (chainDocs > 0)
       when(col("id") < chainDocs,
         transform(sequence(col("id") * 2, col("id") * 2 + 53), j => streamWord(j)))

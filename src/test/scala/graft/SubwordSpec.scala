@@ -111,6 +111,28 @@ class SubwordSpec extends SparkSpec {
     }
   }
 
+  test("trained fixture vocab: 1500 merges load, segmentation is total, " +
+    "non-trivial on corpus words, and countCol agrees with the reference") {
+    import graft.operators.TrainedBpe
+    assert(TrainedBpe.merges.length == 1500)
+    val counts = Seq("spark", "table", "customer", "window", "a").map { w =>
+      val segs = Subword.segment(w, TrainedBpe.vocab)
+      assert(segs.mkString == w, s"segmentation must reassemble $w")
+      segs.length
+    }
+    // disjoint training dict ⇒ corpus words split into real pieces (the
+    // all-1s degenerate case would mean the fixture was corpus-seeded)
+    assert(counts.count(_ > 1) >= 3, s"expected multi-unit splits, got $counts")
+    // the Spark column twin agrees with the pure reference on the dict
+    val dict = Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("word")).distinct()
+      .withColumn("n", Subword.countCol(col("word"), TrainedBpe.vocab))
+      .as[(String, Int)].collect()
+    dict.foreach { case (w, n) =>
+      assert(n == Subword.segment(w, TrainedBpe.vocab).length, s"word $w")
+    }
+  }
+
   test("docCounts totals are consistent with per-word reference counts") {
     val docs = Tables.documents(spark, sf0001)
     val got = Subword.docCounts(docs).orderBy("doc_id").limit(20).collect()
