@@ -91,7 +91,7 @@ object Subword {
   /** per-position greedy match length for `word` — longest vocab unit
     * starting at 1-based position i, else 1. substr past the end yields a
     * short string that cannot equal a longer unit, in both engines. */
-  private def glens(word: Column, vocab: Vocab): Column =
+  private[graft] def glens(word: Column, vocab: Vocab): Column =
     transform(sequence(lit(1), length(word)), i =>
       toSet(vocab).foldRight(lit(1): Column) { case ((l, us), els) =>
         when(word.substr(i, lit(l)).isin(us.toSeq.sorted: _*), lit(l)).otherwise(els)
@@ -113,6 +113,27 @@ object Subword {
         when(acc >= FoldStride, acc - FoldStride)
           .otherwise((g.cast("long") - 1L) * FoldStride + acc + 1L))
         .cast("int"))
+
+  /** the greedy segmentation ITSELF as an array column — the fold over
+    * `glensCol` (a precomputed [[glens]] array, bound once so the match
+    * tree isn't duplicated per lambda reference) that keeps only segment
+    * STARTS: the accumulator carries (next-start, units-so-far) and a
+    * position contributes exactly when it equals the next start. Pure
+    * string/integer arithmetic — the oracle's recursive walk emits the
+    * same tokens. Runs on DISTINCT words only (vocabulary-sized). */
+  def unitsCol(word: Column, glensCol: Column): Column = {
+    val empty = array().cast("array<string>")
+    when(length(word) === 0, empty).otherwise(
+      aggregate(
+        sequence(lit(1), length(word)),
+        struct(lit(1).cast("int").as("next"), empty.as("us")),
+        (acc, p) => when(p === acc("next"),
+            struct((p + element_at(glensCol, p)).cast("int").as("next"),
+              concat(acc("us"),
+                array(word.substr(p, element_at(glensCol, p)))).as("us")))
+          .otherwise(acc),
+        acc => acc("us")))
+  }
 
   /** (doc_id, n_words, n_subwords, max_word_subwords) per document:
     * segmentation on DISTINCT words (vocabulary-sized), joined back to the
@@ -151,5 +172,19 @@ object Subword {
        |  SELECT word, pos + ${glenSql("word", "pos", vocab)}, ntok + 1
        |  FROM seg WHERE pos <= len(word)),
        |sw AS (SELECT word, MAX(ntok) AS n_sub FROM seg GROUP BY word),
+       |tokj AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)""".stripMargin
+
+  /** [[oracleCtes]] with the recursion EMITTING each token (`units` is
+    * the per-word segment multiset — one row per unit occurrence), for
+    * queries about the segments themselves rather than their counts. */
+  def oracleSegCtes(vocab: Vocab = defaultVocab): String =
+    s"""dw AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS word FROM documents),
+       |seg AS (
+       |  SELECT word, 1 AS pos, CAST(NULL AS VARCHAR) AS tok FROM dw
+       |  UNION ALL
+       |  SELECT word, pos + ${glenSql("word", "pos", vocab)},
+       |         substr(word, pos, ${glenSql("word", "pos", vocab)})
+       |  FROM seg WHERE pos <= len(word)),
+       |units AS (SELECT word, tok FROM seg WHERE tok IS NOT NULL),
        |tokj AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)""".stripMargin
 }

@@ -119,5 +119,49 @@ object SubwordQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(q68, q69, q86)
+  // ---------------------------------------------------------------- Q87
+  /** Vocabulary unit-usage report under the TRAINED vocab — the
+    * tokenizer-eval artifact vocab pruning reads ("which units earn
+    * their slot"): for each unit the greedy segmenter actually emits on
+    * the corpus, its total occurrence count in the token stream, how
+    * many distinct words use it, and whether it is a single-char
+    * FALLBACK (a char no trained unit covers — the signal of vocabulary
+    * mismatch). Top-100 by occurrences, fully tie-broken.
+    *
+    * Spark side materializes the segmentation itself
+    * ([[graft.operators.Subword.unitsCol]] — a fold keeping segment
+    * starts) on DISTINCT words only; the corpus pays the same
+    * explode + word join as q68/q86 and one unit-keyed hash-agg. The
+    * oracle's recursion emits the same tokens (oracleSegCtes). */
+  val q87 = DeclaredQuery(
+    "q87_vocab_usage",
+    Some(s"""WITH RECURSIVE ${Subword.oracleSegCtes(graft.operators.TrainedBpe.vocab)},
+            |use AS (SELECT u.tok AS unit, COUNT(*) AS occ,
+            |               COUNT(DISTINCT t.word) AS nw
+            |        FROM tokj t JOIN units u USING (word) GROUP BY u.tok),
+            |top AS (SELECT unit, CAST(len(unit) AS INTEGER) AS unit_len,
+            |               CAST(occ AS BIGINT) AS occurrences,
+            |               CAST(nw AS INTEGER) AS n_distinct_words,
+            |               len(unit) = 1 AS is_fallback
+            |        FROM use ORDER BY occ DESC, unit LIMIT 100)
+            |SELECT unit, unit_len, occurrences, n_distinct_words, is_fallback
+            |FROM top ORDER BY unit""".stripMargin)) { (s, d) =>
+    val vocab = graft.operators.TrainedBpe.vocab
+    val tok = docs(s, d).select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val dwUnits = tok.select("word").distinct()
+      .withColumn("g", Subword.glens(col("word"), vocab))
+      .select(col("word"), explode(Subword.unitsCol(col("word"), col("g"))).as("unit"))
+    tok.join(dwUnits, "word")
+      .groupBy("unit")
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct(col("word")).cast("int").as("n_distinct_words"))
+      .orderBy(col("occurrences").desc, col("unit"))
+      .limit(100)
+      .select(col("unit"), length(col("unit")).cast("int").as("unit_len"),
+        col("occurrences"), col("n_distinct_words"),
+        (length(col("unit")) === 1).as("is_fallback"))
+      .orderBy("unit")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(q68, q69, q86, q87)
 }

@@ -133,6 +133,21 @@ class SubwordSpec extends SparkSpec {
     }
   }
 
+  test("unitsCol materializes the same segmentation as the pure reference") {
+    import graft.operators.TrainedBpe
+    val words = Seq("spark", "customer", "window", "a", "", "sorting",
+      "xyzzyqq") // last: forces single-char fallbacks
+    val got = words.toDF("word")
+      .withColumn("g", Subword.glens(col("word"), TrainedBpe.vocab))
+      .select(col("word"), Subword.unitsCol(col("word"), col("g")).as("units"))
+      .as[(String, Seq[String])].collect().toMap
+    words.foreach { w =>
+      assert(got(w) == Subword.segment(w, TrainedBpe.vocab),
+        s"units mismatch for '$w'")
+      assert(got(w).mkString == w, s"units must reassemble '$w'")
+    }
+  }
+
   test("docCounts totals are consistent with per-word reference counts") {
     val docs = Tables.documents(spark, sf0001)
     val got = Subword.docCounts(docs).orderBy("doc_id").limit(20).collect()
