@@ -66,6 +66,24 @@ object Curation {
     grams.map(_.getString(0)).toSet
   }
 
+  /** The (term → integer weight) model as a driver-side Map — the
+    * broadcast input of [[graft.streaming.StreamingOps.scoreStream]].
+    * A trained linear model is vocabulary-sized by construction; the
+    * bound is asserted like [[benchmarkGramSet]]'s, and duplicate term
+    * rows are rejected for the same double-count reason as
+    * [[linearScore]]. */
+  def weightsMap(weights: DataFrame): Map[String, Long] = {
+    val rows = weights.select(col("term"), col("weight").cast("long")).collect()
+    require(rows.length <= (1 << 22),
+      s"model frame has ${rows.length} rows (bound ${1 << 22}) — a linear " +
+        "model is vocabulary-sized; this looks like a corpus frame")
+    val m = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(m.size == rows.length,
+      s"model frame has duplicate term rows (${rows.length} rows, " +
+        s"${m.size} distinct terms)")
+    m
+  }
+
   /** Deterministic per-stratum Bernoulli sampling toward `targets`
     * (stratum → share). `budget` is the total sample size target;
     * acceptance rate per stratum is `min(1, share·budget/n_stratum)` and

@@ -163,5 +163,54 @@ object SubwordQueries {
       .orderBy("unit")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(q68, q69, q86, q87)
+  // ---------------------------------------------------------------- Q88
+  /** Window-split packing PIECES under the trained subword budget — the
+    * step q49/q69 stop short of: they assign each document a start
+    * offset in the packed token stream; a training loader also needs the
+    * document SPLIT at every 2048-token window boundary (one piece per
+    * window the document overlaps, with its in-document token range).
+    * This emits exactly those pieces: (doc_id, bin, piece_start_tok,
+    * piece_len), Σ piece_len = the document's token count, every piece
+    * inside one window. Pure integer arithmetic off q69's two-phase
+    * prefix sum — the oracle unnests the same bin range. Empty documents
+    * produce no pieces (both engines filter n > 0).
+    *
+    * Scale shape: packOffsets' bucketed prefix sum (no global window) +
+    * one explode emitting ≤ n/2048 + 1 rows per doc — linear in corpus
+    * tokens / window size. */
+  val q88 = DeclaredQuery(
+    "q88_pack_pieces",
+    Some(s"""WITH RECURSIVE ${Subword.oracleCtes(graft.operators.TrainedBpe.vocab)},
+            |t AS (SELECT doc_id, CAST(SUM(n_sub) AS BIGINT) AS n,
+            |             md5(CAST(doc_id AS VARCHAR)) AS ord
+            |      FROM tokj JOIN sw USING (word) GROUP BY doc_id),
+            |c AS (SELECT doc_id, n,
+            |             CAST(SUM(n) OVER (ORDER BY ord, doc_id) AS BIGINT) AS cum FROM t),
+            |o AS (SELECT doc_id, n, cum - n AS so FROM c WHERE n > 0),
+            |p AS (SELECT doc_id, n, so,
+            |             CAST(unnest(range(so // 2048, (so + n - 1) // 2048 + 1)) AS INTEGER) AS bin
+            |      FROM o)
+            |SELECT doc_id, bin,
+            |       CAST(GREATEST(so, bin * 2048) - so AS INTEGER) AS piece_start_tok,
+            |       CAST(LEAST(so + n, (bin + 1) * 2048)
+            |          - GREATEST(so, bin * 2048) AS INTEGER) AS piece_len
+            |FROM p ORDER BY doc_id, bin""".stripMargin)) { (s, d) =>
+    val t = Subword.docCounts(docs(s, d), graft.operators.TrainedBpe.vocab)
+      .select(col("doc_id"), col("n_subwords").as("n"))
+      .persist()
+    TextQueries.packOffsets(t)
+      .filter(col("n") > 0)
+      .withColumn("bin", explode(sequence(
+        expr("start_offset DIV 2048"),
+        expr("(start_offset + n - 1) DIV 2048"))))
+      .select(col("doc_id"), col("bin").cast("int").as("bin"),
+        (greatest(col("start_offset"), col("bin") * 2048) - col("start_offset"))
+          .cast("int").as("piece_start_tok"),
+        (least(col("start_offset") + col("n"), (col("bin") + 1) * 2048)
+          - greatest(col("start_offset"), col("bin") * 2048))
+          .cast("int").as("piece_len"))
+      .orderBy("doc_id", "bin")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(q68, q69, q86, q87, q88)
 }

@@ -341,6 +341,53 @@ object StreamingOps {
       }
   }
 
+  /** one quality-classifier verdict for an arriving doc (X47's streaming
+    * shape): integer logit (partition/batch-order exact), sigmoid score,
+    * and the `logit < 0` gate flag. */
+  final case class ScoreVerdict(docId: Long, logit: Long, score: Double,
+                                flagged: Boolean)
+
+  /** Ingest-time quality-classifier gate
+    * ([[graft.pipeline.Curation.linearScore]]'s streaming twin): score
+    * each ARRIVING document against a fixed (term → integer weight)
+    * linear model broadcast to the executors. STATELESS like
+    * [[decontaminateStream]] — no aggregation state, one JVM pass per
+    * doc, composes with any sink mode; the model side is
+    * vocabulary-sized by construction (the caller materializes it via
+    * [[graft.pipeline.Curation.weightsMap]], which asserts the bound).
+    * Arithmetic parity with the batch shape is exact: same ` `-split
+    * keeping empties, same integer weight sum (associative — batch
+    * partition order and stream arrival order cannot diverge), same
+    * IEEE sigmoid expression. Pinned by StreamingSpec. */
+  def scoreStream(docs: DataFrame, idCol: String, textCol: String,
+                  weights: Map[String, Long],
+                  scale: Double = 16.0): Dataset[ScoreVerdict] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(weights)
+    docs.select(col(idCol).cast("long").as("docId"), col(textCol).as("_text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val w = bc.value
+        rows.map { case (id, text) =>
+          var logit = 0L
+          if (text != null) {
+            val terms = text.split(" ", -1)
+            var i = 0
+            while (i < terms.length) {
+              logit += w.getOrElse(terms(i), 0L)
+              i += 1
+            }
+          }
+          // StrictMath, not Math: Spark's Exp codegen is StrictMath.exp,
+          // and Math.exp's x86 intrinsic differs by 1 ulp on some inputs
+          // (caught by the batch-parity spec at logit 6 / scale 16)
+          val score = 1.0 / (1.0 + StrictMath.exp(-(logit.toDouble / scale)))
+          ScoreVerdict(id, logit, score, logit < 0)
+        }
+      }
+  }
+
   /** Stream-stream enrichment join (the events-enrichment shape a feeds
     * pipeline hits: impressions ⋈ clicks, docs ⋈ annotations): equi-join
     * on `keyOn` plus an EVENT-TIME interval — right rows match left rows

@@ -335,6 +335,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scoreStream: classifier gate verdicts are batch-exact across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).orderBy("doc_id").limit(60)
+      .as[(Long, String)].collect()
+    val weights = Seq(("spark", 3L), ("slow", -5L), ("table", 1L), ("the", -1L))
+      .toDF("term", "weight")
+    val wm = graft.pipeline.Curation.weightsMap(weights)
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.scoreStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", wm)
+      .writeStream.format("memory").queryName("score_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      corpus.grouped(20).foreach { c => input.addData(c.toSeq: _*); q.processAllAvailable() }
+      val stream = spark.table("score_out").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+      val batch = graft.pipeline.Curation.linearScore(
+        corpus.toSeq.toDF("doc_id", "text"), weights).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+      assert(stream.size == 60 && stream == batch,
+        "streaming verdicts must equal the batch classifier bit-for-bit")
+    } finally q.stop()
+  }
+
   test("enrichStream: stream-stream interval join matches the batch join; " +
     "leftOuter emits unmatched only after the watermark closes the interval") {
     implicit val sqlCtx = spark.sqlContext
