@@ -149,14 +149,29 @@ object AnnIndex {
         Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cluster_id"))))
       .filter(col("ark") <= nprobe)
       .select(col("vec_id").as("probe_id"), col("cluster_id"))
-    // physical partition pruning: the isin filter on the partition column
-    // restricts which cells' files the scan reads at all
-    // raw values: the partition column's type is whatever partition
-    // discovery inferred from the directory names
+    // physical partition pruning taken one step further: with a √n-sized
+    // index (thousands of cell dirs) even LISTING the full partition tree
+    // costs more than the probed read, so the scan is given ONLY the
+    // probed cells' directories (basePath keeps cluster_id a partition
+    // column). An isin filter on a root read prunes which files are READ
+    // but still discovers all of them; this prunes the discovery too —
+    // O(nprobe × probes) dirs instead of O(nlist). Missing dirs (cells
+    // that never received a vector) are skipped via one driver-side
+    // existence check against the filesystem.
     val probedCellIds: Array[Any] = probeCells.select("cluster_id").distinct()
       .collect().map(_.get(0))
-    val codes = s.read.parquet(s"$indexDir/codes")
-      .filter(col("cluster_id").isin(probedCellIds: _*))
+    val codesRoot = new org.apache.hadoop.fs.Path(s"$indexDir/codes")
+    val fs = codesRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val cellPaths = probedCellIds
+      .map(id => new org.apache.hadoop.fs.Path(codesRoot, s"cluster_id=$id"))
+      .filter(fs.exists)
+      .map(_.toString)
+    val codes =
+      if (cellPaths.isEmpty)
+        s.read.parquet(s"$indexDir/codes").filter(lit(false))
+      else
+        s.read.option("basePath", s"$indexDir/codes").parquet(cellPaths: _*)
+          .filter(col("cluster_id").isin(probedCellIds: _*))
     val probeSubs = AnnServing.subvectors(probesBase.select(col("vec_id"), col("v")), m, dim / m)
       .select(col("vec_id").as("probe_id"), col("sub"), col("vs").as("ps"))
     val lut = probeSubs.join(broadcast(book), Seq("sub"))

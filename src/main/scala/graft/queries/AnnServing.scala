@@ -247,13 +247,22 @@ object AnnServing {
                           topK: Int): DataFrame =
     rerankExactOf(s, Tables.embeddings(s, d), cand, topK)
 
-  /** [[rerankExact]] over an embeddings FRAME (vec_id, embedding). */
+  /** [[rerankExact]] over an embeddings FRAME (vec_id, embedding).
+    *
+    * The float→double transform happens AFTER the candidate join, not in
+    * a corpus-wide projection: `transform` is an interpreted HOF (no
+    * codegen), and hoisting it above the join made every serve pay
+    * ~µs × corpus rows (seconds at 5M vectors) to convert vectors the
+    * join was about to drop. Joining on the raw frame keeps the corpus
+    * scan a codegen'd broadcast-hash probe; the conversion runs on the
+    * shortlist only. Same values, same results — plan-shape change. */
   private[graft] def rerankExactOf(s: SparkSession, emb: DataFrame, cand: DataFrame,
                           topK: Int): DataFrame = {
-    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val probeVecs = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
-    e.join(broadcast(cand), Seq("vec_id"))
+    val probeVecs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"),
+        asDouble(col("embedding")).as("pv"))
+    emb.join(broadcast(cand), Seq("vec_id"))
+      .withColumn("v", asDouble(col("embedding")))
       .join(broadcast(probeVecs), Seq("probe_id"))
       .withColumn("l2_dist",
         dot(col("v"), col("v")) - lit(2) * dot(col("v"), col("pv"))
