@@ -1,0 +1,83 @@
+package graft.queries
+
+import graft.{DeclaredQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Statistical language-model quality scoring — the CCNet recipe
+  * (Wenzek et al. 2020: rank documents by the perplexity of a small
+  * n-gram LM; low-perplexity ≈ fluent, high ≈ junk), self-contained:
+  * the bigram model is TRAINED ON THE CORPUS ITSELF in the same query
+  * (add-one smoothing), so the operator needs no external model
+  * artifact and the oracle replays training and scoring alike.
+  *
+  * Numeric posture: counts and vocabulary size are exact integers in
+  * both engines; the only doubles are `ln((c2+1)/(c1+V))` per bigram
+  * and their per-document mean — ≤ ~100 addends per doc, so any
+  * summation order agrees far inside the driver's 6-decimal rounding
+  * (the q61 logratio precedent).
+  */
+object LmQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  // ---------------------------------------------------------------- Q89
+  /** Per-document bigram cross-entropy / perplexity under the
+    * corpus-trained add-one LM. Emits (doc_id, n_bigrams, cross_entropy,
+    * perplexity); single-word documents have no bigrams and are excluded
+    * (both engines filter n_bigrams > 0).
+    *
+    * Scale shape (100 TB): one bigram explode → (a,b)-keyed hash-agg
+    * (model size = observed-bigram-count, ≪ corpus), one a-keyed agg,
+    * two joins back on the bigram stream (both sides hash-partitioned by
+    * their key), one doc-keyed avg. No windows, no driver state; the
+    * 1-row (V) frame is a broadcast. The trained tables are themselves
+    * frames — a deployment materializes them once and scores many
+    * corpora, the AnnIndex train-once pattern. */
+  val q89 = DeclaredQuery(
+    "q89_lm_perplexity",
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |bg AS (SELECT doc_id,
+           |              ws[CAST(i AS INTEGER)] AS a, ws[CAST(i + 1 AS INTEGER)] AS b
+           |       FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM t)),
+           |c2 AS (SELECT a, b, COUNT(*) AS n2 FROM bg GROUP BY a, b),
+           |c1 AS (SELECT a, COUNT(*) AS n1 FROM bg GROUP BY a),
+           |v AS (SELECT COUNT(DISTINCT word) AS vocab
+           |      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)),
+           |lp AS (SELECT bg.doc_id,
+           |              ln(CAST(c2.n2 + 1 AS DOUBLE) / CAST(c1.n1 + v.vocab AS DOUBLE)) AS logp
+           |       FROM bg JOIN c2 USING (a, b) JOIN c1 USING (a) CROSS JOIN v)
+           |SELECT doc_id,
+           |       CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+           |       -AVG(logp) AS cross_entropy,
+           |       exp(-AVG(logp)) AS perplexity
+           |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, d) =>
+    val t = docs(s, d).select(col("doc_id"), split(col("text"), " ").as("ws"))
+    // the size>=2 filter is semantic (no bigrams) AND a guard: Spark's
+    // sequence(1, 0) is DESCENDING [1, 0], and element_at(ws, 0) throws
+    // under ANSI — DuckDB's range(1, 1) is just empty
+    val bg = t.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("a"),
+          element_at(col("ws"), i + 1).as("b")))).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val c2 = bg.groupBy("a", "b").agg(count(lit(1)).as("n2"))
+    val c1 = bg.groupBy("a").agg(count(lit(1)).as("n1"))
+    val v = docs(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .agg(countDistinct(col("word")).as("vocab"))
+    bg.join(c2, Seq("a", "b"))
+      .join(c1, Seq("a"))
+      .crossJoin(broadcast(v))
+      .withColumn("logp",
+        log((col("n2") + 1).cast("double") / (col("n1") + col("vocab")).cast("double")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        (-avg(col("logp"))).as("cross_entropy"))
+      .withColumn("perplexity", exp(col("cross_entropy")))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(q89)
+}
