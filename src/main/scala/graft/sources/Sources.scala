@@ -32,6 +32,39 @@ object Sources {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
+  /** JSONL corpus source — the pretraining-data interchange staple (one
+    * JSON object per line; what CommonCrawl-derived corpora ship as).
+    * PERMISSIVE with an explicit corrupt-record column: a 100 TB crawl
+    * ALWAYS contains malformed lines, and the two failure postures that
+    * matter are "quarantine and count" (this — corrupt lines surface as
+    * rows with `_corrupt_record` set and all data fields null, so the
+    * pipeline can count/route them) and "fail fast" (`strict = true` →
+    * FAILFAST). Spark refuses queries that reference ONLY the corrupt
+    * column on a raw scan — cache/materialize the parsed frame before a
+    * corrupt-only count (SPARK-26243 posture). Schema is REQUIRED: schema inference scans the whole
+    * input twice at scale, and a typed contract catches drift the way a
+    * parquet schema would. */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType,
+                strict: Boolean = false): DataFrame = {
+    if (strict)
+      spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+    else
+      spark.read
+        .schema(schema.add(StructField("_corrupt_record", StringType, nullable = true)))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+  }
+
+  /** JSONL sink — newline-delimited JSON, one object per row, written
+    * distributed (one part file per partition; downstream consumers
+    * glob). Gzip by default: JSONL's consumers expect it and the codec
+    * is splittable-enough at file granularity for a sharded corpus. */
+  def writeJsonl(df: DataFrame, path: String, gzip: Boolean = true): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (gzip) w.option("compression", "gzip") else w).json(path)
+  }
+
   /** S10 directory-listing scan (`pipeline/utils.py:48-54`): file index +
     * `input_file_name`, with the `{dataset}-{subject}` filename parse. */
   def listRecords(spark: SparkSession, dir: String, format: String = "parquet"): DataFrame = {
