@@ -227,5 +227,121 @@ object VideoQueries {
       .agg(sum(expr("shiftleft(bit, idx - 1)")).as("phash"))
   }
 
-  val all: Seq[DeclaredQuery] = Seq(q75)
+  // ---------------------------------------------------------------- Q90
+  /** Video SCENE-CUT detection — the shot-boundary pass a video curation
+    * pipeline runs before frame sampling (sample per shot, not per
+    * fixed stride): consecutive sampled frames whose perceptual-hash
+    * hamming distance exceeds a threshold mark a cut. Standard recipe
+    * (pHash deltas are the classic cheap shot detector); here over a
+    * generated 120-video corpus whose 4 sampled slots are two 2-slot
+    * SCENES — within a scene frames differ by sparse +1 noise (hamming
+    * small), across the scene boundary the luma field re-keys (hamming
+    * large) — so the query must separate the two regimes, not just
+    * threshold noise.
+    *
+    * Same scale shape as q75's hash side: per-(vid, slot) JVM kernel
+    * (1024 md5s + integer DCT — [[framePhashesKernel]]'s twin with a
+    * scene-keyed generator), then a slot-successor self-join keyed on
+    * vid — linear in videos, no banding needed because the pairs are
+    * adjacency, not similarity search. Oracle replays pixel gen, DCT,
+    * and hamming bit-for-bit (exact integer arithmetic throughout). */
+  private val SceneVideos = 120
+  private val CutThreshold = 16
+
+  val q90 = DeclaredQuery(
+    "q90_video_scene_cuts",
+    Some(s"""WITH vids AS (SELECT CAST(range AS BIGINT) AS vid FROM range(0, $SceneVideos)),
+            |slots AS (SELECT CAST(range AS INTEGER) AS slot FROM range(0, $Slots)),
+            |cb AS (SELECT $basisSql AS c),
+            |px0 AS (
+            |  SELECT vid, slot, x, y,
+            |         md5(concat_ws(':', CAST(vid AS VARCHAR),
+            |                            CAST(slot // 2 AS VARCHAR),
+            |                            CAST(x AS VARCHAR), CAST(y AS VARCHAR), 'spx')) AS h,
+            |         CASE WHEN substr(md5(concat_ws(':',
+            |                CAST(vid AS VARCHAR), CAST(slot AS VARCHAR),
+            |                CAST(x AS VARCHAR), CAST(y AS VARCHAR), 'sn')), 1, 1) = '0'
+            |              THEN 1 ELSE 0 END AS noise
+            |  FROM vids, slots, range(0, 32) tx(x), range(0, 32) ty(y)),
+            |px AS (
+            |  SELECT vid, slot, x, y,
+            |         (ascii(substr(h, 1, 1)) - CASE WHEN ascii(substr(h, 1, 1)) >= 97 THEN 87 ELSE 48 END) * 16
+            |       + (ascii(substr(h, 2, 1)) - CASE WHEN ascii(substr(h, 2, 1)) >= 97 THEN 87 ELSE 48 END)
+            |       + noise AS luma
+            |  FROM px0),
+            |s1 AS (
+            |  SELECT vid, slot, y, u, SUM(luma * c[CAST(u + 1 AS INTEGER)][CAST(x + 1 AS INTEGER)]) AS s
+            |  FROM px, range(0, 8) tu(u), cb GROUP BY vid, slot, y, u),
+            |s2 AS (
+            |  SELECT vid, slot, u, v, SUM(s * c[CAST(v + 1 AS INTEGER)][CAST(y + 1 AS INTEGER)]) AS coef
+            |  FROM s1, range(0, 8) tv(v), cb GROUP BY vid, slot, u, v),
+            |tots AS (SELECT vid, slot, SUM(coef) AS tot FROM s2
+            |         WHERE NOT (u = 0 AND v = 0) GROUP BY vid, slot),
+            |bits AS (
+            |  SELECT s2.vid, s2.slot, CAST(u * 8 + v AS INTEGER) AS idx,
+            |         CASE WHEN 63 * coef > tot THEN 1 ELSE 0 END AS bit
+            |  FROM s2 JOIN tots USING (vid, slot) WHERE NOT (u = 0 AND v = 0)),
+            |ph AS (
+            |  SELECT vid, slot, CAST(SUM(CAST(bit AS BIGINT) << (idx - 1)) AS BIGINT) AS phash
+            |  FROM bits GROUP BY vid, slot)
+            |SELECT a.vid, a.slot + 1 AS boundary_slot,
+            |       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming,
+            |       bit_count(xor(a.phash, b.phash)) > $CutThreshold AS is_cut
+            |FROM ph a JOIN ph b ON b.vid = a.vid AND b.slot = a.slot + 1
+            |ORDER BY a.vid, boundary_slot""".stripMargin)) { (s, d) =>
+    val ph = scenePhashes(s)
+    val a = ph.select(col("vid"), col("slot"), col("phash").as("pa"))
+    val b = ph.select(col("vid"), (col("slot") - 1).as("slot"), col("phash").as("pb"))
+    a.join(b, Seq("vid", "slot"))
+      .withColumn("hamming", bit_count(col("pa").bitwiseXOR(col("pb"))).cast("int"))
+      .select(col("vid"), (col("slot") + 1).as("boundary_slot"),
+        col("hamming"), (col("hamming") > CutThreshold).as("is_cut"))
+      .orderBy("vid", "boundary_slot")
+  }
+
+  /** scene-keyed twin of [[framePhashesKernel]]: luma keys on
+    * (vid, slot DIV 2) — the SCENE — plus per-slot sparse +1 noise, so
+    * in-scene neighbors hash near and cross-scene neighbors hash far. */
+  private[graft] def scenePhashes(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val slots = Slots
+    s.range(0, SceneVideos.toLong * slots).as[Long]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = "0123456789abcdef".toCharArray
+        def md5hex(t: String): String = {
+          md.reset()
+          val d = md.digest(t.getBytes("UTF-8"))
+          val sb = new java.lang.StringBuilder(32)
+          var i = 0
+          while (i < d.length) {
+            sb.append(hex((d(i) >> 4) & 0xf)); sb.append(hex(d(i) & 0xf)); i += 1
+          }
+          sb.toString
+        }
+        def hexv(c: Char): Int = if (c >= 'a') c - 87 else c - 48
+        it.map { row =>
+          val vid = row / slots
+          val slot = (row % slots).toInt
+          val scene = slot / 2
+          val luma = new Array[Int](Phash.N * Phash.N)
+          var x = 0
+          while (x < 32) {
+            var y = 0
+            while (y < 32) {
+              val h = md5hex(s"$vid:$scene:$x:$y:spx")
+              var v = hexv(h.charAt(0)) * 16 + hexv(h.charAt(1))
+              if (md5hex(s"$vid:$slot:$x:$y:sn").charAt(0) == '0') v += 1
+              luma(y * Phash.N + x) = v
+              y += 1
+            }
+            x += 1
+          }
+          (vid, slot, Phash.hash(luma))
+        }
+      }
+      .toDF("vid", "slot", "phash")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(q75, q90)
 }

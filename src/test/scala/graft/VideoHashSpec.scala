@@ -78,6 +78,17 @@ class VideoHashSpec extends SparkSpec {
     assert(kernel.size == 32 && kernel == expression)
   }
 
+  test("q90 scene corpus separates regimes: in-scene near, cross-scene far") {
+    val cuts = graft.queries.VideoQueries.q90.build(spark, sf0001)
+      .as[(Long, Int, Int, Boolean)].collect()
+    assert(cuts.length == 120 * 3)
+    val (cross, within) = cuts.partition(_._2 == 2)
+    assert(cross.forall(_._4), "every scene boundary must be a cut")
+    assert(within.forall(!_._4), "no in-scene boundary may flag")
+    assert(within.map(_._3).max <= 10 && cross.map(_._3).min >= 16,
+      "the hamming regimes must be separated, not threshold-adjacent")
+  }
+
   test("intLuma matches BT.601 integer weights on primaries") {
     val img = new java.awt.image.BufferedImage(3, 1,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
