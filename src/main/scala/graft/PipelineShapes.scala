@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{AnnIndex, CorpusDedup}
+import graft.pipeline.{AnnIndex, CorpusDedup, LmModel}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -61,5 +61,13 @@ object PipelineShapes {
     }),
     // serve-many: search against the prebuilt index — no training, codes
     // read partition-pruned to the probed cells
-    "p_ann_search" -> ((s, d) => forced(AnnIndex.search(s, d, annDir(d)))))
+    "p_ann_search" -> ((s, d) => forced(AnnIndex.search(s, d, annDir(d)))),
+    // q89's production split: train the bigram LM once (CCNet trains on a
+    // reference corpus), then score many corpora against the artifacts
+    "p_lm_train" -> ((s, d) => {
+      LmModel.build(s, Tables.documents(s, d), annDir(d) + "_lm")
+      s.range(1).toDF("ok")
+    }),
+    "p_lm_score" -> ((s, d) =>
+      forced(LmModel.score(s, Tables.documents(s, d), annDir(d) + "_lm"))))
 }

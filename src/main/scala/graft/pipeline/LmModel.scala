@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent n-gram LM lifecycle — q89's production complement, the
+  * AnnIndex TRAIN ONCE / SCORE MANY pattern: the declared query trains
+  * its bigram model inside every run by oracle contract; a deployment
+  * trains the model on a reference corpus once and scores many corpora
+  * against it (the actual CCNet setup: LM trained on Wikipedia, scored
+  * over CommonCrawl).
+  *
+  * Artifacts are plain parquet under `modelDir`: `c2` (bigram counts),
+  * `c1` (context counts), `meta` (one row: vocabulary size). Model size
+  * is the OBSERVED bigram vocabulary — ≪ corpus — and scoring is two
+  * key-partitioned joins plus a doc-keyed average, no windows.
+  *
+  * Scoring a DIFFERENT corpus hits out-of-vocabulary mass the declared
+  * query never sees; add-one smoothing defines it exactly:
+  * P(b|a) = (c2(a,b)+1) / (c1(a)+V), with c2 = 0 for unseen bigrams and
+  * c1 = 0 for unseen contexts (left joins + coalesce). Same arithmetic
+  * as q89 on the training corpus itself — spec-pinned equal.
+  */
+object LmModel {
+
+  /** Train the add-one bigram model on `docs` (doc_id, text) and
+    * materialize it under `modelDir`. */
+  def build(s: SparkSession, docs: DataFrame, modelDir: String): Unit = {
+    val bg = bigrams(docs)
+    bg.groupBy("a", "b").agg(count(lit(1)).as("n2"))
+      .write.mode("overwrite").parquet(s"$modelDir/c2")
+    bg.groupBy("a").agg(count(lit(1)).as("n1"))
+      .write.mode("overwrite").parquet(s"$modelDir/c1")
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .agg(countDistinct(col("word")).as("vocab"))
+      .write.mode("overwrite").parquet(s"$modelDir/meta")
+  }
+
+  /** Score `docs` against a prebuilt model: per-document bigram
+    * cross-entropy and perplexity (q89's columns). Single-word docs are
+    * excluded, as in the declared query. */
+  def score(s: SparkSession, docs: DataFrame, modelDir: String): DataFrame = {
+    val c2 = s.read.parquet(s"$modelDir/c2")
+    val c1 = s.read.parquet(s"$modelDir/c1")
+    val v = s.read.parquet(s"$modelDir/meta")
+    bigrams(docs)
+      .join(c2, Seq("a", "b"), "left")
+      .join(c1, Seq("a"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("logp",
+        log((coalesce(col("n2"), lit(0L)) + 1).cast("double")
+          / (coalesce(col("n1"), lit(0L)) + col("vocab")).cast("double")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        (-avg(col("logp"))).as("cross_entropy"))
+      .withColumn("perplexity", exp(col("cross_entropy")))
+  }
+
+  /** (doc_id, a, b) adjacent-word pairs; single-word docs contribute
+    * nothing (also guards Spark's descending sequence(1,0) under ANSI —
+    * the q89 note). */
+  private def bigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("a"),
+          element_at(col("ws"), i + 1).as("b")))).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+}

@@ -113,4 +113,43 @@ class CurationPipelineSpec extends SparkSpec {
       .collect().toSeq
     assert(piped == declared)
   }
+
+  test("LmModel train-once/score-many equals declared q89 on the training corpus; " +
+    "OOV scoring is defined and finite") {
+    import graft.pipeline.LmModel
+    val docs = Tables.documents(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("lm").toString
+    LmModel.build(spark, docs, dir)
+    val piped = LmModel.score(spark, docs, dir)
+      .orderBy("doc_id").collect().toSeq
+    val declared = graft.queries.LmQueries.q89.build(spark, sf0001)
+      .collect().toSeq
+    assert(piped.size == declared.size)
+    // integers exact; the per-doc avg(logp) is summation-order-sensitive
+    // at the ulp level (different join plans fold in different orders),
+    // so doubles compare at 1e-9 — far tighter than the driver's
+    // 6-decimal oracle rounding that makes q89 itself hash-stable
+    piped.zip(declared).foreach { case (p, q) =>
+      assert(p.getLong(0) == q.getLong(0) && p.getInt(1) == q.getInt(1))
+      assert(math.abs(p.getDouble(2) - q.getDouble(2)) < 1e-9)
+      assert(math.abs(p.getDouble(3) - q.getDouble(3)) < 1e-9)
+    }
+    // an out-of-domain corpus: unseen contexts/bigrams score through the
+    // smoothing floor, finite and higher-perplexity than in-domain
+    import spark.implicits._
+    val alien = Seq((1L, "zz qq zz qq ww"), (2L, "spark table zz"))
+      .toDF("doc_id", "text")
+    val scored = LmModel.score(spark, alien, dir)
+      .orderBy("doc_id").collect()
+    assert(scored.length == 2)
+    scored.foreach { r =>
+      val pp = r.getAs[Double]("perplexity")
+      assert(!pp.isNaN && !pp.isInfinite && pp > 0)
+    }
+    // exact smoothing-floor property: every bigram of a fully-OOV doc
+    // scores P = (0+1)/(0+V), so its perplexity is exactly V
+    val vocab = spark.read.parquet(s"$dir/meta").head().getLong(0)
+    assert(math.abs(scored(0).getAs[Double]("perplexity") - vocab) < 1e-9,
+      s"all-OOV perplexity must equal the vocabulary size $vocab")
+  }
 }
