@@ -212,5 +212,48 @@ object SubwordQueries {
       .orderBy("doc_id", "bin")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(q68, q69, q86, q87, q88)
+  // ---------------------------------------------------------------- Q92
+  /** Per-language tokenizer FERTILITY under the trained vocab — the
+    * table every multilingual tokenizer evaluation reports (fertility =
+    * subword tokens per word; chars per token = compression): languages
+    * a vocabulary serves badly show high fertility, the signal that
+    * drives per-language vocab budgets. Same machinery as q86 with a
+    * language rollup plus the corpus `n_chars` column for compression.
+    *
+    * Scale shape: q68's distinct-word segmentation + corpus join, then
+    * a LANGUAGE-keyed agg (≤ a handful of groups — map-side combined to
+    * almost nothing). */
+  val q92 = DeclaredQuery(
+    "q92_fertility_by_lang",
+    Some(s"""WITH RECURSIVE ${Subword.oracleCtes(graft.operators.TrainedBpe.vocab)},
+            |d AS (SELECT t.doc_id,
+            |             CAST(COUNT(*) AS BIGINT) AS n_words,
+            |             CAST(SUM(n_sub) AS BIGINT) AS n_subwords
+            |      FROM tokj t JOIN sw USING (word) GROUP BY t.doc_id)
+            |SELECT lang,
+            |       CAST(COUNT(*) AS INTEGER) AS n_docs,
+            |       CAST(SUM(n_words) AS BIGINT) AS n_words,
+            |       CAST(SUM(n_subwords) AS BIGINT) AS n_subwords,
+            |       CAST(SUM(n_subwords) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE) AS fertility,
+            |       CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_subwords) AS DOUBLE) AS chars_per_token
+            |FROM d JOIN documents USING (doc_id)
+            |GROUP BY lang ORDER BY lang""".stripMargin)) { (s, d) =>
+    Subword.docCounts(docs(s, d), graft.operators.TrainedBpe.vocab)
+      .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+        col("n_subwords"))
+      .join(docs(s, d).select(col("doc_id"), col("lang"), col("n_chars")), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_subwords")).as("n_subwords"),
+        sum(col("n_chars")).as("_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_subwords"),
+        (col("n_subwords").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        (col("_chars").cast("double") / col("n_subwords").cast("double"))
+          .as("chars_per_token"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(q68, q69, q86, q87, q88, q92)
 }
