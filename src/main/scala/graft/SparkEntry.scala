@@ -15,7 +15,8 @@ object SparkEntry {
       VectorQueries.all ++ TextQueries.all ++ TensorQueries.all ++
       SubwordQueries.all ++ ImageQueries.all ++ AudioQueries.all ++
       VideoQueries.all ++ PiiQueries.all ++ CurationQueries.all ++
-      RetrievalQueries.all ++ LmQueries.all ++ RewriteQueries.all
+      RetrievalQueries.all ++ LmQueries.all ++ RewriteQueries.all ++
+      RankQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

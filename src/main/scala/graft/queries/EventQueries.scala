@@ -205,5 +205,53 @@ object EventQueries {
       .orderBy("event_id")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(q24a, q24b, q24c, q24d, q26j, q58)
+  // ---------------------------------------------------------------- Q93
+  /** X56: batch interval join — every error event enriched with ALL clicks
+    * by the same user in the preceding hour (count, exact money sum, min
+    * gap). The "all matches in range" companion to q58's as-of (last match
+    * only): the attribution-window shape behind ads/metrics pipelines.
+    *
+    * Scale shape: a naive `user_id` equi-join with a range predicate pays
+    * per-user quadratic blowup on hot keys; instead both sides bucket by
+    * `eus DIV window` so a probe touches exactly 2 buckets (window length
+    * = bucket width) and the equi-join key is (user_id, bucket) — the
+    * range refine runs on bucket-local candidates. Integer bucket
+    * arithmetic (DIV), no window functions, one hash shuffle per side;
+    * left-outer keeps match-less errors (sentinels, not NULLs —
+    * check_oracle dtype note on q58). */
+  val q93 = DeclaredQuery(
+    "q93_interval_join",
+    Some(s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS eus FROM events WHERE event_type = 'error'),
+            |c AS (SELECT user_id, epoch_us(ts) AS ceus, value FROM events WHERE event_type = 'click')
+            |SELECT e.event_id, e.user_id, e.eus AS error_eus,
+            |       COUNT(c.ceus) AS n_clicks,
+            |       CAST(COALESCE(SUM(${Det.sql.cents("c.value")}), 0) AS DOUBLE)/1e2 AS clicks_value,
+            |       CAST(COALESCE(MIN(e.eus - c.ceus), -1) AS BIGINT) AS min_gap_us
+            |FROM e LEFT JOIN c
+            |  ON e.user_id = c.user_id AND c.ceus <= e.eus AND e.eus - c.ceus <= 3600000000
+            |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin)) { (s, d) =>
+    val HourUs = 3600L * 1000000L
+    val ev = Tables.events(s, d).withColumn("eus", unix_micros(col("ts")))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("eus"))
+      .withColumn("bucket",
+        explode(array(expr(s"eus DIV $HourUs"), expr(s"eus DIV $HourUs") - 1)))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("eus").as("ceus"), col("value"),
+        expr(s"eus DIV $HourUs").as("c_bucket"))
+    errors
+      .join(clicks,
+        col("user_id") === col("c_user") && col("bucket") === col("c_bucket") &&
+          col("ceus") <= col("eus") && col("eus") - col("ceus") <= HourUs,
+        "left_outer")
+      .groupBy(col("event_id"), col("user_id"), col("eus"))
+      .agg(count(col("ceus")).as("n_clicks"),
+        Det.unCents(coalesce(sum(Det.cents(col("value"))), lit(0L))).as("clicks_value"),
+        coalesce(min(col("eus") - col("ceus")), lit(-1L)).as("min_gap_us"))
+      .select(col("event_id"), col("user_id"), col("eus").as("error_eus"),
+        col("n_clicks"), col("clicks_value"), col("min_gap_us"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(q24a, q24b, q24c, q24d, q26j, q58, q93)
 }

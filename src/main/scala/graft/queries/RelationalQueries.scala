@@ -731,7 +731,64 @@ object RelationalQueries {
       .orderBy("flag")
   }
 
+  // ---------------------------------------------------------------- Q94
+  /** X58: histogram quantiles — per-group p50/p90/p99 extracted from a
+    * 256-bucket equi-width histogram by inverse-CDF lookup. The 100 TB
+    * quantile path: q11's exact quantiles sort each group (fine for a
+    * report, wrong for a corpus); here the data passes through two
+    * hash-aggs (per-group stats, per-bucket counts — both map-side
+    * combinable), the cumulative window runs on the ≤256-row post-agg
+    * frame per group, and the answer is the target bucket's exact lower
+    * bound. All rank/bound arithmetic is integer (cents, ceil via
+    * `(a+b-1) DIV b`) so both engines agree bit-for-bit.
+    *
+    * Scale note: one broadcast of the G-row stats frame, one shuffle of
+    * ≤G·256 bucket rows; never a per-group sort. */
+  val q94 = DeclaredQuery(
+    "q94_histogram_quantiles",
+    Some("""WITH b AS (SELECT l_returnflag AS flag, CAST(ROUND(l_extendedprice*100) AS BIGINT) AS c FROM lineitem),
+           |s AS (SELECT flag, MIN(c) AS mn, MAX(c) AS mx, COUNT(*) AS n FROM b GROUP BY 1),
+           |h AS (SELECT b.flag, (c - mn) * 256 // (mx - mn + 1) AS bucket, COUNT(*) AS cnt,
+           |             MAX(mn) AS mn, MAX(mx) AS mx, MAX(n) AS n
+           |      FROM b JOIN s ON b.flag = s.flag GROUP BY 1, 2),
+           |w AS (SELECT *, SUM(cnt) OVER (PARTITION BY flag ORDER BY bucket
+           |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |      FROM h),
+           |q AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100)) AS t(qlabel, num, den)),
+           |p AS (SELECT flag, qlabel, MIN(bucket) AS bucket, MAX(mn) AS mn, MAX(mx) AS mx
+           |      FROM w CROSS JOIN q
+           |      WHERE cum >= (num * n + den - 1) // den
+           |      GROUP BY 1, 2)
+           |SELECT flag, qlabel, CAST(bucket AS BIGINT) AS bucket,
+           |       CAST(mn + (bucket * (mx - mn + 1) + 255) // 256 AS DOUBLE)/1e2 AS approx_value
+           |FROM p ORDER BY flag, qlabel""".stripMargin)) { (s, d) =>
+    import s.implicits._
+    val base = li(s, d)
+      .select(col("l_returnflag").as("flag"), Det.cents(col("l_extendedprice")).as("c"))
+    val stats = base.groupBy("flag")
+      .agg(min(col("c")).as("mn"), max(col("c")).as("mx"), count(lit(1)).as("n"))
+    val h = base.join(broadcast(stats), "flag")
+      .withColumn("bucket", expr("(c - mn) * 256 DIV (mx - mn + 1)"))
+      .groupBy(col("flag"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        max(col("mn")).as("mn"), max(col("mx")).as("mx"), max(col("n")).as("n"))
+    // post-agg frame: ≤256 rows per group — bounded cumulative window
+    val wcum = Window.partitionBy(col("flag")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qf = Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L))
+      .toDF("qlabel", "num", "den")
+    h.withColumn("cum", sum(col("cnt")).over(wcum))
+      .crossJoin(broadcast(qf))
+      .filter(col("cum") >= expr("(num * n + den - 1) DIV den"))
+      .groupBy(col("flag"), col("qlabel"))
+      .agg(min(col("bucket")).as("bucket"), max(col("mn")).as("mn"), max(col("mx")).as("mx"))
+      .select(col("flag"), col("qlabel"), col("bucket").cast("long").as("bucket"),
+        Det.unCents(col("mn") + expr("(bucket * (mx - mn + 1) + 255) DIV 256"))
+          .as("approx_value"))
+      .orderBy("flag", "qlabel")
+  }
+
   val all: Seq[DeclaredQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-    q16, q17, q18, q19, q20, q21, q22, q23)
+    q16, q17, q18, q19, q20, q21, q22, q23, q94)
 }
