@@ -253,5 +253,38 @@ object EventQueries {
       .orderBy("event_id")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(q24a, q24b, q24c, q24d, q26j, q58, q93)
+  // ---------------------------------------------------------------- Q96
+  /** X59: rolling event-time features — per event, the count and exact
+    * money sum of the same user's events in the trailing 7 days (RANGE
+    * frame, ties-as-peers per the SQL standard, identical in both
+    * engines). The per-entity rolling-feature shape every feature store
+    * materializes.
+    *
+    * Scale shape: the window partitions by user_id — key cardinality
+    * grows with the corpus, so partitions stay bounded (this is the
+    * GOOD window shape; contrast q95's scaladoc for the few-huge-groups
+    * case). One hash shuffle + per-key sort; running state is the
+    * frame's cents sum. */
+  val q96 = DeclaredQuery(
+    "q96_rolling_window",
+    Some(s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS eus, value FROM events)
+            |SELECT event_id, user_id, eus,
+            |       COUNT(*) OVER w AS n_7d,
+            |       CAST(SUM(${Det.sql.cents("value")}) OVER w AS DOUBLE)/1e2 AS value_7d
+            |FROM e
+            |WINDOW w AS (PARTITION BY user_id ORDER BY eus
+            |             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+            |ORDER BY event_id""".stripMargin)) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("eus"))
+      .rangeBetween(-7L * 86400L * 1000000L, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("eus"), col("value"))
+      .select(col("event_id"), col("user_id"), col("eus"),
+        count(lit(1)).over(w).as("n_7d"),
+        Det.unCents(sum(Det.cents(col("value"))).over(w)).as("value_7d"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(q24a, q24b, q24c, q24d, q26j, q58, q93, q96)
 }
