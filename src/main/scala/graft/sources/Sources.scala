@@ -65,6 +65,48 @@ object Sources {
     (if (gzip) w.option("compression", "gzip") else w).json(path)
   }
 
+  /** Clustered parquet write — range-partition on a key and sort within
+    * each partition before writing, so every output file covers a
+    * disjoint key range and parquet's per-file min/max statistics let a
+    * selective scan SKIP whole files (the poor man's z-order; one sort
+    * column is the overwhelmingly common case). At 100 TB this is the
+    * difference between "read 3 of 10,000 files" and "read the corpus"
+    * for key-ranged queries; it also fixes small-file sprawl (`files`
+    * bounds the output count).
+    *
+    * `repartitionByRange` samples the key distribution, so file sizes
+    * stay balanced under skew; ORDER inside each file additionally
+    * serves parquet page-level (column index) pruning. */
+  def writeClustered(df: DataFrame, path: String, byCol: String, files: Int): Unit = {
+    require(files > 0 && files <= 1000000, s"file count out of range: $files")
+    df.repartitionByRange(files, col(byCol))
+      .sortWithinPartitions(byCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Compact a parquet dataset to ~`targetBytes` files — the maintenance
+    * pass every long-lived 100 TB table needs once streaming/incremental
+    * ingest has sprayed small files. File count derives from the CURRENT
+    * on-disk byte size (not a row guess), floor 1; coalesce (no shuffle)
+    * merges read-splits when shrinking, a round-robin repartition only
+    * when growing. Returns the file count written. */
+  def compact(spark: SparkSession, path: String, targetBytes: Long = 128L << 20): Int = {
+    require(targetBytes >= (1L << 20), s"target below 1 MiB: $targetBytes")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(path)).getLength
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(path)
+    val tmp = path.stripSuffix("/") + "_compact_tmp"
+    df.coalesce(n).write.mode(SaveMode.Overwrite).parquet(tmp)
+    // swap atomically-enough for a maintenance pass: old dir out, tmp in
+    val p = new org.apache.hadoop.fs.Path(path)
+    val t = new org.apache.hadoop.fs.Path(tmp)
+    fs.delete(p, true)
+    require(fs.rename(t, p), s"rename $tmp -> $path failed")
+    n
+  }
+
   /** S10 directory-listing scan (`pipeline/utils.py:48-54`): file index +
     * `input_file_name`, with the `{dataset}-{subject}` filename parse. */
   def listRecords(spark: SparkSession, dir: String, format: String = "parquet"): DataFrame = {

@@ -1,0 +1,45 @@
+package graft
+
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Data-layout maintenance: clustered writes give disjoint per-file key
+  * ranges (the min/max file-skipping contract) and compaction preserves
+  * rows while bounding file count. */
+class LayoutSpec extends SparkSpec {
+
+  test("writeClustered produces disjoint per-file key ranges") {
+    val dir = Files.createTempDirectory("clustered").toString + "/t"
+    val df = Tables.documents(spark, sf0001).select("doc_id", "n_chars")
+    Sources.writeClustered(df, dir, "doc_id", files = 4)
+
+    val back = spark.read.parquet(dir)
+    assert(back.count() == df.count())
+    val ranges = back.select(col("doc_id"), input_file_name().as("f"))
+      .groupBy("f").agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length == 4, s"expected 4 files, got ${ranges.length}")
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"file ranges overlap: $ranges")
+      case _ =>
+    }
+  }
+
+  test("compact merges small files and preserves every row") {
+    val dir = Files.createTempDirectory("compact").toString + "/t"
+    val df = Tables.documents(spark, sf0001)
+    df.repartition(37).write.parquet(dir) // spray small files
+    val before = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before == 37)
+    val checksum = df.agg(expr("bit_xor(xxhash64(doc_id, text))")).head().getLong(0)
+
+    val n = Sources.compact(spark, dir, targetBytes = 1L << 20)
+    val after = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after == n && after < before, s"files: $before -> $after (target $n)")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == df.count())
+    assert(back.agg(expr("bit_xor(xxhash64(doc_id, text))")).head().getLong(0) == checksum)
+  }
+}
