@@ -440,4 +440,61 @@ object StreamingOps {
         })
       .groupBy("row", "bucket").agg(count(lit(1)).as("c"))
   }
+
+  final case class RollingEvent(key: Long, ts: Long, tb: Long, cents: Long)
+  final case class RollingState(window: List[(Long, Long, Long)]) // (ts, tb, cents) desc
+  final case class RollingOut(key: Long, ts: Long, tb: Long, n: Long, cents: Long)
+
+  /** Streaming twin of q96's rolling event-time features: per key, each
+    * event emits the count and exact-cents sum of the key's events in the
+    * trailing `windowMs` (inclusive, current row included) — the
+    * feature-store "serve the rolling feature AT the event" shape.
+    *
+    * State per key is the trailing-window rows only (evicted as the
+    * window slides — O(rate × window), the [[asofStream]] bound);
+    * processed in (ts, tb) order within a micro-batch so results equal
+    * the batch RANGE-frame window for in-order streams. Cross-batch
+    * disorder inserts in place, so a late row still lands in its
+    * neighbors' windows if those neighbors arrive later; rows emitted
+    * BEFORE a late arrival keep their enrich-against-history-so-far
+    * values (the [[asofStream]] incremental contract).
+    *
+    * Batch-parity caveat the spec pins: the batch RANGE frame treats
+    * equal-ts rows as peers (each sees all), while the stream sees them
+    * in (ts, tb) order — so parity holds on ts-distinct keys, and the
+    * tie case is declared, not accidental. */
+  def rollingStream(events: Dataset[RollingEvent],
+                    windowMs: Long): Dataset[RollingOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[RollingState, RollingOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+        var win = state.getOption.map(_.window).getOrElse(Nil)
+        val out = List.newBuilder[RollingOut]
+        rows.toSeq.sortBy(e => (e.ts, e.tb)).foreach { e =>
+          val horizon = e.ts - windowMs
+          def newer(a: (Long, Long, Long)): Boolean =
+            a._1 > e.ts || (a._1 == e.ts && a._2 > e.tb)
+          win = (win match {
+            case h :: _ if newer(h) =>
+              // cross-batch disorder: insert in place, keep descending
+              val (n, o) = win.span(newer)
+              n ::: (e.ts, e.tb, e.cents) :: o
+            case _ =>
+              // in-order arrival (the sorted-batch common case): O(1)
+              (e.ts, e.tb, e.cents) :: win
+          }).takeWhile(_._1 >= horizon)
+          // peers-inclusive would need look-ahead; stream semantics are
+          // "window as of arrival in (ts, tb) order" — scaladoc contract
+          val inWin = win.filter { case (ts, tb, _) =>
+            ts < e.ts || (ts == e.ts && tb <= e.tb)
+          }
+          out += RollingOut(key, e.ts, e.tb,
+            inWin.size.toLong, inWin.map(_._3).sum)
+        }
+        state.update(RollingState(win))
+        out.result().iterator
+      }
+  }
 }

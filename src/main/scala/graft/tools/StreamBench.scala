@@ -27,7 +27,7 @@ object StreamBench {
     val chunks = args.lift(1).map(_.toInt).getOrElse(8)
     val ops: Set[String] = args.lift(2)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .getOrElse(Set("asof", "neardup", "exactdedup", "enrich"))
+      .getOrElse(Set("asof", "neardup", "exactdedup", "enrich", "rolling"))
     val spark = graft.Session.local(appName = "graft-stream-bench")
     spark.sparkContext.setLogLevel("WARN")
     // the fuzz-hardened checkpoint posture from SparkSpec: checksummed
@@ -152,6 +152,27 @@ object StreamBench {
           if (rc.nonEmpty) rIn.addData(rc.toSeq: _*)
           q.processAllAvailable()
         }
+      q.stop()
+    }
+    }
+
+    // ---- rolling trailing-window features per user (q96's streaming twin)
+    if (ops("rolling")) {
+    val tagged = Tables.events(spark, sfDir)
+      .withColumn("eus", unix_micros(col("ts")))
+      .select(col("user_id").as("key"), col("eus").as("ts"),
+        col("event_id").as("tb"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .as[StreamingOps.RollingEvent]
+      .orderBy("ts").collect()
+    timeIt("rolling", tagged.length, chunks) {
+      val in = MemoryStream[StreamingOps.RollingEvent]
+      val q = StreamingOps.rollingStream(in.toDS(), windowMs = 7L * 86400L * 1000000L)
+        .writeStream.format("memory").queryName("sb_rolling")
+        .outputMode(OutputMode.Append()).start()
+      tagged.grouped(math.max(1, tagged.length / chunks)).foreach { c =>
+        in.addData(c.toSeq: _*); q.processAllAvailable()
+      }
       q.stop()
     }
     }

@@ -419,4 +419,62 @@ class StreamingSpec extends SparkSpec {
           .collect().map(row => (row.getString(0), row.getString(1))).toSet)
     } finally { q.stop(); qo.stop() }
   }
+
+  test("rolling stream: cross-batch window carry and eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import StreamingOps.{RollingEvent, RollingOut}
+    val input = MemoryStream[RollingEvent]
+    val out = StreamingOps.rollingStream(input.toDS(), windowMs = 100L)
+    val q = out.writeStream.format("memory")
+      .queryName("rolling_out").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        RollingEvent(1L, 100L, 1L, 500L),
+        RollingEvent(1L, 150L, 2L, 300L))
+      q.processAllAvailable()
+      // batch 2: t=220 still sees t=150 (gap 70 <= 100) but not t=100
+      // (gap 120); t=400 sees only itself (full eviction)
+      input.addData(
+        RollingEvent(1L, 220L, 3L, 100L),
+        RollingEvent(1L, 400L, 4L, 50L),
+        RollingEvent(2L, 220L, 5L, 10L)) // other key: independent state
+      q.processAllAvailable()
+      val rows = spark.table("rolling_out").as[RollingOut].collect()
+        .map(r => r.tb -> (r.n, r.cents)).toMap
+      assert(rows(1L) == ((1L, 500L)))
+      assert(rows(2L) == ((2L, 800L)), "same-batch trailing sum")
+      assert(rows(3L) == ((2L, 400L)), "cross-batch carry + eviction")
+      assert(rows(4L) == ((1L, 50L)), "full eviction")
+      assert(rows(5L) == ((1L, 10L)), "keys do not share state")
+    } finally q.stop()
+  }
+
+  test("rolling stream: batch parity with q96's RANGE window on events") {
+    import spark.implicits._
+    import StreamingOps.{RollingEvent, RollingOut}
+    val winUs = 7L * 86400L * 1000000L
+    // ts-distinct per user (the declared tie caveat): keep min event_id per
+    // (user, eus) so batch peers-semantics and stream order agree
+    val ev = Tables.events(spark, sf0001)
+      .withColumn("eus", unix_micros(col("ts")))
+      .groupBy("user_id", "eus")
+      .agg(min("event_id").as("event_id"),
+        first("value").as("value"))
+    val tagged = ev.select(col("user_id").as("key"), col("eus").as("ts"),
+        col("event_id").as("tb"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .as[RollingEvent]
+    val streamed = StreamingOps.rollingStream(tagged, winUs).collect()
+      .map(r => (r.key, r.tb) -> (r.n, r.cents)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("eus"))
+      .rangeBetween(-winUs, org.apache.spark.sql.expressions.Window.currentRow)
+    val batch = ev.select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).over(w).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(streamed.size == batch.size)
+    assert(streamed == batch)
+  }
 }
