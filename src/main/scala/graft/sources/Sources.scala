@@ -67,16 +67,18 @@ object Sources {
 
   /** Clustered parquet write — range-partition on a key and sort within
     * each partition before writing, so every output file covers a
-    * disjoint key range and parquet's per-file min/max statistics let a
-    * selective scan SKIP whole files (the poor man's z-order; one sort
-    * column is the overwhelmingly common case). At 100 TB this is the
-    * difference between "read 3 of 10,000 files" and "read the corpus"
-    * for key-ranged queries; it also fixes small-file sprawl (`files`
-    * bounds the output count).
+    * disjoint key range (the poor man's z-order; one sort column is the
+    * overwhelmingly common case). With plain Spark the payoff is parquet
+    * ROW-GROUP min/max skipping plus page-level (column index) pruning
+    * inside every file a pushed range predicate touches; a table format
+    * with a file-stats catalog (Delta/Iceberg) turns the same layout
+    * into whole-file skipping. At 100 TB this is the difference between
+    * "decode 3 row groups" and "decode the corpus" for key-ranged
+    * queries; it also fixes small-file sprawl (`files` bounds the
+    * output count).
     *
     * `repartitionByRange` samples the key distribution, so file sizes
-    * stay balanced under skew; ORDER inside each file additionally
-    * serves parquet page-level (column index) pruning. */
+    * stay balanced under skew. */
   def writeClustered(df: DataFrame, path: String, byCol: String, files: Int): Unit = {
     require(files > 0 && files <= 1000000, s"file count out of range: $files")
     df.repartitionByRange(files, col(byCol))

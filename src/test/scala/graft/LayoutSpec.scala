@@ -25,6 +25,15 @@ class LayoutSpec extends SparkSpec {
         assert(hi1 < lo2, s"file ranges overlap: $ranges")
       case _ =>
     }
+
+    // ...and a key-range probe pushes its predicate to the scan, where
+    // the disjoint per-file/row-group stats make the skipping effective
+    val (lo, hi) = ranges.head
+    val probe = spark.read.parquet(dir).filter(col("doc_id").between(lo, hi))
+    val scanStr = probe.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scanStr.contains("GreaterThanOrEqual(doc_id") &&
+      scanStr.contains("LessThanOrEqual(doc_id"),
+      s"range predicate not pushed to the scan:\n$scanStr")
   }
 
   test("compact merges small files and preserves every row") {
