@@ -36,6 +36,28 @@ class LayoutSpec extends SparkSpec {
       s"range predicate not pushed to the scan:\n$scanStr")
   }
 
+  test("hive-partitioned writes prune partitions at the scan") {
+    val dir = Files.createTempDirectory("parts").toString + "/t"
+    Tables.documents(spark, sf0001)
+      .withColumn("part", pmod(col("doc_id"), lit(8)))
+      .write.partitionBy("part").parquet(dir)
+    val all = spark.read.parquet(dir)
+    val probe = all.filter(col("part") === 3)
+    probe.collect()
+    val scan = probe.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec"))
+    assert(scan.toString.contains("PartitionFilters: [isnotnull(part"),
+      s"partition filter missing from the scan:\n$scan")
+    val totalFiles = { all.collect(); all.queryExecution.executedPlan
+      .collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.get }
+    assert(scan.metrics("numFiles").value < totalFiles,
+      s"pruned scan read all $totalFiles files")
+  }
+
   test("compact merges small files and preserves every row") {
     val dir = Files.createTempDirectory("compact").toString + "/t"
     val df = Tables.documents(spark, sf0001)
