@@ -286,5 +286,136 @@ object EventQueries {
       .orderBy("event_id")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(q24a, q24b, q24c, q24d, q26j, q58, q93, q96)
+  // ---------------------------------------------------------------- Q97
+  /** X61: ordered event funnel — the product-analytics primitive: of the
+    * users who VIEWed, how many CLICKed within 24 h of their first view,
+    * and of those how many PURCHASEd within 24 h of that click. Steps
+    * are time-ordered per user (strictly after the previous step's
+    * time), so this is a sequence pattern, not three independent counts.
+    *
+    * Scale shape: NO windows and no per-user event sorting — each step
+    * is a user-keyed hash-agg (min over the step's filtered events)
+    * followed by an equi-join back to the next step's events on
+    * user_id; per-user state is one timestamp per step. Three
+    * map-side-combinable aggs + three 1:N joins, all on the same
+    * user_id key (one shuffle partitioning reused), final frame is one
+    * row exploded to the 3-step report. Funnel-over-100-TB cost = the
+    * cost of three filtered scans.
+    *
+    * Conversion fractions divide exact BIGINT counts in DOUBLE —
+    * bit-identical in both engines; gap totals stay integer μs. */
+  val q97 = DeclaredQuery(
+    "q97_event_funnel",
+    Some(s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS eus FROM events),
+            |v AS (SELECT user_id, MIN(eus) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+            |c AS (SELECT e.user_id, MIN(e.eus) AS t2, MIN(v.t1) AS t1
+            |      FROM e JOIN v ON e.user_id = v.user_id
+            |      WHERE e.event_type = 'click' AND e.eus > v.t1
+            |        AND e.eus - v.t1 <= 86400000000
+            |      GROUP BY 1),
+            |p AS (SELECT e.user_id, MIN(e.eus) AS t3, MIN(c.t2) AS t2
+            |      FROM e JOIN c ON e.user_id = c.user_id
+            |      WHERE e.event_type = 'purchase' AND e.eus > c.t2
+            |        AND e.eus - c.t2 <= 86400000000
+            |      GROUP BY 1),
+            |a AS (SELECT COUNT(v.t1) AS n1, COUNT(c.t2) AS n2, COUNT(p.t3) AS n3,
+            |             CAST(COALESCE(SUM(c.t2 - c.t1), 0) AS BIGINT) AS sg2,
+            |             CAST(COALESCE(SUM(p.t3 - p.t2), 0) AS BIGINT) AS sg3
+            |      FROM v LEFT JOIN c ON v.user_id = c.user_id
+            |             LEFT JOIN p ON v.user_id = p.user_id)
+            |SELECT * FROM (
+            |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_type, n1 AS users,
+            |         CAST(1.0 AS DOUBLE) AS conv_from_prev,
+            |         CAST(0 AS BIGINT) AS total_gap_us FROM a
+            |  UNION ALL
+            |  SELECT 2, 'click', n2,
+            |         CASE WHEN n1 = 0 THEN 0e0 ELSE CAST(n2 AS DOUBLE) / n1 END, sg2 FROM a
+            |  UNION ALL
+            |  SELECT 3, 'purchase', n3,
+            |         CASE WHEN n2 = 0 THEN 0e0 ELSE CAST(n3 AS DOUBLE) / n2 END, sg3 FROM a)
+            |ORDER BY step""".stripMargin)) { (s, d) =>
+    val DayUs = 86400L * 1000000L
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("eus"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("eus")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("eus") > col("t1") && col("eus") - col("t1") <= DayUs)
+      .groupBy("user_id").agg(min(col("eus")).as("t2"), min(col("t1")).as("ct1"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c.select(col("user_id"), col("t2")), "user_id")
+      .filter(col("eus") > col("t2") && col("eus") - col("t2") <= DayUs)
+      .groupBy("user_id").agg(min(col("eus")).as("t3"), min(col("t2")).as("pt2"))
+    val a = v
+      .join(c.select(col("user_id"), col("t2"), col("ct1")), Seq("user_id"), "left_outer")
+      .join(p.select(col("user_id"), col("t3"), col("pt2")), Seq("user_id"), "left_outer")
+      .agg(count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+        count(col("t3")).as("n3"),
+        coalesce(sum(col("t2") - col("ct1")), lit(0L)).as("sg2"),
+        coalesce(sum(col("t3") - col("pt2")), lit(0L)).as("sg3"))
+    a.select(explode(array(
+        struct(lit(1L).as("step"), lit("view").as("step_type"),
+          col("n1").as("users"), lit(1.0).as("conv_from_prev"),
+          lit(0L).as("total_gap_us")),
+        struct(lit(2L).as("step"), lit("click").as("step_type"),
+          col("n2").as("users"),
+          when(col("n1") === 0, 0.0)
+            .otherwise(col("n2").cast("double") / col("n1")).as("conv_from_prev"),
+          col("sg2").as("total_gap_us")),
+        struct(lit(3L).as("step"), lit("purchase").as("step_type"),
+          col("n3").as("users"),
+          when(col("n2") === 0, 0.0)
+            .otherwise(col("n3").cast("double") / col("n2")).as("conv_from_prev"),
+          col("sg3").as("total_gap_us")))).as("r"))
+      .select(col("r.step").as("step"), col("r.step_type").as("step_type"),
+        col("r.users").as("users"), col("r.conv_from_prev").as("conv_from_prev"),
+        col("r.total_gap_us").as("total_gap_us"))
+      .orderBy("step")
+  }
+
+  // ---------------------------------------------------------------- Q98
+  /** X62: cohort retention — users grouped by first-seen week (the
+    * cohort), then for each (cohort, week offset) the count of cohort
+    * members active that week and the retained fraction. The
+    * engagement-analytics twin of q97's acquisition funnel.
+    *
+    * Scale shape: one user-keyed hash-agg for first-seen, one
+    * user-keyed join + distinct for (user, offset) activity, one
+    * cohort-keyed count — all map-side-combinable, keys (user, then
+    * cohort-week) grow with the corpus. Cohort sizes are a
+    * weeks-of-history-sized frame, joined BROADCAST. Week arithmetic
+    * is integer epoch-μs DIV, identical in both engines; retention
+    * divides exact BIGINTs in DOUBLE. */
+  val q98 = DeclaredQuery(
+    "q98_cohort_retention",
+    Some(s"""WITH e AS (SELECT DISTINCT user_id,
+            |                  epoch_us(ts) // 604800000000 AS wk FROM events),
+            |f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY 1),
+            |s AS (SELECT cohort_wk, COUNT(*) AS cohort_size FROM f GROUP BY 1),
+            |r AS (SELECT f.cohort_wk, e.wk - f.cohort_wk AS offset_wk,
+            |             COUNT(*) AS active_users
+            |      FROM e JOIN f ON e.user_id = f.user_id GROUP BY 1, 2)
+            |SELECT r.cohort_wk, r.offset_wk, r.active_users, s.cohort_size,
+            |       CAST(r.active_users AS DOUBLE) / s.cohort_size AS retention
+            |FROM r JOIN s ON r.cohort_wk = s.cohort_wk
+            |ORDER BY 1, 2""".stripMargin)) { (s, d) =>
+    val WeekUs = 7L * 86400L * 1000000L
+    val e = Tables.events(s, d)
+      .select(col("user_id"), expr(s"unix_micros(ts) DIV $WeekUs").as("wk"))
+      .distinct()
+    val f = e.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    val sizes = f.groupBy("cohort_wk").agg(count(lit(1)).as("cohort_size"))
+    val r = e.join(f, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
+      .agg(count(lit(1)).as("active_users"))
+    r.join(broadcast(sizes), "cohort_wk")
+      .select(col("cohort_wk"), col("offset_wk"), col("active_users"),
+        col("cohort_size"),
+        (col("active_users").cast("double") / col("cohort_size")).as("retention"))
+      .orderBy("cohort_wk", "offset_wk")
+  }
+
+  val all: Seq[DeclaredQuery] =
+    Seq(q24a, q24b, q24c, q24d, q26j, q58, q93, q96, q97, q98)
 }
