@@ -79,4 +79,21 @@ object KmvSketch {
 
   /** Column form: `KmvSketch(hash60col)` → struct(estimate, support). */
   def apply(hv: Column): Column = udaf(Agg).apply(hv)
+
+  /** State-output form: the sorted ≤K-array of k-minimum hash values
+    * itself, for PRE-AGGREGATED sketch stores (q99's per-day states).
+    * The KMV closure property makes this the mergeable unit: the k-min
+    * of a union equals the k-min of the union of per-part k-mins, so a
+    * day-keyed state table answers any day-window distinct query by
+    * re-sketching ≤ window·K values — without rescanning raw data. */
+  private object StateAgg extends Aggregator[Long, Array[Long], Array[Long]] {
+    def zero: Array[Long] = Agg.zero
+    def reduce(b: Array[Long], v: Long): Array[Long] = Agg.reduce(b, v)
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = Agg.merge(a, b)
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  def state(hv: Column): Column = udaf(StateAgg).apply(hv)
 }

@@ -33,22 +33,7 @@ object TopK {
 
     def zero: Array[Long] = Array.emptyLongArray
 
-    def reduce(b: Array[Long], v: Long): Array[Long] = {
-      val i = java.util.Arrays.binarySearch(b, v)
-      if (i >= 0) b // packed keys are unique by construction; drop repeats
-      else {
-        val ins = -i - 1
-        if (b.length >= k && ins >= k) b
-        else {
-          val n = math.min(b.length + 1, k)
-          val out = new Array[Long](n)
-          System.arraycopy(b, 0, out, 0, ins)
-          out(ins) = v
-          if (ins < n - 1) System.arraycopy(b, ins, out, ins + 1, n - ins - 1)
-          out
-        }
-      }
-    }
+    def reduce(b: Array[Long], v: Long): Array[Long] = insert(b, v, k)
 
     def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
       val out = new Array[Long](math.min(a.length + b.length, k))
@@ -70,4 +55,25 @@ object TopK {
   /** Column form: `TopK.bottomK(5)(packedCol)` → array of the 5 smallest
     * packed values in ascending (= rank) order. */
   def bottomK(k: Int)(v: Column): Column = udaf(new BottomK(k)).apply(v)
+
+  /** The single insertion law both the batch Aggregator and the streaming
+    * twin ([[graft.streaming.StreamingOps.topkStream]]) apply: sorted
+    * distinct bottom-k, binary-search + shift, duplicates dropped. Shared
+    * so stream-vs-batch parity is by construction, not by coincidence. */
+  private[graft] def insert(b: Array[Long], v: Long, k: Int): Array[Long] = {
+    val i = java.util.Arrays.binarySearch(b, v)
+    if (i >= 0) b // packed keys are unique by construction; drop repeats
+    else {
+      val ins = -i - 1
+      if (b.length >= k && ins >= k) b
+      else {
+        val n = math.min(b.length + 1, k)
+        val out = new Array[Long](n)
+        System.arraycopy(b, 0, out, 0, ins)
+        out(ins) = v
+        if (ins < n - 1) System.arraycopy(b, ins, out, ins + 1, n - ins - 1)
+        out
+      }
+    }
+  }
 }

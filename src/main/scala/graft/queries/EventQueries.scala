@@ -416,6 +416,73 @@ object EventQueries {
       .orderBy("cohort_wk", "offset_wk")
   }
 
+  // ---------------------------------------------------------------- Q99
+  /** X63: rolling weekly-active-users via MERGEABLE per-day sketches —
+    * the 100 TB distinct-over-window pattern: a windowed COUNT(DISTINCT)
+    * cannot pre-aggregate (distinct is not summable), so at scale you
+    * keep one bounded sketch per (day) and answer ANY trailing window by
+    * merging ≤window states, never rescanning raw events. KMV's closure
+    * property (k-min of a union = k-min of the union of per-part k-mins,
+    * Beyer et al. SIGMOD'07) makes the merged estimate exactly
+    * reproducible from the day-state table; the oracle replays the same
+    * k-th-order-statistic arithmetic from md5 strings.
+    *
+    * Scale shape: raw events → (day, user) DISTINCT pre-agg (map-side
+    * combinable) → day-keyed KMV state (O(K)=64 longs per day) → a
+    * 7-offset explode of the days-of-history-sized state table →
+    * re-sketch per target day over ≤7·K values. The exact count rides
+    * along from the same pre-agg (7-offset explode + distinct) for the
+    * rel_err column — at production scale you'd drop that arm and keep
+    * only the O(days·K) path. */
+  val q99 = DeclaredQuery(
+    "q99_rolling_wau",
+    Some(s"""WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+            |                  md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+            |dh AS (SELECT DISTINCT day, ${Det.sql.hex60("h")} AS hv FROM du),
+            |td AS (SELECT DISTINCT day FROM dh),
+            |w2 AS (SELECT DISTINCT t.day AS day, d.hv
+            |       FROM td t JOIN dh d ON d.day BETWEEN t.day - 6 AND t.day),
+            |r AS (SELECT day, hv,
+            |             row_number() OVER (PARTITION BY day ORDER BY hv) AS rk,
+            |             COUNT(*) OVER (PARTITION BY day) AS nd FROM w2),
+            |kth AS (SELECT day, nd, hv AS kv FROM r WHERE rk = LEAST(nd, 64)),
+            |est AS (SELECT day,
+            |               CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+            |                    ELSE 63e0 * 1152921504606846976 / CAST(kv AS DOUBLE)
+            |               END AS approx_wau,
+            |               LEAST(nd, 64) AS support, nd AS exact_wau FROM kth)
+            |SELECT day, approx_wau, support, exact_wau,
+            |       abs(approx_wau - exact_wau) / exact_wau AS rel_err
+            |FROM est ORDER BY day""".stripMargin)) { (s, d) =>
+    import graft.operators.KmvSketch
+    val DayUs = 86400L * 1000000L
+    val dh = Tables.events(s, d)
+      .select(expr(s"unix_micros(ts) DIV $DayUs").as("day"), col("user_id"))
+      .distinct()
+      .select(col("day"), Det.hex60(md5(col("user_id").cast("string"))).as("hv"))
+    // bounded arm: one ≤64-long state per day, merged across the window
+    val st = dh.groupBy("day").agg(KmvSketch.state(col("hv")).as("st"))
+    val tdays = st.select(col("day"))
+    val approx = st
+      .select(explode(sequence(lit(0L), lit(6L))).as("off"), col("day"), col("st"))
+      .select((col("day") + col("off")).as("day"), explode(col("st")).as("hv"))
+      .join(tdays, Seq("day"), "left_semi")
+      .groupBy("day").agg(KmvSketch(col("hv")).as("kmv"))
+    // exact arm (rel_err evidence): window union from the same pre-agg
+    val exact = dh
+      .select(explode(sequence(lit(0L), lit(6L))).as("off"), col("day"), col("hv"))
+      .select((col("day") + col("off")).as("day"), col("hv"))
+      .join(tdays, Seq("day"), "left_semi")
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("exact_wau"))
+    approx.join(exact, "day")
+      .select(col("day"), col("kmv.estimate").as("approx_wau"),
+        col("kmv.support").as("support"), col("exact_wau"),
+        (abs(col("kmv.estimate") - col("exact_wau")) / col("exact_wau"))
+          .as("rel_err"))
+      .orderBy("day")
+  }
+
   val all: Seq[DeclaredQuery] =
-    Seq(q24a, q24b, q24c, q24d, q26j, q58, q93, q96, q97, q98)
+    Seq(q24a, q24b, q24c, q24d, q26j, q58, q93, q96, q97, q98, q99)
 }

@@ -441,6 +441,32 @@ object StreamingOps {
       .groupBy("row", "bucket").agg(count(lit(1)).as("c"))
   }
 
+  final case class TopKEvent(group: Long, packed: Long)
+  final case class TopKSnapshot(group: Long, topk: Seq[Long])
+
+  /** Streaming twin of [[graft.operators.TopK]]: per group, a bounded
+    * sorted bottom-k of caller-packed sort keys maintained across
+    * micro-batches — the live-leaderboard shape (top error codes this
+    * hour, hottest documents so far). O(k) state per group; every batch
+    * that touches a group emits its refreshed snapshot (Update mode).
+    *
+    * Parity is by construction: insertion applies the SAME
+    * `TopK.insert` law as the batch Aggregator, so the snapshot after
+    * any stream prefix is bit-equal to `TopK.bottomK` over that prefix
+    * regardless of arrival order (StreamingSpec pins it). */
+  def topkStream(events: Dataset[TopKEvent], k: Int): Dataset[TopKSnapshot] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.group)
+      .mapGroupsWithState[Array[Long], TopKSnapshot](
+        GroupStateTimeout.NoTimeout) { (g, rows, state) =>
+        var b = state.getOption.getOrElse(Array.emptyLongArray)
+        rows.foreach(e => b = graft.operators.TopK.insert(b, e.packed, k))
+        state.update(b)
+        TopKSnapshot(g, b.toSeq)
+      }
+  }
+
   final case class RollingEvent(key: Long, ts: Long, tb: Long, cents: Long)
   final case class RollingState(window: List[(Long, Long, Long)]) // (ts, tb, cents) desc
   final case class RollingOut(key: Long, ts: Long, tb: Long, n: Long, cents: Long)

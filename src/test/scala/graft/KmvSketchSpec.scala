@@ -48,4 +48,24 @@ class KmvSketchSpec extends SparkSpec {
     assert(run(base.repartition(7)) == ((est, support)))
     assert(run(base.repartition(1)) == ((est, support)))
   }
+
+  test("closure: re-sketching per-part k-min states equals the direct sketch") {
+    // q99's pre-aggregated-store contract: k-min of a union == k-min of
+    // the union of per-part k-mins (Beyer et al. SIGMOD'07), so a
+    // day-keyed state table answers any window without raw rescans.
+    val rows = (1 to 4000).map(i => (i % 9, i % 1300)) // (part, value)
+    val df = rows.toDF("part", "v")
+      .select(col("part"), Det.hex60(md5(col("v").cast("string"))).as("hv"))
+    val direct = df.agg(KmvSketch(col("hv")).as("kmv"))
+      .select(col("kmv.estimate"), col("kmv.support")).head()
+    val viaStates = df.groupBy("part").agg(KmvSketch.state(col("hv")).as("st"))
+      .select(explode(col("st")).as("hv"))
+      .agg(KmvSketch(col("hv")).as("kmv"))
+      .select(col("kmv.estimate"), col("kmv.support")).head()
+    assert(viaStates == direct)
+    // and each state is bounded by K
+    val maxLen = df.groupBy("part").agg(KmvSketch.state(col("hv")).as("st"))
+      .select(size(col("st")).as("n")).agg(max(col("n"))).head().getInt(0)
+    assert(maxLen <= KmvSketch.K)
+  }
 }

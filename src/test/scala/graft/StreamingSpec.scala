@@ -450,6 +450,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("topk stream: snapshots equal the batch bottom-k after every prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import StreamingOps.{TopKEvent, TopKSnapshot}
+    import graft.operators.TopK
+    val input = MemoryStream[TopKEvent]
+    val out = StreamingOps.topkStream(input.toDS(), k = 3)
+    val q = out.writeStream.format("memory")
+      .queryName("topk_out").outputMode(OutputMode.Update()).start()
+    try {
+      val b1 = Seq(TopKEvent(1L, 50L), TopKEvent(1L, 20L), TopKEvent(1L, 80L),
+        TopKEvent(2L, 7L))
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      // Update-mode memory sink appends refreshed rows; latest per group
+      // is the live snapshot
+      val s1 = spark.table("topk_out").as[TopKSnapshot].collect()
+      assert(s1.filter(_.group == 1L).last.topk == Seq(20L, 50L, 80L))
+      assert(s1.filter(_.group == 2L).last.topk == Seq(7L))
+      // batch 2: 10 enters, 80 falls out; duplicate 20 dropped; group 2 idle
+      input.addData(TopKEvent(1L, 10L), TopKEvent(1L, 20L), TopKEvent(1L, 95L))
+      q.processAllAvailable()
+      val s2 = spark.table("topk_out").as[TopKSnapshot].collect()
+      assert(s2.filter(_.group == 1L).last.topk == Seq(10L, 20L, 50L))
+      // parity with the batch Aggregator over the full prefix
+      val all = (b1 ++ Seq(TopKEvent(1L, 10L), TopKEvent(1L, 20L), TopKEvent(1L, 95L)))
+      val batch = all.toDF("group", "packed")
+        .groupBy("group").agg(TopK.bottomK(3)(col("packed")).as("topk"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(s2.filter(_.group == 1L).last.topk == batch(1L))
+      assert(s2.filter(_.group == 2L).last.topk == batch(2L))
+    } finally q.stop()
+  }
+
   test("rolling stream: batch parity with q96's RANGE window on events") {
     import spark.implicits._
     import StreamingOps.{RollingEvent, RollingOut}
