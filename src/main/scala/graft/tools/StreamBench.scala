@@ -19,7 +19,7 @@ import org.apache.spark.sql.streaming.OutputMode
   * cluster deployments shard by the group key.
   *
   * Usage: runMain graft.tools.StreamBench <sfDir> [chunks] [ops-csv]
-  * (ops-csv ⊆ asof,neardup,exactdedup,enrich — default all four)
+  * (ops-csv ⊆ asof,neardup,exactdedup,enrich,rolling,topk — default all)
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
@@ -27,7 +27,7 @@ object StreamBench {
     val chunks = args.lift(1).map(_.toInt).getOrElse(8)
     val ops: Set[String] = args.lift(2)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .getOrElse(Set("asof", "neardup", "exactdedup", "enrich", "rolling"))
+      .getOrElse(Set("asof", "neardup", "exactdedup", "enrich", "rolling", "topk"))
     val spark = graft.Session.local(appName = "graft-stream-bench")
     spark.sparkContext.setLogLevel("WARN")
     // the fuzz-hardened checkpoint posture from SparkSpec: checksummed
@@ -171,6 +171,31 @@ object StreamBench {
         .writeStream.format("memory").queryName("sb_rolling")
         .outputMode(OutputMode.Append()).start()
       tagged.grouped(math.max(1, tagged.length / chunks)).foreach { c =>
+        in.addData(c.toSeq: _*); q.processAllAvailable()
+      }
+      q.stop()
+    }
+    }
+
+    // ---- live top-k leaderboard per event type (q95's streaming twin)
+    if (ops("topk")) {
+    val typeCode = Map("click" -> 0L, "error" -> 1L, "purchase" -> 2L,
+      "signup" -> 3L, "view" -> 4L)
+    val packed = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .collect().map { r =>
+        // (cents DESC, id ASC) packed so ascending-Long order is rank order
+        val capped = math.min(r.getLong(2), (1L << 20) - 1)
+        StreamingOps.TopKEvent(typeCode(r.getString(0)),
+          ((1L << 20) - capped) << 40 | r.getLong(1))
+      }
+    timeIt("topk", packed.length, chunks) {
+      val in = MemoryStream[StreamingOps.TopKEvent]
+      val q = StreamingOps.topkStream(in.toDS(), k = 100)
+        .writeStream.format("memory").queryName("sb_topk")
+        .outputMode(OutputMode.Update()).start()
+      packed.grouped(math.max(1, packed.length / chunks)).foreach { c =>
         in.addData(c.toSeq: _*); q.processAllAvailable()
       }
       q.stop()
