@@ -86,6 +86,88 @@ object Sources {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Z-order clustered write — [[writeClustered]] for MULTI-column
+    * predicates: each cluster column is linearly scaled to a 16-bit
+    * lattice from its (min, max) (one 2·|cols|-value agg job), the bit
+    * planes are interleaved into one z-value, and files range-partition
+    * by it — so every cluster column is locality-preserved per file and
+    * a range predicate on ANY of them skips files by min/max stats,
+    * where a 1-D sort serves only its own column. Linear scaling is the
+    * standard z-lattice construction (Delta/Iceberg sample range
+    * boundaries instead; min/max keeps this deterministic and 2-job).
+    * Skew degrades gracefully: the interleave still groups, only
+    * lattice occupancy thins — re-cluster with a rank-based lattice if
+    * a column is pathological. Numeric columns only (the lattice is
+    * arithmetic). */
+  def writeZOrdered(df: DataFrame, path: String, cols: Seq[String], files: Int): Unit = {
+    require(cols.size >= 2 && cols.size <= 4,
+      s"z-order wants 2-4 columns, got ${cols.size} (1 column → writeClustered)")
+    require(files > 0 && files <= 1000000, s"file count out of range: $files")
+    val bounds = df.agg(
+      min(col(cols.head)).cast("double").as("lo0"),
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        (if (i == 0) Nil else Seq(min(col(c)).cast("double").as(s"lo$i"))) :+
+          max(col(c)).cast("double").as(s"hi$i")
+      }: _*).head() // bounded by construction: 2·|cols| doubles
+    val lattice = cols.indices.map { i =>
+      val lo = bounds.getDouble(bounds.fieldIndex(s"lo$i"))
+      val hi = bounds.getDouble(bounds.fieldIndex(s"hi$i"))
+      val span = if (hi > lo) hi - lo else 1.0
+      least(lit(65535), greatest(lit(0),
+        ((col(cols(i)).cast("double") - lo) / span * 65535.0).cast("int")))
+    }
+    val z = (0 until 16).foldLeft(lit(0L)) { (acc, b) =>
+      cols.indices.foldLeft(acc) { (a, ci) =>
+        a.bitwiseOR(shiftleft(
+          shiftright(lattice(ci), b).bitwiseAND(lit(1)).cast("long"),
+          b * cols.size + ci))
+      }
+    }
+    df.withColumn("_z", z)
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** File-level min/max stats catalog — the tiny metadata table a
+    * lakehouse keeps beside a 100 TB dataset so the PLANNER can drop
+    * whole files before any task launches (the missing level above
+    * parquet's in-file row-group/page skipping; what Delta/Iceberg
+    * persist in their manifests). One column-pruned scan over `cols`
+    * only; one row per file. Persist it beside the data and refresh on
+    * compaction/ingest. */
+  def statsCatalog(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "catalog wants at least one column")
+    val df = spark.read.parquet(path)
+    df.select(input_file_name().as("file") +: cols.map(col): _*)
+      .groupBy("file")
+      .agg(count(lit(1)).as("rows"),
+        cols.flatMap(c =>
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
+  }
+
+  /** Catalog-pruned read: keep only files whose [min, max] on `c`
+    * overlaps [lo, hi], then scan just those — whole-file skipping from
+    * plain parquet + a stats frame, no table format needed. The
+    * row-level filter still applies (pruning is a strict optimization,
+    * never a semantics change — LayoutSpec pins parity with the full
+    * scan). The collect is bounded by the dataset's FILE count: the
+    * catalog contract is that metadata is driver-sized; require()d. */
+  def readPruned(spark: SparkSession, path: String, catalog: DataFrame,
+                 c: String, lo: Any, hi: Any): DataFrame = {
+    val keep = catalog
+      .filter(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi))
+      .select("file").collect().map(_.getString(0))
+    require(keep.length <= 1000000,
+      s"catalog lists ${keep.length} surviving files — not driver-sized metadata")
+    if (keep.isEmpty) // schema-correct empty frame: scan pruned to nothing
+      spark.read.parquet(path).filter(lit(false))
+    else
+      spark.read.parquet(keep.toIndexedSeq: _*)
+        .filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+  }
+
   /** Compact a parquet dataset to ~`targetBytes` files — the maintenance
     * pass every long-lived 100 TB table needs once streaming/incremental
     * ingest has sprayed small files. File count derives from the CURRENT

@@ -58,6 +58,58 @@ class LayoutSpec extends SparkSpec {
       s"pruned scan read all $totalFiles files")
   }
 
+  test("z-ordered writes skip files on EVERY cluster column") {
+    val dir = Files.createTempDirectory("zorder").toString + "/t"
+    // two near-independent numeric dimensions: doc_id and a shuffled twin
+    val df = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), xxhash64(col("doc_id")).as("h"), col("n_chars"))
+    Sources.writeZOrdered(df, dir, Seq("doc_id", "h"), files = 16)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == df.count())
+    assert(back.agg(expr("bit_xor(xxhash64(doc_id, h))")).head().getLong(0)
+      == df.agg(expr("bit_xor(xxhash64(doc_id, h))")).head().getLong(0))
+
+    val cat = Sources.statsCatalog(spark, dir, Seq("doc_id", "h")).collect()
+    assert(cat.length == 16)
+    // a narrow range on EITHER dimension overlaps only a minority of
+    // files — the property a 1-D sort can deliver for one column only
+    def overlapping(c: String, lo: Long, hi: Long): Int = {
+      val iMin = cat.head.schema.fieldIndex(s"min_$c")
+      val iMax = cat.head.schema.fieldIndex(s"max_$c")
+      cat.count(r => r.getLong(iMax) >= lo && r.getLong(iMin) <= hi)
+    }
+    val ids = df.select(min("doc_id"), max("doc_id")).head()
+    val (idLo, idHi) = (ids.getLong(0), ids.getLong(1))
+    val idSpan = (idHi - idLo) / 8
+    val hs = df.select(min("h"), max("h")).head()
+    val hSpan = (hs.getLong(1) / 8) - (hs.getLong(0) / 8) // avoid overflow
+    val nId = overlapping("doc_id", idLo, idLo + idSpan)
+    val nH = overlapping("h", hs.getLong(0), hs.getLong(0) + hSpan)
+    assert(nId <= 8, s"doc_id octant range touched $nId/16 files")
+    assert(nH <= 8, s"h octant range touched $nH/16 files")
+  }
+
+  test("catalog-pruned read scans fewer files and matches the full scan") {
+    val dir = Files.createTempDirectory("catalog").toString + "/t"
+    val df = Tables.documents(spark, sf0001).select("doc_id", "n_chars")
+    Sources.writeClustered(df, dir, "doc_id", files = 8)
+    val catalog = Sources.statsCatalog(spark, dir, Seq("doc_id"))
+    val (lo, hi) = (100L, 300L)
+    val pruned = Sources.readPruned(spark, dir, catalog, "doc_id", lo, hi)
+    val full = spark.read.parquet(dir).filter(col("doc_id").between(lo, hi))
+    assert(pruned.count() == full.count() && full.count() > 0)
+    assert(pruned.select(sum("n_chars")).head().getLong(0)
+      == full.select(sum("n_chars")).head().getLong(0))
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.length
+    }.get
+    assert(scanned < 8, s"pruned read still lists $scanned/8 files")
+    // empty-range prune keeps the schema
+    val none = Sources.readPruned(spark, dir, catalog, "doc_id", -10L, -5L)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("doc_id", "n_chars"))
+  }
+
   test("compact merges small files and preserves every row") {
     val dir = Files.createTempDirectory("compact").toString + "/t"
     val df = Tables.documents(spark, sf0001)
