@@ -483,6 +483,115 @@ object EventQueries {
       .orderBy("day")
   }
 
+  // ---------------------------------------------------------------- Q100
+  /** X64: session path analysis — the transition matrix over event types
+    * (view→click, click→purchase, …) counted over SAME-SESSION adjacent
+    * event pairs. Because sessions are defined by the 30-minute gap rule
+    * (q24c), "consecutive within a session" is exactly "adjacent in the
+    * user's timeline with gap ≤ 1800 s" — so no session numbering pass
+    * is needed: one LEAD over the user-partitioned order and a gap
+    * filter. The Markov-chain input behind next-action models and
+    * funnel discovery (q97 checks a KNOWN path; this surfaces the
+    * paths).
+    *
+    * Scale shape: user-partitioned window (keys grow with the corpus —
+    * the good shape, q96's note), then a 25-row-bounded hash-agg. */
+  val q100 = DeclaredQuery(
+    "q100_session_paths",
+    Some("""WITH e AS (SELECT user_id, event_id, event_type,
+           |                 CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),
+           |p AS (SELECT event_type AS prev_type,
+           |             lead(event_type) OVER w AS next_type,
+           |             lead(es) OVER w - es AS gap
+           |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id))
+           |SELECT prev_type, next_type, COUNT(*) AS n
+           |FROM p WHERE next_type IS NOT NULL AND gap <= 1800
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("es"))
+      .select(col("event_type").as("prev_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"),
+        (lead(col("es"), 1).over(w) - col("es")).as("gap"))
+      .filter(col("next_type").isNotNull && col("gap") <= 1800)
+      .groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  // ---------------------------------------------------------------- Q101
+  /** X65: pivot with EXPLICIT values — per-user event counts fanned into
+    * one column per event type (the wide activity-matrix export every
+    * BI handoff wants). Spark's `pivot(col)` without a value list runs
+    * an extra distinct-values job and breaks schema stability at scale;
+    * the explicit-list form compiles to plain conditional aggregation —
+    * one user-keyed map-side-combinable shuffle, schema fixed at plan
+    * time. The oracle spells the same conditional aggregation. */
+  val q101 = DeclaredQuery(
+    "q101_pivot_activity",
+    Some("""SELECT user_id,
+           |       COUNT(*) FILTER (WHERE event_type = 'click') AS "click",
+           |       COUNT(*) FILTER (WHERE event_type = 'error') AS "error",
+           |       COUNT(*) FILTER (WHERE event_type = 'purchase') AS "purchase",
+           |       COUNT(*) FILTER (WHERE event_type = 'signup') AS "signup",
+           |       COUNT(*) FILTER (WHERE event_type = 'view') AS "view"
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L) // a user with no events of a type pivots to null; the
+                   // conditional-agg oracle counts 0 — same meaning
+      .orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------- Q102
+  /** X66: hourly anomaly flags — hours whose event count deviates ≥ 3σ
+    * from that event type's mean hourly count (population σ over the
+    * observed hours). The ops-monitoring primitive on top of q24a's
+    * tumbling agg.
+    *
+    * Exactness: the z² test is evaluated in INTEGER arithmetic —
+    * z² > 9 ⟺ (x·cnt − sum)² > 9·(cnt·sumsq − sum²) with x, cnt, sum,
+    * sumsq all exact BIGINTs — so the flag can never drift between
+    * engines on a rounding edge; the reported z-score divides exact
+    * integers and takes one IEEE sqrt (correctly rounded, identical in
+    * both engines). Two hash-aggs + a 5-row broadcast join; no windows. */
+  val q102 = DeclaredQuery(
+    "q102_hourly_anomaly",
+    Some("""WITH h AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           |                  event_type, COUNT(*) AS n
+           |           FROM events GROUP BY 1, 2),
+           |s AS (SELECT event_type, COUNT(*) AS cnt, SUM(n) AS sum_n,
+           |             SUM(n * n) AS sumsq FROM h GROUP BY 1)
+           |SELECT h.hour_epoch, h.event_type, h.n,
+           |       CASE WHEN CAST(s.cnt AS BIGINT) * s.sumsq - s.sum_n * s.sum_n = 0 THEN 0e0
+           |            ELSE (CAST(h.n * s.cnt - s.sum_n AS DOUBLE))
+           |                 / sqrt(CAST(CAST(s.cnt AS BIGINT) * s.sumsq - s.sum_n * s.sum_n AS DOUBLE))
+           |       END AS zscore,
+           |       (h.n * s.cnt - s.sum_n) * (h.n * s.cnt - s.sum_n)
+           |         > 9 * (CAST(s.cnt AS BIGINT) * s.sumsq - s.sum_n * s.sum_n) AS is_anomaly
+           |FROM h JOIN s ON h.event_type = s.event_type
+           |ORDER BY h.hour_epoch, h.event_type""".stripMargin)) { (s, d) =>
+    val hourly = Tables.events(s, d)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum(col("n")).as("sum_n"),
+        sum(col("n") * col("n")).as("sumsq"))
+    val num = col("n") * col("cnt") - col("sum_n")
+    val den = col("cnt") * col("sumsq") - col("sum_n") * col("sum_n")
+    hourly.join(broadcast(stats), "event_type")
+      .select(col("hour_epoch"), col("event_type"), col("n"),
+        when(den === 0, 0.0)
+          .otherwise(num.cast("double") / sqrt(den.cast("double"))).as("zscore"),
+        (num * num > lit(9L) * den).as("is_anomaly"))
+      .orderBy("hour_epoch", "event_type")
+  }
+
   val all: Seq[DeclaredQuery] =
-    Seq(q24a, q24b, q24c, q24d, q26j, q58, q93, q96, q97, q98, q99)
+    Seq(q24a, q24b, q24c, q24d, q26j, q58, q93, q96, q97, q98, q99, q100,
+      q101, q102)
 }
