@@ -168,6 +168,87 @@ object Sources {
         .filter(col(c) >= lit(lo) && col(c) <= lit(hi))
   }
 
+  final case class UpsertStats(filesTotal: Int, filesRewritten: Int,
+                               filesAppended: Int)
+
+  /** Catalog-scoped upsert (MERGE) into a [[writeClustered]] dataset —
+    * the table-format write path in miniature: instead of rewriting the
+    * corpus to change 0.1% of keys, the per-file min/max catalog scopes
+    * the rewrite to the files whose key range the updates touch. Rows
+    * whose key exists are REPLACED by the update row; new in-range keys
+    * land in their range's rewritten file; keys beyond every range
+    * append as a fresh clustered file. Untouched files are not read,
+    * not rewritten, not renamed — at 100 TB that is the difference
+    * between a metadata-sized commit and a corpus rewrite.
+    *
+    * Assumes the upsert contract: `keyCol` unique in both the dataset
+    * and `updates` (every base row with an updated key is dropped in
+    * favor of the update row). The two collects are bounded by the
+    * dataset's FILE count (catalog contract), require()d. Not atomic —
+    * like [[compact]], a maintenance pass, not a transaction log. */
+  def upsertClustered(spark: SparkSession, path: String, updates: DataFrame,
+                      keyCol: String): UpsertStats = {
+    // MATERIALIZE the catalog before any file is deleted: every later
+    // arm must plan against this snapshot, never against a re-scan of a
+    // directory we are mid-way through mutating. Driver-sized by the
+    // catalog contract, require()d.
+    val catFrame = statsCatalog(spark, path, Seq(keyCol))
+    val catRows = catFrame.collect()
+    require(catRows.length <= 1000000,
+      s"${catRows.length} files — catalog is not driver-sized")
+    val catalog = spark.createDataFrame(
+      java.util.Arrays.asList(catRows: _*), catFrame.schema)
+    // range-tag each update row; ranges are disjoint (writeClustered), so
+    // ≤1 match per row and a broadcast range join stays 1:≤1
+    val tagged = updates.join(
+        broadcast(catalog.select(col("file"),
+          col(s"min_$keyCol").as("_lo"), col(s"max_$keyCol").as("_hi"))),
+        updates(keyCol) >= col("_lo") && updates(keyCol) <= col("_hi"),
+        "left_outer")
+    val affected = tagged.filter(col("file").isNotNull)
+      .select("file").distinct().collect().map(_.getString(0))
+    val total = catRows.length
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new org.apache.hadoop.fs.Path(path)
+    val fs = dirPath.getFileSystem(conf)
+
+    def moveIn(tmp: String): Int = {
+      val t = new org.apache.hadoop.fs.Path(tmp)
+      val parts = fs.listStatus(t).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+      parts.foreach(p => require(fs.rename(p,
+        new org.apache.hadoop.fs.Path(dirPath, p.getName)),
+        s"rename $p into $path failed"))
+      fs.delete(t, true)
+      parts.length
+    }
+
+    var rewritten = 0
+    if (affected.nonEmpty) {
+      val base = spark.read.parquet(affected.toIndexedSeq: _*)
+      val merged = base.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+        .unionByName(tagged.filter(col("file").isNotNull)
+          .drop("file", "_lo", "_hi"))
+      val tmp = path.stripSuffix("/") + "_upsert_tmp"
+      merged.repartitionByRange(affected.length, col(keyCol))
+        .sortWithinPartitions(keyCol)
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+      affected.foreach { f =>
+        fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(f)), false)
+      }
+      rewritten = moveIn(tmp)
+    }
+    var appended = 0
+    val fresh = tagged.filter(col("file").isNull).drop("file", "_lo", "_hi")
+    if (!fresh.isEmpty) {
+      val tmp = path.stripSuffix("/") + "_upsert_new_tmp"
+      fresh.repartitionByRange(1, col(keyCol)).sortWithinPartitions(keyCol)
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+      appended = moveIn(tmp)
+    }
+    UpsertStats(total, rewritten, appended)
+  }
+
   /** Compact a parquet dataset to ~`targetBytes` files — the maintenance
     * pass every long-lived 100 TB table needs once streaming/incremental
     * ingest has sprayed small files. File count derives from the CURRENT

@@ -110,6 +110,38 @@ class LayoutSpec extends SparkSpec {
     assert(none.count() == 0 && none.columns.toSeq == Seq("doc_id", "n_chars"))
   }
 
+  test("upsertClustered rewrites only the touched key ranges") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("upsert").toString + "/t"
+    val df = Tables.documents(spark, sf0001).select("doc_id", "n_chars")
+    Sources.writeClustered(df, dir, "doc_id", files = 8)
+    def names() = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val before = names()
+    assert(before.size == 8)
+    val maxId = df.agg(max("doc_id")).head().getLong(0)
+    // touch one narrow existing range + append keys beyond every range
+    val updates = ((100L to 120L).map(id => (id, -1L)) ++
+      (maxId + 1 to maxId + 3).map(id => (id, -2L))).toDF("doc_id", "n_chars")
+    val stats = Sources.upsertClustered(spark, dir, updates, "doc_id")
+    val after = names()
+    assert(stats.filesTotal == 8)
+    assert(stats.filesRewritten >= 1 && stats.filesRewritten < 8,
+      s"expected a scoped rewrite, got $stats")
+    assert(stats.filesAppended == 1)
+    // untouched files survive BY NAME — they were never read or rewritten
+    assert(before.intersect(after).size == 8 - stats.filesRewritten)
+    // contents equal the logical MERGE
+    val expected = df.filter(!col("doc_id").between(100L, 120L))
+      .unionByName(updates)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == expected.count())
+    assert(back.agg(expr("bit_xor(xxhash64(doc_id, n_chars))")).head().getLong(0)
+      == expected.agg(expr("bit_xor(xxhash64(doc_id, n_chars))")).head().getLong(0))
+    assert(back.filter(col("n_chars") === -1L).count() == 21)
+    assert(back.filter(col("n_chars") === -2L).count() == 3)
+  }
+
   test("compact merges small files and preserves every row") {
     val dir = Files.createTempDirectory("compact").toString + "/t"
     val df = Tables.documents(spark, sf0001)
