@@ -96,4 +96,16 @@ object KmvSketch {
   }
 
   def state(hv: Column): Column = udaf(StateAgg).apply(hv)
+
+  /** The single insertion law behind both aggregators and the streaming
+    * day-state maintainer ([[graft.streaming.StreamingOps.wauStream]]) —
+    * shared so stream-vs-batch state parity is by construction. */
+  private[graft] def insert(b: Array[Long], v: Long): Array[Long] =
+    Agg.reduce(b, v)
+
+  /** Estimate from a raw state array — [[Out]]'s law, for callers that
+    * store states (q99's pattern) and finish later. */
+  def estimateOf(b: Array[Long]): Double =
+    if (b.length < K) b.length.toDouble
+    else (K - 1).toDouble * Pow60 / b(K - 1).toDouble
 }

@@ -441,6 +441,31 @@ object StreamingOps {
       .groupBy("row", "bucket").agg(count(lit(1)).as("c"))
   }
 
+  final case class WauEvent(day: Long, hv: Long)
+  final case class WauState(day: Long, kmins: Seq[Long], estimate: Double)
+
+  /** Streaming maintainer of q99's per-day KMV distinct states — the
+    * ingest half of the pre-aggregated sketch store: each micro-batch
+    * folds its (day, user-hash) stream into the day's bounded k-min
+    * array (O(64) longs per day, the SAME `KmvSketch.insert` law as the
+    * batch aggregator, so the live state is bit-equal to a batch
+    * rebuild over the prefix — StreamingSpec pins it) and emits the
+    * refreshed state + estimate. Persist the snapshots and any trailing
+    * window's WAU is a ≤window-length merge away (q99's closure
+    * property), with no raw-event rescan ever. */
+  def wauStream(events: Dataset[WauEvent]): Dataset[WauState] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.day)
+      .mapGroupsWithState[Array[Long], WauState](
+        GroupStateTimeout.NoTimeout) { (day, rows, state) =>
+        var b = state.getOption.getOrElse(Array.emptyLongArray)
+        rows.foreach(e => b = graft.operators.KmvSketch.insert(b, e.hv))
+        state.update(b)
+        WauState(day, b.toSeq, graft.operators.KmvSketch.estimateOf(b))
+      }
+  }
+
   final case class TopKEvent(group: Long, packed: Long)
   final case class TopKSnapshot(group: Long, topk: Seq[Long])
 

@@ -484,6 +484,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("wau stream: live day states are bit-equal to a batch rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import StreamingOps.{WauEvent, WauState}
+    import graft.operators.KmvSketch
+    import graft.util.Det
+    // real (day, user-hash) feed from events, streamed in 4 chunks
+    val feed = Tables.events(spark, sf0001)
+      .select(expr("unix_micros(ts) DIV 86400000000").as("day"),
+        Det.hex60(md5(col("user_id").cast("string"))).as("hv"))
+      .as[WauEvent].collect()
+    val input = MemoryStream[WauEvent]
+    val out = StreamingOps.wauStream(input.toDS())
+    val q = out.writeStream.format("memory")
+      .queryName("wau_out").outputMode(OutputMode.Update()).start()
+    try {
+      feed.grouped(math.max(1, feed.length / 4)).foreach { c =>
+        input.addData(c.toSeq: _*); q.processAllAvailable()
+      }
+      val live = spark.table("wau_out").as[WauState].collect()
+        .groupBy(_.day).map { case (d, snaps) => d -> snaps.last }
+      val batch = Tables.events(spark, sf0001)
+        .select(expr("unix_micros(ts) DIV 86400000000").as("day"),
+          Det.hex60(md5(col("user_id").cast("string"))).as("hv"))
+        .groupBy("day").agg(KmvSketch.state(col("hv")).as("st"),
+          KmvSketch(col("hv")).as("kmv"))
+        .as[(Long, Seq[Long], (Double, Long))].collect()
+      assert(batch.nonEmpty && batch.length == live.size)
+      batch.foreach { case (day, st, (est, _)) =>
+        assert(live(day).kmins == st, s"day $day state drifted")
+        assert(live(day).estimate == est, s"day $day estimate drifted")
+      }
+    } finally q.stop()
+  }
+
   test("rolling stream: batch parity with q96's RANGE window on events") {
     import spark.implicits._
     import StreamingOps.{RollingEvent, RollingOut}
