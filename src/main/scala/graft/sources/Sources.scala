@@ -168,6 +168,19 @@ object Sources {
         .filter(col(c) >= lit(lo) && col(c) <= lit(hi))
   }
 
+  /** Schema-evolution read: a long-lived dataset accumulates files
+    * written under older schemas (ingest grows a column; history keeps
+    * the old footprint). Plain `spark.read.parquet` takes ONE file's
+    * footer as the schema and silently drops columns absent there;
+    * `mergeSchema` unions every footer and old files read the missing
+    * columns as NULL — `unionByName(allowMissingColumns)` (q19's U3) at
+    * the storage layer. Cost: one footer read per file at planning —
+    * fine beside a stats catalog, pathological at millions of files
+    * without one, so it is an explicit entry point rather than a
+    * default. */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   final case class UpsertStats(filesTotal: Int, filesRewritten: Int,
                                filesAppended: Int)
 

@@ -142,6 +142,25 @@ class LayoutSpec extends SparkSpec {
     assert(back.filter(col("n_chars") === -2L).count() == 3)
   }
 
+  test("readEvolved unions schemas across file generations") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("evolve").toString + "/t"
+    // generation 1: (doc_id, n_chars); generation 2 adds lang
+    Seq((1L, 10L), (2L, 20L)).toDF("doc_id", "n_chars")
+      .write.parquet(dir)
+    Seq((3L, 30L, "en"), (4L, 40L, "de")).toDF("doc_id", "n_chars", "lang")
+      .write.mode("append").parquet(dir)
+    val df = Sources.readEvolved(spark, dir)
+    assert(df.columns.sorted.toSeq == Seq("doc_id", "lang", "n_chars"))
+    assert(df.count() == 4)
+    val byId = df.collect().map(r =>
+      r.getLong(r.fieldIndex("doc_id")) ->
+        Option(r.getAs[String]("lang"))).toMap
+    assert(byId(1L).isEmpty && byId(2L).isEmpty,
+      "old-generation rows must read the new column as NULL")
+    assert(byId(3L).contains("en") && byId(4L).contains("de"))
+  }
+
   test("compact merges small files and preserves every row") {
     val dir = Files.createTempDirectory("compact").toString + "/t"
     val df = Tables.documents(spark, sf0001)
