@@ -441,6 +441,54 @@ object StreamingOps {
       .groupBy("row", "bucket").agg(count(lit(1)).as("c"))
   }
 
+  final case class FunnelEvent(user: Long, typ: String, eus: Long, tb: Long)
+  final case class FunnelStep(user: Long, step: Int, eus: Long, gapUs: Long)
+  final case class FunnelProg(t1: Long, t2: Long, t3: Long)
+
+  /** Streaming twin of q97's ordered funnel — a per-user CEP state
+    * machine (the MATCH_RECOGNIZE shape Spark lacks as a built-in):
+    * first view arms step 1, a click strictly after it within
+    * `windowUs` arms step 2, a purchase strictly after THAT within
+    * `windowUs` completes step 3; each arming emits a step event with
+    * its gap. State is three timestamps per user, O(1).
+    *
+    * For in-order feeds (the [[asofStream]] event-time contract) the
+    * armed times are exactly q97's per-step minima — batch parity
+    * pinned by StreamingSpec on real events. Late data follows the
+    * incremental contract: already-armed steps never re-arm (the
+    * history-so-far answer stands). */
+  def funnelStream(events: Dataset[FunnelEvent],
+                   windowUs: Long): Dataset[FunnelStep] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user)
+      .flatMapGroupsWithState[FunnelProg, FunnelStep](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) { (u, rows, state) =>
+        var s = state.getOption.getOrElse(FunnelProg(-1L, -1L, -1L))
+        val out = List.newBuilder[FunnelStep]
+        rows.toSeq.sortBy(e => (e.eus, e.tb)).foreach { e =>
+          e.typ match {
+            case "view" if s.t1 < 0 =>
+              s = s.copy(t1 = e.eus)
+              out += FunnelStep(u, 1, e.eus, 0L)
+            case "click" if s.t1 >= 0 && s.t2 < 0 &&
+                e.eus > s.t1 && e.eus - s.t1 <= windowUs =>
+              val gap = e.eus - s.t1
+              s = s.copy(t2 = e.eus)
+              out += FunnelStep(u, 2, e.eus, gap)
+            case "purchase" if s.t2 >= 0 && s.t3 < 0 &&
+                e.eus > s.t2 && e.eus - s.t2 <= windowUs =>
+              val gap = e.eus - s.t2
+              s = s.copy(t3 = e.eus)
+              out += FunnelStep(u, 3, e.eus, gap)
+            case _ =>
+          }
+        }
+        state.update(s)
+        out.result().iterator
+      }
+  }
+
   final case class WauEvent(day: Long, hv: Long)
   final case class WauState(day: Long, kmins: Seq[Long], estimate: Double)
 

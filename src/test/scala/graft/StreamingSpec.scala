@@ -484,6 +484,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel stream: state machine matches q97 on an in-order feed") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import StreamingOps.{FunnelEvent, FunnelStep}
+    val DayUs = 86400L * 1000000L
+    val feed = Tables.events(spark, sf0001)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id").as("user"), col("event_type").as("typ"),
+        unix_micros(col("ts")).as("eus"), col("event_id").as("tb"))
+      .orderBy("eus", "tb") // event-time feed order, the op's contract
+      .as[FunnelEvent].collect()
+    val input = MemoryStream[FunnelEvent]
+    val q = StreamingOps.funnelStream(input.toDS(), DayUs)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      feed.grouped(math.max(1, feed.length / 4)).foreach { c =>
+        input.addData(c.toSeq: _*); q.processAllAvailable()
+      }
+      val steps = spark.table("funnel_out").as[FunnelStep].collect()
+      // each user arms each step at most once
+      assert(steps.groupBy(s => (s.user, s.step)).forall(_._2.length == 1))
+      val counts = steps.groupBy(_.step).view.mapValues(_.length.toLong).toMap
+      val gapSums = steps.groupBy(_.step).view
+        .mapValues(_.map(_.gapUs).sum).toMap
+      val batch = graft.queries.EventQueries.q97.build(spark, sf0001)
+        .select("step", "users", "total_gap_us").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      (1 to 3).foreach { st =>
+        assert(counts.getOrElse(st, 0L) == batch(st.toLong)._1,
+          s"step $st user count drifted from q97")
+        assert(gapSums.getOrElse(st, 0L) == batch(st.toLong)._2,
+          s"step $st gap total drifted from q97")
+      }
+    } finally q.stop()
+  }
+
   test("wau stream: live day states are bit-equal to a batch rebuild") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
