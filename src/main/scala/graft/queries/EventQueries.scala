@@ -591,7 +591,80 @@ object EventQueries {
       .orderBy("hour_epoch", "event_type")
   }
 
+  // ---------------------------------------------------------------- Q104
+  /** X68: audience overlap from KMV set algebra — union size,
+    * intersection size, and Jaccard of two user sets (viewers ∩
+    * purchasers) estimated from their BOUNDED sketches, never the sets:
+    * at 100 TB the audiences live on different tables/clusters and only
+    * the O(64)-long states travel. Estimators (Beyer et al. SIGMOD'07):
+    * the merged k-min M = kmin(stA ∪ stB) IS kmin(A ∪ B) (closure), so
+    * union follows the q23 k-th-order-statistic law; ρ̂ = |{h ∈ M : h ∈
+    * stA ∧ h ∈ stB}| / |M| estimates Jaccard (membership against the
+    * states is EXACT for members of M); intersection = ρ̂ · union. The
+    * oracle replays M from the raw union's order statistics — equal by
+    * the closure property — so every estimate hash-matches bit-for-bit;
+    * exact counts ride along for the rel-err columns.
+    *
+    * Scale shape: two filtered distinct-aggs to O(k) states, a 1×1
+    * cross join, array algebra on ≤128 longs — no set ever shuffles. */
+  val q104 = DeclaredQuery(
+    "q104_audience_overlap",
+    Some(s"""WITH ua AS (SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h FROM events WHERE event_type = 'view'),
+            |ub AS (SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h FROM events WHERE event_type = 'purchase'),
+            |va AS (SELECT DISTINCT ${Det.sql.hex60("h")} AS hv FROM ua),
+            |vb AS (SELECT DISTINCT ${Det.sql.hex60("h")} AS hv FROM ub),
+            |vu AS (SELECT hv FROM va UNION SELECT hv FROM vb),
+            |m AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rk,
+            |             COUNT(*) OVER () AS nu FROM vu),
+            |mk AS (SELECT hv, nu FROM m WHERE rk <= 64),
+            |kth AS (SELECT nu, MAX(hv) AS kv, COUNT(*) AS msz FROM mk GROUP BY nu),
+            |kint AS (SELECT COUNT(*) AS ki FROM mk
+            |         WHERE hv IN (SELECT hv FROM va) AND hv IN (SELECT hv FROM vb)),
+            |ex AS (SELECT (SELECT COUNT(*) FROM va) AS exact_a,
+            |              (SELECT COUNT(*) FROM vb) AS exact_b,
+            |              (SELECT COUNT(*) FROM va WHERE hv IN (SELECT hv FROM vb)) AS exact_inter),
+            |est AS (SELECT CASE WHEN kth.msz < 64 THEN CAST(kth.msz AS DOUBLE)
+            |                    ELSE 63e0 * 1152921504606846976 / CAST(kth.kv AS DOUBLE)
+            |               END AS union_est,
+            |               CAST(kint.ki AS DOUBLE) / kth.msz AS jaccard_est
+            |        FROM kth, kint)
+            |SELECT ex.exact_a, ex.exact_b, ex.exact_inter,
+            |       CAST(ex.exact_inter AS DOUBLE)
+            |         / (ex.exact_a + ex.exact_b - ex.exact_inter) AS jaccard_exact,
+            |       est.union_est, est.jaccard_est,
+            |       est.jaccard_est * est.union_est AS inter_est
+            |FROM ex, est""".stripMargin)) { (s, d) =>
+    import graft.operators.KmvSketch
+    val K = KmvSketch.K
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), Det.hex60(md5(col("user_id").cast("string"))).as("hv"))
+    def arm(t: String, n: String, st: String) =
+      ev.filter(col("event_type") === t).select("hv").distinct()
+        .agg(count(lit(1)).as(n), KmvSketch.state(col("hv")).as(st))
+    val joined = arm("view", "exact_a", "sta")
+      .crossJoin(arm("purchase", "exact_b", "stb"))
+    val inter = ev.filter(col("event_type") === "view").select("hv").distinct()
+      .join(ev.filter(col("event_type") === "purchase").select("hv").distinct(), "hv")
+      .agg(count(lit(1)).as("exact_inter"))
+    joined.crossJoin(inter)
+      .withColumn("m", slice(array_sort(array_union(col("sta"), col("stb"))), 1, K))
+      .withColumn("msz", size(col("m")))
+      .withColumn("ki",
+        size(array_intersect(array_intersect(col("m"), col("sta")), col("stb"))))
+      .withColumn("union_est",
+        when(col("msz") < K, col("msz").cast("double"))
+          .otherwise(lit(63.0) * lit((1L << 60).toDouble)
+            / element_at(col("m"), K).cast("double")))
+      .withColumn("jaccard_est", col("ki").cast("double") / col("msz"))
+      .select(col("exact_a"), col("exact_b"), col("exact_inter"),
+        (col("exact_inter").cast("double")
+          / (col("exact_a") + col("exact_b") - col("exact_inter")))
+          .as("jaccard_exact"),
+        col("union_est"), col("jaccard_est"),
+        (col("jaccard_est") * col("union_est")).as("inter_est"))
+  }
+
   val all: Seq[DeclaredQuery] =
     Seq(q24a, q24b, q24c, q24d, q26j, q58, q93, q96, q97, q98, q99, q100,
-      q101, q102)
+      q101, q102, q104)
 }
