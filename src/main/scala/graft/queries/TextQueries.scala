@@ -474,11 +474,22 @@ object TextQueries {
       posexplode(array((0 until 4).map(b =>
         md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))): _*)))
       .toDF("doc_id", "band_idx", "band")
-    val edges = bands.select(col("doc_id").as("a"), col("band_idx"), col("band"))
-      .join(bands.select(col("doc_id").as("c"), col("band_idx"), col("band")),
-        Seq("band_idx", "band"))
-      .filter(col("a") < col("c"))
-      .select("a", "c").distinct()
+    // STAR edges, not the all-pairs bucket join: each bucket member
+    // connects to the bucket's min doc_id. Connectivity — and therefore
+    // every min-label cluster id — is IDENTICAL to the full pairwise
+    // edge set (a bucket's members are one hop from the rep either
+    // way; the oracle's recursive closure over full pairs hash-matches
+    // unchanged), but edge count is linear in band rows where the pair
+    // join pays Σ bucket² — the q44 lesson applied to the CC chain: on
+    // a dup-heavy 100 TB corpus a hot bucket makes the pair join
+    // quadratic in the DATA, while the star stays at one edge per
+    // member. q27p still declares true pairwise candidates; this is
+    // cluster FORMATION, which only needs connectivity. */
+    val edges = bands
+      .withColumn("rep", min(col("doc_id")).over(
+        Window.partitionBy(col("band_idx"), col("band"))))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a"), col("doc_id").as("c")).distinct()
     val sym = edges.select(col("a").as("x"), col("c").as("nb"))
       .unionByName(edges.select(col("c").as("x"), col("a").as("nb")))
       .persist()
