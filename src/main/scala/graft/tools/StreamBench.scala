@@ -19,7 +19,7 @@ import org.apache.spark.sql.streaming.OutputMode
   * cluster deployments shard by the group key.
   *
   * Usage: runMain graft.tools.StreamBench <sfDir> [chunks] [ops-csv]
-  * (ops-csv ⊆ asof,neardup,exactdedup,enrich,rolling,topk — default all)
+  * (ops-csv ⊆ asof,neardup,exactdedup,enrich,rolling,topk,wau,funnel — default all)
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
@@ -27,7 +27,7 @@ object StreamBench {
     val chunks = args.lift(1).map(_.toInt).getOrElse(8)
     val ops: Set[String] = args.lift(2)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .getOrElse(Set("asof", "neardup", "exactdedup", "enrich", "rolling", "topk"))
+      .getOrElse(Set("asof", "neardup", "exactdedup", "enrich", "rolling", "topk", "wau", "funnel"))
     val spark = graft.Session.local(appName = "graft-stream-bench")
     spark.sparkContext.setLogLevel("WARN")
     // the fuzz-hardened checkpoint posture from SparkSpec: checksummed
@@ -196,6 +196,44 @@ object StreamBench {
         .writeStream.format("memory").queryName("sb_topk")
         .outputMode(OutputMode.Update()).start()
       packed.grouped(math.max(1, packed.length / chunks)).foreach { c =>
+        in.addData(c.toSeq: _*); q.processAllAvailable()
+      }
+      q.stop()
+    }
+    }
+
+    // ---- per-day KMV distinct-state maintenance (q99's ingest half)
+    if (ops("wau")) {
+    val feed = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) DIV 86400000000").as("day"),
+        graft.util.Det.hex60(md5(col("user_id").cast("string"))).as("hv"))
+      .as[StreamingOps.WauEvent].collect()
+    timeIt("wau", feed.length, chunks) {
+      val in = MemoryStream[StreamingOps.WauEvent]
+      val q = StreamingOps.wauStream(in.toDS())
+        .writeStream.format("memory").queryName("sb_wau")
+        .outputMode(OutputMode.Update()).start()
+      feed.grouped(math.max(1, feed.length / chunks)).foreach { c =>
+        in.addData(c.toSeq: _*); q.processAllAvailable()
+      }
+      q.stop()
+    }
+    }
+
+    // ---- funnel state machine (q97's CEP twin)
+    if (ops("funnel")) {
+    val feed = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id").as("user"), col("event_type").as("typ"),
+        unix_micros(col("ts")).as("eus"), col("event_id").as("tb"))
+      .orderBy("eus", "tb")
+      .as[StreamingOps.FunnelEvent].collect()
+    timeIt("funnel", feed.length, chunks) {
+      val in = MemoryStream[StreamingOps.FunnelEvent]
+      val q = StreamingOps.funnelStream(in.toDS(), 86400L * 1000000L)
+        .writeStream.format("memory").queryName("sb_funnel")
+        .outputMode(OutputMode.Append()).start()
+      feed.grouped(math.max(1, feed.length / chunks)).foreach { c =>
         in.addData(c.toSeq: _*); q.processAllAvailable()
       }
       q.stop()
