@@ -213,4 +213,62 @@ object GraftProperties extends Properties("graft") {
       val m = graft.operators.BloomFilter.sized(n)
       (m & (m - 1)) == 0 && m >= 32 * n && m / 2 < 32 * n
     }
+
+  // ---- KMV insertion law (q99's day states / q104's set algebra)
+
+  private val hashesGen: Gen[List[Long]] =
+    Gen.listOf(Gen.choose(0L, 1L << 60))
+
+  property("KMV state is arrival-order invariant, for any hash stream") =
+    Prop.forAll(hashesGen) { hs =>
+      def fold(xs: Seq[Long]): Seq[Long] =
+        xs.foldLeft(Array.emptyLongArray)(graft.operators.KmvSketch.insert).toSeq
+      fold(hs) == fold(hs.reverse) && fold(hs) == fold(scala.util.Random.shuffle(hs))
+    }
+
+  property("KMV state IS the k smallest distinct hashes") =
+    Prop.forAll(hashesGen) { hs =>
+      val st = hs.foldLeft(Array.emptyLongArray)(graft.operators.KmvSketch.insert)
+      st.toSeq == hs.distinct.sorted.take(graft.operators.KmvSketch.K)
+    }
+
+  property("KMV closure: k-min of per-shard k-mins equals the whole's") =
+    Prop.forAll(hashesGen, Gen.choose(1, 7)) { (hs, shards) =>
+      def state(xs: Seq[Long]): Array[Long] =
+        xs.foldLeft(Array.emptyLongArray)(graft.operators.KmvSketch.insert)
+      val whole = state(hs).toSeq
+      val viaShards = state(
+        hs.zipWithIndex.groupBy(_._2 % shards).values
+          .flatMap(sh => state(sh.map(_._1))).toSeq).toSeq
+      viaShards == whole
+    }
+
+  // ---- TopK insertion law (q95 batch / topkStream)
+
+  property("TopK insert folds to sorted distinct take-k, any order") =
+    Prop.forAll(Gen.listOf(Gen.choose(-1000L, 1000L)), Gen.choose(1, 50)) { (vs, k) =>
+      val st = vs.foldLeft(Array.emptyLongArray)((b, v) =>
+        graft.operators.TopK.insert(b, v, k))
+      st.toSeq == vs.distinct.sorted.take(k)
+    }
+
+  // ---- z-order bit interleave (Sources.writeZOrdered's lattice)
+
+  property("2-col z-order interleave is a bijection on the 16-bit lattice") =
+    Prop.forAll(Gen.choose(0, 65535), Gen.choose(0, 65535)) { (x, y) =>
+      def z(a: Int, b: Int): Long =
+        (0 until 16).foldLeft(0L) { (acc, i) =>
+          acc | (((a >> i) & 1).toLong << (2 * i)) |
+            (((b >> i) & 1).toLong << (2 * i + 1))
+        }
+      def unz(v: Long): (Int, Int) = {
+        var a = 0; var b = 0
+        (0 until 16).foreach { i =>
+          a |= (((v >> (2 * i)) & 1) << i).toInt
+          b |= (((v >> (2 * i + 1)) & 1) << i).toInt
+        }
+        (a, b)
+      }
+      unz(z(x, y)) == ((x, y))
+    }
 }
