@@ -45,6 +45,9 @@ import scala.jdk.CollectionConverters._
   *                 centroids/codebook/cell-partitioned codes under
   *                 `paths.index_dir` (shape via optional `ann:` keys);
   *                 search serves top-k without retraining
+  *   - `compact` — layout maintenance: bound `paths.records`' file
+  *                 count from its on-disk bytes (Sources.compact;
+  *                 target MB via `paths.compact_target_mb`, default 128)
   *
   * The YAML is the reference's config shape (`GraftConfig.fromYaml`) plus
   * a `paths` section naming the inputs:
@@ -68,6 +71,23 @@ object Main {
                            benchmarks: Option[String],
                            dataDir: Option[String],
                            indexDir: Option[String])
+
+  /** one extra scalar from the `paths:` section, for verbs with a single
+    * optional knob (compact's target size) — keeps IoPaths stable. */
+  def ioPathExtra(configPath: String, key: String): Option[String] = {
+    val yaml = new org.yaml.snakeyaml.Yaml(
+      new org.yaml.snakeyaml.constructor.SafeConstructor(
+        new org.yaml.snakeyaml.LoaderOptions()))
+    val root = Option(yaml.load[java.util.Map[String, Object]](
+      Files.readString(JPaths.get(configPath))))
+      .map(_.asScala.toMap).getOrElse(Map.empty[String, Object])
+    root.get("paths") match {
+      case Some(m: java.util.Map[_, _]) =>
+        m.asInstanceOf[java.util.Map[String, Object]].asScala.toMap
+          .get(key).map(_.toString).filter(_.nonEmpty)
+      case _ => None
+    }
+  }
 
   /** `paths` section of the same YAML GraftConfig.fromYaml reads (same
     * SafeConstructor posture — YAML tags must not instantiate classes). */
@@ -337,15 +357,28 @@ object Main {
         }
         Map("results" -> n.toString)
 
+      case "compact" =>
+        // layout maintenance: bound the records dataset's file count from
+        // its CURRENT on-disk bytes (Sources.compact) — the pass every
+        // long-lived table needs once incremental ingest sprays small
+        // files. Target MB via paths.compact_target_mb (default 128).
+        val target = ioPathExtra(configPath, "compact_target_mb")
+          .map(_.toLong).getOrElse(128L) << 20
+        val recordsPath = p.records.getOrElse(throw new IllegalArgumentException(
+          "compact needs paths.records (an ingested parquet dataset)"))
+        val files = Sources.compact(spark, recordsPath, target)
+        Map("files" -> files.toString,
+          "rows" -> spark.read.parquet(recordsPath).count().toString)
+
       case other => throw new IllegalArgumentException(
-        s"unknown command '$other' — expected cache|serve|explore|predict|dedup|split|score|ingest|decontaminate|annbuild|annsearch")
+        s"unknown command '$other' — expected cache|serve|explore|predict|dedup|split|score|ingest|decontaminate|annbuild|annsearch|compact")
     }
   }
 
   def main(args: Array[String]): Unit = {
     require(args.length == 2,
       "usage: graft.Main <data-config.yaml> " +
-        "<cache|serve|explore|predict|dedup|split|score|ingest|decontaminate|annbuild|annsearch>")
+        "<cache|serve|explore|predict|dedup|split|score|ingest|decontaminate|annbuild|annsearch|compact>")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.shuffle.partitions",

@@ -318,6 +318,23 @@ class PipelineSpec extends SparkSpec {
     assert(badScorer.getMessage.contains("magic"))
   }
 
+  test("graft.Main compact: YAML-driven layout maintenance") {
+    val root = Files.createTempDirectory("graft-compact").toString
+    Tables.documents(spark, sf0001).repartition(23)
+      .write.parquet(s"$root/records") // sprayed small files
+    Files.writeString(java.nio.file.Paths.get(s"$root/cfg.yaml"),
+      s"""paths:
+         |  records: $root/records
+         |  compact_target_mb: 1
+         |""".stripMargin)
+    val rows = Tables.documents(spark, sf0001).count()
+    val out = Main.run(spark, s"$root/cfg.yaml", "compact")
+    assert(out("rows").toLong == rows)
+    val files = new java.io.File(s"$root/records").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == out("files").toInt && files < 23)
+  }
+
   test("graft.Main dedup: exact + near-dup + keep-best end-to-end") {
     val root = Files.createTempDirectory("graft-dedup").toString
     // sf0.001 documents plus a planted exact copy of the min-id doc
