@@ -181,6 +181,17 @@ object Sources {
   def readEvolved(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  /** Corrupt-tolerant read: skip files whose footer or pages fail to
+    * parse instead of failing the job — the operational posture for a
+    * 100 TB ingest directory where a crashed writer leaves truncated
+    * files. An EXPLICIT entry point, never a default: silently dropping
+    * data is the wrong failure mode for a curated table (use [[compact]]
+    * + the stats catalog to quarantine instead); for raw ingest it is
+    * the difference between a nightly job that finishes and one a
+    * single bad file kills. */
+  def readTolerant(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("ignoreCorruptFiles", "true").parquet(path)
+
   final case class UpsertStats(filesTotal: Int, filesRewritten: Int,
                                filesAppended: Int)
 

@@ -161,6 +161,20 @@ class LayoutSpec extends SparkSpec {
     assert(byId(3L).contains("en") && byId(4L).contains("de"))
   }
 
+  test("readTolerant survives a truncated file; the plain read fails") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tolerant").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text").write.parquet(dir)
+    // a crashed writer's leftover: parquet magic + garbage, no footer
+    Files.write(java.nio.file.Paths.get(s"$dir/part-junk.parquet"),
+      ("PAR1" + "x" * 64).getBytes("UTF-8"))
+    val clean = Sources.readTolerant(spark, dir)
+    assert(clean.count() == 2)
+    intercept[org.apache.spark.SparkException] {
+      spark.read.parquet(dir).count()
+    }
+  }
+
   test("compact merges small files and preserves every row") {
     val dir = Files.createTempDirectory("compact").toString + "/t"
     val df = Tables.documents(spark, sf0001)
