@@ -48,6 +48,9 @@ import scala.jdk.CollectionConverters._
   *   - `compact` — layout maintenance: bound `paths.records`' file
   *                 count from its on-disk bytes (Sources.compact;
   *                 target MB via `paths.compact_target_mb`, default 128)
+  *   - `upsert`  — catalog-scoped MERGE of `paths.updates` into the
+  *                 clustered `paths.records` (key via `paths.upsert_key`,
+  *                 default doc_id): only touched key ranges rewrite
   *
   * The YAML is the reference's config shape (`GraftConfig.fromYaml`) plus
   * a `paths` section naming the inputs:
@@ -370,15 +373,31 @@ object Main {
         Map("files" -> files.toString,
           "rows" -> spark.read.parquet(recordsPath).count().toString)
 
+      case "upsert" =>
+        // catalog-scoped MERGE of paths.updates into paths.records
+        // (clustered by paths.upsert_key, default doc_id): only files
+        // whose key range the updates touch are rewritten
+        val recordsPath = p.records.getOrElse(throw new IllegalArgumentException(
+          "upsert needs paths.records (a clustered parquet dataset)"))
+        val updatesPath = ioPathExtra(configPath, "updates")
+          .getOrElse(throw new IllegalArgumentException(
+            "upsert needs paths.updates (the rows to merge)"))
+        val key = ioPathExtra(configPath, "upsert_key").getOrElse("doc_id")
+        val st = Sources.upsertClustered(
+          spark, recordsPath, spark.read.parquet(updatesPath), key)
+        Map("files_total" -> st.filesTotal.toString,
+          "files_rewritten" -> st.filesRewritten.toString,
+          "files_appended" -> st.filesAppended.toString)
+
       case other => throw new IllegalArgumentException(
-        s"unknown command '$other' — expected cache|serve|explore|predict|dedup|split|score|ingest|decontaminate|annbuild|annsearch|compact")
+        s"unknown command '$other' — expected cache|serve|explore|predict|dedup|split|score|ingest|decontaminate|annbuild|annsearch|compact|upsert")
     }
   }
 
   def main(args: Array[String]): Unit = {
     require(args.length == 2,
       "usage: graft.Main <data-config.yaml> " +
-        "<cache|serve|explore|predict|dedup|split|score|ingest|decontaminate|annbuild|annsearch|compact>")
+        "<cache|serve|explore|predict|dedup|split|score|ingest|decontaminate|annbuild|annsearch|compact|upsert>")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.shuffle.partitions",

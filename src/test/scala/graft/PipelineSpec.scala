@@ -1,6 +1,7 @@
 package graft
 
 import graft.pipeline._
+import graft.sources.Sources
 import graft.tensor.Tensors
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -333,6 +334,27 @@ class PipelineSpec extends SparkSpec {
     val files = new java.io.File(s"$root/records").listFiles()
       .count(_.getName.endsWith(".parquet"))
     assert(files == out("files").toInt && files < 23)
+  }
+
+  test("graft.Main upsert: catalog-scoped MERGE from one YAML") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-upsert").toString
+    Sources.writeClustered(
+      Tables.documents(spark, sf0001).select("doc_id", "n_chars"),
+      s"$root/records", "doc_id", files = 6)
+    Seq((5L, -9L), (6L, -9L)).toDF("doc_id", "n_chars")
+      .write.parquet(s"$root/updates")
+    Files.writeString(java.nio.file.Paths.get(s"$root/cfg.yaml"),
+      s"""paths:
+         |  records: $root/records
+         |  updates: $root/updates
+         |  upsert_key: doc_id
+         |""".stripMargin)
+    val out = Main.run(spark, s"$root/cfg.yaml", "upsert")
+    assert(out("files_total") == "6")
+    assert(out("files_rewritten").toInt >= 1 && out("files_rewritten").toInt < 6)
+    val back = spark.read.parquet(s"$root/records")
+    assert(back.filter(col("n_chars") === -9L).count() == 2)
   }
 
   test("graft.Main dedup: exact + near-dup + keep-best end-to-end") {
