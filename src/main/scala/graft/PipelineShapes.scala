@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{AnnIndex, CorpusDedup, LmModel}
+import graft.pipeline.{AnnIndex, CorpusDedup, Curation, LmModel}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -69,5 +69,30 @@ object PipelineShapes {
       s.range(1).toDF("ok")
     }),
     "p_lm_score" -> ((s, d) =>
-      forced(LmModel.score(s, Tables.documents(s, d), annDir(d) + "_lm"))))
+      forced(LmModel.score(s, Tables.documents(s, d), annDir(d) + "_lm"))),
+    // the END-TO-END curation pass a training-data pipeline actually
+    // runs, each stage computed ONCE and flowing into the next: dedup
+    // keep-best → decontaminate survivors vs a benchmark slice (here
+    // every 97th doc stands in for the benchmark corpus) → drop docs
+    // over 20% contamination → language-mixture sample to half the
+    // cleaned corpus. One composed DAG, no per-stage materialization —
+    // the declared queries (q26/q39/q50/q77/q78) price each stage
+    // standalone by contract; this row prices the production chain.
+    "p_curate_full" -> ((s, d) => {
+      val dd = Tables.documents(s, d)
+      val verdict = CorpusDedup.keepBest(dd)
+      val kept = dd.join(
+        verdict.filter(col("kept")).select("doc_id"), "doc_id")
+      val bench = dd.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), col("text"))
+      val cont = Curation.decontaminate(
+        kept.select(col("doc_id"), col("text")), bench)
+      val clean = kept.join(
+        cont.filter(col("contamination") > 0.2).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      forced(Curation.mixtureSample(clean, "lang",
+        Map("en" -> 0.4, "fr" -> 0.15, "es" -> 0.15, "zh" -> 0.15,
+          "de" -> 0.15),
+        budget = 250L * (1L max (dd.count() / 500L))))
+    }))
 }
