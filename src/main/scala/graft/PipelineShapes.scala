@@ -70,6 +70,16 @@ object PipelineShapes {
     }),
     "p_lm_score" -> ((s, d) =>
       forced(LmModel.score(s, Tables.documents(s, d), annDir(d) + "_lm"))),
+    // q79's production split: build the inverted index once, serve
+    // queries from postings without touching raw text again (the
+    // lexical twin of p_ann_build/p_ann_search)
+    "p_text_build" -> ((s, d) => {
+      graft.pipeline.TextIndex.build(s, Tables.documents(s, d), annDir(d) + "_text")
+      s.range(1).toDF("ok")
+    }),
+    "p_text_search" -> ((s, d) =>
+      forced(graft.pipeline.TextIndex.search(
+        s, annDir(d) + "_text", graft.queries.Bm25.qterms, k = 50))),
     // the END-TO-END curation pass a training-data pipeline actually
     // runs, each stage computed ONCE and flowing into the next: dedup
     // keep-best → decontaminate survivors vs a benchmark slice (here

@@ -17,10 +17,22 @@ import org.apache.spark.sql.functions._
   * map-side-combinable hash-agg (3 int columns per doc), broadcast 1-row
   * stats frames, no windows.
   */
-private[queries] object Bm25 {
+private[graft] object Bm25 {
 
   /** the fixed declared query, in scoring order. */
   val qterms: Seq[String] = Seq("data", "join", "stream")
+
+  /** One term's BM25 contribution from columns `tf$i`/`df$i`/`n`/`avgdl`/
+    * `dl` — THE arithmetic, shared verbatim by the corpus-scan arm below
+    * and the postings-index serve path ([[graft.pipeline.TextIndex]]), so
+    * index-served scores are bit-equal to scan-computed ones. */
+  def termScore(i: Int): Column = {
+    val tfD = col(s"tf$i").cast("double")
+    val dfD = col(s"df$i").cast("double")
+    val idf = log(lit(1.0) + (col("n").cast("double") - dfD + 0.5) / (dfD + 0.5))
+    idf * (tfD * lit(2.2) /
+      (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
+  }
 
   /** (doc_id, score) for every document — the Spark arm. */
   def scored(s: SparkSession, d: String): DataFrame = {
@@ -39,16 +51,10 @@ private[queries] object Bm25 {
       sum(when(col("tf1") > 0, 1).otherwise(0)).as("df1"),
       sum(when(col("tf2") > 0, 1).otherwise(0)).as("df2"),
       sum(when(col("tf3") > 0, 1).otherwise(0)).as("df3"))
-    def score(i: Int): Column = {
-      val tfD = col(s"tf$i").cast("double")
-      val dfD = col(s"df$i").cast("double")
-      val idf = log(lit(1.0) + (col("n").cast("double") - dfD + 0.5) / (dfD + 0.5))
-      idf * (tfD * lit(2.2) /
-        (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
-    }
     tf.join(dl, "doc_id")
       .crossJoin(broadcast(g)).crossJoin(broadcast(dfreq))
-      .select(col("doc_id"), (score(1) + score(2) + score(3)).as("score"))
+      .select(col("doc_id"),
+        (termScore(1) + termScore(2) + termScore(3)).as("score"))
   }
 
   private def sqlTf(t: String) = s"SUM(CASE WHEN term = '$t' THEN 1 ELSE 0 END)"
