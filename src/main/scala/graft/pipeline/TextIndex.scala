@@ -47,6 +47,45 @@ object TextIndex {
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
+  /** Ingest new documents WITHOUT rebuilding: their postings append as
+    * new files (term-sorted within, but term ranges now OVERLAP the
+    * existing files' — skipping degrades from disjoint-range to
+    * per-file-stats until the next [[Sources.compact]]/re-cluster pass;
+    * correctness is unaffected), while dfs/doclens/stats — the tiny
+    * frames — rebuild exactly from old + new. The [[AnnIndex]]
+    * append-without-retrain posture, lexical edition: TextIndexSpec pins
+    * post-append search bit-equal to a from-scratch rebuild. Assumes
+    * `docs` holds only NEW doc_ids (the ingest-dedup verdict upstream,
+    * pipeline/CorpusDedup.incremental, guarantees this). */
+  def append(spark: SparkSession, docs: DataFrame, dir: String): Unit = {
+    val words = split(col("text"), " ")
+    val terms = docs.select(col("doc_id"), explode(words).as("term"))
+    terms.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .repartitionByRange(4, col("term")).sortWithinPartitions("term")
+      .write.mode("append").parquet(s"$dir/postings")
+    docs.select(col("doc_id"), size(words).cast("long").as("dl"))
+      .write.mode("append").parquet(s"$dir/doclens")
+    val dl = spark.read.parquet(s"$dir/doclens")
+    // tiny frames rebuild exactly (dfs from the merged postings, stats
+    // from merged doclens) — collect-free aggregates, overwrite in place
+    val stats = dl.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+      .collect()(0) // 1 row; materialized BEFORE the overwrite below
+    spark.createDataFrame(
+        java.util.Arrays.asList(stats),
+        spark.read.parquet(s"$dir/stats").schema)
+      .write.mode("overwrite").parquet(s"$dir/stats")
+    val dfRows = spark.read.parquet(s"$dir/postings")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val tmp = s"$dir/dfs_tmp"
+    Sources.writeClustered(dfRows, tmp, "term", files = 4)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/dfs"), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$dir/dfs")), "dfs swap failed")
+  }
+
   /** Top-`k` (doc_id, score) for `qterms`, scores bit-equal to the
     * corpus-scan arm's. Ties break on doc_id ascending (q79's rule). */
   def search(spark: SparkSession, dir: String, qterms: Seq[String],

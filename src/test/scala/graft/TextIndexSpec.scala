@@ -33,6 +33,21 @@ class TextIndexSpec extends SparkSpec {
       s"term filter not pushed:\n$scan")
   }
 
+  test("append then search equals a from-scratch rebuild, bit for bit") {
+    val docs = Tables.documents(spark, sf0001)
+    val old = docs.filter(col("doc_id") % 3 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 3 === 0)
+    val incDir = Files.createTempDirectory("textindex-inc").toString
+    TextIndex.build(spark, old, incDir)
+    TextIndex.append(spark, fresh, incDir)
+    val fullDir = Files.createTempDirectory("textindex-full").toString
+    TextIndex.build(spark, docs, fullDir)
+    def top(dir: String) = TextIndex.search(spark, dir, Bm25.qterms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top(incDir) == top(fullDir),
+      "appended index drifted from the rebuild")
+  }
+
   test("absent query terms score zero contribution, not an error") {
     val dir = Files.createTempDirectory("textindex3").toString
     TextIndex.build(spark, Tables.documents(spark, sf0001), dir)
