@@ -93,5 +93,73 @@ object RetrievalQueries {
     }
   }
 
-  val all: Seq[DeclaredQuery] = Seq(q85)
+  // ---------------------------------------------------------------- Q105
+  /** X69: retrieval evaluation — NDCG@10 of the BM25 ranking against a
+    * deterministic relevance labeling (rel = 3 for doc_id ≡ 0 mod 7,
+    * 1 for ≡ 0 mod 3, else 0 — the synthetic qrels). The eval-harness
+    * primitive every retrieval pipeline runs beside its index
+    * (Järvelin & Kekäläinen 2002).
+    *
+    * Determinism: the ranking inherits q79's bit-equal scores; rank
+    * positions come from a fully tie-broken ordering; the DCG is summed
+    * in FIXED textual order over rank-pivoted rel columns (never a
+    * float hash-agg), and the ideal DCG is derived ARITHMETICALLY from
+    * the corpus's rel-class counts (rel_i = 3 while i ≤ n3, then 1
+    * while i ≤ n3+n1) — no corpus-sized collect, no windows beyond the
+    * 10-row onePartition rank. log2 spelled ln(x)/ln(2) in both
+    * engines; the 6-decimal compare absorbs libm ulp. */
+  val q105 = {
+    val evalK = 10
+    def sqlRel(c: String) =
+      s"CASE WHEN $c % 7 = 0 THEN 3 WHEN $c % 3 = 0 THEN 1 ELSE 0 END"
+    def sqlDisc(i: Int) = s"(ln(CAST(${i + 1} AS DOUBLE)) / ln(2.0))"
+    val sqlDcg = (1 to evalK)
+      .map(i => s"(POWER(2.0, rel$i) - 1.0) / ${sqlDisc(i)}").mkString("\n      + ")
+    val sqlIdcg = (1 to evalK)
+      .map(i => s"(POWER(2.0, CASE WHEN $i <= n3 THEN 3 WHEN $i <= n3 + n1 THEN 1 ELSE 0 END) - 1.0) / ${sqlDisc(i)}")
+      .mkString("\n      + ")
+    DeclaredQuery(
+      "q105_ndcg",
+      Some(s"""WITH ${Bm25.sqlCtes},
+              |r AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rk
+              |      FROM scored QUALIFY rk <= $evalK),
+              |p AS (SELECT ${(1 to evalK).map(i =>
+                       s"MAX(CASE WHEN rk = $i THEN ${sqlRel("doc_id")} END) AS rel$i").mkString(",\n             ")}
+              |      FROM r),
+              |c AS (SELECT SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS n3,
+              |             SUM(CASE WHEN doc_id % 7 <> 0 AND doc_id % 3 = 0 THEN 1 ELSE 0 END) AS n1
+              |      FROM documents),
+              |fin AS (SELECT ($sqlDcg) AS dcg, ($sqlIdcg) AS idcg FROM p, c)
+              |SELECT dcg, idcg, dcg / idcg AS ndcg FROM fin""".stripMargin)) { (s, d) =>
+      val rel = when(col("doc_id") % 7 === 0, 3)
+        .when(col("doc_id") % 3 === 0, 1).otherwise(0)
+      val top = Bm25.scored(s, d)
+        .orderBy(col("score").desc, col("doc_id")).limit(evalK)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(graft.operators.Ranks.onePartition(col("doc_id")))
+            .orderBy(col("score").desc, col("doc_id"))))
+        .withColumn("rel", rel)
+      val p = top.agg(
+        max(when(col("rk") === 1, col("rel"))).as("rel1"),
+        (2 to evalK).map(i =>
+          max(when(col("rk") === i, col("rel"))).as(s"rel$i")): _*)
+      val c = Tables.documents(s, d).agg(
+        sum(when(col("doc_id") % 7 === 0, 1).otherwise(0)).as("n3"),
+        sum(when(col("doc_id") % 7 =!= 0 && col("doc_id") % 3 === 0, 1)
+          .otherwise(0)).as("n1"))
+      def disc(i: Int): Column = log(lit((i + 1).toDouble)) / log(lit(2.0))
+      val dcg = (1 to evalK).map(i =>
+        (pow(lit(2.0), col(s"rel$i")) - 1.0) / disc(i)).reduce(_ + _)
+      val idcg = (1 to evalK).map { i =>
+        val idealRel = when(lit(i) <= col("n3"), 3)
+          .when(lit(i) <= col("n3") + col("n1"), 1).otherwise(0)
+        (pow(lit(2.0), idealRel) - 1.0) / disc(i)
+      }.reduce(_ + _)
+      p.crossJoin(broadcast(c))
+        .select(dcg.as("dcg"), idcg.as("idcg"))
+        .select(col("dcg"), col("idcg"), (col("dcg") / col("idcg")).as("ndcg"))
+    }
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(q85, q105)
 }
