@@ -664,7 +664,55 @@ object EventQueries {
         (col("jaccard_est") * col("union_est")).as("inter_est"))
   }
 
+  // ---------------------------------------------------------------- Q107
+  /** X72: SCD Type-2 history build — compact each user's event-type
+    * timeline into versioned validity intervals (valid_from, valid_to,
+    * is_current), the slowly-changing-dimension shape every warehouse
+    * keeps for point-in-time joins (it is the build side q58's as-of
+    * join would probe).
+    *
+    * Two user-partitioned windows, zero shuffles beyond the one
+    * partition-by-user exchange (both windows share it): LAG drops
+    * no-change rows (run-length compaction), then LEAD/ROW_NUMBER over
+    * the surviving change rows assign each version its interval and
+    * ordinal. Ties on timestamp break on event_id, so the history is
+    * deterministic. At 100 TB the state is per-user — keys grow with
+    * the corpus, no global window (the q96/q100 discipline).
+    */
+  val q107 = DeclaredQuery(
+    "q107_scd2_history",
+    Some("""WITH e AS (SELECT user_id, event_id, event_type,
+           |                 CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),
+           |c AS (SELECT *, lag(event_type) OVER
+           |        (PARTITION BY user_id ORDER BY es, event_id) AS prev
+           |      FROM e),
+           |ch AS (SELECT user_id, event_type, es, event_id FROM c
+           |       WHERE prev IS NULL OR prev <> event_type)
+           |SELECT user_id,
+           |       row_number() OVER w AS version,
+           |       event_type AS attr_value,
+           |       es AS valid_from,
+           |       lead(es) OVER w AS valid_to,
+           |       CASE WHEN lead(es) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+           |FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+           |ORDER BY user_id, version""".stripMargin)) { (s, d) =>
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+    val ch = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("es"))
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    ch.select(col("user_id"),
+        row_number().over(byUser).as("version"),
+        col("event_type").as("attr_value"),
+        col("es").as("valid_from"),
+        lead(col("es"), 1).over(byUser).as("valid_to"),
+        when(lead(col("es"), 1).over(byUser).isNull, 1).otherwise(0)
+          .as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   val all: Seq[DeclaredQuery] =
     Seq(q24a, q24b, q24c, q24d, q26j, q58, q93, q96, q97, q98, q99, q100,
-      q101, q102, q104)
+      q101, q102, q104, q107)
 }

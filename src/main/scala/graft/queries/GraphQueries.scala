@@ -80,5 +80,89 @@ object GraphQueries {
     out
   }
 
-  val all: Seq[DeclaredQuery] = Seq(q103)
+  // ---------------------------------------------------------------- Q108
+  /** X73: triangle counting + global clustering over q103's generated
+    * graph — the second canonical distributed-graph shape (PageRank
+    * exercises iterate-and-message; triangles exercise the 2-hop join).
+    *
+    * Spark side runs the DEGREE-ORIENTED algorithm (Suri & Vassilvitskii,
+    * WWW'11): orient each undirected edge from its lower-(degree, id)
+    * endpoint to the higher, self-join out-edges on the pivot to form
+    * wedges, then semi-join the closing edge. Orientation bounds every
+    * out-degree by O(√m), so the wedge join — the step that explodes on
+    * skewed graphs — stays O(m^{3/2}) total with no hot key, which is
+    * the plan that survives a power-law graph at 100×. The oracle counts
+    * the same triangles with the naive a<b<c id-ordering — a different
+    * (quadratic-on-hubs) plan but provably the same count, so the
+    * comparison pins the answer while letting each engine keep its own
+    * join order.
+    *
+    * Everything reported is exact integer arithmetic: triangle count,
+    * wedge count Σ d(d−1)/2, and closure as parts-per-million via
+    * integer division (3e6·tri DIV wedges).
+    */
+  val q108 = DeclaredQuery(
+    "q108_triangles", {
+      Some(
+        s"""WITH nodes AS (SELECT CAST(range AS BIGINT) AS v FROM range(0, $N)),
+           |raw AS (SELECT v AS s, (v*31+7) % $N AS t FROM nodes
+           |        UNION SELECT v, (v*97+3) % $N FROM nodes
+           |        UNION SELECT v, (v*233+11) % $N FROM nodes),
+           |ed AS (SELECT DISTINCT LEAST(s, t) AS a, GREATEST(s, t) AS b
+           |       FROM raw WHERE s <> t),
+           |deg AS (SELECT v, COUNT(*) AS d FROM (
+           |          SELECT a AS v FROM ed UNION ALL SELECT b FROM ed)
+           |        GROUP BY v),
+           |tri AS (SELECT COUNT(*) AS n_tri
+           |        FROM ed e1 JOIN ed e2 ON e2.a = e1.b
+           |                   JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+           |agg AS (SELECT (SELECT COUNT(*) FROM ed) AS n_edges,
+           |               (SELECT SUM(d*(d-1)//2) FROM deg) AS n_wedges,
+           |               (SELECT n_tri FROM tri) AS n_triangles)
+           |SELECT CAST(n_edges AS BIGINT) AS n_edges,
+           |       CAST(n_wedges AS BIGINT) AS n_wedges,
+           |       CAST(n_triangles AS BIGINT) AS n_triangles,
+           |       CAST(3000000 * n_triangles // n_wedges AS BIGINT) AS closure_ppm
+           |FROM agg""".stripMargin)
+    }) { (s, d) =>
+    val nodes = s.range(0, N.toLong).select(col("id").as("v"))
+    val raw = nodes.select(col("v").as("s"), ((col("v") * 31 + 7) % N).as("t"))
+      .union(nodes.select(col("v"), (col("v") * 97 + 3) % N))
+      .union(nodes.select(col("v"), (col("v") * 233 + 11) % N))
+      .filter(col("s") =!= col("t"))
+    val ed = raw.select(least(col("s"), col("t")).as("a"),
+        greatest(col("s"), col("t")).as("b"))
+      .distinct().persist()
+    val deg = ed.select(col("a").as("v")).union(ed.select(col("b")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // orient by (degree, id): src = the endpoint that sorts lower — the
+    // √m out-degree bound that keeps the wedge self-join skew-free
+    val withDeg = ed
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("src"), col("b").as("dst")))
+        .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val o1 = oriented.as("o1")
+    val o2 = oriented.as("o2")
+    // wedges at the pivot: two out-edges of the same src, the (dst, dst)
+    // pair canonicalized by id so each wedge forms once; the closing edge
+    // is then exactly the canonical (x, y) row in `ed` (x < y), so one
+    // semi-join per wedge decides the triangle
+    val wedges = o1.join(o2, col("o1.src") === col("o2.src") &&
+        col("o1.dst") < col("o2.dst"))
+      .select(col("o1.dst").as("x"), col("o2.dst").as("y"))
+    val nTri = wedges
+      .join(ed.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val nEdges = ed.agg(count(lit(1)).as("n_edges"))
+    val nWedges = deg.agg(sum(expr("d*(d-1) DIV 2")).cast("long").as("n_wedges"))
+    nEdges.crossJoin(nWedges).crossJoin(nTri)
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        expr("3000000L * n_triangles DIV n_wedges").as("closure_ppm"))
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(q103, q108)
 }
