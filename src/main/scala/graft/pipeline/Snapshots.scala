@@ -1,0 +1,327 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Versioned-snapshot table layer (SURVEY §2.13 layout family) — the
+  * transaction-log discipline the in-place maintenance passes
+  * ([[graft.sources.Sources.upsertClustered]]/`compact`) deliberately
+  * lack: every commit writes IMMUTABLE data files plus a new manifest,
+  * so readers get snapshot isolation, any retained version stays
+  * readable (time travel), the delta between two versions is computable
+  * from the manifest diff reading ONLY changed files (CDC), and space
+  * is reclaimed explicitly ([[vacuum]]) instead of by destructive
+  * rewrite. This is the Delta/Iceberg core in miniature, built on two
+  * primitives every Hadoop-API filesystem has: unique part-file names
+  * and atomic rename.
+  *
+  * Layout:
+  * {{{
+  *   <table>/data/part-*.parquet      immutable; only vacuum deletes
+  *   <table>/_manifests/v%06d/        one parquet dir per version:
+  *       (file, rows, key, min_k, max_k) rows — file membership plus
+  *       optional per-file min/max stats for planner-level pruning
+  * }}}
+  *
+  * Commit protocol: write data files to a tmp dir → rename them into
+  * `data/` (names are UUID-unique, no collision) → write the manifest
+  * to a tmp dir → rename it to `v{N+1}` → atomically CREATE the marker
+  * file `v{N+1}.ok` with overwrite=false. The marker create is the
+  * commit point — `FileSystem.create(path, false)` is the one
+  * exists-exclusive atomic primitive the Hadoop API guarantees
+  * everywhere (a bare dir rename silently moves INTO an existing
+  * destination, so it cannot arbitrate a race). Readers only see
+  * versions whose marker exists; a writer that loses the race (or
+  * finds a stale unmarked dir from a crashed writer) throws, and its
+  * data files are orphans — invisible to every reader — until
+  * [[vacuum]] collects them along with stale manifest dirs.
+  *
+  * Scale posture: manifests are parquet and read distributed — nothing
+  * here collects file lists except [[vacuum]] (bounded by the retained
+  * FILE count, require()d — the statsCatalog contract). A 100 TB table
+  * with 10⁶ files has manifests of ~10⁶ rows: metadata-sized.
+  */
+object Snapshots {
+
+  final case class CommitStats(version: Long, filesAdded: Int, filesTotal: Long)
+
+  private val ManifestSchema = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("rows", LongType, nullable = false),
+    StructField("key", StringType, nullable = true),
+    StructField("min_k", DoubleType, nullable = true),
+    StructField("max_k", DoubleType, nullable = true)))
+
+  private def fsOf(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(table: String) = new Path(table, "_manifests")
+  private def dataDir(table: String) = new Path(table, "data")
+
+  /** Committed versions only: the `.ok` marker is the commit point. */
+  private def markerOf(name: String): Option[Long] =
+    if (name.matches("v\\d{6}\\.ok")) Some(name.drop(1).dropRight(3).toLong)
+    else None
+
+  /** Highest committed version, 0 if the table does not exist yet. */
+  def currentVersion(spark: SparkSession, table: String): Long = {
+    val md = manifestDir(table)
+    val fs = fsOf(spark, md)
+    if (!fs.exists(md)) 0L
+    else fs.listStatus(md).flatMap(s => markerOf(s.getPath.getName)) match {
+      case vs if vs.isEmpty => 0L
+      case vs => vs.max
+    }
+  }
+
+  /** Manifest frame of `version` (file membership + optional stats). */
+  def manifest(spark: SparkSession, table: String, version: Long): DataFrame = {
+    val p = new Path(manifestDir(table), f"v$version%06d")
+    val fs = fsOf(spark, p)
+    require(fs.exists(new Path(manifestDir(table), f"v$version%06d.ok")),
+      s"$table has no committed version $version")
+    spark.read.schema(ManifestSchema).parquet(p.toString)
+  }
+
+  /** Commit `df` as the next version. `overwrite = false` appends to the
+    * current snapshot's membership; `true` replaces it (the old files
+    * stay on disk — prior versions remain readable until [[vacuum]]).
+    * `statsCol` additionally records per-file min/max of that column in
+    * the manifest, enabling [[readPruned]]; with `clustered = true` the
+    * data is range-partitioned on it first so file ranges are disjoint
+    * (writeClustered's layout, now versioned). */
+  def commit(spark: SparkSession, df: DataFrame, table: String,
+             overwrite: Boolean = false, statsCol: Option[String] = None,
+             clustered: Boolean = false, files: Int = 0,
+             meta: String = ""): CommitStats = {
+    require(!clustered || statsCol.nonEmpty, "clustered commit needs statsCol")
+    val dd = dataDir(table)
+    val fs = fsOf(spark, dd)
+    fs.mkdirs(dd)
+    fs.mkdirs(manifestDir(table))
+
+    // 1. data files → tmp, stats computed there (basenames survive the
+    //    rename, so the manifest rows stay valid)
+    val tmp = new Path(table, s"_commit_tmp_${java.util.UUID.randomUUID()}")
+    val shaped = (statsCol, clustered) match {
+      case (Some(c), true) =>
+        val n = if (files > 0) files else math.max(1, df.rdd.getNumPartitions)
+        df.repartitionByRange(n, col(c)).sortWithinPartitions(c)
+      case _ => if (files > 0) df.repartition(files) else df
+    }
+    shaped.write.mode(SaveMode.ErrorIfExists).parquet(tmp.toString)
+
+    val written = spark.read.parquet(tmp.toString)
+    val stats = statsCol match {
+      case Some(c) =>
+        written.select(input_file_name().as("f"), col(c).cast("double").as("k"))
+          .groupBy("f")
+          .agg(count(lit(1)).as("rows"), min("k").as("min_k"), max("k").as("max_k"))
+          .select(
+            element_at(split(col("f"), "/"), -1).as("file"), col("rows"),
+            lit(c).as("key"), col("min_k"), col("max_k"))
+      case None =>
+        written.select(input_file_name().as("f"))
+          .groupBy("f").agg(count(lit(1)).as("rows"))
+          .select(element_at(split(col("f"), "/"), -1).as("file"), col("rows"),
+            lit(null).cast("string").as("key"),
+            lit(null).cast("double").as("min_k"),
+            lit(null).cast("double").as("max_k"))
+    }
+    // the new-file manifest rows are file-count-sized; materialize them
+    // BEFORE the tmp dir disappears under the reads above
+    val newRows = stats.collect()
+    require(newRows.length <= 1000000,
+      s"${newRows.length} files in one commit — not metadata-sized")
+    fs.listStatus(tmp).map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      .foreach { p =>
+        require(fs.rename(p, new Path(dd, p.getName)), s"rename $p failed")
+      }
+    fs.delete(tmp, true)
+
+    // 2. next manifest = (previous membership if appending) + new rows
+    val cur = currentVersion(spark, table)
+    val newManifest = spark.createDataFrame(
+      java.util.Arrays.asList(newRows: _*), ManifestSchema)
+    val full =
+      if (overwrite || cur == 0L) newManifest
+      else manifest(spark, table, cur).unionByName(newManifest)
+    val mTmp = new Path(table, s"_manifest_tmp_${java.util.UUID.randomUUID()}")
+    full.coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(mTmp.toString)
+    val target = new Path(manifestDir(table), f"v${cur + 1}%06d")
+    // 3. place the manifest dir (the exists-check rejects stale dirs from
+    //    crashed/racing writers — a bare rename would move INTO them)...
+    if (fs.exists(target) || !fs.rename(mTmp, target)) {
+      fs.delete(mTmp, true)
+      throw new IllegalStateException(
+        s"commit of $table v${cur + 1} found an existing manifest dir " +
+          "(concurrent writer or stale crash debris — vacuum reclaims it)")
+    }
+    // 4. commit metadata rides a sidecar written BEFORE the marker, so a
+    //    version's meta is always complete once the marker exists (the
+    //    idempotent-sink contract below depends on that ordering)
+    val metaFile = new Path(manifestDir(table), f"v${cur + 1}%06d.meta")
+    if (meta.nonEmpty) {
+      val out = fs.create(metaFile, true)
+      out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    }
+    // 5. ...then COMMIT POINT: exists-exclusive atomic marker create
+    try fs.create(new Path(manifestDir(table), f"v${cur + 1}%06d.ok"), false).close()
+    catch { case _: java.io.IOException =>
+      fs.delete(target, true)
+      fs.delete(metaFile, false)
+      throw new IllegalStateException(
+        s"commit of $table v${cur + 1} lost a concurrent-writer race")
+    }
+    val total = manifest(spark, table, cur + 1).count()
+    CommitStats(cur + 1, newRows.length, total)
+  }
+
+  /** Commit metadata of `version` ("" if none was recorded). */
+  def commitMeta(spark: SparkSession, table: String, version: Long): String = {
+    val p = new Path(manifestDir(table), f"v$version%06d.meta")
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) ""
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+  }
+
+  /** Exactly-once streaming sink: a `foreachBatch` function that commits
+    * each micro-batch as one snapshot version stamped
+    * `batch:<appId>:<id>`, and SKIPS a batch id at-or-below the one last
+    * committed BY THE SAME appId — Structured Streaming replays the
+    * in-flight batch on recovery, and this is the Delta txnAppId/
+    * txnVersion guard that makes the replay a no-op instead of a
+    * duplicate append. `appId` must be STABLE across restarts of the
+    * same query (it is the query's identity, not the sink instance's —
+    * a fresh UUID per restart would defeat the guard); distinct queries
+    * writing one table use distinct appIds. The guard inspects only the
+    * latest version's meta, which covers the recovery case (the replay
+    * immediately follows its original commit) under the one-live-writer-
+    * query-per-table discipline the optimistic manifest race already
+    * implies. The meta sidecar lands before the atomic marker, so a
+    * version visible to the guard always carries its stamp. Use as
+    * `stream.writeStream.foreachBatch(Snapshots.batchSink(table, "q1"))`. */
+  def batchSink(table: String, appId: String = "default",
+                statsCol: Option[String] = None,
+                clustered: Boolean = false, files: Int = 0)
+               : (DataFrame, Long) => Unit = { (df, batchId) =>
+    require(!appId.contains(":"), s"appId must not contain ':': $appId")
+    val spark = df.sparkSession
+    val cur = currentVersion(spark, table)
+    val last = if (cur == 0) -1L else commitMeta(spark, table, cur) match {
+      case s if s.startsWith(s"batch:$appId:") =>
+        s.substring(s.lastIndexOf(':') + 1).toLong
+      case _ => -1L
+    }
+    if (batchId > last)
+      commit(spark, df, table, overwrite = false, statsCol = statsCol,
+        clustered = clustered, files = files, meta = s"batch:$appId:$batchId")
+  }
+
+  private def filesOf(spark: SparkSession, table: String, v: Long): DataFrame =
+    manifest(spark, table, v)
+      .select(concat(lit(dataDir(table).toString + "/"), col("file")).as("path"))
+
+  private def readFiles(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "empty file set")
+    spark.read.parquet(paths: _*)
+  }
+
+  /** Snapshot read of `version` (default: latest) — exactly the files
+    * that manifest lists, regardless of what later commits added. */
+  def read(spark: SparkSession, table: String, version: Long = -1L): DataFrame = {
+    val v = if (version < 0) currentVersion(spark, table) else version
+    require(v > 0, s"$table has no committed version")
+    val paths = filesOf(spark, table, v).collect().map(_.getString(0))
+    require(paths.length <= 1000000, "manifest not metadata-sized")
+    readFiles(spark, paths.toIndexedSeq)
+  }
+
+  /** Manifest-pruned snapshot read: keep only files whose recorded
+    * [min_k, max_k] overlaps [lo, hi] — whole-file skipping at a pinned
+    * version (readPruned, now with time travel). Row-level filter still
+    * applies; pruning is a strict optimization. */
+  def readPruned(spark: SparkSession, table: String, c: String,
+                 lo: Double, hi: Double, version: Long = -1L): DataFrame = {
+    val v = if (version < 0) currentVersion(spark, table) else version
+    val m = manifest(spark, table, v)
+    require(hi >= lo, s"empty range [$lo, $hi]")
+    val keep = m.filter(col("key") === c && col("max_k") >= lo && col("min_k") <= hi)
+      .select(concat(lit(dataDir(table).toString + "/"), col("file")))
+      .collect().map(_.getString(0))
+    require(keep.length <= 1000000, "manifest not metadata-sized")
+    if (keep.isEmpty) read(spark, table, v).filter(lit(false))
+    else readFiles(spark, keep.toIndexedSeq)
+      .filter(col(c) >= lo && col(c) <= hi)
+  }
+
+  /** Row-level change feed between two versions from the manifest diff:
+    * rows of files ADDED since v0 minus rows of files REMOVED since v0
+    * are the inserts (multiset), and vice versa the deletes — rows in
+    * unchanged files cancel WITHOUT BEING READ, so CDC cost scales with
+    * the churn, not the table. Returns `_op` ∈ {insert, delete} ++ the
+    * data columns. */
+  def diff(spark: SparkSession, table: String, v0: Long, v1: Long): DataFrame = {
+    val f0 = filesOf(spark, table, v0).collect().map(_.getString(0)).toSet
+    val f1 = filesOf(spark, table, v1).collect().map(_.getString(0)).toSet
+    require(f0.size <= 1000000 && f1.size <= 1000000, "manifest not metadata-sized")
+    val added = (f1 -- f0).toSeq.sorted
+    val removed = (f0 -- f1).toSeq.sorted
+    val schema = read(spark, table, v1).schema
+    def side(paths: Seq[String]) =
+      if (paths.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else readFiles(spark, paths)
+    val ins = side(added).exceptAll(side(removed))
+      .select(lit("insert").as("_op") +: schema.fieldNames.map(col): _*)
+    val del = side(removed).exceptAll(side(added))
+      .select(lit("delete").as("_op") +: schema.fieldNames.map(col): _*)
+    ins.unionByName(del)
+  }
+
+  /** Drop every version but the last `keepLast`, then delete data files
+    * no retained manifest references (including orphans from failed
+    * commits). Returns (manifests dropped, data files deleted). Bounded
+    * driver state: the retained membership and the data listing are
+    * FILE-count-sized (require()d). */
+  def vacuum(spark: SparkSession, table: String, keepLast: Int = 1): (Int, Int) = {
+    require(keepLast >= 1, "must retain at least one version")
+    val md = manifestDir(table)
+    val fs = fsOf(spark, md)
+    val versions = fs.listStatus(md)
+      .flatMap(s => markerOf(s.getPath.getName)).sorted
+    val (drop, keep) = versions.splitAt(math.max(0, versions.length - keepLast))
+    val referenced = keep.flatMap { v =>
+      val fsRows = manifest(spark, table, v).select("file").collect()
+      require(fsRows.length <= 1000000, "manifest not metadata-sized")
+      fsRows.map(_.getString(0))
+    }.toSet
+    drop.foreach { v =>
+      fs.delete(new Path(md, f"v$v%06d.ok"), false)
+      fs.delete(new Path(md, f"v$v%06d.meta"), false)
+      fs.delete(new Path(md, f"v$v%06d"), true)
+    }
+    // stale manifest dirs/sidecars a crashed or racing writer left
+    // without a marker block that version number forever — reclaim them
+    fs.listStatus(md).map(_.getPath)
+      .filter { p =>
+        val base = p.getName.stripSuffix(".meta")
+        base.matches("v\\d{6}") && !fs.exists(new Path(md, base + ".ok"))
+      }
+      .foreach(p => fs.delete(p, true))
+    val dd = dataDir(table)
+    val onDisk = fs.listStatus(dd).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    require(onDisk.length <= 1000000, "data dir not file-count bounded")
+    val orphans = onDisk.filterNot(p => referenced(p.getName))
+    orphans.foreach(p => fs.delete(p, false))
+    (drop.length, orphans.length)
+  }
+}

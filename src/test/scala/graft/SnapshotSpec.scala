@@ -1,0 +1,131 @@
+package graft
+
+import graft.pipeline.Snapshots
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Versioned-snapshot table layer: time travel, manifest-diff CDC,
+  * stats-pruned reads at a version, vacuum, and the optimistic-commit
+  * failure path. */
+class SnapshotSpec extends SparkSpec {
+
+  private def freshTable(): String =
+    Files.createTempDirectory("snap").resolve("t").toString
+
+  private def df(range: Range) = {
+    import spark.implicits._
+    range.map(i => (i.toLong, s"row$i")).toDF("k", "v")
+  }
+
+  test("commit/append/overwrite: every retained version reads exactly its snapshot") {
+    val t = freshTable()
+    val s1 = Snapshots.commit(spark, df(0 until 100), t,
+      statsCol = Some("k"), clustered = true, files = 4)
+    assert(s1.version == 1 && s1.filesAdded == 4 && s1.filesTotal == 4)
+    val s2 = Snapshots.commit(spark, df(100 until 150), t,
+      statsCol = Some("k"), clustered = true, files = 2)
+    assert(s2.version == 2 && s2.filesAdded == 2 && s2.filesTotal == 6)
+    // overwrite: snapshot becomes just the new files; v1/v2 still readable
+    val s3 = Snapshots.commit(spark, df(50 until 60), t,
+      overwrite = true, statsCol = Some("k"), clustered = true, files = 1)
+    assert(s3.version == 3 && s3.filesTotal == 1)
+    assert(Snapshots.currentVersion(spark, t) == 3)
+    assert(Snapshots.read(spark, t, 1).count() == 100)
+    assert(Snapshots.read(spark, t, 2).count() == 150)
+    assert(Snapshots.read(spark, t).count() == 10)
+    // snapshots are value-exact, not just counts
+    assert(Snapshots.read(spark, t, 2).select(sum("k")).head.getLong(0)
+      == (0L until 150).sum)
+  }
+
+  test("diff reads only churned files and reports exact row-level changes") {
+    val t = freshTable()
+    Snapshots.commit(spark, df(0 until 100), t, statsCol = Some("k"),
+      clustered = true, files = 4)
+    Snapshots.commit(spark, df(100 until 120), t, statsCol = Some("k"),
+      clustered = true, files = 1)
+    val d12 = Snapshots.diff(spark, t, 1, 2).collect()
+    assert(d12.forall(_.getString(0) == "insert"))
+    assert(d12.map(_.getLong(1)).sorted.toSeq == (100L until 120L))
+    // overwrite that keeps 0-99 but rewrites values of 0-9
+    import spark.implicits._
+    val mutated = (0 until 100)
+      .map(i => (i.toLong, if (i < 10) s"NEW$i" else s"row$i")).toDF("k", "v")
+    Snapshots.commit(spark, mutated, t, overwrite = true,
+      statsCol = Some("k"), clustered = true, files = 4)
+    val d23 = Snapshots.diff(spark, t, 2, 3).collect()
+    val ins = d23.filter(_.getString(0) == "insert").map(r => (r.getLong(1), r.getString(2)))
+    val del = d23.filter(_.getString(0) == "delete").map(r => (r.getLong(1), r.getString(2)))
+    // the 10 rewritten rows appear as delete+insert; 100-119 as deletes;
+    // untouched rows 10-99 cancel (multiset) even though the overwrite
+    // rewrote their files
+    assert(ins.toSet == (0 until 10).map(i => (i.toLong, s"NEW$i")).toSet)
+    assert(del.toSet == ((0 until 10).map(i => (i.toLong, s"row$i")) ++
+      (100 until 120).map(i => (i.toLong, s"row$i"))).toSet)
+  }
+
+  test("readPruned at a version is filter-parity and actually prunes files") {
+    val t = freshTable()
+    Snapshots.commit(spark, df(0 until 1000), t, statsCol = Some("k"),
+      clustered = true, files = 8)
+    val pruned = Snapshots.readPruned(spark, t, "k", 100.0, 150.0)
+    val full = Snapshots.read(spark, t).filter(col("k").between(100, 150))
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq
+      == full.collect().map(_.getLong(0)).sorted.toSeq)
+    // clustered ranges are disjoint: a 5% key range must touch < half the files
+    val m = Snapshots.manifest(spark, t, 1)
+      .filter(col("max_k") >= 100.0 && col("min_k") <= 150.0).count()
+    assert(m < 4, s"pruning kept $m of 8 files")
+    // out-of-range prunes to an empty, schema-correct frame
+    assert(Snapshots.readPruned(spark, t, "k", 5000.0, 6000.0).isEmpty)
+  }
+
+  test("vacuum drops old versions and orphaned data files, keeps retained readable") {
+    val t = freshTable()
+    Snapshots.commit(spark, df(0 until 50), t, files = 2)
+    Snapshots.commit(spark, df(50 until 60), t, files = 1)
+    Snapshots.commit(spark, df(0 until 5), t, overwrite = true, files = 1)
+    val (manifestsDropped, filesDeleted) = Snapshots.vacuum(spark, t, keepLast = 1)
+    assert(manifestsDropped == 2)
+    assert(filesDeleted == 3) // v1's 2 + v2's 1, unreferenced by v3
+    assert(Snapshots.read(spark, t).count() == 5)
+    intercept[IllegalArgumentException](Snapshots.read(spark, t, 1))
+  }
+
+  test("batchSink: replayed micro-batches are no-ops; a live stream lands exactly-once") {
+    val t = freshTable()
+    val sink = graft.pipeline.Snapshots.batchSink(t, "q1", files = 1)
+    sink(df(0 until 10), 0L)
+    sink(df(10 until 20), 1L)
+    assert(Snapshots.read(spark, t).count() == 20)
+    // recovery replays the last batch — must be a no-op
+    sink(df(10 until 20), 1L)
+    assert(Snapshots.currentVersion(spark, t) == 2)
+    assert(Snapshots.read(spark, t).count() == 20)
+    assert(Snapshots.commitMeta(spark, t, 2) == "batch:q1:1")
+    // a DIFFERENT query's batch 0 must not be mistaken for q1's replay
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = input.toDF().withColumnRenamed("value", "k").withColumn("v", lit("s"))
+      .writeStream.foreachBatch(
+        graft.pipeline.Snapshots.batchSink(t, "q2", files = 1))
+      .start()
+    try {
+      input.addData(100L, 101L); q.processAllAvailable()
+      input.addData(102L); q.processAllAvailable()
+    } finally q.stop()
+    assert(Snapshots.read(spark, t).filter(col("k") >= 100).count() == 3)
+  }
+
+  test("a commit that loses the manifest race fails and leaves no new version") {
+    val t = freshTable()
+    Snapshots.commit(spark, df(0 until 10), t, files = 1)
+    // occupy v000002 — the rename target of the next commit
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$t/_manifests/v000002"))
+    intercept[IllegalStateException](
+      Snapshots.commit(spark, df(10 until 20), t, files = 1))
+  }
+}
