@@ -51,6 +51,12 @@ import scala.jdk.CollectionConverters._
   *   - `upsert`  — catalog-scoped MERGE of `paths.updates` into the
   *                 clustered `paths.records` (key via `paths.upsert_key`,
   *                 default doc_id): only touched key ranges rewrite
+  *   - `snapshot`/`timetravel`/`cdc`/`vacuum` — versioned-snapshot
+  *                 table lifecycle (pipeline/Snapshots) at `paths.table`:
+  *                 commit `paths.records` as the next version (stats via
+  *                 `paths.snapshot_key`), read any retained version,
+  *                 row-level change feed between two versions, reclaim
+  *                 space keeping `paths.vacuum_keep` versions
   *
   * The YAML is the reference's config shape (`GraftConfig.fromYaml`) plus
   * a `paths` section naming the inputs:
@@ -389,15 +395,84 @@ object Main {
           "files_rewritten" -> st.filesRewritten.toString,
           "files_appended" -> st.filesAppended.toString)
 
+      case "snapshot" =>
+        // commit paths.records as the next version of the snapshot table
+        // at paths.table (append by default; paths.snapshot_overwrite:
+        // true replaces the membership — old versions stay readable).
+        // paths.snapshot_key additionally records per-file min/max stats
+        // and clusters the files on that key (pruned time travel).
+        val recordsPath = p.records.getOrElse(throw new IllegalArgumentException(
+          "snapshot needs paths.records (the rows to commit)"))
+        val tablePath = ioPathExtra(configPath, "table")
+          .getOrElse(throw new IllegalArgumentException(
+            "snapshot needs paths.table (the snapshot table root)"))
+        val key = ioPathExtra(configPath, "snapshot_key")
+        val over = ioPathExtra(configPath, "snapshot_overwrite").contains("true")
+        val st = Snapshots.commit(spark, spark.read.parquet(recordsPath),
+          tablePath, overwrite = over, statsCol = key,
+          clustered = key.nonEmpty,
+          files = ioPathExtra(configPath, "snapshot_files").map(_.toInt).getOrElse(0))
+        Map("version" -> st.version.toString,
+          "files_added" -> st.filesAdded.toString,
+          "files_total" -> st.filesTotal.toString)
+
+      case "timetravel" =>
+        // read paths.table at paths.snapshot_version (default: latest)
+        // and write it to output/timetravel — the audit/rollback read
+        val tablePath = ioPathExtra(configPath, "table")
+          .getOrElse(throw new IllegalArgumentException(
+            "timetravel needs paths.table"))
+        val v = ioPathExtra(configPath, "snapshot_version")
+          .map(_.toLong).getOrElse(-1L)
+        val df = Snapshots.read(spark, tablePath, v)
+        val rows = p.output match {
+          case Some(o) =>
+            df.write.mode("overwrite").parquet(s"$o/timetravel")
+            spark.read.parquet(s"$o/timetravel").count()
+          case None => df.count()
+        }
+        Map("version" -> (if (v < 0) Snapshots.currentVersion(spark, tablePath)
+                          else v).toString,
+          "rows" -> rows.toString)
+
+      case "cdc" =>
+        // row-level change feed of paths.table between paths.cdc_from and
+        // paths.cdc_to (default: latest); writes output/cdc when set
+        val tablePath = ioPathExtra(configPath, "table")
+          .getOrElse(throw new IllegalArgumentException("cdc needs paths.table"))
+        val from = ioPathExtra(configPath, "cdc_from")
+          .map(_.toLong).getOrElse(throw new IllegalArgumentException(
+            "cdc needs paths.cdc_from (the base version)"))
+        val to = ioPathExtra(configPath, "cdc_to").map(_.toLong)
+          .getOrElse(Snapshots.currentVersion(spark, tablePath))
+        val d = Snapshots.diff(spark, tablePath, from, to)
+        val counts = d.groupBy("_op").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        p.output.foreach(o => d.write.mode("overwrite").parquet(s"$o/cdc"))
+        Map("from" -> from.toString, "to" -> to.toString,
+          "inserts" -> counts.getOrElse("insert", 0L).toString,
+          "deletes" -> counts.getOrElse("delete", 0L).toString)
+
+      case "vacuum" =>
+        // reclaim paths.table: retain paths.vacuum_keep versions
+        // (default 1), delete unreferenced/orphaned data files
+        val tablePath = ioPathExtra(configPath, "table")
+          .getOrElse(throw new IllegalArgumentException("vacuum needs paths.table"))
+        val keep = ioPathExtra(configPath, "vacuum_keep")
+          .map(_.toInt).getOrElse(1)
+        val (manifests, files) = Snapshots.vacuum(spark, tablePath, keep)
+        Map("manifests_dropped" -> manifests.toString,
+          "files_deleted" -> files.toString)
+
       case other => throw new IllegalArgumentException(
-        s"unknown command '$other' — expected cache|serve|explore|predict|dedup|split|score|ingest|decontaminate|annbuild|annsearch|compact|upsert")
+        s"unknown command '$other' — expected cache|serve|explore|predict|dedup|split|score|ingest|decontaminate|annbuild|annsearch|compact|upsert|snapshot|timetravel|cdc|vacuum")
     }
   }
 
   def main(args: Array[String]): Unit = {
     require(args.length == 2,
       "usage: graft.Main <data-config.yaml> " +
-        "<cache|serve|explore|predict|dedup|split|score|ingest|decontaminate|annbuild|annsearch|compact|upsert>")
+        "<cache|serve|explore|predict|dedup|split|score|ingest|decontaminate|annbuild|annsearch|compact|upsert|snapshot|timetravel|cdc|vacuum>")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.shuffle.partitions",

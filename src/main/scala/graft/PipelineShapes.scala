@@ -104,5 +104,29 @@ object PipelineShapes {
         Map("en" -> 0.4, "fr" -> 0.15, "es" -> 0.15, "zh" -> 0.15,
           "de" -> 0.15),
         budget = 250L * (1L max (dd.count() / 500L))))
-    }))
+    }),
+    // versioned-snapshot lifecycle (pipeline/Snapshots): one row prices
+    // the write path (clustered base commit + append commit), the next
+    // two price what snapshots buy — CDC that reads only the churned
+    // files, and a pruned time-travel read against v1's manifest stats.
+    // The table rebuilds from scratch each run so version numbers are
+    // deterministic across reps.
+    "p_snap_commit" -> ((s, d) => {
+      val t = annDir(d) + "_snap"
+      val p = new org.apache.hadoop.fs.Path(t)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val dd = Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars")
+      graft.pipeline.Snapshots.commit(s, dd, t,
+        statsCol = Some("doc_id"), clustered = true, files = 8)
+      graft.pipeline.Snapshots.commit(s,
+        dd.filter(col("doc_id") % 16 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000000L), t,
+        statsCol = Some("doc_id"), clustered = true, files = 1)
+      s.range(1).toDF("ok")
+    }),
+    "p_snap_cdc" -> ((s, d) =>
+      forced(graft.pipeline.Snapshots.diff(s, annDir(d) + "_snap", 1, 2))),
+    "p_snap_timetravel" -> ((s, d) =>
+      forced(graft.pipeline.Snapshots.readPruned(
+        s, annDir(d) + "_snap", "doc_id", 0.0, 1000.0, version = 1L))))
 }

@@ -357,6 +357,41 @@ class PipelineSpec extends SparkSpec {
     assert(back.filter(col("n_chars") === -9L).count() == 2)
   }
 
+  test("graft.Main snapshot/timetravel/cdc/vacuum: versioned-table lifecycle from one YAML") {
+    val root = Files.createTempDirectory("graft-snap").toString
+    Tables.documents(spark, sf0001).select("doc_id", "n_chars")
+      .write.parquet(s"$root/records")
+    def cfg(extra: String): String = {
+      Files.writeString(java.nio.file.Paths.get(s"$root/cfg.yaml"),
+        s"""paths:
+           |  records: $root/records
+           |  table: $root/table
+           |  output: $root/out
+           |$extra""".stripMargin)
+      s"$root/cfg.yaml"
+    }
+    val total = Tables.documents(spark, sf0001).count()
+    val c1 = Main.run(spark, cfg("  snapshot_key: doc_id\n  snapshot_files: 4\n"), "snapshot")
+    assert(c1("version") == "1" && c1("files_added") == "4")
+    // second commit appends a small increment
+    Tables.documents(spark, sf0001).select("doc_id", "n_chars")
+      .filter(col("doc_id") < 5).withColumn("doc_id", col("doc_id") + 1000000)
+      .write.mode("overwrite").parquet(s"$root/records")
+    val c2 = Main.run(spark, cfg("  snapshot_key: doc_id\n  snapshot_files: 1\n"), "snapshot")
+    assert(c2("version") == "2")
+    val tt1 = Main.run(spark, cfg("  snapshot_version: 1\n"), "timetravel")
+    assert(tt1("rows").toLong == total)
+    val ttLatest = Main.run(spark, cfg(""), "timetravel")
+    assert(ttLatest("rows").toLong == total + 5)
+    val cdc = Main.run(spark, cfg("  cdc_from: 1\n"), "cdc")
+    assert(cdc("inserts") == "5" && cdc("deletes") == "0")
+    assert(spark.read.parquet(s"$root/out/cdc").count() == 5)
+    val vac = Main.run(spark, cfg("  vacuum_keep: 1\n"), "vacuum")
+    assert(vac("manifests_dropped") == "1" && vac("files_deleted").toInt == 0)
+    // append-only: v1's files are all still referenced by v2 → 0 deleted
+    assert(graft.pipeline.Snapshots.read(spark, s"$root/table").count() == total + 5)
+  }
+
   test("graft.Main dedup: exact + near-dup + keep-best end-to-end") {
     val root = Files.createTempDirectory("graft-dedup").toString
     // sf0.001 documents plus a planted exact copy of the min-id doc
