@@ -101,6 +101,22 @@ object Snapshots {
     val fs = fsOf(spark, dd)
     fs.mkdirs(dd)
     fs.mkdirs(manifestDir(table))
+    // appends must match the live schema EXACTLY (name → type, order
+    // apart): a silently divergent append would poison every later read
+    // of the mixed membership. Overwrites may evolve the schema — the
+    // new membership is self-consistent and old versions stay readable
+    // under their own schema via time travel.
+    val curV = currentVersion(spark, table)
+    if (!overwrite && curV > 0) {
+      val live = read(spark, table, curV).schema
+        .map(f => f.name -> f.dataType).toMap
+      val incoming = df.schema.map(f => f.name -> f.dataType).toMap
+      require(incoming == live,
+        s"append schema mismatch for $table v$curV: " +
+          s"table has ${live.toSeq.sortBy(_._1).mkString(", ")}; " +
+          s"append has ${incoming.toSeq.sortBy(_._1).mkString(", ")} " +
+          "(overwrite=true to evolve the schema)")
+    }
 
     // 1. data files → tmp, stats computed there (basenames survive the
     //    rename, so the manifest rows stay valid)

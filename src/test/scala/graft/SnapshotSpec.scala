@@ -92,6 +92,23 @@ class SnapshotSpec extends SparkSpec {
     intercept[IllegalArgumentException](Snapshots.read(spark, t, 1))
   }
 
+  test("append with a divergent schema is rejected; overwrite may evolve it") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commit(spark, df(0 until 10), t, files = 1)
+    val widened = Seq((10L, "x", 1.5)).toDF("k", "v", "w")
+    intercept[IllegalArgumentException](
+      Snapshots.commit(spark, widened, t, files = 1))
+    val typeChanged = Seq((10, "x")).toDF("k", "v") // k: int, not long
+    intercept[IllegalArgumentException](
+      Snapshots.commit(spark, typeChanged, t, files = 1))
+    assert(Snapshots.currentVersion(spark, t) == 1)
+    // overwrite evolves; the old version still reads under its own schema
+    Snapshots.commit(spark, widened, t, overwrite = true, files = 1)
+    assert(Snapshots.read(spark, t).columns.toSeq == Seq("k", "v", "w"))
+    assert(Snapshots.read(spark, t, 1).columns.toSeq == Seq("k", "v"))
+  }
+
   test("batchSink: replayed micro-batches are no-ops; a live stream lands exactly-once") {
     val t = freshTable()
     val sink = graft.pipeline.Snapshots.batchSink(t, "q1", files = 1)
