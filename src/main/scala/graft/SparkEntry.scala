@@ -16,7 +16,8 @@ object SparkEntry {
       SubwordQueries.all ++ ImageQueries.all ++ AudioQueries.all ++
       VideoQueries.all ++ PiiQueries.all ++ CurationQueries.all ++
       RetrievalQueries.all ++ LmQueries.all ++ RewriteQueries.all ++
-      RankQueries.all ++ GraphQueries.all ++ ProfileQueries.all
+      RankQueries.all ++ GraphQueries.all ++ ProfileQueries.all ++
+      EntityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

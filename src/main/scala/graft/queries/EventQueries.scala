@@ -712,7 +712,130 @@ object EventQueries {
       .orderBy("user_id", "version")
   }
 
+  // ---------------------------------------------------------------- Q110
+  /** X74: point-in-time (AS OF) join of the event stream against q107's
+    * SCD2 history — the consume side of the slowly-changing dimension:
+    * every event is attributed to the state its user was in AT THAT
+    * INSTANT (`valid_from <= es < valid_to`, current row open-ended),
+    * then rolled up to (state, event_type) with exact cent sums. The
+    * classic "revenue by customer segment as it was at purchase time"
+    * shape that naive latest-state joins get wrong.
+    *
+    * Plan: the history build is q107's two shared-exchange windows; the
+    * as-of itself is an EQUI hash join on user_id with the interval
+    * containment as an in-key filter — per-user history is run-length
+    * compacted (≤ changes, not events), so the join never explodes the
+    * way a pure range join would, and both sides shuffle once on the
+    * same key. Exactly one interval contains each event (intervals
+    * chain and zero-length ties are empty), so the inner join is total
+    * — no event is dropped or double-attributed.
+    */
+  val q110 = DeclaredQuery(
+    "q110_scd2_asof",
+    Some(s"""WITH e AS (SELECT user_id, event_id, event_type, value,
+            |                 CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),
+            |c AS (SELECT *, lag(event_type) OVER
+            |        (PARTITION BY user_id ORDER BY es, event_id) AS prev
+            |      FROM e),
+            |ch AS (SELECT user_id, event_type, es, event_id FROM c
+            |       WHERE prev IS NULL OR prev <> event_type),
+            |h AS (SELECT user_id, event_type AS state, es AS valid_from,
+            |             lead(es) OVER (PARTITION BY user_id ORDER BY es, event_id)
+            |               AS valid_to
+            |      FROM ch)
+            |SELECT h.state, e.event_type, COUNT(*) AS n,
+            |       ${Det.sql.sumMoney("e.value")} AS total_value
+            |FROM e JOIN h ON e.user_id = h.user_id
+            |  AND h.valid_from <= e.es
+            |  AND (h.valid_to IS NULL OR e.es < h.valid_to)
+            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)) { (s, d) =>
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        unix_timestamp(col("ts")).as("es"))
+    val hist = e
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("es"), 1).over(byUser))
+      .select(col("user_id").as("h_user"), col("event_type").as("state"),
+        col("es").as("valid_from"), col("valid_to"))
+    e.join(hist,
+        col("user_id") === col("h_user") &&
+          col("valid_from") <= col("es") &&
+          (col("valid_to").isNull || col("es") < col("valid_to")))
+      .groupBy(col("state"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Det.unCents(sum(Det.cents(col("value")))).as("total_value"))
+      .orderBy("state", "event_type")
+  }
+
+  // ---------------------------------------------------------------- Q112
+  /** X76: time-grid resampling with forward fill — each user's event
+    * stream regularized onto a dense hourly grid spanning their active
+    * window, observed hours carrying the exact-cent hourly value sum and
+    * gap hours filled by last-observation-carried-forward (LOCF), then
+    * summarized per user (grid size, observed/gap counts, LOCF value
+    * mass). The gap-fill shape every time-series feature pipeline needs
+    * before computing lags/rolling stats on irregular event data.
+    *
+    * Plan: one scan → hourly hash-agg (map-side combinable) → per-user
+    * min/max span → `sequence`+`explode` generates each user's grid
+    * WITHOUT a global calendar join (grid rows are born partitioned by
+    * user) → left join back on (user, hour), co-partitioned — AQE sees
+    * both sides hashed on the same keys → LOCF via `last(ignoreNulls)`
+    * over a user-partitioned window (never a global window) → per-user
+    * rollup. The first grid hour is observed by construction (the span
+    * comes from the data), so the fill is total.
+    *
+    * Determinism: hour ids are exact integer division of epoch seconds;
+    * value mass rides integer cents; LOCF is order-unique because hours
+    * are distinct within a user.
+    */
+  val q112 = DeclaredQuery(
+    "q112_gap_fill",
+    Some("""WITH e AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
+           |                 value FROM events),
+           |hourly AS (SELECT user_id, es // 3600 AS h,
+           |                  SUM(CAST(ROUND((value)*100) AS BIGINT)) AS cent
+           |           FROM e GROUP BY 1, 2),
+           |span AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1
+           |         FROM hourly GROUP BY 1),
+           |grid AS (SELECT user_id, UNNEST(generate_series(h0, h1)) AS h
+           |         FROM span),
+           |j AS (SELECT g.user_id, g.h, hourly.cent FROM grid g
+           |      LEFT JOIN hourly ON g.user_id = hourly.user_id
+           |                      AND g.h = hourly.h),
+           |f AS (SELECT user_id, cent,
+           |             LAST_VALUE(cent IGNORE NULLS) OVER
+           |               (PARTITION BY user_id ORDER BY h
+           |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |               AS filled
+           |      FROM j)
+           |SELECT user_id, COUNT(*) AS n_hours, COUNT(cent) AS n_observed,
+           |       COUNT(*) - COUNT(cent) AS n_gap,
+           |       CAST(SUM(filled) AS DOUBLE)/1e2 AS locf_value_sum
+           |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"), col("value"))
+    val hourly = e
+      .groupBy(col("user_id"), expr("es DIV 3600").as("h"))
+      .agg(sum(Det.cents(col("value"))).as("cent"))
+    val grid = hourly
+      .groupBy("user_id").agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
+    val locf = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .withColumn("filled", last(col("cent"), ignoreNulls = true).over(locf))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_hours"),
+        count(col("cent")).as("n_observed"),
+        (count(lit(1)) - count(col("cent"))).as("n_gap"),
+        Det.unCents(sum(col("filled"))).as("locf_value_sum"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[DeclaredQuery] =
     Seq(q24a, q24b, q24c, q24d, q26j, q58, q93, q96, q97, q98, q99, q100,
-      q101, q102, q104, q107)
+      q101, q102, q104, q107, q110, q112)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{EventQueries, GraphQueries, ProfileQueries}
+import graft.queries.{EntityQueries, EventQueries, GraphQueries, ProfileQueries}
 
 /** q106–q109 invariants the oracle hash can't express: profile-metric
   * laws, SCD2 interval algebra, a brute-force triangle recount, and the
@@ -70,6 +70,78 @@ class ProfileSpec extends SparkSpec {
     assert(row.getLong(1) == wedges, "wedge count")
     assert(row.getLong(2) == tri.toLong, s"triangle count: got ${row.getLong(2)}, want $tri")
     assert(row.getLong(3) == 3000000L * tri / wedges, "closure ppm")
+  }
+
+  test("q110 as-of join is total: every event attributed to exactly one state") {
+    val rows = EventQueries.q110.build(spark, sf0001).collect()
+    val events = spark.read.parquet(s"$sf0001/events.parquet")
+    assert(rows.map(_.getLong(2)).sum == events.count())
+    // value mass is conserved through the attribution (exact cents)
+    val cents = events.collect()
+      .map(r => math.round(r.getDouble(r.fieldIndex("value")) * 100)).sum
+    val attributed = rows.map(r => math.round(r.getDouble(3) * 100)).sum
+    assert(attributed == cents)
+  }
+
+  test("q111 fuzzy match: pairs canonical, distances exact, blocking complete") {
+    val rows = EntityQueries.q111.build(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    rows.foreach { r =>
+      val (a, b, dist) = (r.getString(0), r.getString(1), r.getInt(2))
+      assert(a < b, "pair not canonical")
+      assert(dist == lev(a, b), s"distance wrong for ($a,$b)")
+      assert(dist <= 3)
+      assert(a.split(" ").last == b.split(" ").last, "pair crosses a block")
+    }
+    // completeness inside the blocking scheme: brute-force over the vocab
+    val vocab = spark.read.parquet(s"$sf0001/part.parquet")
+      .select("p_name").distinct().collect().map(_.getString(0))
+    val expected = (for {
+      a <- vocab; b <- vocab
+      if a < b && a.split(" ").last == b.split(" ").last && lev(a, b) <= 3
+    } yield (a, b)).toSet
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet == expected)
+  }
+
+  test("q112 gap fill: grid spans are dense and LOCF mass is conserved per law") {
+    val rows = EventQueries.q112.build(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nHours, nObs, nGap) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nObs >= 1 && nObs + nGap == nHours, "grid accounting")
+      // LOCF mass >= observed mass would only hold if values were
+      // non-negative per hour; instead pin the structural law: the fill
+      // is total (sum is never null => getDouble doesn't throw)
+      assert(!r.isNullAt(4))
+    }
+    // cross-check one user brute-force in the driver
+    val ev = spark.read.parquet(s"$sf0001/events.parquet").collect()
+      .map { r =>
+        val tsIdx = r.fieldIndex("ts")
+        val es = r.get(tsIdx) match {
+          case t: java.time.LocalDateTime => t.toEpochSecond(java.time.ZoneOffset.UTC)
+          case t: java.sql.Timestamp      => t.getTime / 1000
+          case l: Long                    => l / 1000000000L
+        }
+        (r.getLong(r.fieldIndex("user_id")), es / 3600,
+          math.round(r.getDouble(r.fieldIndex("value")) * 100))
+      }
+    val u0 = ev.filter(_._1 == ev.head._1)
+    val hourly = u0.groupBy(_._2).map { case (h, xs) => h -> xs.map(_._3).sum }
+    val (h0, h1) = (hourly.keys.min, hourly.keys.max)
+    var lastCent = 0L; var locf = 0L
+    for (h <- h0 to h1) { lastCent = hourly.getOrElse(h, lastCent); locf += lastCent }
+    val row = rows.find(_.getLong(0) == u0.head._1).get
+    assert(row.getLong(1) == h1 - h0 + 1)
+    assert(row.getLong(2) == hourly.size.toLong)
+    assert(math.round(row.getDouble(4) * 100) == locf, "LOCF mass")
   }
 
   test("q109 regression: exact-moment corr matches a direct computation") {
