@@ -835,7 +835,148 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  // ---------------------------------------------------------------- Q113
+  /** X77: multi-touch attribution — every purchase's value split equally
+    * (exact integer cents: `DIV` shares, remainder to the LAST touch)
+    * across the user's view/click touches in the preceding 7 days;
+    * purchases with no touch land in an `(unattributed)` bucket. The
+    * marketing-analytics shape naive last-touch reports get wrong, and a
+    * conservation law makes it oracle-exact: the attributed cent mass
+    * equals the purchase cent mass to the cent, by construction.
+    *
+    * Plan: one scan split into two slim arms → LEFT equi join on
+    * user_id with the 7-day lookback as an in-key range filter (per-user
+    * touches bound the fan-out — never a time-only cross join) → two
+    * windows partitioned by purchase id (bounded by that purchase's
+    * touch count) → hash-agg to 3 rows. All arithmetic is integer
+    * cents; the remainder rule (`rn = 1` on es DESC, event_id DESC) is
+    * a total order, so the split is deterministic in both engines.
+    */
+  val q113 = DeclaredQuery(
+    "q113_attribution",
+    Some("""WITH e AS (SELECT user_id, event_id, event_type,
+           |                 CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
+           |                 CAST(ROUND((value)*100) AS BIGINT) AS cent
+           |          FROM events),
+           |p AS (SELECT user_id, event_id AS p_id, es AS p_es, cent FROM e
+           |      WHERE event_type = 'purchase'),
+           |t AS (SELECT user_id, event_id AS t_id, event_type AS t_type,
+           |             es AS t_es
+           |      FROM e WHERE event_type IN ('view', 'click')),
+           |j AS (SELECT p.p_id, p.cent, t.t_id, t.t_type, t.t_es FROM p
+           |      LEFT JOIN t ON p.user_id = t.user_id
+           |                 AND t.t_es >= p.p_es - 604800
+           |                 AND t.t_es < p.p_es),
+           |w AS (SELECT p_id, cent, t_type,
+           |             COUNT(t_id) OVER (PARTITION BY p_id) AS n,
+           |             ROW_NUMBER() OVER (PARTITION BY p_id
+           |                                ORDER BY t_es DESC, t_id DESC)
+           |               AS rn
+           |      FROM j),
+           |a AS (SELECT CASE WHEN n = 0 THEN '(unattributed)'
+           |                  ELSE t_type END AS channel,
+           |             CASE WHEN n = 0 THEN cent
+           |                  ELSE cent // n +
+           |                       CASE WHEN rn = 1 THEN cent % n ELSE 0 END
+           |             END AS alloc
+           |      FROM w)
+           |SELECT channel, COUNT(*) AS n_alloc,
+           |       CAST(SUM(alloc) AS DOUBLE)/1e2 AS attributed_value
+           |FROM a GROUP BY 1 ORDER BY 1""".stripMargin)) { (s, d) =>
+    val e = Tables.events(s, d).select(col("user_id"), col("event_id"),
+      col("event_type"), unix_timestamp(col("ts")).as("es"),
+      Det.cents(col("value")).as("cent"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("es").as("p_es"), col("cent"))
+    val t = e.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("t_user"), col("event_id").as("t_id"),
+        col("event_type").as("t_type"), col("es").as("t_es"))
+    val byP = Window.partitionBy(col("p_id"))
+    val j = p.join(t,
+        col("user_id") === col("t_user") &&
+          col("t_es") >= col("p_es") - 604800 && col("t_es") < col("p_es"),
+        "left")
+      .withColumn("n", count(col("t_id")).over(byP))
+      .withColumn("rn", row_number().over(
+        byP.orderBy(col("t_es").desc, col("t_id").desc)))
+    j.select(
+        when(col("n") === 0, lit("(unattributed)")).otherwise(col("t_type"))
+          .as("channel"),
+        when(col("n") === 0, col("cent"))
+          .otherwise(expr("cent DIV n") +
+            when(col("rn") === 1, col("cent") % col("n")).otherwise(lit(0L)))
+          .as("alloc"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_alloc"),
+        Det.unCents(sum(col("alloc"))).as("attributed_value"))
+      .orderBy("channel")
+  }
+
+  // ---------------------------------------------------------------- Q114
+  /** X78: CUSUM change-point scan per user — the classic mean-shift
+    * detector over each user's spend series, kept EXACT by scaling out
+    * the division: the centered cumulative sum S_i = Σ(x_j − x̄) is
+    * rational, but n·S_i = n·prefix_i − i·total is an integer of cents,
+    * so the argmax (the most likely change point) and the max statistic
+    * are computed with zero floating point and agree bit-for-bit across
+    * engines. Bound: |n·prefix| ≤ n·Σ|cents| — per-user events × cent
+    * mass keeps it well inside int64 through sf10 (documented; a 100 TB
+    * deployment shards long series by (user, epoch-window) first).
+    *
+    * Plan: one scan → user-partitioned windows (row-number, running
+    * prefix, per-user totals — ONE shared exchange on user_id) → the
+    * argmax is a max-then-min-index join back (deterministic under
+    * ties, unlike max_by) on the same user key, so no second shuffle
+    * of the series.
+    */
+  val q114 = DeclaredQuery(
+    "q114_cusum",
+    Some("""WITH e AS (SELECT user_id, event_id,
+           |                 CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
+           |                 CAST(ROUND((value)*100) AS BIGINT) AS cent
+           |          FROM events),
+           |o AS (SELECT user_id, cent,
+           |             ROW_NUMBER() OVER
+           |               (PARTITION BY user_id ORDER BY es, event_id) AS i,
+           |             CAST(SUM(cent) OVER
+           |               (PARTITION BY user_id ORDER BY es, event_id
+           |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |               AS BIGINT) AS pre,
+           |             COUNT(*) OVER (PARTITION BY user_id) AS n,
+           |             CAST(SUM(cent) OVER (PARTITION BY user_id) AS BIGINT)
+           |               AS tot
+           |      FROM e),
+           |s AS (SELECT user_id, i, n, ABS(n * pre - i * tot) AS abs_s
+           |      FROM o),
+           |m AS (SELECT user_id, MAX(n) AS n, MAX(abs_s) AS max_abs_s
+           |      FROM s GROUP BY 1)
+           |SELECT m.user_id, m.n, m.max_abs_s, MIN(s.i) AS arg_i
+           |FROM m JOIN s ON m.user_id = s.user_id
+           |             AND s.abs_s = m.max_abs_s
+           |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin)) { (s, d) =>
+    val byUser = Window.partitionBy(col("user_id"))
+    val ordered = byUser.orderBy(col("es"), col("event_id"))
+    val e = Tables.events(s, d).select(col("user_id"), col("event_id"),
+      unix_timestamp(col("ts")).as("es"), Det.cents(col("value")).as("cent"))
+    val st = e
+      .withColumn("i", row_number().over(ordered))
+      .withColumn("pre", sum(col("cent")).over(
+        ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(byUser))
+      .withColumn("tot", sum(col("cent")).over(byUser))
+      .select(col("user_id"), col("i"), col("n"),
+        abs(col("n") * col("pre") - col("i") * col("tot")).as("abs_s"))
+    val m = st.groupBy("user_id")
+      .agg(max("n").as("n"), max("abs_s").as("max_abs_s"))
+    m.join(st.select(col("user_id").as("s_user"), col("i"), col("abs_s")),
+        col("user_id") === col("s_user") && col("abs_s") === col("max_abs_s"))
+      .groupBy("user_id", "n", "max_abs_s")
+      .agg(min("i").as("arg_i"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[DeclaredQuery] =
     Seq(q24a, q24b, q24c, q24d, q26j, q58, q93, q96, q97, q98, q99, q100,
-      q101, q102, q104, q107, q110, q112)
+      q101, q102, q104, q107, q110, q112, q113, q114)
 }

@@ -144,6 +144,51 @@ class ProfileSpec extends SparkSpec {
     assert(math.round(row.getDouble(4) * 100) == locf, "LOCF mass")
   }
 
+  test("q113 attribution conserves purchase value to the cent") {
+    val rows = EventQueries.q113.build(spark, sf0001).collect()
+    val purchases = spark.read.parquet(s"$sf0001/events.parquet").collect()
+      .filter(_.getString(3) == "purchase")
+    val purchaseCents = purchases
+      .map(r => math.round(r.getDouble(r.fieldIndex("value")) * 100)).sum
+    val attributedCents =
+      rows.map(r => math.round(r.getDouble(2) * 100)).sum
+    assert(attributedCents == purchaseCents, "value mass not conserved")
+    // every channel is a touch type or the unattributed bucket
+    assert(rows.map(_.getString(0)).toSet
+      .subsetOf(Set("view", "click", "(unattributed)")))
+    // each purchase produced either its touch allocations or one
+    // unattributed row — allocation count >= purchase count
+    assert(rows.map(_.getLong(1)).sum >= purchases.length.toLong)
+  }
+
+  test("q114 cusum: scaled statistic matches a driver-side recount for every user") {
+    val rows = EventQueries.q114.build(spark, sf0001).collect()
+    val ev = spark.read.parquet(s"$sf0001/events.parquet").collect()
+      .map { r =>
+        val es = r.get(r.fieldIndex("ts")) match {
+          case t: java.time.LocalDateTime => t.toEpochSecond(java.time.ZoneOffset.UTC)
+          case t: java.sql.Timestamp      => t.getTime / 1000
+          case l: Long                    => l / 1000000000L
+        }
+        (r.getLong(r.fieldIndex("user_id")), es,
+          r.getLong(r.fieldIndex("event_id")),
+          math.round(r.getDouble(r.fieldIndex("value")) * 100))
+      }
+    assert(rows.length == ev.map(_._1).distinct.length)
+    rows.foreach { r =>
+      val series = ev.filter(_._1 == r.getLong(0)).sortBy(t => (t._2, t._3))
+      val n = series.length.toLong
+      val tot = series.map(_._4).sum
+      var pre = 0L
+      val stats = series.zipWithIndex.map { case (t, idx) =>
+        pre += t._4; math.abs(n * pre - (idx + 1) * tot)
+      }
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == stats.max, s"user ${r.getLong(0)} max stat")
+      assert(r.getInt(3).toLong == stats.indexOf(stats.max) + 1L, "arg_i tie rule")
+    }
+  }
+
   test("q109 regression: exact-moment corr matches a direct computation") {
     val rows = ProfileQueries.q109.build(spark, sf0001).collect()
     assert(rows.map(_.getString(0)).toSeq == rows.map(_.getString(0)).toSeq.sorted)
