@@ -17,7 +17,8 @@ object SparkEntry {
       VideoQueries.all ++ PiiQueries.all ++ CurationQueries.all ++
       RetrievalQueries.all ++ LmQueries.all ++ RewriteQueries.all ++
       RankQueries.all ++ GraphQueries.all ++ ProfileQueries.all ++
-      EntityQueries.all ++ BasketQueries.all ++ AbQueries.all
+      EntityQueries.all ++ BasketQueries.all ++ AbQueries.all ++
+      TimeSeriesQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
