@@ -596,4 +596,39 @@ object StreamingOps {
         out.result().iterator
       }
   }
+
+  final case class LedgerEvent(user: Long, es: Long, eventId: Long, delta: Long)
+  final case class LedgerState(user: Long, bal: Long, peak: Long, nApplied: Long)
+
+  /** Streaming twin of q120's clamped running balance: per user, the
+    * prepaid-ledger recurrence b = max(0, b + δ) maintained live across
+    * micro-batches, emitting the refreshed (balance, peak) snapshot
+    * whenever a batch touches the user (Update mode).
+    *
+    * State is O(1) per user — two longs — because the recurrence only
+    * needs the last balance; contrast q120's batch side, which gets the
+    * same answer from a closed-form window identity. Rows are applied
+    * in (es, eventId) order WITHIN a micro-batch; the recurrence is
+    * order-dependent, so cross-batch parity assumes per-key in-order
+    * arrival (a payments feed's normal contract — same posture as
+    * [[rollingStream]]'s declared tie caveat). StreamingSpec pins
+    * snapshot-after-any-prefix == the batch recurrence over that prefix
+    * for the in-order feed. */
+  def balanceStream(events: Dataset[LedgerEvent]): Dataset[LedgerState] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user)
+      .mapGroupsWithState[Array[Long], LedgerState](
+        GroupStateTimeout.NoTimeout) { (u, rows, state) =>
+        val st = state.getOption.getOrElse(Array(0L, 0L, 0L))
+        var bal = st(0); var peak = st(1); var n = st(2)
+        rows.toSeq.sortBy(e => (e.es, e.eventId)).foreach { e =>
+          bal = math.max(0L, bal + e.delta)
+          peak = math.max(peak, bal)
+          n += 1
+        }
+        state.update(Array(bal, peak, n))
+        LedgerState(u, bal, peak, n)
+      }
+  }
 }

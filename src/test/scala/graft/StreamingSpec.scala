@@ -556,6 +556,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("balance stream: snapshot after every chunk equals the batch recurrence") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import StreamingOps.{LedgerEvent, LedgerState}
+    // q120's ledger feed, per-key in-order (the declared arrival contract)
+    val feed = Tables.events(spark, sf0001)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("user_id").as("user"),
+        unix_timestamp(col("ts")).as("es"), col("event_id").as("eventId"),
+        when(col("event_type") === "purchase",
+          round(col("value") * 100, 0).cast("long"))
+          .otherwise(-round(col("value") * 100, 0).cast("long")).as("delta"))
+      .as[LedgerEvent].collect().sortBy(e => (e.es, e.eventId))
+    def recount(prefix: Seq[LedgerEvent]): Map[Long, (Long, Long, Long)] =
+      prefix.groupBy(_.user).map { case (u, xs) =>
+        var bal = 0L; var peak = 0L
+        xs.sortBy(e => (e.es, e.eventId)).foreach { e =>
+          bal = math.max(0L, bal + e.delta); peak = math.max(peak, bal)
+        }
+        u -> (bal, peak, xs.length.toLong)
+      }
+    val input = MemoryStream[LedgerEvent]
+    val out = StreamingOps.balanceStream(input.toDS())
+    val q = out.writeStream.format("memory")
+      .queryName("bal_out").outputMode(OutputMode.Update()).start()
+    try {
+      var seen = 0
+      feed.grouped(math.max(1, feed.length / 3)).foreach { c =>
+        input.addData(c.toSeq: _*); q.processAllAvailable()
+        seen += c.length
+        val live = spark.table("bal_out").as[LedgerState].collect()
+          .groupBy(_.user).map { case (u, snaps) =>
+            u -> snaps.maxBy(_.nApplied)
+          }
+        val want = recount(feed.take(seen))
+        assert(live.keySet == want.keySet, s"prefix $seen users")
+        want.foreach { case (u, (bal, peak, n)) =>
+          val s = live(u)
+          assert((s.bal, s.peak, s.nApplied) == ((bal, peak, n)),
+            s"prefix $seen user $u drifted")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("rolling stream: batch parity with q96's RANGE window on events") {
     import spark.implicits._
     import StreamingOps.{RollingEvent, RollingOut}
