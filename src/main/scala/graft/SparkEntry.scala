@@ -18,7 +18,7 @@ object SparkEntry {
       RetrievalQueries.all ++ LmQueries.all ++ RewriteQueries.all ++
       RankQueries.all ++ GraphQueries.all ++ ProfileQueries.all ++
       EntityQueries.all ++ BasketQueries.all ++ AbQueries.all ++
-      TimeSeriesQueries.all
+      TimeSeriesQueries.all ++ StarQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
