@@ -51,12 +51,15 @@ import scala.jdk.CollectionConverters._
   *   - `upsert`  — catalog-scoped MERGE of `paths.updates` into the
   *                 clustered `paths.records` (key via `paths.upsert_key`,
   *                 default doc_id): only touched key ranges rewrite
-  *   - `snapshot`/`timetravel`/`cdc`/`vacuum` — versioned-snapshot
-  *                 table lifecycle (pipeline/Snapshots) at `paths.table`:
-  *                 commit `paths.records` as the next version (stats via
-  *                 `paths.snapshot_key`), read any retained version,
-  *                 row-level change feed between two versions, reclaim
-  *                 space keeping `paths.vacuum_keep` versions
+  *   - `snapshot`/`timetravel`/`cdc`/`vacuum`/`forget` — versioned-
+  *                 snapshot table lifecycle (pipeline/Snapshots) at
+  *                 `paths.table`: commit `paths.records` as the next
+  *                 version (stats via `paths.snapshot_key`), read any
+  *                 retained version, row-level change feed between two
+  *                 versions, reclaim space keeping `paths.vacuum_keep`
+  *                 versions, and catalog-scoped DELETE of
+  *                 `paths.forget_column == paths.forget_value` rows
+  *                 rewriting only files with hits (GDPR forget)
   *
   * The YAML is the reference's config shape (`GraftConfig.fromYaml`) plus
   * a `paths` section naming the inputs:
@@ -464,8 +467,37 @@ object Main {
         Map("manifests_dropped" -> manifests.toString,
           "files_deleted" -> files.toString)
 
+      case "forget" =>
+        // catalog-scoped DELETE from paths.table: remove every row whose
+        // paths.forget_column equals paths.forget_value (the GDPR
+        // right-to-be-forgotten pass), rewriting only files that contain
+        // hits. If forget_column is the table's recorded stats key, the
+        // value's range also prunes DISCOVERY to overlapping files.
+        // Pre-delete versions remain time-travelable until `vacuum`.
+        val tablePath = ioPathExtra(configPath, "table")
+          .getOrElse(throw new IllegalArgumentException("forget needs paths.table"))
+        val cName = ioPathExtra(configPath, "forget_column")
+          .getOrElse(throw new IllegalArgumentException(
+            "forget needs paths.forget_column"))
+        val value = ioPathExtra(configPath, "forget_value")
+          .getOrElse(throw new IllegalArgumentException(
+            "forget needs paths.forget_value"))
+        val keyed = Snapshots.manifest(spark, tablePath,
+            Snapshots.currentVersion(spark, tablePath))
+          .filter(col("key") === cName).limit(1).count() > 0
+        val prune = if (keyed) scala.util.Try(value.toDouble).toOption
+          .map(v => (v, v)) else None
+        val st = Snapshots.delete(spark, tablePath,
+          col(cName) === lit(value).cast(
+            Snapshots.read(spark, tablePath).schema(cName).dataType),
+          prune = prune, meta = s"forget $cName=$value")
+        Map("version" -> st.version.toString,
+          "rows_deleted" -> st.rowsDeleted.toString,
+          "files_rewritten" -> st.filesRewritten.toString,
+          "files_kept" -> st.filesKept.toString)
+
       case other => throw new IllegalArgumentException(
-        s"unknown command '$other' — expected cache|serve|explore|predict|dedup|split|score|ingest|decontaminate|annbuild|annsearch|compact|upsert|snapshot|timetravel|cdc|vacuum")
+        s"unknown command '$other' — expected cache|serve|explore|predict|dedup|split|score|ingest|decontaminate|annbuild|annsearch|compact|upsert|snapshot|timetravel|cdc|vacuum|forget")
     }
   }
 

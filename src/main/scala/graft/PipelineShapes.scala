@@ -128,5 +128,14 @@ object PipelineShapes {
       forced(graft.pipeline.Snapshots.diff(s, annDir(d) + "_snap", 1, 2))),
     "p_snap_timetravel" -> ((s, d) =>
       forced(graft.pipeline.Snapshots.readPruned(
-        s, annDir(d) + "_snap", "doc_id", 0.0, 1000.0, version = 1L))))
+        s, annDir(d) + "_snap", "doc_id", 0.0, 1000.0, version = 1L))),
+    // the GDPR pass: delete a narrow key range from the clustered table —
+    // discovery prunes to stats-overlapping files, rewrite touches only
+    // files with hits (p_snap_commit's table, so run after it)
+    "p_snap_delete" -> ((s, d) => {
+      val st = graft.pipeline.Snapshots.delete(s, annDir(d) + "_snap",
+        col("doc_id") >= 100 && col("doc_id") <= 140,
+        prune = Some((100.0, 140.0)))
+      s.range(st.rowsDeleted).toDF("deleted")
+    }))
 }

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -130,22 +130,7 @@ object Snapshots {
     shaped.write.mode(SaveMode.ErrorIfExists).parquet(tmp.toString)
 
     val written = spark.read.parquet(tmp.toString)
-    val stats = statsCol match {
-      case Some(c) =>
-        written.select(input_file_name().as("f"), col(c).cast("double").as("k"))
-          .groupBy("f")
-          .agg(count(lit(1)).as("rows"), min("k").as("min_k"), max("k").as("max_k"))
-          .select(
-            element_at(split(col("f"), "/"), -1).as("file"), col("rows"),
-            lit(c).as("key"), col("min_k"), col("max_k"))
-      case None =>
-        written.select(input_file_name().as("f"))
-          .groupBy("f").agg(count(lit(1)).as("rows"))
-          .select(element_at(split(col("f"), "/"), -1).as("file"), col("rows"),
-            lit(null).cast("string").as("key"),
-            lit(null).cast("double").as("min_k"),
-            lit(null).cast("double").as("max_k"))
-    }
+    val stats = statsRowsOf(written, statsCol)
     // the new-file manifest rows are file-count-sized; materialize them
     // BEFORE the tmp dir disappears under the reads above
     val newRows = stats.collect()
@@ -164,27 +149,61 @@ object Snapshots {
     val full =
       if (overwrite || cur == 0L) newManifest
       else manifest(spark, table, cur).unionByName(newManifest)
+    publishManifest(spark, table, cur, full, meta)
+    val total = manifest(spark, table, cur + 1).count()
+    CommitStats(cur + 1, newRows.length, total)
+  }
+
+  /** per-file manifest rows (file, rows, key, min_k, max_k) of a frame
+    * that was just written — shared by [[commit]] and [[delete]]. */
+  private def statsRowsOf(written: DataFrame,
+                          statsCol: Option[String]): DataFrame =
+    statsCol match {
+      case Some(c) =>
+        written.select(input_file_name().as("f"), col(c).cast("double").as("k"))
+          .groupBy("f")
+          .agg(count(lit(1)).as("rows"), min("k").as("min_k"), max("k").as("max_k"))
+          .select(
+            element_at(split(col("f"), "/"), -1).as("file"), col("rows"),
+            lit(c).as("key"), col("min_k"), col("max_k"))
+      case None =>
+        written.select(input_file_name().as("f"))
+          .groupBy("f").agg(count(lit(1)).as("rows"))
+          .select(element_at(split(col("f"), "/"), -1).as("file"), col("rows"),
+            lit(null).cast("string").as("key"),
+            lit(null).cast("double").as("min_k"),
+            lit(null).cast("double").as("max_k"))
+    }
+
+  /** Steps 3–5 of every snapshot write: place the next manifest dir,
+    * write the meta sidecar, then the exists-exclusive atomic marker —
+    * the commit point. Shared by [[commit]] and [[delete]]; the
+    * exists-check + marker race handling must stay byte-identical or
+    * the concurrent-writer contract silently forks. */
+  private def publishManifest(spark: SparkSession, table: String, cur: Long,
+                              full: DataFrame, meta: String): Unit = {
+    val fs = fsOf(spark, manifestDir(table))
     val mTmp = new Path(table, s"_manifest_tmp_${java.util.UUID.randomUUID()}")
     full.coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(mTmp.toString)
     val target = new Path(manifestDir(table), f"v${cur + 1}%06d")
-    // 3. place the manifest dir (the exists-check rejects stale dirs from
-    //    crashed/racing writers — a bare rename would move INTO them)...
+    // place the manifest dir (the exists-check rejects stale dirs from
+    // crashed/racing writers — a bare rename would move INTO them)...
     if (fs.exists(target) || !fs.rename(mTmp, target)) {
       fs.delete(mTmp, true)
       throw new IllegalStateException(
         s"commit of $table v${cur + 1} found an existing manifest dir " +
           "(concurrent writer or stale crash debris — vacuum reclaims it)")
     }
-    // 4. commit metadata rides a sidecar written BEFORE the marker, so a
-    //    version's meta is always complete once the marker exists (the
-    //    idempotent-sink contract below depends on that ordering)
+    // commit metadata rides a sidecar written BEFORE the marker, so a
+    // version's meta is always complete once the marker exists (the
+    // idempotent-sink contract depends on that ordering)
     val metaFile = new Path(manifestDir(table), f"v${cur + 1}%06d.meta")
     if (meta.nonEmpty) {
       val out = fs.create(metaFile, true)
       out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       out.close()
     }
-    // 5. ...then COMMIT POINT: exists-exclusive atomic marker create
+    // ...then COMMIT POINT: exists-exclusive atomic marker create
     try fs.create(new Path(manifestDir(table), f"v${cur + 1}%06d.ok"), false).close()
     catch { case _: java.io.IOException =>
       fs.delete(target, true)
@@ -192,8 +211,6 @@ object Snapshots {
       throw new IllegalStateException(
         s"commit of $table v${cur + 1} lost a concurrent-writer race")
     }
-    val total = manifest(spark, table, cur + 1).count()
-    CommitStats(cur + 1, newRows.length, total)
   }
 
   /** Commit metadata of `version` ("" if none was recorded). */
@@ -276,6 +293,84 @@ object Snapshots {
     if (keep.isEmpty) read(spark, table, v).filter(lit(false))
     else readFiles(spark, keep.toIndexedSeq)
       .filter(col(c) >= lo && col(c) <= hi)
+  }
+
+  final case class DeleteStats(version: Long, filesRewritten: Long,
+                               filesKept: Long, rowsDeleted: Long)
+
+  /** Catalog-scoped DELETE — the third verb of the DML triad (append =
+    * [[commit]], MERGE = upsert, DELETE = this): remove every row
+    * matching `pred` by REWRITING ONLY THE FILES THAT CONTAIN HITS;
+    * untouched files carry over into the next manifest version by
+    * reference (zero bytes moved), so the GDPR "forget this user" pass
+    * costs O(files with hits), not O(table). Time travel still serves
+    * the pre-delete versions until [[vacuum]] reclaims them — the
+    * deletion is durable once vacuumed.
+    *
+    * Discovery: one column-pruned scan of the candidate files finds
+    * which contain hits (`prune = Some((lo, hi))` first restricts the
+    * candidates to manifest-stats overlaps — pass the hash/cluster-key
+    * range covering the delete key and discovery also skips the cold
+    * files). Rewrite: survivors of the hit files are re-clustered on
+    * the table's recorded stats key, keeping later pruned reads intact.
+    * A DELETE with no hits burns no version. Returns the new version
+    * and the rewrite/keep/row accounting.
+    */
+  def delete(spark: SparkSession, table: String, pred: Column,
+             prune: Option[(Double, Double)] = None,
+             meta: String = ""): DeleteStats = {
+    val cur = currentVersion(spark, table)
+    require(cur > 0, s"$table has no committed version")
+    val m = manifest(spark, table, cur)
+    val dd = dataDir(table).toString
+    val keyCol = m.filter(col("key").isNotNull).select("key")
+      .limit(1).collect().headOption.map(_.getString(0))
+    val candidates = prune match {
+      case Some((lo, hi)) =>
+        m.filter(col("key").isNotNull && col("max_k") >= lo && col("min_k") <= hi)
+          .select("file").collect().map(_.getString(0))
+      case None => m.select("file").collect().map(_.getString(0))
+    }
+    require(candidates.length <= 1000000, "manifest not metadata-sized")
+    val hitFiles: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else readFiles(spark, candidates.map(f => s"$dd/$f").toIndexedSeq)
+        .filter(pred)
+        .select(element_at(split(input_file_name(), "/"), -1).as("f"))
+        .distinct().collect().map(_.getString(0)).toSet
+    if (hitFiles.isEmpty)
+      return DeleteStats(cur, 0L, m.count(), 0L)
+
+    val hit = readFiles(spark, hitFiles.toSeq.sorted.map(f => s"$dd/$f"))
+    val hitRows = hit.count()
+    val survivors = hit.filter(!pred)
+    // survivors keep the table's clustering so stats-pruned reads stay
+    // tight; file granularity mirrors the rewritten set
+    val shaped = keyCol match {
+      case Some(c) => survivors
+        .repartitionByRange(hitFiles.size, col(c)).sortWithinPartitions(c)
+      case None => survivors.repartition(hitFiles.size)
+    }
+    val fs = fsOf(spark, dataDir(table))
+    val tmp = new Path(table, s"_commit_tmp_${java.util.UUID.randomUUID()}")
+    shaped.write.mode(SaveMode.ErrorIfExists).parquet(tmp.toString)
+    val wroteAny = fs.listStatus(tmp).exists(_.getPath.getName.endsWith(".parquet"))
+    val newRows =
+      if (!wroteAny) Array.empty[org.apache.spark.sql.Row]
+      else statsRowsOf(spark.read.parquet(tmp.toString), keyCol).collect()
+    val survivorRows = newRows.map(_.getLong(1)).sum
+    fs.listStatus(tmp).map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      .foreach { p =>
+        require(fs.rename(p, new Path(dataDir(table), p.getName)),
+          s"rename $p failed")
+      }
+    fs.delete(tmp, true)
+    val kept = m.filter(!col("file").isin(hitFiles.toSeq: _*))
+    val full = kept.unionByName(spark.createDataFrame(
+      java.util.Arrays.asList(newRows: _*), ManifestSchema))
+    publishManifest(spark, table, cur, full, meta)
+    DeleteStats(cur + 1, hitFiles.size.toLong, kept.count(),
+      hitRows - survivorRows)
   }
 
   /** Row-level change feed between two versions from the manifest diff:

@@ -390,6 +390,14 @@ class PipelineSpec extends SparkSpec {
     assert(vac("manifests_dropped") == "1" && vac("files_deleted").toInt == 0)
     // append-only: v1's files are all still referenced by v2 → 0 deleted
     assert(graft.pipeline.Snapshots.read(spark, s"$root/table").count() == total + 5)
+    // forget: the GDPR pass — delete one doc_id, rewrite only hit files
+    val fg = Main.run(spark,
+      cfg("  forget_column: doc_id\n  forget_value: 3\n"), "forget")
+    assert(fg("rows_deleted") == "1" && fg("files_rewritten").toInt >= 1)
+    assert(fg("files_kept").toInt >= 1, "cold files carried by reference")
+    val left = graft.pipeline.Snapshots.read(spark, s"$root/table")
+    assert(left.count() == total + 4)
+    assert(left.filter(col("doc_id") === 3).count() == 0)
   }
 
   test("graft.Main dedup: exact + near-dup + keep-best end-to-end") {

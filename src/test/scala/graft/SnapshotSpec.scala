@@ -135,6 +135,41 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshots.read(spark, t).filter(col("k") >= 100).count() == 3)
   }
 
+  test("delete rewrites only hit files, keeps others by reference, time-travels") {
+    val t = freshTable()
+    // 4 clustered files over k=0..99 → hits confined to one key range
+    Snapshots.commit(spark, df(0 until 100), t,
+      statsCol = Some("k"), clustered = true, files = 4)
+    val before = Snapshots.manifest(spark, t, 1)
+      .select("file").collect().map(_.getString(0)).toSet
+    // pruned delete of k in [10, 14]: candidates only overlap-files
+    val st = Snapshots.delete(spark, t, col("k") >= 10 && col("k") <= 14,
+      prune = Some((10.0, 14.0)))
+    assert(st.version == 2 && st.rowsDeleted == 5)
+    assert(st.filesRewritten == 1, "hits span one clustered file")
+    assert(st.filesKept == 3)
+    val after = Snapshots.manifest(spark, t, 2)
+      .select("file").collect().map(_.getString(0)).toSet
+    // untouched files carried over BY REFERENCE (same basenames)
+    assert((before intersect after).size == 3)
+    val now = Snapshots.read(spark, t).select("k").collect().map(_.getLong(0))
+    assert(now.length == 95 && !now.exists(k => k >= 10 && k <= 14))
+    // value-exact: the surviving mass is the full range minus the hole
+    assert(now.sum == (0L until 100).sum - (10L to 14L).sum)
+    // time travel still serves the pre-delete snapshot
+    assert(Snapshots.read(spark, t, 1).count() == 100)
+    // re-clustered survivors keep stats-pruned reads tight
+    assert(Snapshots.readPruned(spark, t, "k", 0.0, 20.0).count() == 16)
+    // a DELETE with no hits burns no version
+    val noop = Snapshots.delete(spark, t, col("k") === 9999L)
+    assert(noop.version == 2 && noop.rowsDeleted == 0 && noop.filesRewritten == 0)
+    assert(Snapshots.currentVersion(spark, t) == 2)
+    // deleting EVERY row of a file drops it from the manifest entirely
+    val wipe = Snapshots.delete(spark, t, col("k") < 25)
+    assert(wipe.rowsDeleted == 20)
+    assert(Snapshots.read(spark, t).count() == 75)
+  }
+
   test("a commit that loses the manifest race fails and leaves no new version") {
     val t = freshTable()
     Snapshots.commit(spark, df(0 until 10), t, files = 1)
