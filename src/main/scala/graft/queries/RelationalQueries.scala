@@ -788,7 +788,65 @@ object RelationalQueries {
       .orderBy("flag", "qlabel")
   }
 
+  // ---------------------------------------------------------------- Q123
+  /** X87: mergeable quantile sketch — the bounded-state quantile
+    * estimator completing the sketch family (KMV distinct = q23,
+    * CMS frequency = q81, Bloom membership = q82, quantiles = this).
+    * The state is the k rows with the SMALLEST seeded row hashes — a
+    * deterministic uniform sample both engines reconstruct exactly
+    * (the KMV trick pointed at order statistics instead of
+    * cardinality). Mergeable by construction: bottom-k of a union is
+    * the bottom-k of each shard's bottom-k (SketchSpec pins the law);
+    * a 1000-executor corpus ships k rows per partition, never data.
+    *
+    * Plan: one scan computing (value, md5) — hash inputs are INTEGERS
+    * (cents / rounded quantity), never raw doubles, so the text both
+    * engines hash is identical — then a distributed TakeOrdered for
+    * the global bottom-k (no global window; PlanAuditSpec's rule), and
+    * the quantile read-off is `sort_array` over the k-row state. The
+    * estimate at p is the order statistic at ⌊p·(n−1)⌋+1, the same
+    * integer arithmetic in the oracle.
+    */
+  val q123 = DeclaredQuery(
+    "q123_quantile_sketch",
+    Some("""WITH r AS (SELECT l_extendedprice AS v,
+           |              md5(concat_ws(':', CAST(l_orderkey AS VARCHAR),
+           |                    CAST(l_linenumber AS VARCHAR),
+           |                    CAST(CAST(ROUND((l_extendedprice)*100) AS BIGINT) AS VARCHAR),
+           |                    CAST(CAST(ROUND(l_quantity) AS BIGINT) AS VARCHAR),
+           |                    'qsk1')) AS h
+           |       FROM lineitem),
+           |s AS (SELECT v, h FROM r ORDER BY h LIMIT 1024),
+           |o AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, h) AS i,
+           |             COUNT(*) OVER () AS n FROM s)
+           |SELECT q.p, o.v AS estimate, o.n AS sample_n
+           |FROM (VALUES (0.10),(0.25),(0.50),(0.75),(0.90)) q(p)
+           |JOIN o ON o.i = CAST(FLOOR(q.p * (o.n - 1)) AS BIGINT) + 1
+           |ORDER BY 1""".stripMargin)) { (s, d) =>
+    val k = 1024
+    val rows = Tables.lineitem(s, d).select(
+      col("l_extendedprice").as("v"),
+      md5(concat_ws(":",
+        col("l_orderkey").cast("string"),
+        col("l_linenumber").cast("string"),
+        Det.cents(col("l_extendedprice")).cast("string"),
+        round(col("l_quantity"), 0).cast("long").cast("string"),
+        lit("qsk1"))).as("h"))
+    val state = rows.orderBy("h").limit(k)
+      .agg(sort_array(collect_list(struct(col("v"), col("h")))).as("st"),
+        count(lit(1)).as("n"))
+    val ps = Seq(0.10, 0.25, 0.50, 0.75, 0.90)
+    state.select(explode(array(ps.map(p =>
+        struct(lit(p).as("p"),
+          element_at(col("st"),
+            (floor(lit(p) * (col("n") - 1)) + 1).cast("int"))
+            .getField("v").as("estimate"),
+          col("n").as("sample_n"))): _*)).as("q"))
+      .select(col("q.p"), col("q.estimate"), col("q.sample_n"))
+      .orderBy("p")
+  }
+
   val all: Seq[DeclaredQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-    q16, q17, q18, q19, q20, q21, q22, q23, q94)
+    q16, q17, q18, q19, q20, q21, q22, q23, q94, q123)
 }

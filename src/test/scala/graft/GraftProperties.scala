@@ -243,6 +243,24 @@ object GraftProperties extends Properties("graft") {
       viaShards == whole
     }
 
+  // ---- quantile-sketch sample law (q123): bottom-k by hash is mergeable
+  // and order statistics read off the merged state match the whole's
+
+  property("quantile sketch: bottom-k of per-shard bottom-ks equals the whole's") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 1000000L), Gen.choose(0.0, 1e5))),
+      Gen.choose(1, 7), Gen.choose(1, 64)) { (rows, shards, k) =>
+      // (hash, value) rows; the sketch state is the k rows with the
+      // smallest (hash, value) — deterministic even with hash ties
+      def bottomK(xs: Seq[(Long, Double)]): Seq[(Long, Double)] =
+        xs.sorted.take(k)
+      val whole = bottomK(rows)
+      val viaShards = bottomK(
+        rows.zipWithIndex.groupBy(_._2 % shards).values
+          .flatMap(sh => bottomK(sh.map(_._1))).toSeq)
+      viaShards == whole
+    }
+
   // ---- TopK insertion law (q95 batch / topkStream)
 
   property("TopK insert folds to sorted distinct take-k, any order") =

@@ -46,4 +46,23 @@ class PlanAuditSpec extends SparkSpec {
       assert(offenders.isEmpty, s"plan rule violations:\n${offenders.mkString("\n")}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("q121's order-date range stays pushed to the parquet scan") {
+    // regression guard for the year()-blocks-pushdown fix: the star join
+    // must filter orders AT THE SCAN, or a 100 TB orders table is read
+    // whole for a two-year window
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = queries.StarQueries.q121.build(spark, sf0001)
+        .queryExecution.executedPlan
+      val pushed = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metadata.getOrElse("PushedFilters", "")
+      }
+      assert(pushed.exists(p => p.contains("GreaterThanOrEqual(o_orderdate") &&
+        p.contains("LessThan(o_orderdate")),
+        s"order-date range not in any scan's PushedFilters: $pushed")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
