@@ -185,5 +185,95 @@ object ProfileQueries {
       .orderBy("flag")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(q106, q109)
+  /** one relationship row of the q124 report: child rows, distinct FK
+    * values, and orphans (child rows with no parent). No forced
+    * broadcast: AQE broadcasts dim-sized parents on its own, and a
+    * fact-sized parent (orders) must stay a shuffle join at scale — a
+    * broadcast() hint here would pin the wrong plan. */
+  private[graft] def refCheck(name: String,
+                              child: org.apache.spark.sql.DataFrame,
+                              fk: String,
+                              parent: org.apache.spark.sql.DataFrame,
+                              pk: String): org.apache.spark.sql.DataFrame = {
+    val counts = child.agg(count(lit(1)).as("child_rows"),
+      countDistinct(col(fk)).as("distinct_fk"))
+    val orphans = child.join(parent.select(col(pk)),
+        col(fk) === col(pk), "left_anti")
+      .agg(count(lit(1)).as("orphans"))
+    counts.crossJoin(orphans)
+      .select(lit(name).as("relationship"), col("child_rows"),
+        col("distinct_fk"), col("orphans"))
+  }
+
+  // ---------------------------------------------------------------- Q124
+  /** X88: referential-integrity audit — the cross-table half of the DQ
+    * gate (q106 profiles one table; this checks the FOREIGN KEYS between
+    * them): for each declared relationship, the child row count, the
+    * distinct FK value count, and the ORPHANS (child rows whose parent
+    * is missing — the dbt `relationships` test). Healthy data reports
+    * zero orphans; the count being exactly zero is what the gate
+    * asserts before admitting a batch.
+    *
+    * Plan: each relationship is one LEFT ANTI join (Spark's dedicated
+    * no-match operator — nothing materializes the match) plus one
+    * hash-agg; dimensions broadcast, the two fact-sized checks shuffle
+    * the fact once on its FK. At 100 TB the anti-join against a large
+    * parent takes a bloom pre-filter (q82's operator) before the
+    * shuffle — documented, not needed at bench scales. */
+  val q124 = DeclaredQuery(
+    "q124_ref_integrity",
+    Some("""SELECT * FROM (
+           |  SELECT 'lineitem.l_orderkey -> orders' AS relationship,
+           |         (SELECT COUNT(*) FROM lineitem) AS child_rows,
+           |         (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem)
+           |           AS distinct_fk,
+           |         (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+           |            ON l.l_orderkey = o.o_orderkey
+           |          WHERE o.o_orderkey IS NULL) AS orphans
+           |  UNION ALL
+           |  SELECT 'lineitem.l_partkey -> part',
+           |         (SELECT COUNT(*) FROM lineitem),
+           |         (SELECT COUNT(DISTINCT l_partkey) FROM lineitem),
+           |         (SELECT COUNT(*) FROM lineitem l LEFT JOIN part p
+           |            ON l.l_partkey = p.p_partkey
+           |          WHERE p.p_partkey IS NULL)
+           |  UNION ALL
+           |  SELECT 'lineitem.l_suppkey -> supplier',
+           |         (SELECT COUNT(*) FROM lineitem),
+           |         (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem),
+           |         (SELECT COUNT(*) FROM lineitem l LEFT JOIN supplier s
+           |            ON l.l_suppkey = s.s_suppkey
+           |          WHERE s.s_suppkey IS NULL)
+           |  UNION ALL
+           |  SELECT 'orders.o_custkey -> customer',
+           |         (SELECT COUNT(*) FROM orders),
+           |         (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+           |         (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+           |            ON o.o_custkey = c.c_custkey
+           |          WHERE c.c_custkey IS NULL)
+           |  UNION ALL
+           |  SELECT 'customer.c_nationkey -> nation',
+           |         (SELECT COUNT(*) FROM customer),
+           |         (SELECT COUNT(DISTINCT c_nationkey) FROM customer),
+           |         (SELECT COUNT(*) FROM customer c LEFT JOIN nation n
+           |            ON c.c_nationkey = n.n_nationkey
+           |          WHERE n.n_nationkey IS NULL)
+           |) ORDER BY 1""".stripMargin)) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    Seq(
+      refCheck("lineitem.l_orderkey -> orders", li, "l_orderkey",
+        Tables.orders(s, d), "o_orderkey"),
+      refCheck("lineitem.l_partkey -> part", li, "l_partkey",
+        Tables.part(s, d), "p_partkey"),
+      refCheck("lineitem.l_suppkey -> supplier", li, "l_suppkey",
+        Tables.supplier(s, d), "s_suppkey"),
+      refCheck("orders.o_custkey -> customer", Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey"),
+      refCheck("customer.c_nationkey -> nation", Tables.customer(s, d),
+        "c_nationkey", Tables.nation(s, d), "n_nationkey"))
+      .reduce(_ unionByName _)
+      .orderBy("relationship")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(q106, q109, q124)
 }

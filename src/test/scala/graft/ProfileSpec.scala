@@ -189,6 +189,27 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("q124 referential integrity: healthy data reports zero orphans; a planted orphan is caught") {
+    import graft.queries.ProfileQueries
+    val report = ProfileQueries.q124.build(spark, sf0001).collect()
+    assert(report.length == 5)
+    report.foreach { r =>
+      assert(r.getLong(3) == 0, s"${r.getString(0)} orphans on clean data")
+      assert(r.getLong(2) <= r.getLong(1), "distinct fk <= child rows")
+    }
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    assert(report.find(_.getString(0).startsWith("lineitem.l_orderkey")).get
+      .getLong(1) == li.count())
+    // plant two orphans: child rows pointing at a missing parent key
+    import spark.implicits._
+    val child = Seq((1L, 10L), (2L, 11L), (3L, 999L), (4L, 999L))
+      .toDF("id", "fk")
+    val parent = Seq(10L, 11L).toDF("pk")
+    val bad = ProfileQueries.refCheck("planted", child, "fk", parent, "pk")
+      .collect().head
+    assert(bad.getLong(1) == 4 && bad.getLong(2) == 3 && bad.getLong(3) == 2)
+  }
+
   test("q109 regression: exact-moment corr matches a direct computation") {
     val rows = ProfileQueries.q109.build(spark, sf0001).collect()
     assert(rows.map(_.getString(0)).toSeq == rows.map(_.getString(0)).toSeq.sorted)
