@@ -373,6 +373,34 @@ object Snapshots {
       hitRows - survivorRows)
   }
 
+  /** Schema-drift report between two versions — the metadata half of
+    * [[diff]]: columns added, removed, or retyped across an overwrite
+    * evolution (appends can't drift — [[commit]] rejects them). Reads
+    * only TWO parquet footers (one file per side carries the schema of
+    * its self-consistent membership), so the report is free at any
+    * table size. One row per drifted column: (column, change ∈
+    * {added, removed, retyped}, from_type, to_type). */
+  def schemaDrift(spark: SparkSession, table: String,
+                  v0: Long, v1: Long): DataFrame = {
+    import spark.implicits._
+    def schemaAt(v: Long): Map[String, String] = {
+      val one = filesOf(spark, table, v).limit(1).collect()
+      require(one.nonEmpty, s"$table v$v has no files")
+      spark.read.parquet(one.head.getString(0)).schema
+        .map(f => f.name -> f.dataType.simpleString).toMap
+    }
+    val (s0, s1) = (schemaAt(v0), schemaAt(v1))
+    val rows =
+      (s1.keySet -- s0.keySet).toSeq.sorted.map(c =>
+        (c, "added", null: String, s1(c))) ++
+      (s0.keySet -- s1.keySet).toSeq.sorted.map(c =>
+        (c, "removed", s0(c), null: String)) ++
+      (s0.keySet & s1.keySet).toSeq.sorted.collect {
+        case c if s0(c) != s1(c) => (c, "retyped", s0(c), s1(c))
+      }
+    rows.toDF("column", "change", "from_type", "to_type")
+  }
+
   /** Row-level change feed between two versions from the manifest diff:
     * rows of files ADDED since v0 minus rows of files REMOVED since v0
     * are the inserts (multiset), and vice versa the deletes — rows in

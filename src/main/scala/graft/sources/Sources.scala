@@ -65,6 +65,19 @@ object Sources {
     (if (gzip) w.option("compression", "gzip") else w).json(path)
   }
 
+  /** ORC scan — the other columnar interchange format a warehouse
+    * migration hands you (Hive-era lakes are ORC). Spark's native
+    * vectorized ORC reader gives the same pushdown/pruning contract as
+    * parquet (`PushedFilters`/`ReadSchema` in explain), so every
+    * declared-query plan property transfers unchanged. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** ORC sink — zlib (the ORC-ecosystem default; Hive readers expect
+    * it), distributed one-file-per-partition like [[writeJsonl]]. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("compression", "zlib").orc(path)
+
   /** Clustered parquet write — range-partition on a key and sort within
     * each partition before writing, so every output file covers a
     * disjoint key range (the poor man's z-order; one sort column is the

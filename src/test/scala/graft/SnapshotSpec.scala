@@ -170,6 +170,25 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshots.read(spark, t).count() == 75)
   }
 
+  test("schemaDrift reports added/removed/retyped columns across an overwrite") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commit(spark, df(0 until 10), t, files = 1) // (k: long, v: string)
+    val evolved = (0 until 5)
+      .map(i => (i.toString, s"row$i", i * 1.5)).toDF("k", "w", "score")
+    Snapshots.commit(spark, evolved, t, overwrite = true, files = 1)
+    val drift = Snapshots.schemaDrift(spark, t, 1, 2).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3)))).toSet
+    assert(drift == Set(
+      ("score", "added", None, Some("double")),
+      ("w", "added", None, Some("string")),
+      ("v", "removed", Some("string"), None),
+      ("k", "retyped", Some("bigint"), Some("string"))))
+    // no drift between a version and itself
+    assert(Snapshots.schemaDrift(spark, t, 2, 2).count() == 0)
+  }
+
   test("a commit that loses the manifest race fails and leaves no new version") {
     val t = freshTable()
     Snapshots.commit(spark, df(0 until 10), t, files = 1)

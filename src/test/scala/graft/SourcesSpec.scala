@@ -30,6 +30,24 @@ class SourcesSpec extends SparkSpec {
       Seq("000", "001", "002"))
   }
 
+  test("orc sink round-trips values and keeps filters scan-pushed") {
+    val dir = Files.createTempDirectory("orcout").toString
+    val df = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "n_chars")
+    Sources.writeOrc(df, s"$dir/out")
+    val back = Sources.readOrc(spark, s"$dir/out")
+    assert(back.count() == df.count())
+    // value-exact round trip
+    assert(back.agg(sum("doc_id"), sum("n_chars")).head ==
+      df.agg(sum("doc_id"), sum("n_chars")).head)
+    // ORC gives the same pushdown contract as parquet: the range filter
+    // must reach the scan, not evaluate post-read
+    val plan = back.filter(col("doc_id") < 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LessThan(doc_id,10)") ||
+      plan.contains("lessThan(doc_id, 10)"), s"ORC filter not pushed:\n$plan")
+  }
+
   test("binary volume scan stub-decodes codec-less formats with glob pruning") {
     val dir = Files.createTempDirectory("vols").toString
     Files.write(java.nio.file.Paths.get(s"$dir/mm1-sub1.raw"), Array[Byte](1, 2, 3, 4, 5))
