@@ -59,5 +59,59 @@ object EntityQueries {
       .orderBy("name_a", "name_b")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(q111)
+  // ---------------------------------------------------------------- Q125
+  /** X89: entity clusters — the full record-linkage pipeline composed:
+    * block (q111's last-token key) → match (Levenshtein ≤ 2) → CLUSTER
+    * (connected components over the match edges — transitive: if A≈B
+    * and B≈C, all three are one entity even when A and C differ by 4) →
+    * survivorship (canonical = min name, the q39 min-label rule).
+    * Reports each entity with its alias count and how many catalog rows
+    * resolve to it — the dedup mapping a master-data pass materializes.
+    *
+    * Plan: reuses [[graft.operators.ConnectedComponents.minLabel]] (the
+    * q39/q57/q60 engine — one Spark job per round, diameter-bound) over
+    * the vocabulary-sized edge set, then ONE broadcast join back onto
+    * the rows. The oracle proves the same semantics with a recursive
+    * reachability CTE, exactly the q39 oracle pattern.
+    */
+  val q125 = DeclaredQuery(
+    "q125_entity_clusters",
+    Some("""WITH RECURSIVE v AS (SELECT DISTINCT p_name FROM part),
+           |b AS (SELECT p_name, split_part(p_name, ' ', 2) AS blk FROM v),
+           |e AS (SELECT a.p_name AS x, c.p_name AS y
+           |      FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+           |      WHERE levenshtein(a.p_name, c.p_name) <= 2),
+           |sym AS (SELECT x, y FROM e UNION ALL SELECT y, x FROM e),
+           |r(name, seen) AS (
+           |  SELECT p_name, p_name FROM v
+           |  UNION
+           |  SELECT sym.y, r.seen FROM r JOIN sym ON sym.x = r.name),
+           |lab AS (SELECT name, MIN(seen) AS entity FROM r GROUP BY name),
+           |sized AS (SELECT entity, COUNT(*) AS n_aliases FROM lab GROUP BY 1)
+           |SELECT s.entity AS canonical, s.n_aliases,
+           |       (SELECT COUNT(*) FROM part p JOIN lab ON p.p_name = lab.name
+           |        WHERE lab.entity = s.entity) AS n_rows
+           |FROM sized s ORDER BY 1""".stripMargin)) { (s, d) =>
+    val vocab = Tables.part(s, d).select(col("p_name")).distinct()
+    val blocked = vocab
+      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+    val e = blocked.select(col("p_name").as("x"), col("blk"))
+      .join(blocked.select(col("p_name").as("y"), col("blk").as("blk2")),
+        col("blk") === col("blk2") && col("x") < col("y"))
+      .filter(levenshtein(col("x"), col("y")) <= 2)
+      .select("x", "y")
+    val sym = e.unionByName(e.select(col("y").as("x"), col("x").as("y")))
+    val (labels, _) = graft.operators.ConnectedComponents.minLabel(
+      vocab, "p_name", sym, "x", "y", labelCol = "entity")
+    val aliasCounts = labels.groupBy("entity")
+      .agg(count(lit(1)).as("n_aliases"))
+    val rowCounts = Tables.part(s, d).select(col("p_name"))
+      .join(broadcast(labels), "p_name")
+      .groupBy("entity").agg(count(lit(1)).as("n_rows"))
+    aliasCounts.join(rowCounts, "entity")
+      .select(col("entity").as("canonical"), col("n_aliases"), col("n_rows"))
+      .orderBy("canonical")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(q111, q125)
 }

@@ -846,7 +846,69 @@ object RelationalQueries {
       .orderBy("p")
   }
 
+  // ---------------------------------------------------------------- Q126
+  /** X90: Pareto frontier (skyline) — the DISTINCT (price, quantity)
+    * points not dominated by any other (lower-or-equal price AND
+    * higher-or-equal quantity, one strict). The multi-objective
+    * optimization primitive ("cheapest for its volume") that naively
+    * needs an ordered global scan.
+    *
+    * Plan — the third instance of the engine's ordered-global-scan-
+    * without-a-global-window recipe (q65's NTILE, q118's RFM): the
+    * frontier test at a point is `qty > max(qty over all points with
+    * strictly smaller (price, qty desc) order position`. That prefix
+    * max splits into (a) a WITHIN-bucket running max over a monotone
+    * bounded price bucket (digit-count·lead-2 — partitioned window),
+    * plus (b) the max over all EARLIER buckets — a ≤2k-entry literal
+    * map built from one bucket-count-sized job (bound require()d, the
+    * Ranks.DenseRankMaxKeys discipline). No global window; the scan
+    * stays fully parallel.
+    */
+  val q126 = DeclaredQuery(
+    "q126_pareto_frontier",
+    Some("""WITH pts AS (SELECT DISTINCT
+           |               CAST(ROUND(l_extendedprice*100) AS BIGINT) AS price_c,
+           |               CAST(ROUND(l_quantity) AS BIGINT) AS qty
+           |             FROM lineitem),
+           |f AS (SELECT *, MAX(qty) OVER
+           |        (ORDER BY price_c, qty DESC
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |        AS best_before
+           |      FROM pts)
+           |SELECT CAST(price_c AS DOUBLE)/1e2 AS price, qty
+           |FROM f WHERE best_before IS NULL OR qty > best_before
+           |ORDER BY 1, 2""".stripMargin)) { (s, d) =>
+    val pts = Tables.lineitem(s, d).select(
+      Det.cents(col("l_extendedprice")).as("price_c"),
+      round(col("l_quantity"), 0).cast("long").as("qty")).distinct()
+    val pStr = col("price_c").cast("string")
+    val withB = pts.withColumn("b",
+      (length(pStr) * 100 + substring(pStr, 1, 2).cast("long")).cast("long"))
+    // (a) within-bucket running max over (price, qty desc), prior rows only
+    val w = Window.partitionBy(col("b"))
+      .orderBy(col("price_c"), col("qty").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inBucket = withB.withColumn("run", max(col("qty")).over(w))
+    // (b) prefix max over earlier buckets — bucket-count-sized driver fold
+    val bm = withB.groupBy("b").agg(max(col("qty")).as("m"))
+      .orderBy("b").collect()
+    require(bm.length <= 10000,
+      s"${bm.length} price buckets — the bucket map must stay literal-sized")
+    var acc = Long.MinValue
+    val entries: Array[org.apache.spark.sql.Column] = bm.flatMap { r =>
+      val pre = acc; acc = math.max(acc, r.getLong(1))
+      Seq(lit(r.getLong(0)), lit(if (pre == Long.MinValue) -1L else pre))
+    }
+    val pre =
+      if (entries.isEmpty) lit(-1L)
+      else element_at(map(entries.toSeq: _*), col("b"))
+    inBucket
+      .filter(col("qty") > greatest(coalesce(col("run"), lit(-1L)), pre))
+      .select(Det.unCents(col("price_c")).as("price"), col("qty"))
+      .orderBy("price", "qty")
+  }
+
   val all: Seq[DeclaredQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-    q16, q17, q18, q19, q20, q21, q22, q23, q94, q123)
+    q16, q17, q18, q19, q20, q21, q22, q23, q94, q123, q126)
 }

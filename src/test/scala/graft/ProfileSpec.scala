@@ -210,6 +210,57 @@ class ProfileSpec extends SparkSpec {
     assert(bad.getLong(1) == 4 && bad.getLong(2) == 3 && bad.getLong(3) == 2)
   }
 
+  test("q125 entity clusters: transitive, canonical is min alias, totals conserved") {
+    val rows = EntityQueries.q125.build(spark, sf0001).collect()
+    val vocab = spark.read.parquet(s"$sf0001/part.parquet")
+      .select("p_name").distinct().collect().map(_.getString(0))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // driver-side union-find over the same blocked edge set
+    val parent = scala.collection.mutable.Map(vocab.map(v => v -> v): _*)
+    def find(v: String): String =
+      if (parent(v) == v) v else { parent(v) = find(parent(v)); parent(v) }
+    for {
+      a <- vocab; b <- vocab
+      if a < b && a.split(" ").last == b.split(" ").last && lev(a, b) <= 2
+    } {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(if (ra < rb) rb else ra) = if (ra < rb) ra else rb
+    }
+    val want = vocab.groupBy(find).map { case (_, as) =>
+      as.min -> as.length.toLong
+    }
+    assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap == want)
+    // every catalog row resolves to exactly one entity
+    val total = spark.read.parquet(s"$sf0001/part.parquet").count()
+    assert(rows.map(_.getLong(2)).sum == total)
+  }
+
+  test("q126 pareto: frontier is non-dominated and dominates every other point") {
+    val frontier = graft.queries.RelationalQueries.q126
+      .build(spark, sf0001).collect()
+      .map(r => (math.round(r.getDouble(0) * 100), r.getLong(1)))
+    val pts = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_extendedprice", "l_quantity").collect()
+      .map(r => (math.round(r.getDouble(0) * 100), math.round(r.getDouble(1))))
+      .distinct
+    def dominates(a: (Long, Long), b: (Long, Long)): Boolean =
+      a._1 <= b._1 && a._2 >= b._2 && a != b
+    val fset = frontier.toSet
+    // no frontier point is dominated by ANY point
+    frontier.foreach(f =>
+      assert(!pts.exists(p => dominates(p, f)), s"frontier point $f dominated"))
+    // every non-frontier point is dominated by some frontier point
+    pts.filterNot(fset).foreach(p =>
+      assert(frontier.exists(f => dominates(f, p)), s"$p missing from frontier"))
+  }
+
   test("q109 regression: exact-moment corr matches a direct computation") {
     val rows = ProfileQueries.q109.build(spark, sf0001).collect()
     assert(rows.map(_.getString(0)).toSeq == rows.map(_.getString(0)).toSeq.sorted)
