@@ -149,5 +149,116 @@ object TimeSeriesQueries {
       .orderBy("user_id")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(q119, q120)
+  // ---------------------------------------------------------------- Q127
+  /** X91: time-weighted average (TWAP) — each user's event value
+    * averaged by HOW LONG it was the latest observation, not by event
+    * count: Σ value_i·(t_{i+1}−t_i) / Σ(t_{i+1}−t_i). The financial/
+    * telemetry averaging rule that plain AVG gets wrong on irregular
+    * series (a value held for a week must outweigh one held a minute).
+    *
+    * Exactness: cents × seconds is an integer weighted sum (≤ ~1e10
+    * per user here; the final ×100 read-off is widened through
+    * HUGEINT/long headroom), and the TWAP is reported as an exact
+    * integer of centi-cents by integer division — no floating point.
+    * Plan: one LEAD window + one hash-agg, both on the user exchange.
+    */
+  val q127 = DeclaredQuery(
+    "q127_twap",
+    Some("""WITH e AS (SELECT user_id, event_id,
+           |                 CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
+           |                 CAST(ROUND((value)*100) AS BIGINT) AS cent
+           |          FROM events),
+           |w AS (SELECT user_id, cent, es,
+           |             LEAD(es) OVER (PARTITION BY user_id
+           |                            ORDER BY es, event_id) AS nxt
+           |      FROM e),
+           |h AS (SELECT user_id, SUM(cent * (nxt - es)) AS wsum,
+           |             SUM(nxt - es) AS span
+           |      FROM w WHERE nxt IS NOT NULL GROUP BY 1)
+           |SELECT user_id, CAST(span AS BIGINT) AS span_s,
+           |       CAST(CAST(wsum AS HUGEINT) * 100 // span AS BIGINT)
+           |         AS twap_centi_cents
+           |FROM h ORDER BY 1""".stripMargin)) { (s, d) =>
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("es"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("es"), Det.cents(col("value")).as("cent"))
+      .withColumn("nxt", lead(col("es"), 1).over(byUser))
+      .filter(col("nxt").isNotNull)
+      .groupBy("user_id")
+      .agg(sum(col("cent") * (col("nxt") - col("es"))).as("wsum"),
+        sum(col("nxt") - col("es")).as("span_s"))
+      .select(col("user_id"), col("span_s"),
+        expr("(wsum * 100) div span_s").as("twap_centi_cents"))
+      .orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------- Q128
+  /** X92: interval concurrency — per day, the maximum number of
+    * simultaneously-active sessions (event start + 30 min), the
+    * capacity/staffing question ("how many concurrent users must we
+    * handle"). The classic sweep-line: +1 at each start, −1 at each
+    * end, running sum, max.
+    *
+    * Plan: each interval EXPLODES to every day it touches (≤ 2 here —
+    * the explode factor is interval/day length, bounded) and is
+    * CLIPPED to that day, so a midnight-crossing session counts toward
+    * BOTH days' concurrency and the running sum is a DAY-partitioned
+    * window (never global; days bound the partition). The day span is
+    * end-EXCLUSIVE ((es+1800−1) DIV 86400), so no zero-length clip is
+    * ever emitted. End markers sort before starts at the same instant
+    * (ORDER BY t, d, event_id with d = −1 < +1): touching intervals
+    * don't overlap — the convention both engines replay
+    * deterministically. (The spec's brute-force recount caught the
+    * first draft assigning crossers only to their start day.)
+    */
+  val q128 = DeclaredQuery(
+    "q128_concurrency",
+    Some("""WITH e AS (SELECT user_id, event_id,
+           |                 CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
+           |          FROM events),
+           |iv AS (SELECT UNNEST(generate_series(es // 86400,
+           |                     (es + 1799) // 86400)) AS day,
+           |              es, event_id
+           |       FROM e),
+           |cl AS (SELECT day, GREATEST(es, day * 86400) AS s,
+           |              LEAST(es + 1800, (day + 1) * 86400) AS t,
+           |              event_id
+           |       FROM iv),
+           |pm AS (SELECT day, s AS t, 1 AS d, event_id FROM cl
+           |       UNION ALL SELECT day, t, -1, event_id FROM cl),
+           |r AS (SELECT day,
+           |             CAST(SUM(d) OVER (PARTITION BY day
+           |                    ORDER BY t, d, event_id
+           |                    ROWS BETWEEN UNBOUNDED PRECEDING
+           |                    AND CURRENT ROW) AS BIGINT) AS conc
+           |      FROM pm)
+           |SELECT day, MAX(conc) AS max_concurrent,
+           |       COUNT(*) // 2 AS n_active
+           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("event_id"), unix_timestamp(col("ts")).as("es"))
+    val iv = e.select(col("event_id"), col("es"),
+      explode(sequence(expr("es DIV 86400"),
+        expr("(es + 1799) DIV 86400"))).as("day"))
+      .select(col("day"),
+        greatest(col("es"), col("day") * 86400).as("s"),
+        least(col("es") + 1800, (col("day") + 1) * 86400).as("t"),
+        col("event_id"))
+    val pm = iv.select(col("day"), col("s").as("t"), lit(1L).as("d"),
+        col("event_id"))
+      .unionByName(iv.select(col("day"), col("t"), lit(-1L).as("d"),
+        col("event_id")))
+    val sweep = Window.partitionBy(col("day"))
+      .orderBy(col("t"), col("d"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pm.withColumn("conc", sum(col("d")).over(sweep))
+      .groupBy("day")
+      .agg(max(col("conc")).as("max_concurrent"),
+        (count(lit(1)) / 2).cast("long").as("n_active"))
+      .orderBy("day")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(q119, q120, q127, q128)
 }

@@ -41,6 +41,40 @@ class TimeSeriesSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).distinct.length == 1)
   }
 
+  test("q127 twap: weighted sum matches a driver recount; held values outweigh brief ones") {
+    val rows = TimeSeriesQueries.q127.build(spark, sf0001).collect()
+    val byUser = events().groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val series = byUser(r.getLong(0)).sortBy(t => (t._2, t._3))
+      val gaps = series.sliding(2).collect {
+        case Array(a, b) => (a._5, b._2 - a._2)
+      }.toSeq
+      val span = gaps.map(_._2).sum
+      val wsum = gaps.map { case (c, g) => BigInt(c) * g }.sum
+      assert(r.getLong(1) == span, s"user ${r.getLong(0)} span")
+      assert(r.getLong(2) == (wsum * 100 / span).toLong, s"user ${r.getLong(0)} twap")
+    }
+  }
+
+  test("q128 concurrency: sweep max matches a brute-force per-second check") {
+    val rows = TimeSeriesQueries.q128.build(spark, sf0001).collect()
+    val iv = events().map(t => (t._2, t._2 + 1800))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (day, want) = (r.getLong(0), r.getLong(1))
+      val (d0, d1) = (day * 86400, (day + 1) * 86400)
+      // brute force: concurrency at each interval boundary inside the day
+      val active = iv.filter(i => i._1 < d1 && i._2 > d0)
+      val checkpoints = active.flatMap(i => Seq(i._1, i._2))
+        .filter(t => t >= d0 && t < d1).distinct
+      val brute = checkpoints.map(t =>
+        active.count(i => i._1 <= t && t < i._2)).max
+      assert(want == brute, s"day $day: sweep $want vs brute $brute")
+      assert(r.getLong(2) == active.length.toLong, s"day $day n_active")
+    }
+  }
+
   test("q120 closed form equals the clamped recurrence for every user") {
     val rows = TimeSeriesQueries.q120.build(spark, sf0001).collect()
     val ledgers = events()
