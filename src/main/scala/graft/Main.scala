@@ -60,6 +60,10 @@ import scala.jdk.CollectionConverters._
   *                 versions, and catalog-scoped DELETE of
   *                 `paths.forget_column == paths.forget_value` rows
   *                 rewriting only files with hits (GDPR forget)
+  *   - `gate`    — write-audit-publish commit of `paths.records` into
+  *                 `paths.table`: staged files must pass rows>0 plus
+  *                 `paths.gate_not_null` / `paths.gate_unique`
+  *                 expectations or nothing publishes
   *
   * The YAML is the reference's config shape (`GraftConfig.fromYaml`) plus
   * a `paths` section naming the inputs:
@@ -467,6 +471,41 @@ object Main {
         Map("manifests_dropped" -> manifests.toString,
           "files_deleted" -> files.toString)
 
+      case "gate" =>
+        // write-audit-publish: commit paths.records to paths.table ONLY
+        // if the staged files pass the declared expectations — rows > 0
+        // always; paths.gate_not_null (comma-separated columns) adds
+        // null-freedom checks; paths.gate_unique adds a primary-key
+        // uniqueness check. A failed audit discards the staged files,
+        // burns no version, and reports the failed checks.
+        val recordsPath = p.records.getOrElse(throw new IllegalArgumentException(
+          "gate needs paths.records"))
+        val tablePath = ioPathExtra(configPath, "table")
+          .getOrElse(throw new IllegalArgumentException("gate needs paths.table"))
+        val notNull = ioPathExtra(configPath, "gate_not_null")
+          .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+        val unique = ioPathExtra(configPath, "gate_unique")
+        val checks: Seq[(String, org.apache.spark.sql.Column)] =
+          Seq("nonempty" -> (count(lit(1)) > 0)) ++
+            notNull.map(c =>
+              s"not_null:$c" -> (count(when(col(c).isNull, 1)) === 0)) ++
+            unique.map(c =>
+              s"unique:$c" -> (countDistinct(col(c)) === count(col(c)))).toSeq
+        val key = ioPathExtra(configPath, "snapshot_key")
+        try {
+          val st = Snapshots.commit(spark, spark.read.parquet(recordsPath),
+            tablePath, statsCol = key, clustered = key.nonEmpty,
+            files = ioPathExtra(configPath, "snapshot_files")
+              .map(_.toInt).getOrElse(0),
+            audit = checks)
+          Map("published" -> "true", "version" -> st.version.toString,
+            "files_added" -> st.filesAdded.toString)
+        } catch {
+          case e: Snapshots.AuditFailed =>
+            Map("published" -> "false",
+              "failed_checks" -> e.failed.mkString(","))
+        }
+
       case "forget" =>
         // catalog-scoped DELETE from paths.table: remove every row whose
         // paths.forget_column equals paths.forget_value (the GDPR
@@ -497,7 +536,7 @@ object Main {
           "files_kept" -> st.filesKept.toString)
 
       case other => throw new IllegalArgumentException(
-        s"unknown command '$other' — expected cache|serve|explore|predict|dedup|split|score|ingest|decontaminate|annbuild|annsearch|compact|upsert|snapshot|timetravel|cdc|vacuum|forget")
+        s"unknown command '$other' — expected cache|serve|explore|predict|dedup|split|score|ingest|decontaminate|annbuild|annsearch|compact|upsert|snapshot|timetravel|cdc|vacuum|forget|gate")
     }
   }
 

@@ -92,10 +92,27 @@ object Snapshots {
     * the manifest, enabling [[readPruned]]; with `clustered = true` the
     * data is range-partitioned on it first so file ranges are disjoint
     * (writeClustered's layout, now versioned). */
+  /** Audit failure from a write-audit-publish commit: the staged files
+    * were discarded, NO version was burned, the table is untouched. */
+  final class AuditFailed(val failed: Seq[String])
+    extends IllegalStateException(
+      s"commit audit failed: ${failed.mkString(", ")} — staged files " +
+        "discarded, no version published")
+
+  /** @param audit write-audit-publish expectations: (name, boolean
+    *   AGGREGATE expression) pairs evaluated over the STAGED files in
+    *   one pass — e.g. `("nonempty", count(lit(1)) > 0)`, `("pk_unique",
+    *   countDistinct(col("k")) === count(col("k")))`. Any false
+    *   expectation aborts BEFORE publish: staged files are deleted, no
+    *   version number is consumed, and [[AuditFailed]] names the failed
+    *   checks. The audit reads what was actually WRITTEN (not the input
+    *   frame), so it also gates nondeterministic upstream bugs —
+    *   the WAP pattern's whole point. */
   def commit(spark: SparkSession, df: DataFrame, table: String,
              overwrite: Boolean = false, statsCol: Option[String] = None,
              clustered: Boolean = false, files: Int = 0,
-             meta: String = ""): CommitStats = {
+             meta: String = "",
+             audit: Seq[(String, Column)] = Nil): CommitStats = {
     require(!clustered || statsCol.nonEmpty, "clustered commit needs statsCol")
     val dd = dataDir(table)
     val fs = fsOf(spark, dd)
@@ -130,6 +147,19 @@ object Snapshots {
     shaped.write.mode(SaveMode.ErrorIfExists).parquet(tmp.toString)
 
     val written = spark.read.parquet(tmp.toString)
+    if (audit.nonEmpty) {
+      val verdicts = written
+        .agg(audit.head._2.as(audit.head._1),
+          audit.tail.map { case (n, c) => c.as(n) }: _*)
+        .collect().head
+      val failed = audit.map(_._1).zipWithIndex.collect {
+        case (n, i) if verdicts.isNullAt(i) || !verdicts.getBoolean(i) => n
+      }
+      if (failed.nonEmpty) {
+        fs.delete(tmp, true)
+        throw new AuditFailed(failed)
+      }
+    }
     val stats = statsRowsOf(written, statsCol)
     // the new-file manifest rows are file-count-sized; materialize them
     // BEFORE the tmp dir disappears under the reads above

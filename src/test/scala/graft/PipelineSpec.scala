@@ -398,6 +398,22 @@ class PipelineSpec extends SparkSpec {
     val left = graft.pipeline.Snapshots.read(spark, s"$root/table")
     assert(left.count() == total + 4)
     assert(left.filter(col("doc_id") === 3).count() == 0)
+    // gate: the WAP verb — audits the STAGED batch; a clean batch
+    // publishes...
+    val vBefore = graft.pipeline.Snapshots.currentVersion(spark, s"$root/table")
+    val g1 = Main.run(spark,
+      cfg("  gate_unique: doc_id\n  gate_not_null: doc_id,n_chars\n"), "gate")
+    assert(g1("published") == "true")
+    // ...and a batch with a duplicated key is rejected without a version
+    val docs01 = Tables.documents(spark, sf0001).select("doc_id", "n_chars")
+    docs01.filter(col("doc_id") <= 2)
+      .union(docs01.filter(col("doc_id") === 0))
+      .write.mode("overwrite").parquet(s"$root/records")
+    val g2 = Main.run(spark, cfg("  gate_unique: doc_id\n"), "gate")
+    assert(g2("published") == "false" &&
+      g2("failed_checks") == "unique:doc_id")
+    assert(graft.pipeline.Snapshots.currentVersion(spark, s"$root/table")
+      == vBefore + 1, "failed gate burned a version")
   }
 
   test("graft.Main dedup: exact + near-dup + keep-best end-to-end") {

@@ -189,6 +189,34 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshots.schemaDrift(spark, t, 2, 2).count() == 0)
   }
 
+  test("write-audit-publish: a failed audit burns no version and leaves no files") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commit(spark, df(0 until 10), t, files = 1)
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val filesBefore = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$t/data")).length
+    // duplicate key → the pk_unique expectation must reject the commit
+    val dirty = (Seq((7L, "dup"), (7L, "dup2")) ++
+      (100 until 105).map(i => (i.toLong, s"row$i"))).toDF("k", "v")
+    val ex = intercept[Snapshots.AuditFailed](
+      Snapshots.commit(spark, dirty, t, files = 1, audit = Seq(
+        "nonempty" -> (count(lit(1)) > 0),
+        "pk_unique" -> (countDistinct(col("k")) === count(col("k"))))))
+    assert(ex.failed == Seq("pk_unique"))
+    assert(Snapshots.currentVersion(spark, t) == 1, "no version burned")
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$t/data")).length
+      == filesBefore, "staged files discarded")
+    // the same data under passing expectations publishes normally
+    val ok = Snapshots.commit(spark, df(100 until 105), t, files = 1,
+      audit = Seq(
+        "nonempty" -> (count(lit(1)) > 0),
+        "pk_unique" -> (countDistinct(col("k")) === count(col("k")))))
+    assert(ok.version == 2)
+    assert(Snapshots.read(spark, t).count() == 15)
+  }
+
   test("a commit that loses the manifest race fails and leaves no new version") {
     val t = freshTable()
     Snapshots.commit(spark, df(0 until 10), t, files = 1)
