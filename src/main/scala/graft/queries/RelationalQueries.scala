@@ -908,7 +908,41 @@ object RelationalQueries {
       .orderBy("price", "qty")
   }
 
+  // ---------------------------------------------------------------- Q129
+  /** X93: CUBE with GROUPING ids — the full grouping-sets lattice
+    * (q22 covers ROLLUP's prefix chain; CUBE is all 2² subsets), with
+    * `GROUPING()` bits composed into the standard grouping id so
+    * consumers can tell a real NULL from a subtotal row. Revenue rides
+    * exact cents. Spark plans this as ONE expand (4 rows per input) +
+    * one hash-agg — no re-scan per grouping set; same at any scale.
+    */
+  val q129 = DeclaredQuery(
+    "q129_cube",
+    Some("""SELECT COALESCE(l_returnflag, '(all)') AS rflag,
+           |       COALESCE(l_linestatus, '(all)') AS lstatus,
+           |       GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+           |         AS gid,
+           |       COUNT(*) AS n,
+           |       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))
+           |            AS DOUBLE)/1e2 AS revenue
+           |FROM lineitem
+           |GROUP BY CUBE (l_returnflag, l_linestatus)
+           |ORDER BY 3, 1, 2""".stripMargin)) { (s, d) =>
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        Det.unCents(sum(Det.cents(col("l_extendedprice")))).as("revenue"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("lstatus"),
+        col("gid"), col("n"), col("revenue"))
+      .orderBy("gid", "rflag", "lstatus")
+  }
+
   val all: Seq[DeclaredQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-    q16, q17, q18, q19, q20, q21, q22, q23, q94, q123, q126)
+    q16, q17, q18, q19, q20, q21, q22, q23, q94, q123, q126, q129)
 }
