@@ -976,7 +976,93 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  // ---------------------------------------------------------------- Q130
+  /** X94: attribution-model comparison — first-touch, last-touch, and
+    * linear attribution of every purchase computed side by side FROM
+    * ONE SCAN, per channel. The report a marketing team uses to see how
+    * much the model choice itself moves the numbers; a conservation law
+    * ties the three columns together (each model attributes exactly the
+    * same total cent mass — q113's rule applied three ways), so the
+    * comparison can't silently leak value.
+    *
+    * Plan: q113's join shape (equi join on user_id, 7-day lookback as
+    * in-key range filter, INNER — touchless purchases have nothing to
+    * attribute in any model), then THREE window functions on the SAME
+    * purchase-partitioned exchange (count + two row_numbers over
+    * opposite orders) — one shuffle serves all three models; the final
+    * hash-agg emits one row per channel with the three valuations.
+    */
+  val q130 = DeclaredQuery(
+    "q130_attribution_models",
+    Some("""WITH e AS (SELECT user_id, event_id, event_type,
+           |                 CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
+           |                 CAST(ROUND((value)*100) AS BIGINT) AS cent
+           |          FROM events),
+           |p AS (SELECT user_id, event_id AS p_id, es AS p_es, cent FROM e
+           |      WHERE event_type = 'purchase'),
+           |t AS (SELECT user_id, event_id AS t_id, event_type AS t_type,
+           |             es AS t_es
+           |      FROM e WHERE event_type IN ('view', 'click')),
+           |j AS (SELECT p.p_id, p.cent, t.t_id, t.t_type, t.t_es FROM p
+           |      JOIN t ON p.user_id = t.user_id
+           |            AND t.t_es >= p.p_es - 604800
+           |            AND t.t_es < p.p_es),
+           |w AS (SELECT p_id, cent, t_type,
+           |             COUNT(*) OVER (PARTITION BY p_id) AS n,
+           |             ROW_NUMBER() OVER (PARTITION BY p_id
+           |                                ORDER BY t_es, t_id) AS rn_first,
+           |             ROW_NUMBER() OVER (PARTITION BY p_id
+           |                                ORDER BY t_es DESC, t_id DESC)
+           |               AS rn_last
+           |      FROM j),
+           |a AS (SELECT t_type,
+           |             CASE WHEN rn_first = 1 THEN cent ELSE 0 END
+           |               AS first_touch,
+           |             CASE WHEN rn_last = 1 THEN cent ELSE 0 END
+           |               AS last_touch,
+           |             cent // n +
+           |               CASE WHEN rn_last = 1 THEN cent % n ELSE 0 END
+           |               AS linear
+           |      FROM w)
+           |SELECT t_type AS channel,
+           |       CAST(SUM(first_touch) AS DOUBLE)/1e2 AS first_touch_value,
+           |       CAST(SUM(last_touch) AS DOUBLE)/1e2 AS last_touch_value,
+           |       CAST(SUM(linear) AS DOUBLE)/1e2 AS linear_value
+           |FROM a GROUP BY 1 ORDER BY 1""".stripMargin)) { (s, d) =>
+    val e = Tables.events(s, d).select(col("user_id"), col("event_id"),
+      col("event_type"), unix_timestamp(col("ts")).as("es"),
+      Det.cents(col("value")).as("cent"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("es").as("p_es"), col("cent"))
+    val t = e.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("t_user"), col("event_id").as("t_id"),
+        col("event_type").as("t_type"), col("es").as("t_es"))
+    val byP = Window.partitionBy(col("p_id"))
+    val j = p.join(t,
+        col("user_id") === col("t_user") &&
+          col("t_es") >= col("p_es") - 604800 && col("t_es") < col("p_es"))
+      .withColumn("n", count(lit(1)).over(byP))
+      .withColumn("rn_first", row_number().over(
+        byP.orderBy(col("t_es"), col("t_id"))))
+      .withColumn("rn_last", row_number().over(
+        byP.orderBy(col("t_es").desc, col("t_id").desc)))
+    j.select(col("t_type"),
+        when(col("rn_first") === 1, col("cent")).otherwise(lit(0L))
+          .as("first_touch"),
+        when(col("rn_last") === 1, col("cent")).otherwise(lit(0L))
+          .as("last_touch"),
+        (expr("cent DIV n") +
+          when(col("rn_last") === 1, col("cent") % col("n"))
+            .otherwise(lit(0L))).as("linear"))
+      .groupBy(col("t_type").as("channel"))
+      .agg(Det.unCents(sum(col("first_touch"))).as("first_touch_value"),
+        Det.unCents(sum(col("last_touch"))).as("last_touch_value"),
+        Det.unCents(sum(col("linear"))).as("linear_value"))
+      .orderBy("channel")
+  }
+
   val all: Seq[DeclaredQuery] =
     Seq(q24a, q24b, q24c, q24d, q26j, q58, q93, q96, q97, q98, q99, q100,
-      q101, q102, q104, q107, q110, q112, q113, q114)
+      q101, q102, q104, q107, q110, q112, q113, q114, q130)
 }

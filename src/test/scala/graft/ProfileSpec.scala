@@ -261,6 +261,30 @@ class ProfileSpec extends SparkSpec {
       assert(frontier.exists(f => dominates(f, p)), s"$p missing from frontier"))
   }
 
+  test("q130 attribution models: all three conserve the same attributed mass") {
+    val rows = EventQueries.q130.build(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    def total(i: Int) = rows.map(r => math.round(r.getDouble(i) * 100)).sum
+    assert(total(1) == total(2) && total(2) == total(3),
+      "models attribute different totals")
+    // the conserved mass is exactly the cents of purchases with >=1 touch
+    val ev = spark.read.parquet(s"$sf0001/events.parquet").collect().map { r =>
+      val es = r.get(r.fieldIndex("ts")) match {
+        case t: java.time.LocalDateTime => t.toEpochSecond(java.time.ZoneOffset.UTC)
+        case t: java.sql.Timestamp      => t.getTime / 1000
+        case l: Long                    => l / 1000000000L
+      }
+      (r.getLong(r.fieldIndex("user_id")), es,
+        r.getString(r.fieldIndex("event_type")),
+        math.round(r.getDouble(r.fieldIndex("value")) * 100))
+    }
+    val touches = ev.filter(t => t._3 == "view" || t._3 == "click")
+    val attributable = ev.filter(_._3 == "purchase").filter { p =>
+      touches.exists(t => t._1 == p._1 && t._2 >= p._2 - 604800 && t._2 < p._2)
+    }.map(_._4).sum
+    assert(total(3) == attributable, "linear total != attributable purchases")
+  }
+
   test("q109 regression: exact-moment corr matches a direct computation") {
     val rows = ProfileQueries.q109.build(spark, sf0001).collect()
     assert(rows.map(_.getString(0)).toSeq == rows.map(_.getString(0)).toSeq.sorted)
