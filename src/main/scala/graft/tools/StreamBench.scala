@@ -19,7 +19,7 @@ import org.apache.spark.sql.streaming.OutputMode
   * cluster deployments shard by the group key.
   *
   * Usage: runMain graft.tools.StreamBench <sfDir> [chunks] [ops-csv]
-  * (ops-csv ⊆ asof,neardup,exactdedup,enrich,rolling,topk,wau,funnel — default all)
+  * (ops-csv ⊆ asof,neardup,exactdedup,enrich,rolling,topk,wau,funnel,balance — default all)
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
@@ -27,7 +27,7 @@ object StreamBench {
     val chunks = args.lift(1).map(_.toInt).getOrElse(8)
     val ops: Set[String] = args.lift(2)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .getOrElse(Set("asof", "neardup", "exactdedup", "enrich", "rolling", "topk", "wau", "funnel"))
+      .getOrElse(Set("asof", "neardup", "exactdedup", "enrich", "rolling", "topk", "wau", "funnel", "balance"))
     val spark = graft.Session.local(appName = "graft-stream-bench")
     spark.sparkContext.setLogLevel("WARN")
     // the fuzz-hardened checkpoint posture from SparkSpec: checksummed
@@ -233,6 +233,28 @@ object StreamBench {
       val q = StreamingOps.funnelStream(in.toDS(), 86400L * 1000000L)
         .writeStream.format("memory").queryName("sb_funnel")
         .outputMode(OutputMode.Append()).start()
+      feed.grouped(math.max(1, feed.length / chunks)).foreach { c =>
+        in.addData(c.toSeq: _*); q.processAllAvailable()
+      }
+      q.stop()
+    }
+    }
+    // ---- clamped-ledger balance maintainer (q120's stateful twin)
+    if (ops("balance")) {
+    val feed = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("user_id").as("user"),
+        unix_timestamp(col("ts")).as("es"), col("event_id").as("eventId"),
+        when(col("event_type") === "purchase",
+          round(col("value") * 100, 0).cast("long"))
+          .otherwise(-round(col("value") * 100, 0).cast("long")).as("delta"))
+      .orderBy("es", "eventId")
+      .as[StreamingOps.LedgerEvent].collect()
+    timeIt("balance", feed.length, chunks) {
+      val in = MemoryStream[StreamingOps.LedgerEvent]
+      val q = StreamingOps.balanceStream(in.toDS())
+        .writeStream.format("memory").queryName("sb_balance")
+        .outputMode(OutputMode.Update()).start()
       feed.grouped(math.max(1, feed.length / chunks)).foreach { c =>
         in.addData(c.toSeq: _*); q.processAllAvailable()
       }
