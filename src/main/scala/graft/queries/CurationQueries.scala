@@ -242,5 +242,50 @@ object CurationQueries {
     }
   }
 
-  val all: Seq[DeclaredQuery] = Seq(q77, q78, q83, q84)
+  // ---------------------------------------------------------------- Q131
+  /** X95: source-diversity report — per language, the Simpson dominance
+    * index Σp² and its inverse (effective source count), the curation
+    * diagnostic for "is this slice really diverse or one crawl wearing
+    * twenty hats". Simpson instead of Shannon BY DESIGN: Σp² =
+    * Σcnt²/total² is a ratio of exact integers — no logarithms, so the
+    * ppm report is pure integer arithmetic and the effective count is
+    * ONE IEEE division of exact integers (the engine's determinism
+    * discipline; entropy's Σ p·ln p would need a fixed-order float sum).
+    * 1e6·Σcnt² outgrows int64 near sf10, widened DECIMAL(38)/HUGEINT
+    * (the q109/q115/q117 pattern).
+    *
+    * Plan: two map-side-combinable hash-aggs — (lang, source) counts,
+    * then per-lang moments. Nothing else.
+    */
+  val q131 = DeclaredQuery(
+    "q131_source_diversity",
+    Some("""WITH c AS (SELECT lang, source, COUNT(*) AS cnt
+           |           FROM documents GROUP BY 1, 2),
+           |a AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS total,
+           |             COUNT(*) AS n_sources,
+           |             CAST(SUM(cnt * cnt) AS BIGINT) AS sq
+           |      FROM c GROUP BY 1)
+           |SELECT lang, total AS n_docs, n_sources,
+           |       CAST((CAST(1000000 AS HUGEINT) * sq)
+           |            // (CAST(total AS HUGEINT) * total) AS BIGINT)
+           |         AS dominance_ppm,
+           |       CAST(total AS DOUBLE) * total / sq AS effective_sources
+           |FROM a ORDER BY 1""".stripMargin)) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("total"),
+        count(lit(1)).as("n_sources"),
+        sum(col("cnt") * col("cnt")).as("sq"))
+      .select(col("lang"), col("total").as("n_docs"), col("n_sources"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * sq)
+               | div (CAST(total AS DECIMAL(38,0)) * total) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("dominance_ppm"),
+        (col("total").cast("double") * col("total") / col("sq"))
+          .as("effective_sources"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(q77, q78, q83, q84, q131)
 }

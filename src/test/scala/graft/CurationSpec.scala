@@ -69,4 +69,30 @@ class CurationSpec extends SparkSpec {
     assert(rateOf("en") < 1.0)
     assert(rateOf.values.exists(_ == 1.0))
   }
+
+  test("q131 diversity: Simpson bounds hold and one lang recounts exactly") {
+    val rows = graft.queries.CurationQueries.q131.build(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, k) = (r.getLong(1), r.getLong(2))
+      val dom = r.getLong(3)
+      assert(k >= 1 && n >= k)
+      // Simpson index lies in [1/k, 1]; effective count in [1, k]
+      assert(dom >= 1000000L / k - 1 && dom <= 1000000L,
+        s"${r.getString(0)} dominance out of range")
+      assert(r.getDouble(4) >= 1.0 - 1e-9 && r.getDouble(4) <= k + 1e-9)
+    }
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val lang0 = rows.head.getString(0)
+    val counts = docs.filter(_._1 == lang0).groupBy(_._2)
+      .map(_._2.length.toLong).toSeq
+    val (total, sq) = (counts.sum, counts.map(c => c * c).sum)
+    assert(rows.head.getLong(1) == total)
+    assert(rows.head.getLong(2) == counts.length.toLong)
+    assert(rows.head.getLong(3) ==
+      (BigInt(1000000) * sq / (BigInt(total) * total)).toLong)
+    assert(rows.head.getDouble(4) == total.toDouble * total / sq)
+  }
 }
