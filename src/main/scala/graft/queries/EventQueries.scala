@@ -1062,7 +1062,85 @@ object EventQueries {
       .orderBy("channel")
   }
 
+  // ---------------------------------------------------------------- Q132
+  /** X96: growth accounting — the daily active-user ledger every product
+    * team reports: per day, NEW (first-ever active day), RETAINED
+    * (also active the previous day), RESURRECTED (active today, absent
+    * yesterday, seen before), and CHURNED (active yesterday, absent
+    * today, dated to the day they went missing). Two conservation laws
+    * make it oracle-exact and spec-checkable: new+retained+resurrected
+    * = DAU(d), and retained(d) = DAU(d−1) − churned(d).
+    *
+    * Plan: DISTINCT (user, day) once → per-user MIN(day) and LAG(day)
+    * ride ONE user-partitioned exchange (the groupBy reuses the window's
+    * hash partitioning); churn is a self anti-join on (user, day+1) —
+    * co-partitioned on user, never time-only. All counts exact integers.
+    */
+  val q132 = DeclaredQuery(
+    "q132_growth_accounting",
+    Some("""WITH ud AS (SELECT DISTINCT user_id,
+           |                   CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400
+           |                     AS day
+           |            FROM events),
+           |f AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY 1),
+           |lagd AS (SELECT user_id, day,
+           |                LAG(day) OVER (PARTITION BY user_id
+           |                               ORDER BY day) AS prev_day
+           |         FROM ud),
+           |cls AS (SELECT l.day,
+           |               CASE WHEN l.day = f.first_day THEN 'new'
+           |                    WHEN l.prev_day = l.day - 1 THEN 'retained'
+           |                    ELSE 'resurrected' END AS status
+           |        FROM lagd l JOIN f ON l.user_id = f.user_id),
+           |churn AS (SELECT a.day + 1 AS day, COUNT(*) AS churned
+           |          FROM ud a LEFT JOIN ud b
+           |            ON a.user_id = b.user_id AND b.day = a.day + 1
+           |          WHERE b.user_id IS NULL GROUP BY 1)
+           |SELECT c.day,
+           |       CAST(SUM(CASE WHEN status='new' THEN 1 ELSE 0 END)
+           |            AS BIGINT) AS new_users,
+           |       CAST(SUM(CASE WHEN status='retained' THEN 1 ELSE 0 END)
+           |            AS BIGINT) AS retained,
+           |       CAST(SUM(CASE WHEN status='resurrected' THEN 1 ELSE 0
+           |                END) AS BIGINT) AS resurrected,
+           |       CAST(COALESCE(MAX(ch.churned), 0) AS BIGINT)
+           |         AS churned_from_prev
+           |FROM cls c LEFT JOIN churn ch ON c.day = ch.day
+           |GROUP BY 1 ORDER BY 1""".stripMargin)) { (s, d) =>
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), expr("unix_timestamp(ts) DIV 86400").as("day"))
+      .distinct()
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val lagd = ud
+      .withColumn("prev_day", lag(col("day"), 1).over(byUser))
+      .withColumn("first_day", min(col("day")).over(
+        Window.partitionBy(col("user_id"))))
+    val cls = lagd.select(col("day"),
+      when(col("day") === col("first_day"), lit("new"))
+        .when(col("prev_day") === col("day") - 1, lit("retained"))
+        .otherwise(lit("resurrected")).as("status"))
+    val churn = ud.as("a")
+      .join(ud.select(col("user_id").as("bu"), col("day").as("bd")),
+        col("user_id") === col("bu") && col("bd") === col("day") + 1,
+        "left_anti")
+      .groupBy((col("day") + 1).as("day"))
+      .agg(count(lit(1)).as("churned"))
+    cls.groupBy("day")
+      .agg(
+        sum(when(col("status") === "new", 1L).otherwise(0L)).as("new_users"),
+        sum(when(col("status") === "retained", 1L).otherwise(0L))
+          .as("retained"),
+        sum(when(col("status") === "resurrected", 1L).otherwise(0L))
+          .as("resurrected"))
+      .join(churn.select(col("day").as("cd"), col("churned")),
+        col("day") === col("cd"), "left")
+      .select(col("day"), col("new_users"), col("retained"),
+        col("resurrected"),
+        coalesce(col("churned"), lit(0L)).as("churned_from_prev"))
+      .orderBy("day")
+  }
+
   val all: Seq[DeclaredQuery] =
     Seq(q24a, q24b, q24c, q24d, q26j, q58, q93, q96, q97, q98, q99, q100,
-      q101, q102, q104, q107, q110, q112, q113, q114, q130)
+      q101, q102, q104, q107, q110, q112, q113, q114, q130, q132)
 }

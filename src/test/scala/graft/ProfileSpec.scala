@@ -285,6 +285,33 @@ class ProfileSpec extends SparkSpec {
     assert(total(3) == attributable, "linear total != attributable purchases")
   }
 
+  test("q132 growth accounting: both conservation laws hold on every day") {
+    val rows = EventQueries.q132.build(spark, sf0001).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.nonEmpty)
+    val ud = spark.read.parquet(s"$sf0001/events.parquet").collect().map { r =>
+      val es = r.get(r.fieldIndex("ts")) match {
+        case t: java.time.LocalDateTime => t.toEpochSecond(java.time.ZoneOffset.UTC)
+        case t: java.sql.Timestamp      => t.getTime / 1000
+        case l: Long                    => l / 1000000000L
+      }
+      (r.getLong(r.fieldIndex("user_id")), es / 86400)
+    }.distinct
+    val dau = ud.groupBy(_._2).map { case (d, xs) => d -> xs.length.toLong }
+    // law 1: new + retained + resurrected == DAU
+    rows.foreach { case (d, (nw, ret, res, _)) =>
+      assert(nw + ret + res == dau(d), s"day $d DAU partition")
+    }
+    // law 2: retained(d) == DAU(d-1) - churned(d)
+    rows.foreach { case (d, (_, ret, _, churned)) =>
+      val prev = dau.getOrElse(d - 1, 0L)
+      assert(ret == prev - churned, s"day $d retention/churn duality")
+    }
+    // every user is new exactly once
+    assert(rows.values.map(_._1).sum == ud.map(_._1).distinct.length.toLong)
+  }
+
   test("q109 regression: exact-moment corr matches a direct computation") {
     val rows = ProfileQueries.q109.build(spark, sf0001).collect()
     assert(rows.map(_.getString(0)).toSeq == rows.map(_.getString(0)).toSeq.sorted)
