@@ -1140,7 +1140,73 @@ object EventQueries {
       .orderBy("day")
   }
 
+  // ---------------------------------------------------------------- Q133
+  /** X97: time-to-convert percentiles — per signup-week cohort, the
+    * exact nearest-rank p50/p90 of hours from signup to FIRST purchase.
+    * The activation metric growth teams pair with q98's retention and
+    * q132's ledger.
+    *
+    * Exact without a global sort: lags quantize to HOUR buckets (the
+    * metric's natural granularity), the per-cohort cumulative count runs
+    * over a BOUNDED bucket frame (≤ hours in the data span, partitioned
+    * by cohort — q14/q94's inverse-CDF recipe), and the percentile is
+    * the nearest-rank read-off 2·cum ≥ n in pure integers.
+    */
+  val q133 = DeclaredQuery(
+    "q133_time_to_convert",
+    Some("""WITH e AS (SELECT user_id, event_type,
+           |                 CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
+           |          FROM events),
+           |su AS (SELECT user_id, MIN(es) AS signup_es FROM e
+           |       WHERE event_type = 'signup' GROUP BY 1),
+           |pu AS (SELECT user_id, MIN(es) AS first_purchase_es FROM e
+           |       WHERE event_type = 'purchase' GROUP BY 1),
+           |lagh AS (SELECT su.user_id,
+           |                su.signup_es // 604800 AS cohort_week,
+           |                (pu.first_purchase_es - su.signup_es) // 3600
+           |                  AS lag_h
+           |         FROM su JOIN pu ON su.user_id = pu.user_id
+           |         WHERE pu.first_purchase_es >= su.signup_es),
+           |h AS (SELECT cohort_week, lag_h, COUNT(*) AS cnt
+           |      FROM lagh GROUP BY 1, 2),
+           |c AS (SELECT cohort_week, lag_h, cnt,
+           |             CAST(SUM(cnt) OVER (PARTITION BY cohort_week
+           |                  ORDER BY lag_h ROWS BETWEEN UNBOUNDED
+           |                  PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+           |             CAST(SUM(cnt) OVER (PARTITION BY cohort_week)
+           |                  AS BIGINT) AS n
+           |      FROM h)
+           |SELECT cohort_week, MAX(n) AS n_converted,
+           |       MIN(CASE WHEN 2*cum >= n THEN lag_h END) AS p50_hours,
+           |       MIN(CASE WHEN 10*cum >= 9*n THEN lag_h END) AS p90_hours
+           |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)) { (s, d) =>
+    val e = Tables.events(s, d).select(col("user_id"), col("event_type"),
+      unix_timestamp(col("ts")).as("es"))
+    val su = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("es")).as("signup_es"))
+    val pu = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("pu_user"))
+      .agg(min(col("es")).as("first_purchase_es"))
+    val lagh = su.join(pu, col("user_id") === col("pu_user"))
+      .filter(col("first_purchase_es") >= col("signup_es"))
+      .select(expr("signup_es DIV 604800").as("cohort_week"),
+        expr("(first_purchase_es - signup_es) DIV 3600").as("lag_h"))
+    val byCohort = Window.partitionBy(col("cohort_week"))
+    val c = lagh.groupBy("cohort_week", "lag_h")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        byCohort.orderBy(col("lag_h"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(byCohort))
+    c.groupBy("cohort_week")
+      .agg(max(col("n")).as("n_converted"),
+        min(when(col("cum") * 2 >= col("n"), col("lag_h"))).as("p50_hours"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("lag_h")))
+          .as("p90_hours"))
+      .orderBy("cohort_week")
+  }
+
   val all: Seq[DeclaredQuery] =
     Seq(q24a, q24b, q24c, q24d, q26j, q58, q93, q96, q97, q98, q99, q100,
-      q101, q102, q104, q107, q110, q112, q113, q114, q130, q132)
+      q101, q102, q104, q107, q110, q112, q113, q114, q130, q132, q133)
 }

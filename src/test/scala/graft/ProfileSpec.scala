@@ -312,6 +312,36 @@ class ProfileSpec extends SparkSpec {
     assert(rows.values.map(_._1).sum == ud.map(_._1).distinct.length.toLong)
   }
 
+  test("q133 time-to-convert: percentiles match a driver-side nearest-rank recount") {
+    val rows = EventQueries.q133.build(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val ev = spark.read.parquet(s"$sf0001/events.parquet").collect().map { r =>
+      val es = r.get(r.fieldIndex("ts")) match {
+        case t: java.time.LocalDateTime => t.toEpochSecond(java.time.ZoneOffset.UTC)
+        case t: java.sql.Timestamp      => t.getTime / 1000
+        case l: Long                    => l / 1000000000L
+      }
+      (r.getLong(r.fieldIndex("user_id")),
+        r.getString(r.fieldIndex("event_type")), es)
+    }
+    val signup = ev.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._3).min }
+    val purchase = ev.filter(_._2 == "purchase").groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._3).min }
+    val lags = signup.toSeq.flatMap { case (u, s0) =>
+      purchase.get(u).filter(_ >= s0)
+        .map(p => (s0 / 604800, (p - s0) / 3600))
+    }.groupBy(_._1)
+    rows.foreach { r =>
+      val sorted = lags(r.getLong(0)).map(_._2).toSeq.sorted
+      val n = sorted.length
+      assert(r.getLong(1) == n.toLong)
+      def nearestRank(p: Double): Long = sorted(math.ceil(p * n).toInt - 1)
+      assert(r.getLong(2) == nearestRank(0.5), s"cohort ${r.getLong(0)} p50")
+      assert(r.getLong(3) == nearestRank(0.9), s"cohort ${r.getLong(0)} p90")
+    }
+  }
+
   test("q109 regression: exact-moment corr matches a direct computation") {
     val rows = ProfileQueries.q109.build(spark, sf0001).collect()
     assert(rows.map(_.getString(0)).toSeq == rows.map(_.getString(0)).toSeq.sorted)
