@@ -180,5 +180,69 @@ object AbQueries {
       .orderBy("r_bin", "f_bin", "m_bin")
   }
 
-  val all: Seq[DeclaredQuery] = Seq(q117, q118)
+  // ---------------------------------------------------------------- Q134
+  /** X98: revenue concentration — the exact Gini coefficient of
+    * customer spend plus the top-decile revenue share, in ppm. The
+    * inequality report behind "10% of customers are 40% of revenue".
+    *
+    * Exact and sort-free: Gini needs every customer's GLOBAL rank by
+    * spend — the fourth instance of the bucketed global-rank recipe
+    * (q65 NTILE, q118 RFM, q126 skyline): monotone digit-composite
+    * cent bucket + per-bucket window + driver offset map, never a
+    * global window. Then gini = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) — Σi·x
+    * reaches ~1e18 at sf10 and the ppm numerator far beyond, so the
+    * whole quotient runs in DECIMAL(38,0)/HUGEINT and only the bounded
+    * ppm comes back as BIGINT. The top-decile share is the integer
+    * read-off `10·i > 9·n` over the same ranked frame.
+    */
+  val q134 = DeclaredQuery(
+    "q134_revenue_concentration",
+    Some("""WITH s AS (SELECT o_custkey,
+           |             CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+           |                  AS BIGINT) AS cent
+           |           FROM orders GROUP BY 1),
+           |r AS (SELECT cent,
+           |             ROW_NUMBER() OVER (ORDER BY cent, o_custkey) AS i,
+           |             COUNT(*) OVER () AS n,
+           |             CAST(SUM(cent) OVER () AS BIGINT) AS tot
+           |      FROM s),
+           |g AS (SELECT MAX(n) AS n, MAX(tot) AS tot,
+           |             CAST(SUM(CAST(i AS HUGEINT) * cent) AS HUGEINT)
+           |               AS iws
+           |      FROM r),
+           |topdec AS (SELECT CAST(SUM(cent) AS BIGINT) AS top_cent
+           |           FROM r WHERE 10 * i > 9 * n)
+           |SELECT g.n AS n_customers,
+           |       CAST(g.tot AS DOUBLE)/1e2 AS total_revenue,
+           |       CAST((CAST(1000000 AS HUGEINT) *
+           |             (2*g.iws - (g.n+1)*g.tot))
+           |            // (CAST(g.n AS HUGEINT) * g.tot) AS BIGINT)
+           |         AS gini_ppm,
+           |       (1000000 * t.top_cent) // g.tot AS top_decile_share_ppm
+           |FROM g, topdec t""".stripMargin)) { (s, d) =>
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(Det.cents(col("o_totalprice"))).as("cent"))
+    // monotone bounded coarsening of the rank key (the q118/q126 bucket)
+    val centStr = col("cent").cast("string")
+    val bucket = (length(centStr) * 100 +
+      substring(centStr, 1, 2).cast("long")).cast("long")
+    val (ranked, n) = graft.operators.Ranks.globalRowNumberWithCount(
+      spend, bucket, Seq(col("cent"), col("o_custkey")), "i")
+    ranked.agg(
+        sum(col("cent")).as("tot"),
+        sum(col("i").cast("decimal(38,0)") * col("cent")).as("iws"),
+        sum(when(col("i") * 10 > lit(9L * n), col("cent"))
+          .otherwise(lit(0L))).as("top_cent"))
+      .select(
+        lit(n).as("n_customers"),
+        Det.unCents(col("tot")).as("total_revenue"),
+        expr(s"""CAST((CAST(1000000 AS DECIMAL(38,0)) *
+                | (2*iws - ${n + 1}*CAST(tot AS DECIMAL(38,0))))
+                | div (CAST($n AS DECIMAL(38,0)) * tot) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("gini_ppm"),
+        expr("(1000000 * top_cent) div tot").as("top_decile_share_ppm"))
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(q117, q118, q134)
 }

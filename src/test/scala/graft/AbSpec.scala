@@ -50,6 +50,28 @@ class AbSpec extends SparkSpec {
     assert(row.getLong(6) == chi2, "chi2 ppm")
   }
 
+  test("q134 concentration: gini and decile share match a sorted driver recount") {
+    val row = AbQueries.q134.build(spark, sf0001).collect().head
+    val spend = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).map { case (k, xs) => (k, xs.map(_._2).sum) }.toSeq
+    val sorted = spend.sortBy(t => (t._2, t._1)).map(_._2)
+    val n = sorted.length.toLong
+    val tot = sorted.map(BigInt(_)).sum
+    val iws = sorted.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    val gini = (BigInt(1000000) * (2 * iws - BigInt(n + 1) * tot) /
+      (BigInt(n) * tot)).toLong
+    val top = sorted.zipWithIndex
+      .filter { case (_, i) => 10L * (i + 1) > 9L * n }.map(t => BigInt(t._1)).sum
+    assert(row.getLong(0) == n)
+    assert(BigInt(math.round(row.getDouble(1) * 100)) == tot)
+    assert(row.getLong(2) == gini, "gini ppm")
+    assert(row.getLong(3) == (BigInt(1000000) * top / tot).toLong, "decile share")
+    assert(row.getLong(2) >= 0 && row.getLong(2) <= 1000000)
+    assert(row.getLong(3) >= 100000, "top decile holds at least its pro-rata share")
+  }
+
   test("q118 RFM grid: bins balanced per NTILE law, masses conserved") {
     val rows = AbQueries.q118.build(spark, sf0001).collect()
     val users = perUser()
