@@ -144,10 +144,15 @@ object Bench {
       val m = results.map { case (n, _) => n -> n.takeWhile(_ != '_') }.toMap
       if (m.values.toSet.size == m.size) m else m.keys.map(n => n -> n).toMap
     }
-    // ms precision in the summary keeps the compact line ~half the size —
-    // it must survive the driver's bounded tail scrape
-    val qs = results.map { case (k, v) => f""""${shortKey(k)}":$v%.3f""" }
-      .mkString("{", ",", "}")
+    // INTEGER CENTISECONDS in the stdout summary ("q134":97 = 0.97 s,
+    // q_unit:"cs" says so) — the 140-query line at ms precision outgrew
+    // the driver's ~2,000-char tail capture in r10 (BENCH_r10.parsed was
+    // null, 29 cells unreadable); centisecond ints cut each cell to ~10
+    // chars and the whole line to ~1.6 KB. Full-precision seconds remain
+    // in the stderr/disk artifact.
+    val qs = results.map { case (k, v) =>
+      s""""${shortKey(k)}":${math.round(v * 100)}"""
+    }.mkString("{", ",", "}")
     def arr(xs: Seq[Double]): String = xs.mkString("[", ",", "]")
     val diagJson = diag.map { case (k, (reps, loads)) =>
       s"\"" + k + "\":{\"reps\":" + arr(reps) + ",\"load\":" + arr(loads) + "}"
@@ -186,8 +191,14 @@ object Bench {
     // the 8 KB diag-bearing line two rounds running (BENCH_r06/r07
     // "parsed": null) — per-query mins and the summary fit in ~2 KB and
     // must be the one thing the scrape has to survive
+    // load_flags are NOT on the stdout line (r10: the diag grew the line
+    // past the driver's capture and the whole artifact failed to parse —
+    // round 9's item 8 regressed by growth); they live in bench_compact
+    // .json and the full artifact instead
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"queries":$qs,"reps":$benchReps,"load_flags":$flagsJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"q_unit":"cs","queries":$qs,"reps":$benchReps,"sf":"$sfDir"}"""
+    val compactWithFlags =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"q_unit":"cs","queries":$qs,"reps":$benchReps,"load_flags":$flagsJson,"sf":"$sfDir"}"""
     val fullQs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val full =
@@ -209,10 +220,10 @@ object Bench {
       if (only.isEmpty && !pipelineMode) {
         java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
           (full + "\n").getBytes("UTF-8"))
-        // driver-readable mirror of exactly what stdout carries, in case
-        // the stdout scrape fails again
+        // driver-readable mirror of the stdout line PLUS the load_flags
+        // diag (flags are off the stdout line so it stays parseable)
         java.nio.file.Files.write(java.nio.file.Paths.get("bench_compact.json"),
-          (compact + "\n").getBytes("UTF-8"))
+          (compactWithFlags + "\n").getBytes("UTF-8"))
       }
     } catch { case _: Throwable => () }
     spark.stop()
@@ -222,6 +233,11 @@ object Bench {
     // showSuccess:=false make this line both unprefixed and truly last)
     println(compact)
     Console.out.flush()
+    // the driver's tail capture is ~2,000 chars — a line near that bound
+    // is a regression waiting for the next 20 queries; flag it loudly
+    if (compact.length > 1800)
+      System.err.println(s"[bench] WARNING compact line ${compact.length} chars " +
+        "— approaching the driver's ~2000-char stdout tail capture")
     // a failed query's wall time is meaningless — a broken data dir must
     // grade as a broken run, not as a fast one
     if (failed > 0) {

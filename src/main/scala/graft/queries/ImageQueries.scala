@@ -96,17 +96,74 @@ object ImageQueries {
       .orderBy("img_a", "img_b")
   }
 
-  /** (img_id, phash) for the generated corpus — the Spark twin of the
-    * oracle's px→s1→s2→bits chain. Scale shape: pixel generation is a
-    * lazy range cross-product (no data read), the two DCT passes are
-    * map-side-combinable hash-aggs keyed (img, y, u) then (img, u, v),
-    * and per-image assembly is one more hash-agg — all linear in
-    * images × 1024, no windows, no driver loops. */
-  private[graft] def phashes(s: SparkSession): DataFrame = {
+  /** (img_id, phash) for the generated corpus, computed by the
+    * [[graft.multimodal.Phash.hash]] JVM kernel per img_id row — the
+    * q75 recipe applied to q70 (round-11 verdict item 1): the previous
+    * expression shape ran the 32×32 DCT as two shuffled hash-agg passes
+    * over an exploded imgs×1024×8 frame (~1.6M intermediate rows
+    * re-paid every suite run; 7.8 s in the round-10 stamped bench vs
+    * 0.84 s quiet-box), where the kernel is 1024 md5s + one integer DCT
+    * per row over a FIXED 200-row img frame. Parity is twofold: the
+    * kernel's exact integer arithmetic is order-independent, so it is
+    * bit-identical to the hash-agg expression twin ([[phashesExpr]],
+    * pinned by PhashSpec at reduced size) and to the DuckDB oracle's
+    * SQL replay of the same fixed-point basis. At corpus scale the
+    * per-row work is O(1) per image, so the shape stays linear in
+    * images with no shuffle before the banding join. */
+  private[graft] def phashes(s: SparkSession): DataFrame =
+    phashesKernel(s, Imgs)
+
+  private[graft] def phashesKernel(s: SparkSession, imgs: Int): DataFrame = {
+    import s.implicits._
+    s.range(0, imgs.toLong).as[Long]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = "0123456789abcdef".toCharArray
+        def md5hex(t: String): String = {
+          md.reset()
+          val d = md.digest(t.getBytes("UTF-8"))
+          val sb = new java.lang.StringBuilder(32)
+          var i = 0
+          while (i < d.length) {
+            sb.append(hex((d(i) >> 4) & 0xf)); sb.append(hex(d(i) & 0xf)); i += 1
+          }
+          sb.toString
+        }
+        def hexv(c: Char): Int = if (c >= 'a') c - 87 else c - 48
+        it.map { imgId =>
+          val base = imgId / 2
+          val luma = new Array[Int](Phash.N * Phash.N)
+          var x = 0
+          while (x < 32) {
+            var y = 0
+            while (y < 32) {
+              val key = s"$base:$x:$y"
+              val h = md5hex(key + ":px")
+              var v = hexv(h.charAt(0)) * 16 + hexv(h.charAt(1))
+              if (imgId % 2 == 1 && md5hex(key + ":n").charAt(0) == '0') v += 1
+              // Phash.hash is row-major (y*N+x); the DCT's exact integer
+              // sums match the oracle's axis naming (u over x, v over y)
+              luma(y * Phash.N + x) = v
+              y += 1
+            }
+            x += 1
+          }
+          (imgId, Phash.hash(luma))
+        }
+      }
+      .toDF("img_id", "phash")
+  }
+
+  /** Expression-shaped twin of [[phashesKernel]] — the px→s1→s2→bits
+    * hash-agg chain the DuckDB oracle replays. Kept (parameterized by
+    * corpus size) as the parity anchor: PhashSpec pins kernel ==
+    * expression on a reduced corpus, and exact integer arithmetic makes
+    * the equality independent of aggregation order. */
+  private[graft] def phashesExpr(s: SparkSession, imgs: Int): DataFrame = {
     val cb = basisCol
     def hexv(c: Column): Column =
       ascii(c) - when(ascii(c) >= 97, 87).otherwise(48)
-    val px = s.range(0, Imgs).select(col("id").as("img_id"))
+    val px = s.range(0, imgs.toLong).select(col("id").as("img_id"))
       .select(col("img_id"),
         explode(sequence(lit(0), lit(31))).as("x"))
       .select(col("img_id"), col("x"),

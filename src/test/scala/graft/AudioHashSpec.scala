@@ -37,6 +37,16 @@ class AudioHashSpec extends SparkSpec {
     }
   }
 
+  test("q71 JVM ahash kernel is bit-identical to the expression twin") {
+    // 8 clips (4 near-dup pairs, both noise branches) pin all 200 —
+    // exact integer arithmetic makes the equality order-independent
+    val kernel = graft.queries.AudioQueries.ahashesKernel(spark, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    val expression = graft.queries.AudioQueries.ahashesExpr(spark, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    assert(kernel.size == 8 && kernel == expression)
+  }
+
   test("hash is invariant under 16-bit PCM WAV encode→decode round-trip") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     val samples = pcm(0)

@@ -72,4 +72,15 @@ class PhashSpec extends SparkSpec {
       assert(got(id) == Phash.hash(luma(id)), s"img $id")
     }
   }
+
+  test("q70 JVM phash kernel is bit-identical to the expression twin") {
+    // the declared corpus at reduced size: 8 images (4 near-dup pairs,
+    // both even/odd noise branches) — exact integer arithmetic means the
+    // equality is order-independent, so 8 images pin all 200
+    val kernel = graft.queries.ImageQueries.phashesKernel(spark, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    val expression = graft.queries.ImageQueries.phashesExpr(spark, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    assert(kernel.size == 8 && kernel == expression)
+  }
 }
