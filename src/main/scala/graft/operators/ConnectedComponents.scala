@@ -27,16 +27,19 @@ import org.apache.spark.sql.functions._
   * every vertex labeled with its component's minimum id — so callers'
   * oracles are unchanged.
   *
-  * Scale/cost: ONE Spark job per round. The neighbor-min frame is lazily
+  * Scale/cost: ONE Spark job per PAIR of rounds (r11 — termination only
+  * needs the last round to be a no-op, so two rounds chain lazily and the
+  * single convergence count measures the second; a warm-started shallow
+  * graph converges in one action). The neighbor-min frames are lazily
   * `persist`ed (both jump-join references resolve to the same
-  * InMemoryRelation, so it computes once inside the round's job instead of
-  * needing its own eager-checkpoint job), the round result is a lazy
-  * `localCheckpoint` (truncates lineage), and the convergence count is the
-  * single action that materializes both. The previous label rides along so
-  * that count is a scan, not a third join. Shuffles key on vertex id /
-  * label only. Hot representative keys on giant components are one-row
-  * build side per key — AQE skew split territory, no driver state
-  * anywhere.
+  * InMemoryRelation, so each computes once inside the pair's job instead
+  * of needing its own eager-checkpoint job), the pair result is a lazy
+  * `localCheckpoint` (truncates lineage), and the convergence count is
+  * the single action that materializes all of it. Each round's input
+  * label rides through its aggregation so that count is a scan, not a
+  * third join. Shuffles key on vertex id / label only. Hot representative
+  * keys on giant components are one-row build side per key — AQE skew
+  * split territory, no driver state anywhere.
   *
   * Reference provenance: the reference has no graph step; this serves the
   * near-dup cluster formation the training-pipeline brief adds (q39).
@@ -63,12 +66,38 @@ object ConnectedComponents {
     * @param sym      SYMMETRIC edge list (caller unions both directions)
     * @param srcCol   edge source column in `sym`
     * @param dstCol   edge destination column in `sym`
+    * @param init     optional WARM-START labels (idCol, labelCol),
+    *   exactly one row per vertex (it REPLACES `vertices`): each
+    *   label must be the id of a vertex reachable from the keyed vertex
+    *   (and ≤ it, min wins) — e.g. the per-vertex min over its bucket
+    *   representatives, which the band window computes for free. The
+    *   fixpoint is unchanged (labels only move down toward the
+    *   component min and every intermediate value stays a reachable
+    *   id); a 1-hop warm start just starts the flood one round in,
+    *   saving a full propagation job on the shallow graphs the dedup
+    *   chain builds (r11: q39-family rounds 3 → 2 at sf0.1).
     * @return (labels as (idCol, labelCol) DataFrame, rounds used)
     */
+  /** Generic 1-hop warm start for [[minLabel]] when the caller has no
+    * cheaper source of neighbor minima: each vertex labeled min(self,
+    * direct neighbors) — one vocabulary-keyed groupBy + left join, in
+    * exchange for a full propagation round (3 shuffles + a checkpoint
+    * + a count job). Isolated vertices keep their own id. */
+  def oneHopInit(vertices: DataFrame, idCol: String,
+                 sym: DataFrame, srcCol: String, dstCol: String,
+                 labelCol: String = "cluster_id"): DataFrame = {
+    val mins = sym.groupBy(col(srcCol).as("_i")).agg(min(col(dstCol)).as("_m"))
+    vertices.select(col(idCol))
+      .join(mins, col(idCol) === col("_i"), "left")
+      .select(col(idCol),
+        least(col(idCol), coalesce(col("_m"), col(idCol))).as(labelCol))
+  }
+
   def minLabel(vertices: DataFrame, idCol: String,
                sym: DataFrame, srcCol: String, dstCol: String,
                labelCol: String = "cluster_id",
-               maxIter: Int = 50): (DataFrame, Int) = {
+               maxIter: Int = 50,
+               init: Option[DataFrame] = None): (DataFrame, Int) = {
     val spark = vertices.sparkSession
     val edges = sym.select(col(srcCol).as("_x"), col(dstCol).as("_nb"))
     // localCheckpoint truncates LINEAGE but its LogicalRDD CARRIES the
@@ -81,58 +110,91 @@ object ConnectedComponents {
     // planning O(1). The row re-encode is linear in label rows — noise next
     // to the round's joins.
     def rebase(ck: DataFrame): DataFrame = spark.createDataFrame(ck.rdd, ck.schema)
-    var labelsCk = vertices.select(col(idCol).as("_id"), col(idCol).as("_lbl"))
-      .localCheckpoint(true)
+    // LAZY checkpoint: round 1's convergence count materializes the
+    // initial labels inside its own job — an eager checkpoint here would
+    // spend a whole extra Spark job before the first round (visible at
+    // ~0.3-0.5 s when init carries a groupBy plan behind it)
+    var labelsCk = init
+      .map(_.select(col(idCol).as("_id"), col(labelCol).as("_lbl")))
+      .getOrElse(vertices.select(col(idCol).as("_id"), col(idCol).as("_lbl")))
+      .localCheckpoint(false)
     var labels = rebase(labelsCk)
     var converged = false
     var iter = 0
     val lblType = labels.schema("_lbl").dataType
+    // TWO propagation rounds per Spark action (r11): termination only
+    // needs the LAST round to be a no-op — the round operator is a
+    // deterministic function of the labels, so "output == input" at any
+    // round IS the fixpoint regardless of what earlier rounds changed.
+    // Counting only the pair's second round therefore halves the action
+    // count (a warm-started dedup graph converges in ONE action: round 1
+    // merges the stragglers, round 2 confirms), at worst executing one
+    // wasted round's joins inside an action that was needed anyway.
     while (!converged && iter < maxIter) {
       val prevCk = labelsCk
-      // step 1: neighbor min — lazily cached so step 2's self-join reads
-      // the InMemoryRelation instead of re-running the join (the
-      // referenced-twice re-execution trap), WITHOUT spending a separate
-      // eager-materialization job: the round's one action below computes it.
-      // The previous label RIDES THROUGH the aggregation (the self branch
-      // contributes exactly one non-null _old per _id; max ignores the edge
-      // branch's nulls), so the convergence check at the end of the round
-      // needs no separate join back to the previous frame — one shuffle
-      // fewer per round than the join-with-prev shape.
-      val mins = edges
-        .join(labels.select(col("_id").as("_nb"), col("_lbl").as("_nl")), Seq("_nb"))
-        .select(col("_x").as("_id"), col("_nl").as("_lbl"),
-          lit(null).cast(lblType).as("_old"))
-        .unionByName(labels.select(col("_id"), col("_lbl"),
-          col("_lbl").as("_old")))
-        .groupBy("_id").agg(min(col("_lbl")).as("_lbl"), max(col("_old")).as("_old"))
-        .persist()
-      // step 2: chained pointer jumps — follow the representative's own
-      // label off the one cached mins frame, so each round contracts
-      // label chains by depth jumps+1, not 2 (rounds ~ log_{jumps+2} of
-      // the deepest chain). A label is always a live vertex id (it is the
-      // min of vertex ids), so the lookup always matches; left join +
-      // coalesce only guards degenerate empty inputs
-      val jumps = if (iter < EscalateAfter) JumpsShallow else JumpsDeep
-      val reps = mins.select(col("_id").as("_lbl"), col("_lbl").as("_ll"))
-      var jumped = mins
-      for (_ <- 1 to jumps)
-        jumped = jumped.join(reps, Seq("_lbl"), "left")
-          .select(col("_id"),
-            least(col("_lbl"), coalesce(col("_ll"), col("_lbl"))).as("_lbl"),
-            col("_old"))
-      // lazy checkpoint: the convergence count below is the round's SINGLE
-      // action — it computes the joins, fills the mins cache, persists the
-      // checkpoint blocks, and counts changed labels in one job
+      val roundsThisAction = math.min(2, maxIter - iter)
+      val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      var cur = labels
+      var jumped: DataFrame = null
+      for (r <- 1 to roundsThisAction) {
+        // step 1: neighbor min — lazily cached so step 2's self-join reads
+        // the InMemoryRelation instead of re-running the join (the
+        // referenced-twice re-execution trap), WITHOUT spending a separate
+        // eager-materialization job: the pair's one action below computes
+        // it. The round's INPUT label RIDES THROUGH the aggregation (the
+        // self branch contributes exactly one non-null _old per _id; max
+        // ignores the edge branch's nulls), so the convergence check at
+        // the end of the pair needs no separate join back — and because
+        // each round rebuilds _old from ITS OWN input, the final count
+        // measures exactly the last round's changes.
+        val mins = edges
+          .join(cur.select(col("_id").as("_nb"), col("_lbl").as("_nl")), Seq("_nb"))
+          .select(col("_x").as("_id"), col("_nl").as("_lbl"),
+            lit(null).cast(lblType).as("_old"))
+          .unionByName(cur.select(col("_id"), col("_lbl"),
+            col("_lbl").as("_old")))
+          .groupBy("_id").agg(min(col("_lbl")).as("_lbl"), max(col("_old")).as("_old"))
+          .persist()
+        persisted += mins
+        // step 2: chained pointer jumps — follow the representative's own
+        // label off the one cached mins frame, so each round contracts
+        // label chains by depth jumps+1, not 2 (rounds ~ log_{jumps+2} of
+        // the deepest chain). A label is always a live vertex id (it is
+        // the min of vertex ids), so the lookup always matches; left join
+        // + coalesce only guards degenerate empty inputs
+        val jumps = if (iter + r - 1 < EscalateAfter) JumpsShallow else JumpsDeep
+        val reps = mins.select(col("_id").as("_lbl"), col("_lbl").as("_ll"))
+        jumped = mins
+        for (_ <- 1 to jumps)
+          jumped = jumped.join(reps, Seq("_lbl"), "left")
+            .select(col("_id"),
+              least(col("_lbl"), coalesce(col("_ll"), col("_lbl"))).as("_lbl"),
+              col("_old"))
+        cur = jumped.select("_id", "_lbl")
+        // an INTERMEDIATE round's output is read twice by the next round
+        // (the edge join branch and the union self branch) — without a
+        // persist the whole first-round subtree would compute twice
+        // inside the pair's job, costing more than the saved action
+        if (r < roundsThisAction) {
+          cur = cur.persist()
+          persisted += cur
+        }
+      }
+      // lazy checkpoint: the convergence count below is the pair's SINGLE
+      // action — it computes both rounds' joins, fills the mins caches,
+      // persists the checkpoint blocks, and counts the LAST round's
+      // changed labels in one job
       val nextCk = jumped.localCheckpoint(false)
       val changed = nextCk.filter(col("_lbl") =!= col("_old")).count()
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        System.err.println(s"[cc] round ${iter + 1}: changed=$changed t=${System.nanoTime() / 1000000000L % 10000}")
+        System.err.println(s"[cc] rounds ${iter + 1}..${iter + roundsThisAction}: " +
+          s"last-round changed=$changed t=${System.nanoTime() / 1000000000L % 10000}")
       labelsCk = nextCk
       labels = rebase(nextCk).select("_id", "_lbl")
       prevCk.unpersist()
-      mins.unpersist()
+      persisted.foreach(_.unpersist())
       converged = changed == 0
-      iter += 1
+      iter += roundsThisAction
     }
     if (!converged) throw new IllegalStateException(
       s"connected components unconverged after $maxIter doubling rounds — " +

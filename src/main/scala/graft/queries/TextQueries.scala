@@ -469,7 +469,10 @@ object TextQueries {
   /** frame-based form of cluster formation, shared with
     * pipeline/CorpusDedup. */
   private[graft] def nearDupClustersOf(dd: DataFrame): DataFrame = {
-    val sig = minhashSignatures(dd).persist()
+    // no persist on sig: its single consumer is the band explode (the
+    // repped/sym persists below carry everything the rounds re-read), so
+    // caching it would only add a cache-write pass to round 1's job
+    val sig = minhashSignatures(dd)
     val bands = sig.select(col("doc_id"),
       posexplode(array((0 until 4).map(b =>
         md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))): _*)))
@@ -485,20 +488,28 @@ object TextQueries {
     // quadratic in the DATA, while the star stays at one edge per
     // member. q27p still declares true pairwise candidates; this is
     // cluster FORMATION, which only needs connectivity. */
-    val edges = bands
+    val repped = bands
       .withColumn("rep", min(col("doc_id")).over(
         Window.partitionBy(col("band_idx"), col("band"))))
+      .persist()
+    val edges = repped
       .filter(col("doc_id") =!= col("rep"))
       .select(col("rep").as("a"), col("doc_id").as("c")).distinct()
     val sym = edges.select(col("a").as("x"), col("c").as("nb"))
       .unionByName(edges.select(col("c").as("x"), col("a").as("nb")))
       .persist()
+    // warm start at the 1-hop neighbor-min the band window already
+    // computed (each doc's min bucket rep, rep ≤ doc_id by
+    // construction; every doc has 4 band rows so coverage is total) —
+    // the flood starts one round in, and the shallow dedup graph
+    // converges in 2 propagation jobs instead of 3
+    val init = repped.groupBy("doc_id").agg(min(col("rep")).as("cluster_id"))
     val (labels, rounds) = graft.operators.ConnectedComponents.minLabel(
-      dd.select("doc_id"), "doc_id", sym, "x", "nb")
+      dd.select("doc_id"), "doc_id", sym, "x", "nb", init = Some(init))
     // surfaces in the bench log: rounds track the widest component's
     // diameter (BASELINE.md round-6 finding), one job per round
     System.err.println(s"[graft] label propagation converged in $rounds rounds")
-    sig.unpersist()
+    repped.unpersist()
     sym.unpersist()
     labels
   }

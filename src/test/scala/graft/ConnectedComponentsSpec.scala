@@ -21,8 +21,36 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(Seq(100L, 101L, 102L).forall(byId(_) == 100L))
     assert(byId(999L) == 999L, "isolated vertex keeps its own label")
     // plain one-hop propagation would need 63 rounds here; doubling must
-    // stay within ceil(log2(64)) + 1
-    assert(rounds <= 7, s"expected <= 7 doubling rounds on a 64-chain, got $rounds")
+    // stay within ceil(log2(64)) + 1, plus at most one wasted round from
+    // the two-rounds-per-action pairing
+    assert(rounds <= 8, s"expected <= 8 doubling rounds on a 64-chain, got $rounds")
+  }
+
+  test("1-hop warm start reaches the same fixpoint in fewer rounds") {
+    // same adversarial shape as above (64-path + triangle + isolate);
+    // warm-started labels must be IDENTICAL to cold labels — the init
+    // only moves the flood one hop in, never past a reachable min
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val edges = spark.createDataFrame(chain ++ tri).toDF("a", "b")
+    val sym = edges.select(col("a").as("x"), col("b").as("nb"))
+      .unionByName(edges.select(col("b").as("x"), col("a").as("nb")))
+    val vertices = spark.range(64).select(col("id"))
+      .unionByName(spark.createDataFrame(
+        Seq(Tuple1(100L), Tuple1(101L), Tuple1(102L), Tuple1(999L))).toDF("id"))
+    val init = ConnectedComponents.oneHopInit(vertices, "id", sym, "x", "nb")
+    // the init itself is the neighbor min: isolated keeps own id
+    val i0 = init.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(i0(999L) == 999L && i0(5L) == 4L && i0(0L) == 0L && i0(102L) == 100L)
+    val (cold, coldRounds) =
+      ConnectedComponents.minLabel(vertices, "id", sym, "x", "nb")
+    val (warm, warmRounds) = ConnectedComponents.minLabel(
+      vertices, "id", sym, "x", "nb", init = Some(init))
+    val c = cold.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = warm.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c == w, "warm start must not change the fixpoint")
+    assert(warmRounds <= coldRounds,
+      s"warm start took $warmRounds rounds vs cold $coldRounds")
   }
 
   test("many-round run keeps per-round plan stats constant (no compounding)") {
@@ -73,11 +101,12 @@ class ConnectedComponentsSpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
   }
 
-  test("empty edge list: every vertex is its own cluster in one round") {
+  test("empty edge list: every vertex is its own cluster in one action") {
     val vertices = spark.range(5).select(col("id"))
     val sym = spark.createDataFrame(Seq.empty[(Long, Long)]).toDF("x", "nb")
     val (labels, rounds) = ConnectedComponents.minLabel(vertices, "id", sym, "x", "nb")
     assert(labels.filter(col("id") =!= col("cluster_id")).count() == 0)
-    assert(rounds == 1)
+    // one fused PAIR of rounds (one Spark action) confirms the fixpoint
+    assert(rounds <= 2)
   }
 }
