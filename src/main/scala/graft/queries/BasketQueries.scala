@@ -22,14 +22,20 @@ object BasketQueries {
     * exact ppm. The frequent-itemset-pairs report (Agrawal & Srikant's
     * Apriori at k=2) that drives "bought together" features.
     *
-    * Plan: dim join to part (broadcast — part is the small side) →
-    * DISTINCT (order, brand) market basket → self-join on the order key
-    * only (one shuffle; both sides are the SAME frame so the exchange
-    * is reused) with a<b in the join condition — pair fan-out per order
-    * is bounded by basket size squared (≤ 11 distinct brands/order in
-    * this data; baskets, not corpora), NEVER a cross join across
-    * orders. Per-brand supports and the order count are vocabulary-
-    * sized frames broadcast back onto the 300-row pair table.
+    * Plan (r11 — replaces the basket self-join that cost 11.1× wall for
+    * 100× data at sf10): the brand vocabulary is require()-bounded at
+    * ≤ 63 (25 in TPC-H), so each order's basket is ONE long bitmask —
+    * lineitem joins the broadcast (partkey → brand bit) dim, then one
+    * orders-keyed hash-agg bit_or's the basket mask (map-side combined;
+    * bit_or is inherently DISTINCT, so the old distinct shuffle is gone
+    * too). Pairs enumerate MAP-SIDE from each mask (Σ basket²/2 rows
+    * into a ≤ 300-key partial agg — the shuffle carries per-partition
+    * partial counts, not pairs), after an Apriori k=1 pre-prune
+    * (Agrawal & Srikant): brands below the declared support floor are
+    * masked out before enumeration, since supp_ab ≥ 3 needs both sides
+    * ≥ 3 — identical results above the floor, materially less fan-out
+    * on a skewed corpus. Supports and the order count are broadcast
+    * back onto the pair table.
     */
   val q115 = DeclaredQuery(
     "q115_basket_rules",
@@ -51,23 +57,51 @@ object BasketQueries {
            |JOIN s sb ON p.brand_b = sb.b
            |WHERE p.supp_ab >= 3
            |ORDER BY 1, 2""".stripMargin)) { (s, d) =>
-    val ob = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
-        col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
-      .distinct()
-    val nOrders = ob.agg(countDistinct(col("o")).as("n_orders"))
-    val supp = ob.groupBy(col("b")).agg(count(lit(1)).as("supp"))
-    val pair = ob.select(col("o"), col("b").as("brand_a"))
-      .join(ob.select(col("o").as("o2"), col("b").as("brand_b")),
-        col("o") === col("o2") && col("brand_a") < col("brand_b"))
-      .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("supp_ab"))
-      .filter(col("supp_ab") >= 3)
-    pair
-      .join(broadcast(supp.select(col("b"), col("supp").as("supp_a"))),
-        col("brand_a") === col("b")).drop("b")
-      .join(broadcast(supp.select(col("b"), col("supp").as("supp_b"))),
-        col("brand_b") === col("b")).drop("b")
+    import s.implicits._
+    val MinSupp = 3
+    // brand vocabulary from the DIM side only — a bounded driver list
+    // (the statsCatalog posture: vocabulary-sized, require()d), indexed
+    // in sorted order so bit positions are deterministic
+    val brands = Tables.part(s, d).select(col("p_brand")).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(brands.length <= 63,
+      s"${brands.length} brands — the bitmask plan holds ≤ 63 (one long)")
+    val n = brands.length
+    val brandIdx = brands.zipWithIndex.toSeq.toDF("b", "i")
+    val partBits = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+      .join(brandIdx, col("p_brand") === col("b"))
+      .select(col("p_partkey"), col("i"))
+    // one shuffle: per-order basket bitmask (bit_or == DISTINCT brands)
+    val masks = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(partBits), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), i))").as("mask"))
+      .select("mask")
+      .persist()
+    val nOrders = masks.agg(count(lit(1)).as("n_orders"))
+    val setBits =
+      s"filter(sequence(0, ${n - 1}), x -> (shiftright(mask, x) & 1) = 1)"
+    val supp = masks.select(explode(expr(setBits)).as("i"))
+      .groupBy("i").agg(count(lit(1)).as("supp"))
+    // Apriori k=1 prune: a pair at the floor needs BOTH items at the
+    // floor, so sub-floor brands vanish from the masks before pair
+    // enumeration (results above the floor are unchanged)
+    val freq = supp.filter(col("supp") >= MinSupp)
+      .agg(coalesce(expr("bit_or(shiftleft(CAST(1 AS BIGINT), i))"), lit(0L))
+        .as("fmask"))
+    val pairCounts = masks.crossJoin(broadcast(freq))
+      .select(col("mask").bitwiseAND(col("fmask")).as("mask"))
+      .select(col("mask"), explode(expr(setBits)).as("ia"))
+      .select(col("ia"), explode(expr(
+        s"filter(sequence(0, ${n - 1}), y -> y > ia AND (shiftright(mask, y) & 1) = 1)"))
+        .as("ib"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("supp_ab"))
+      .filter(col("supp_ab") >= MinSupp)
+    val out = pairCounts
+      .join(broadcast(brandIdx.select(col("b").as("brand_a"), col("i").as("ia"))), "ia")
+      .join(broadcast(brandIdx.select(col("b").as("brand_b"), col("i").as("ib"))), "ib")
+      .join(broadcast(supp.select(col("i").as("ia"), col("supp").as("supp_a"))), "ia")
+      .join(broadcast(supp.select(col("i").as("ib"), col("supp").as("supp_b"))), "ib")
       .crossJoin(broadcast(nOrders))
       .select(col("brand_a"), col("brand_b"), col("supp_ab"),
         expr("(1000000 * supp_ab) div supp_a").as("conf_ppm"),
@@ -75,6 +109,7 @@ object BasketQueries {
                | div (CAST(supp_a AS DECIMAL(38,0)) * supp_b) AS BIGINT)"""
           .stripMargin.replace("\n", " ")).as("lift_ppm"))
       .orderBy("brand_a", "brand_b")
+    out
   }
 
   // ---------------------------------------------------------------- Q116
