@@ -443,7 +443,6 @@ object StreamingOps {
 
   final case class FunnelEvent(user: Long, typ: String, eus: Long, tb: Long)
   final case class FunnelStep(user: Long, step: Int, eus: Long, gapUs: Long)
-  final case class FunnelProg(t1: Long, t2: Long, t3: Long)
 
   /** Streaming twin of q97's ordered funnel — a per-user CEP state
     * machine (the MATCH_RECOGNIZE shape Spark lacks as a built-in):
@@ -458,33 +457,49 @@ object StreamingOps {
     * incremental contract: already-armed steps never re-arm (the
     * history-so-far answer stands). */
   def funnelStream(events: Dataset[FunnelEvent],
-                   windowUs: Long): Dataset[FunnelStep] = {
+                   windowUs: Long): Dataset[FunnelStep] =
+    cepStream(events, Seq("view", "click", "purchase"), windowUs)
+
+  /** Generalized CEP step-sequence matcher (r11, verdict item 5 — the
+    * MATCH_RECOGNIZE shape Spark lacks as a built-in, with the step
+    * list DECLARED instead of hard-coded): per user, an event of type
+    * `steps(i)` arms step i+1 when step i is already armed, strictly
+    * after it, and within `windowUs` of it (step 1 arms on first
+    * occurrence); each arming emits a step event with its gap. State is
+    * one timestamp per declared step, O(|steps|) per user.
+    *
+    * [[funnelStream]] is `cepStream(view→click→purchase)` — its q97
+    * batch parity pin carries over verbatim; a real funnel user edits
+    * the step list weekly, which is why it is a parameter. For in-order
+    * feeds the armed times are the per-step minima of the step-ordered
+    * first-match chain; late data follows the incremental contract
+    * (already-armed steps never re-arm). */
+  def cepStream(events: Dataset[FunnelEvent], steps: Seq[String],
+                windowUs: Long): Dataset[FunnelStep] = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      s"steps must be non-empty and distinct: $steps")
     val spark = events.sparkSession
     import spark.implicits._
+    val stepOf = steps.zipWithIndex.toMap
+    val n = steps.size
     events.groupByKey(_.user)
-      .flatMapGroupsWithState[FunnelProg, FunnelStep](
+      .flatMapGroupsWithState[Seq[Long], FunnelStep](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) { (u, rows, state) =>
-        var s = state.getOption.getOrElse(FunnelProg(-1L, -1L, -1L))
+        val armed = state.getOption.getOrElse(Seq.fill(n)(-1L)).toArray
         val out = List.newBuilder[FunnelStep]
         rows.toSeq.sortBy(e => (e.eus, e.tb)).foreach { e =>
-          e.typ match {
-            case "view" if s.t1 < 0 =>
-              s = s.copy(t1 = e.eus)
-              out += FunnelStep(u, 1, e.eus, 0L)
-            case "click" if s.t1 >= 0 && s.t2 < 0 &&
-                e.eus > s.t1 && e.eus - s.t1 <= windowUs =>
-              val gap = e.eus - s.t1
-              s = s.copy(t2 = e.eus)
-              out += FunnelStep(u, 2, e.eus, gap)
-            case "purchase" if s.t2 >= 0 && s.t3 < 0 &&
-                e.eus > s.t2 && e.eus - s.t2 <= windowUs =>
-              val gap = e.eus - s.t2
-              s = s.copy(t3 = e.eus)
-              out += FunnelStep(u, 3, e.eus, gap)
-            case _ =>
+          stepOf.get(e.typ).foreach { i =>
+            val prevOk = i == 0 ||
+              (armed(i - 1) >= 0 && e.eus > armed(i - 1) &&
+                e.eus - armed(i - 1) <= windowUs)
+            if (armed(i) < 0 && prevOk) {
+              armed(i) = e.eus
+              out += FunnelStep(u, i + 1, e.eus,
+                if (i == 0) 0L else e.eus - armed(i - 1))
+            }
           }
         }
-        state.update(s)
+        state.update(armed.toSeq)
         out.result().iterator
       }
   }

@@ -521,6 +521,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cep stream: 4-step declared pattern arms in order, within window, once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import StreamingOps.{FunnelEvent, FunnelStep}
+    val W = 100L
+    val feed = Seq(
+      // user 1 completes all four steps in order within the window
+      FunnelEvent(1L, "a", 10L, 1L), FunnelEvent(1L, "b", 20L, 2L),
+      FunnelEvent(1L, "c", 50L, 3L), FunnelEvent(1L, "d", 120L, 4L),
+      // user 2: step c arrives BEFORE b armed — must not arm; then b,
+      // then a late c outside b's window — must not arm either
+      FunnelEvent(2L, "a", 10L, 5L), FunnelEvent(2L, "c", 15L, 6L),
+      FunnelEvent(2L, "b", 30L, 7L), FunnelEvent(2L, "c", 200L, 8L),
+      // user 3: duplicate a's — only the first arms; b equal-time to a
+      // (not strictly after) must not arm
+      FunnelEvent(3L, "a", 40L, 9L), FunnelEvent(3L, "a", 41L, 10L),
+      FunnelEvent(3L, "b", 40L, 11L))
+    val input = MemoryStream[FunnelEvent]
+    val q = StreamingOps.cepStream(input.toDS(), Seq("a", "b", "c", "d"), W)
+      .writeStream.format("memory").queryName("cep_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two chunks so state crosses a micro-batch boundary
+      feed.grouped(6).foreach { c => input.addData(c.toSeq: _*); q.processAllAvailable() }
+      val got = spark.table("cep_out").as[FunnelStep].collect()
+        .map(s => (s.user, s.step) -> (s.eus, s.gapUs)).toMap
+      assert(got == Map(
+        (1L, 1) -> (10L, 0L), (1L, 2) -> (20L, 10L),
+        (1L, 3) -> (50L, 30L), (1L, 4) -> (120L, 70L),
+        (2L, 1) -> (10L, 0L), (2L, 2) -> (30L, 20L),
+        (3L, 1) -> (40L, 0L)))
+    } finally q.stop()
+    // funnelStream is cepStream(view->click->purchase): the q97 parity
+    // test above pins the 3-step instantiation
+  }
+
   test("wau stream: live day states are bit-equal to a batch rebuild") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
