@@ -462,12 +462,18 @@ object Main {
 
       case "vacuum" =>
         // reclaim paths.table: retain paths.vacuum_keep versions
-        // (default 1), delete unreferenced/orphaned data files
+        // (default 1), delete unreferenced/orphaned data files older
+        // than paths.vacuum_orphan_age_ms (default 10 min — young
+        // orphans may belong to an in-flight commit; pass 0 only in a
+        // maintenance window with no live writers)
         val tablePath = ioPathExtra(configPath, "table")
           .getOrElse(throw new IllegalArgumentException("vacuum needs paths.table"))
         val keep = ioPathExtra(configPath, "vacuum_keep")
           .map(_.toInt).getOrElse(1)
-        val (manifests, files) = Snapshots.vacuum(spark, tablePath, keep)
+        val orphanAge = ioPathExtra(configPath, "vacuum_orphan_age_ms")
+          .map(_.toLong).getOrElse(600000L)
+        val (manifests, files) =
+          Snapshots.vacuum(spark, tablePath, keep, orphanMinAgeMs = orphanAge)
         Map("manifests_dropped" -> manifests.toString,
           "files_deleted" -> files.toString)
 
@@ -526,9 +532,17 @@ object Main {
           .filter(col("key") === cName).limit(1).count() > 0
         val prune = if (keyed) scala.util.Try(value.toDouble).toOption
           .map(v => (v, v)) else None
+        val colType = Snapshots.read(spark, tablePath).schema(cName).dataType
+        // validate the literal's cast on the driver FIRST: a value that
+        // fails to cast (typo, wrong type) yields null, the predicate
+        // matches nothing, and a right-to-be-forgotten request would
+        // report rows_deleted=0 as a successful run — fail loudly instead
+        require(!spark.range(1)
+            .select(lit(value).cast(colType).isNull).head().getBoolean(0),
+          s"forget_value '$value' does not cast to $cName's type " +
+            s"$colType — the delete predicate would silently match nothing")
         val st = Snapshots.delete(spark, tablePath,
-          col(cName) === lit(value).cast(
-            Snapshots.read(spark, tablePath).schema(cName).dataType),
+          col(cName) === lit(value).cast(colType),
           prune = prune, meta = s"forget $cName=$value")
         Map("version" -> st.version.toString,
           "rows_deleted" -> st.rowsDeleted.toString,
@@ -543,7 +557,7 @@ object Main {
   def main(args: Array[String]): Unit = {
     require(args.length == 2,
       "usage: graft.Main <data-config.yaml> " +
-        "<cache|serve|explore|predict|dedup|split|score|ingest|decontaminate|annbuild|annsearch|compact|upsert|snapshot|timetravel|cdc|vacuum>")
+        "<cache|serve|explore|predict|dedup|split|score|ingest|decontaminate|annbuild|annsearch|compact|upsert|snapshot|timetravel|cdc|vacuum|forget|gate>")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.shuffle.partitions",

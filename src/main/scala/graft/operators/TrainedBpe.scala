@@ -4,11 +4,15 @@ package graft.operators
   * real merge depth, checked in and applied as a declared-query vocab
   * (q86). The sf corpora's 30-word vocabulary exhausts pair merges at
   * ~90, so the fixture is trained on BpeBench's realistic synthetic
-  * Zipf dictionary (100k syllable-composed words) UNION the corpus
-  * generator's 30 words at dominant counts — 1,500 merges deep, and
-  * every corpus word is learned as a full unit. Regenerate with
-  * `runMain graft.tools.BpeBench fixture` (deterministic: same dict,
-  * same trainer tie rules, same bytes).
+  * Zipf dictionary (100k syllable-composed words) — 1,500 merges deep,
+  * and deliberately DISJOINT from the corpus generator's words: seeding
+  * them would learn each as a whole unit and degenerate q86 to
+  * n_sub = 1 everywhere, where the disjoint dictionary is the realistic
+  * cross-domain application and gives corpus words non-trivial
+  * multi-unit segmentations (BpeBench's fixture command documents the
+  * same rationale). Regenerate with `runMain graft.tools.BpeBench
+  * fixture` (deterministic: same dict, same trainer tie rules, same
+  * bytes).
   *
   * Application mode is [[Subword]]'s greedy longest-match over the
   * merged-unit inventory (the WordPiece-style application of a

@@ -216,14 +216,41 @@ object Snapshots {
     val mTmp = new Path(table, s"_manifest_tmp_${java.util.UUID.randomUUID()}")
     full.coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(mTmp.toString)
     val target = new Path(manifestDir(table), f"v${cur + 1}%06d")
-    // place the manifest dir (the exists-check rejects stale dirs from
-    // crashed/racing writers — a bare rename would move INTO them)...
-    if (fs.exists(target) || !fs.rename(mTmp, target)) {
+    val okFile = new Path(manifestDir(table), f"v${cur + 1}%06d.ok")
+    val lockFile = new Path(manifestDir(table), f"v${cur + 1}%06d.lock")
+    // r11 lock protocol (the Delta LogStore putIfAbsent posture): the
+    // version NUMBER is arbitrated FIRST by an exists-exclusive .lock
+    // create — the one atomic primitive the Hadoop API guarantees. The
+    // previous shape arbitrated on the marker AFTER the dir rename, and
+    // two writers passing the exists-check together could interleave
+    // renames (a bare dir rename silently moves INTO an existing
+    // destination) and the marker loser's cleanup then deleted the
+    // WINNER's placed manifest. With the lock held, the rename and the
+    // marker are contention-free by construction; losers clean up only
+    // their own tmp dir and retry at the next version. A crashed
+    // holder's stale lock blocks its version number until vacuum
+    // reclaims it — exactly the posture stale manifest dirs already had.
+    try fs.create(lockFile, false).close()
+    catch { case _: java.io.IOException =>
       fs.delete(mTmp, true)
       throw new IllegalStateException(
-        s"commit of $table v${cur + 1} found an existing manifest dir " +
-          "(concurrent writer or stale crash debris — vacuum reclaims it)")
+        s"commit of $table v${cur + 1} lost the version lock " +
+          "(concurrent writer, or stale crash debris vacuum reclaims) — " +
+          "re-read the current version and retry")
     }
+    def releaseAndAbort(reason: String): Nothing = {
+      fs.delete(mTmp, true)
+      fs.delete(lockFile, false)
+      throw new IllegalStateException(
+        s"commit of $table v${cur + 1} aborted: $reason")
+    }
+    // a committed-and-vacuum-less past life of this version number (the
+    // caller read a stale `cur`) or a crashed holder's dir: abort —
+    // never rename into it
+    if (fs.exists(okFile) || fs.exists(target))
+      releaseAndAbort("version already exists — stale current-version read")
+    if (!fs.rename(mTmp, target))
+      releaseAndAbort("manifest rename failed")
     // commit metadata rides a sidecar written BEFORE the marker, so a
     // version's meta is always complete once the marker exists (the
     // idempotent-sink contract depends on that ordering)
@@ -233,14 +260,18 @@ object Snapshots {
       out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       out.close()
     }
-    // ...then COMMIT POINT: exists-exclusive atomic marker create
-    try fs.create(new Path(manifestDir(table), f"v${cur + 1}%06d.ok"), false).close()
-    catch { case _: java.io.IOException =>
+    // COMMIT POINT — uncontended (we hold the lock and proved the
+    // marker absent), so a failure here is an I/O fault, not a race:
+    // roll back this writer's own artifacts and rethrow
+    try fs.create(okFile, false).close()
+    catch { case e: java.io.IOException =>
       fs.delete(target, true)
       fs.delete(metaFile, false)
+      fs.delete(lockFile, false)
       throw new IllegalStateException(
-        s"commit of $table v${cur + 1} lost a concurrent-writer race")
+        s"commit of $table v${cur + 1} could not place its marker", e)
     }
+    fs.delete(lockFile, false)
   }
 
   /** Commit metadata of `version` ("" if none was recorded). */
@@ -316,7 +347,17 @@ object Snapshots {
     val v = if (version < 0) currentVersion(spark, table) else version
     val m = manifest(spark, table, v)
     require(hi >= lo, s"empty range [$lo, $hi]")
-    val keep = m.filter(col("key") === c && col("max_k") >= lo && col("min_k") <= hi)
+    // a file is skipped ONLY on positive evidence: stats recorded FOR
+    // THIS column and provably disjoint from [lo, hi]. Files with no
+    // stats (append without statsCol), another column's stats, or null
+    // min/max (string-typed key whose cast-to-double is null) stay in
+    // the scan — the row-level filter below still applies, keeping the
+    // documented "strict optimization, never a semantics change"
+    // contract (r11, advice fix: the old key===c && overlap filter
+    // silently DROPPED every null-stats file)
+    val disjoint = col("key") === c && col("min_k").isNotNull &&
+      col("max_k").isNotNull && (col("max_k") < lo || col("min_k") > hi)
+    val keep = m.filter(!disjoint)
       .select(concat(lit(dataDir(table).toString + "/"), col("file")))
       .collect().map(_.getString(0))
     require(keep.length <= 1000000, "manifest not metadata-sized")
@@ -357,7 +398,13 @@ object Snapshots {
       .limit(1).collect().headOption.map(_.getString(0))
     val candidates = prune match {
       case Some((lo, hi)) =>
-        m.filter(col("key").isNotNull && col("max_k") >= lo && col("min_k") <= hi)
+        // null-stats rows (appends without statsCol, or keys whose
+        // cast-to-double min/max is null) are ALWAYS candidates — a
+        // delete that skipped them would silently leave matching rows
+        // behind and report success (r11, advice fix; the spec pins a
+        // GDPR forget on a mixed-stats table)
+        m.filter(col("key").isNull || col("min_k").isNull ||
+            col("max_k").isNull || (col("max_k") >= lo && col("min_k") <= hi))
           .select("file").collect().map(_.getString(0))
       case None => m.select("file").collect().map(_.getString(0))
     }
@@ -459,9 +506,20 @@ object Snapshots {
     * no retained manifest references (including orphans from failed
     * commits). Returns (manifests dropped, data files deleted). Bounded
     * driver state: the retained membership and the data listing are
-    * FILE-count-sized (require()d). */
-  def vacuum(spark: SparkSession, table: String, keepLast: Int = 1): (Int, Int) = {
+    * FILE-count-sized (require()d).
+    *
+    * `orphanMinAgeMs` (r11, the Delta/Iceberg vacuum retention posture):
+    * an UNREFERENCED file or unmarked manifest dir/lock younger than the
+    * threshold is left alone — it may belong to a commit that is
+    * in-flight right now (data files renamed into `data/`, marker not
+    * yet placed); deleting it would corrupt that commit the moment its
+    * marker lands. Committed-version drops are not age-gated (their
+    * markers prove them superseded). Pass 0 only when no writer can be
+    * live (single-process tests, maintenance windows). */
+  def vacuum(spark: SparkSession, table: String, keepLast: Int = 1,
+             orphanMinAgeMs: Long = 600000L): (Int, Int) = {
     require(keepLast >= 1, "must retain at least one version")
+    val now = System.currentTimeMillis
     val md = manifestDir(table)
     val fs = fsOf(spark, md)
     val versions = fs.listStatus(md)
@@ -475,22 +533,27 @@ object Snapshots {
     drop.foreach { v =>
       fs.delete(new Path(md, f"v$v%06d.ok"), false)
       fs.delete(new Path(md, f"v$v%06d.meta"), false)
+      fs.delete(new Path(md, f"v$v%06d.lock"), false)
       fs.delete(new Path(md, f"v$v%06d"), true)
     }
-    // stale manifest dirs/sidecars a crashed or racing writer left
-    // without a marker block that version number forever — reclaim them
-    fs.listStatus(md).map(_.getPath)
-      .filter { p =>
-        val base = p.getName.stripSuffix(".meta")
-        base.matches("v\\d{6}") && !fs.exists(new Path(md, base + ".ok"))
+    // stale manifest dirs/sidecars/locks a crashed writer left without a
+    // marker block that version number forever — reclaim them once they
+    // are old enough to be provably not in-flight
+    fs.listStatus(md)
+      .filter { st =>
+        val base = st.getPath.getName.stripSuffix(".meta").stripSuffix(".lock")
+        base.matches("v\\d{6}") && !fs.exists(new Path(md, base + ".ok")) &&
+          now - st.getModificationTime >= orphanMinAgeMs
       }
-      .foreach(p => fs.delete(p, true))
+      .foreach(st => fs.delete(st.getPath, true))
     val dd = dataDir(table)
-    val onDisk = fs.listStatus(dd).map(_.getPath)
-      .filter(_.getName.endsWith(".parquet"))
+    val onDisk = fs.listStatus(dd)
+      .filter(_.getPath.getName.endsWith(".parquet"))
     require(onDisk.length <= 1000000, "data dir not file-count bounded")
-    val orphans = onDisk.filterNot(p => referenced(p.getName))
-    orphans.foreach(p => fs.delete(p, false))
+    val orphans = onDisk.filter(st =>
+      !referenced(st.getPath.getName) &&
+        now - st.getModificationTime >= orphanMinAgeMs)
+    orphans.foreach(st => fs.delete(st.getPath, false))
     (drop.length, orphans.length)
   }
 }

@@ -85,7 +85,9 @@ class SnapshotSpec extends SparkSpec {
     Snapshots.commit(spark, df(0 until 50), t, files = 2)
     Snapshots.commit(spark, df(50 until 60), t, files = 1)
     Snapshots.commit(spark, df(0 until 5), t, overwrite = true, files = 1)
-    val (manifestsDropped, filesDeleted) = Snapshots.vacuum(spark, t, keepLast = 1)
+    // age 0: single-process test, no writer can be in flight
+    val (manifestsDropped, filesDeleted) =
+      Snapshots.vacuum(spark, t, keepLast = 1, orphanMinAgeMs = 0L)
     assert(manifestsDropped == 2)
     assert(filesDeleted == 3) // v1's 2 + v2's 1, unreferenced by v3
     assert(Snapshots.read(spark, t).count() == 5)
@@ -226,5 +228,112 @@ class SnapshotSpec extends SparkSpec {
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$t/_manifests/v000002"))
     intercept[IllegalStateException](
       Snapshots.commit(spark, df(10 until 20), t, files = 1))
+    // a stale LOCK (crashed holder) blocks the version the same way
+    fs.delete(new org.apache.hadoop.fs.Path(s"$t/_manifests/v000002"), true)
+    fs.create(new org.apache.hadoop.fs.Path(s"$t/_manifests/v000002.lock"),
+      false).close()
+    intercept[IllegalStateException](
+      Snapshots.commit(spark, df(10 until 20), t, files = 1))
+    assert(Snapshots.currentVersion(spark, t) == 1)
+    // age-0 vacuum reclaims the debris; the version number is usable again
+    Snapshots.vacuum(spark, t, keepLast = 5, orphanMinAgeMs = 0L)
+    assert(Snapshots.commit(spark, df(10 until 20), t, files = 1).version == 2)
+  }
+
+  test("concurrent committers: every append lands exactly once, losers retry cleanly") {
+    val t = freshTable()
+    Snapshots.commit(spark, df(0 until 10), t, files = 1)
+    // 4 writers × 3 appends of disjoint key ranges, racing on the same
+    // table; a loser sees IllegalStateException (the lock/exists abort
+    // paths), re-reads the current version and retries — the contract a
+    // real multi-writer deployment runs
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { w =>
+      new Thread(() => {
+        try {
+          for (j <- 0 until 3) {
+            val lo = 1000 * (3 * w + j + 1)
+            var attempts = 0
+            var done = false
+            while (!done) {
+              attempts += 1
+              require(attempts <= 60, s"writer $w gave up after $attempts tries")
+              try {
+                Snapshots.commit(spark, df(lo until lo + 10), t, files = 1)
+                done = true
+              } catch { case _: IllegalStateException => Thread.sleep(20) }
+            }
+          }
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"writer died: ${Option(errors.peek())}")
+    // 1 seed + 12 racing appends = 13 contiguous committed versions
+    assert(Snapshots.currentVersion(spark, t) == 13)
+    val rows = Snapshots.read(spark, t).select("k").collect().map(_.getLong(0))
+    assert(rows.length == 130 && rows.distinct.length == 130,
+      "every batch exactly once, no duplicates, no losses")
+    // every intermediate version is a readable snapshot with a complete
+    // manifest (no partial manifest ever became visible)
+    (1 to 13).foreach(v => assert(Snapshots.read(spark, t, v).count() == 10L * v))
+  }
+
+  test("vacuum age threshold protects in-flight commit artifacts") {
+    val t = freshTable()
+    Snapshots.commit(spark, df(0 until 20), t, files = 1)
+    Snapshots.commit(spark, df(20 until 30), t, files = 1)
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a commit IN FLIGHT right now: data file renamed into
+    // data/, manifest dir + lock placed, marker not yet created
+    val inflight = new org.apache.hadoop.fs.Path(s"$t/data/part-inflight.parquet")
+    fs.create(inflight, false).close()
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$t/_manifests/v000003"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$t/_manifests/v000003.lock"),
+      false).close()
+    // default retention: superseded manifests drop, but the young
+    // unreferenced artifacts all survive (v1's data file included — age
+    // cannot distinguish it from an in-flight writer's)
+    val (dropped, deleted) = Snapshots.vacuum(spark, t, keepLast = 1)
+    assert(dropped == 1 && deleted == 0)
+    assert(fs.exists(inflight))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$t/_manifests/v000003")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$t/_manifests/v000003.lock")))
+    assert(Snapshots.read(spark, t).count() == 30)
+    // age 0 (maintenance window, no live writers): everything reclaims
+    val (_, deleted0) = Snapshots.vacuum(spark, t, keepLast = 1, orphanMinAgeMs = 0L)
+    // v2's manifest carries v1's file by reference (append), so the only
+    // reclaimable orphan is the in-flight one
+    assert(deleted0 == 1, "the in-flight orphan")
+    assert(!fs.exists(inflight))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$t/_manifests/v000003.lock")))
+    assert(Snapshots.read(spark, t).count() == 30)
+  }
+
+  test("null-stats manifest rows always survive pruning (readPruned + pruned delete)") {
+    val t = freshTable()
+    // mixed-stats table: one clustered append WITH stats, one append
+    // WITHOUT statsCol (its manifest rows carry null key/min/max) —
+    // exactly what Main's snapshot verb produces when snapshot_key is
+    // optional per invocation
+    Snapshots.commit(spark, df(0 until 50), t,
+      statsCol = Some("k"), clustered = true, files = 2)
+    Snapshots.commit(spark, df(50 until 100), t, files = 2) // no stats
+    val m = Snapshots.manifest(spark, t, 2)
+    assert(m.filter(col("key").isNull).count() == 2, "unstatsed files present")
+    // readPruned must keep the null-stats files in the scan: rows 60-70
+    // live ONLY in them
+    val pruned = Snapshots.readPruned(spark, t, "k", 40.0, 70.0)
+      .select("k").collect().map(_.getLong(0)).sorted
+    assert(pruned.toSeq == (40L to 70L),
+      "strict optimization violated — null-stats rows dropped")
+    // a pruned GDPR delete must remove matching rows from unstatsed
+    // files too, not report success while leaving them behind
+    val st = Snapshots.delete(spark, t, col("k") >= 45 && col("k") <= 55,
+      prune = Some((45.0, 55.0)))
+    assert(st.rowsDeleted == 11, s"deleted ${st.rowsDeleted} of 11 matches")
+    val left = Snapshots.read(spark, t).select("k").collect().map(_.getLong(0))
+    assert(left.length == 89 && !left.exists(k => k >= 45 && k <= 55))
   }
 }
