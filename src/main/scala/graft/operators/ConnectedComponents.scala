@@ -27,19 +27,17 @@ import org.apache.spark.sql.functions._
   * every vertex labeled with its component's minimum id — so callers'
   * oracles are unchanged.
   *
-  * Scale/cost: ONE Spark job per PAIR of rounds (r11 — termination only
-  * needs the last round to be a no-op, so two rounds chain lazily and the
-  * single convergence count measures the second; a warm-started shallow
-  * graph converges in one action). The neighbor-min frames are lazily
+  * Scale/cost: ONE Spark job per round. The neighbor-min frame is lazily
   * `persist`ed (both jump-join references resolve to the same
-  * InMemoryRelation, so each computes once inside the pair's job instead
-  * of needing its own eager-checkpoint job), the pair result is a lazy
-  * `localCheckpoint` (truncates lineage), and the convergence count is
-  * the single action that materializes all of it. Each round's input
-  * label rides through its aggregation so that count is a scan, not a
-  * third join. Shuffles key on vertex id / label only. Hot representative
-  * keys on giant components are one-row build side per key — AQE skew
-  * split territory, no driver state anywhere.
+  * InMemoryRelation, so it computes once inside the round's job instead of
+  * needing its own eager-checkpoint job), the round result is a lazy
+  * `localCheckpoint` (truncates lineage), and the convergence count is the
+  * single action that materializes both. The previous label rides along so
+  * that count is a scan, not a third join. Shuffles key on vertex id /
+  * label only. Hot representative keys on giant components are one-row
+  * build side per key — AQE skew split territory, no driver state
+  * anywhere. (Two-rounds-per-action fusion was measured in r11 and
+  * rejected — see the loop comment.)
   *
   * Reference provenance: the reference has no graph step; this serves the
   * near-dup cluster formation the training-pipeline brief adds (q39).
@@ -69,20 +67,24 @@ object ConnectedComponents {
     * @param init     optional WARM-START labels (idCol, labelCol),
     *   exactly one row per vertex (it REPLACES `vertices`): each
     *   label must be the id of a vertex reachable from the keyed vertex
-    *   (and ≤ it, min wins) — e.g. the per-vertex min over its bucket
-    *   representatives, which the band window computes for free. The
-    *   fixpoint is unchanged (labels only move down toward the
-    *   component min and every intermediate value stays a reachable
-    *   id); a 1-hop warm start just starts the flood one round in,
-    *   saving a full propagation job on the shallow graphs the dedup
-    *   chain builds (r11: q39-family rounds 3 → 2 at sf0.1).
+    *   (and ≤ it, min wins). The fixpoint is unchanged (labels only
+    *   move down toward the component min and every intermediate value
+    *   stays a reachable id) — ConnectedComponentsSpec pins warm == cold.
+    *   Measured caveat (r11): a 1-hop warm start saves at most one
+    *   round, which is worth nothing on flood-bound graphs (the sf1
+    *   chain corpus runs 24 rounds either way), and the init plan is
+    *   eagerly checkpointed here (one extra job) — so the dedup chain
+    *   queries deliberately do NOT use it. It exists for callers whose
+    *   warm labels are already materialized (e.g. an incremental run
+    *   re-clustering from a previous epoch's labels).
     * @return (labels as (idCol, labelCol) DataFrame, rounds used)
     */
-  /** Generic 1-hop warm start for [[minLabel]] when the caller has no
-    * cheaper source of neighbor minima: each vertex labeled min(self,
-    * direct neighbors) — one vocabulary-keyed groupBy + left join, in
-    * exchange for a full propagation round (3 shuffles + a checkpoint
-    * + a count job). Isolated vertices keep their own id. */
+  /** Generic 1-hop warm start for [[minLabel]]: each vertex labeled
+    * min(self, direct neighbors) — one groupBy + left join. Isolated
+    * vertices keep their own id. See the `init` caveat on [[minLabel]]:
+    * measured r11, this buys at most one round and costs an eager
+    * checkpoint job, so it only pays when `sym` is already materialized
+    * AND the graph is shallow; the in-repo dedup chains use cold starts. */
   def oneHopInit(vertices: DataFrame, idCol: String,
                  sym: DataFrame, srcCol: String, dstCol: String,
                  labelCol: String = "cluster_id"): DataFrame = {
@@ -110,91 +112,79 @@ object ConnectedComponents {
     // planning O(1). The row re-encode is linear in label rows — noise next
     // to the round's joins.
     def rebase(ck: DataFrame): DataFrame = spark.createDataFrame(ck.rdd, ck.schema)
-    // LAZY checkpoint: round 1's convergence count materializes the
-    // initial labels inside its own job — an eager checkpoint here would
-    // spend a whole extra Spark job before the first round (visible at
-    // ~0.3-0.5 s when init carries a groupBy plan behind it)
+    // EAGER checkpoint, deliberately: round 1 reads the label frame
+    // through TWO branches (the edge join and the union self branch). A
+    // lazy checkpoint/cache would be filled by two concurrent readers
+    // racing inside round 1's job — the initial plan's whole subtree
+    // computes ~twice (measured in r11 on the warm-start experiment:
+    // "Block already exists; not re-adding" + q39 sf1 15 s → 24-29 s).
+    // One small up-front job is cheaper than double-computing the input.
     var labelsCk = init
       .map(_.select(col(idCol).as("_id"), col(labelCol).as("_lbl")))
       .getOrElse(vertices.select(col(idCol).as("_id"), col(idCol).as("_lbl")))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     var labels = rebase(labelsCk)
     var converged = false
     var iter = 0
     val lblType = labels.schema("_lbl").dataType
-    // TWO propagation rounds per Spark action (r11): termination only
-    // needs the LAST round to be a no-op — the round operator is a
-    // deterministic function of the labels, so "output == input" at any
-    // round IS the fixpoint regardless of what earlier rounds changed.
-    // Counting only the pair's second round therefore halves the action
-    // count (a warm-started dedup graph converges in ONE action: round 1
-    // merges the stragglers, round 2 confirms), at worst executing one
-    // wasted round's joins inside an action that was needed anyway.
+    // ONE round per Spark action. Fusing two rounds per action was built
+    // and MEASURED in r11, then reverted: within a fused pair the second
+    // round reads the first round's un-materialized output through TWO
+    // branches (edge join + union self), and concurrent tasks race to
+    // fill the same lazy cache partitions — the first round's subtree
+    // computes ~twice ("Block already exists; not re-adding"). On tiny
+    // per-round data (sf0.1, scheduling-dominated) fusion won ~0.5 s/
+    // query, but on the sf1 adversarial chain corpus (24 rounds,
+    // data-dominated) q39 went 15 s → 38 s. Multi-reference inside one
+    // action is fundamental to this operator (the jump joins read mins
+    // twice as well), so actions are the only safe materialization
+    // points; the warm start above is where the round count is cut.
     while (!converged && iter < maxIter) {
       val prevCk = labelsCk
-      val roundsThisAction = math.min(2, maxIter - iter)
-      val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-      var cur = labels
-      var jumped: DataFrame = null
-      for (r <- 1 to roundsThisAction) {
-        // step 1: neighbor min — lazily cached so step 2's self-join reads
-        // the InMemoryRelation instead of re-running the join (the
-        // referenced-twice re-execution trap), WITHOUT spending a separate
-        // eager-materialization job: the pair's one action below computes
-        // it. The round's INPUT label RIDES THROUGH the aggregation (the
-        // self branch contributes exactly one non-null _old per _id; max
-        // ignores the edge branch's nulls), so the convergence check at
-        // the end of the pair needs no separate join back — and because
-        // each round rebuilds _old from ITS OWN input, the final count
-        // measures exactly the last round's changes.
-        val mins = edges
-          .join(cur.select(col("_id").as("_nb"), col("_lbl").as("_nl")), Seq("_nb"))
-          .select(col("_x").as("_id"), col("_nl").as("_lbl"),
-            lit(null).cast(lblType).as("_old"))
-          .unionByName(cur.select(col("_id"), col("_lbl"),
-            col("_lbl").as("_old")))
-          .groupBy("_id").agg(min(col("_lbl")).as("_lbl"), max(col("_old")).as("_old"))
-          .persist()
-        persisted += mins
-        // step 2: chained pointer jumps — follow the representative's own
-        // label off the one cached mins frame, so each round contracts
-        // label chains by depth jumps+1, not 2 (rounds ~ log_{jumps+2} of
-        // the deepest chain). A label is always a live vertex id (it is
-        // the min of vertex ids), so the lookup always matches; left join
-        // + coalesce only guards degenerate empty inputs
-        val jumps = if (iter + r - 1 < EscalateAfter) JumpsShallow else JumpsDeep
-        val reps = mins.select(col("_id").as("_lbl"), col("_lbl").as("_ll"))
-        jumped = mins
-        for (_ <- 1 to jumps)
-          jumped = jumped.join(reps, Seq("_lbl"), "left")
-            .select(col("_id"),
-              least(col("_lbl"), coalesce(col("_ll"), col("_lbl"))).as("_lbl"),
-              col("_old"))
-        cur = jumped.select("_id", "_lbl")
-        // an INTERMEDIATE round's output is read twice by the next round
-        // (the edge join branch and the union self branch) — without a
-        // persist the whole first-round subtree would compute twice
-        // inside the pair's job, costing more than the saved action
-        if (r < roundsThisAction) {
-          cur = cur.persist()
-          persisted += cur
-        }
-      }
-      // lazy checkpoint: the convergence count below is the pair's SINGLE
-      // action — it computes both rounds' joins, fills the mins caches,
-      // persists the checkpoint blocks, and counts the LAST round's
-      // changed labels in one job
+      // step 1: neighbor min — lazily cached so step 2's self-join reads
+      // the InMemoryRelation instead of re-running the join (the
+      // referenced-twice re-execution trap), WITHOUT spending a separate
+      // eager-materialization job: the round's one action below computes it.
+      // The previous label RIDES THROUGH the aggregation (the self branch
+      // contributes exactly one non-null _old per _id; max ignores the edge
+      // branch's nulls), so the convergence check at the end of the round
+      // needs no separate join back to the previous frame — one shuffle
+      // fewer per round than the join-with-prev shape.
+      val mins = edges
+        .join(labels.select(col("_id").as("_nb"), col("_lbl").as("_nl")), Seq("_nb"))
+        .select(col("_x").as("_id"), col("_nl").as("_lbl"),
+          lit(null).cast(lblType).as("_old"))
+        .unionByName(labels.select(col("_id"), col("_lbl"),
+          col("_lbl").as("_old")))
+        .groupBy("_id").agg(min(col("_lbl")).as("_lbl"), max(col("_old")).as("_old"))
+        .persist()
+      // step 2: chained pointer jumps — follow the representative's own
+      // label off the one cached mins frame, so each round contracts
+      // label chains by depth jumps+1, not 2 (rounds ~ log_{jumps+2} of
+      // the deepest chain). A label is always a live vertex id (it is the
+      // min of vertex ids), so the lookup always matches; left join +
+      // coalesce only guards degenerate empty inputs
+      val jumps = if (iter < EscalateAfter) JumpsShallow else JumpsDeep
+      val reps = mins.select(col("_id").as("_lbl"), col("_lbl").as("_ll"))
+      var jumped = mins
+      for (_ <- 1 to jumps)
+        jumped = jumped.join(reps, Seq("_lbl"), "left")
+          .select(col("_id"),
+            least(col("_lbl"), coalesce(col("_ll"), col("_lbl"))).as("_lbl"),
+            col("_old"))
+      // lazy checkpoint: the convergence count below is the round's SINGLE
+      // action — it computes the joins, fills the mins cache, persists the
+      // checkpoint blocks, and counts changed labels in one job
       val nextCk = jumped.localCheckpoint(false)
       val changed = nextCk.filter(col("_lbl") =!= col("_old")).count()
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        System.err.println(s"[cc] rounds ${iter + 1}..${iter + roundsThisAction}: " +
-          s"last-round changed=$changed t=${System.nanoTime() / 1000000000L % 10000}")
+        System.err.println(s"[cc] round ${iter + 1}: changed=$changed t=${System.nanoTime() / 1000000000L % 10000}")
       labelsCk = nextCk
       labels = rebase(nextCk).select("_id", "_lbl")
       prevCk.unpersist()
-      persisted.foreach(_.unpersist())
+      mins.unpersist()
       converged = changed == 0
-      iter += roundsThisAction
+      iter += 1
     }
     if (!converged) throw new IllegalStateException(
       s"connected components unconverged after $maxIter doubling rounds — " +

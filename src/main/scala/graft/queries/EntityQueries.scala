@@ -102,9 +102,7 @@ object EntityQueries {
       .select("x", "y")
     val sym = e.unionByName(e.select(col("y").as("x"), col("x").as("y")))
     val (labels, _) = graft.operators.ConnectedComponents.minLabel(
-      vocab, "p_name", sym, "x", "y", labelCol = "entity",
-      init = Some(graft.operators.ConnectedComponents.oneHopInit(
-        vocab, "p_name", sym, "x", "y", labelCol = "entity")))
+      vocab, "p_name", sym, "x", "y", labelCol = "entity")
     val aliasCounts = labels.groupBy("entity")
       .agg(count(lit(1)).as("n_aliases"))
     val rowCounts = Tables.part(s, d).select(col("p_name"))

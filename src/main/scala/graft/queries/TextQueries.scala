@@ -469,10 +469,12 @@ object TextQueries {
   /** frame-based form of cluster formation, shared with
     * pipeline/CorpusDedup. */
   private[graft] def nearDupClustersOf(dd: DataFrame): DataFrame = {
-    // no persist on sig: its single consumer is the band explode (the
-    // repped/sym persists below carry everything the rounds re-read), so
-    // caching it would only add a cache-write pass to round 1's job
-    val sig = minhashSignatures(dd)
+    // sig.persist is LOAD-BEARING: sym below unions TWO references to
+    // edges, so filling sym's cache computes the edges subtree twice —
+    // with sig cached, that recompute re-reads the (expensive) minhash
+    // signatures instead of re-shingling the corpus (removing this
+    // persist in r11 measured q39 sf1 15 s → 24.7 s; restored)
+    val sig = minhashSignatures(dd).persist()
     val bands = sig.select(col("doc_id"),
       posexplode(array((0 until 4).map(b =>
         md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))): _*)))
@@ -488,28 +490,28 @@ object TextQueries {
     // quadratic in the DATA, while the star stays at one edge per
     // member. q27p still declares true pairwise candidates; this is
     // cluster FORMATION, which only needs connectivity. */
-    val repped = bands
+    // NO warm start here (r11: built, measured, reverted): seeding each
+    // doc with its min band rep cut sf0.1 from 3 rounds to 2, but the
+    // init and round 1 then raced to fill the shared band-frame cache
+    // inside one action (the whole shingle+minhash+window subtree
+    // computed twice), and on the sf1 adversarial chain corpus — whose
+    // 24 rounds are FLOOD-bound, where a 1-hop head start is worth at
+    // most one round — q39 went 15 s → 24-29 s. minLabel keeps the
+    // `init` parameter for callers whose warm labels are free-standing.
+    val edges = bands
       .withColumn("rep", min(col("doc_id")).over(
         Window.partitionBy(col("band_idx"), col("band"))))
-      .persist()
-    val edges = repped
       .filter(col("doc_id") =!= col("rep"))
       .select(col("rep").as("a"), col("doc_id").as("c")).distinct()
     val sym = edges.select(col("a").as("x"), col("c").as("nb"))
       .unionByName(edges.select(col("c").as("x"), col("a").as("nb")))
       .persist()
-    // warm start at the 1-hop neighbor-min the band window already
-    // computed (each doc's min bucket rep, rep ≤ doc_id by
-    // construction; every doc has 4 band rows so coverage is total) —
-    // the flood starts one round in, and the shallow dedup graph
-    // converges in 2 propagation jobs instead of 3
-    val init = repped.groupBy("doc_id").agg(min(col("rep")).as("cluster_id"))
     val (labels, rounds) = graft.operators.ConnectedComponents.minLabel(
-      dd.select("doc_id"), "doc_id", sym, "x", "nb", init = Some(init))
+      dd.select("doc_id"), "doc_id", sym, "x", "nb")
     // surfaces in the bench log: rounds track the widest component's
     // diameter (BASELINE.md round-6 finding), one job per round
     System.err.println(s"[graft] label propagation converged in $rounds rounds")
-    repped.unpersist()
+    sig.unpersist()
     sym.unpersist()
     labels
   }

@@ -789,11 +789,8 @@ object VectorQueries {
     val sym = edges.select(col("id_a").as("x"), col("id_b").as("nb"))
       .unionByName(edges.select(col("id_b").as("x"), col("id_a").as("nb")))
       .persist()
-    val verts = Tables.embeddings(s, d).select("vec_id")
     val (labels, rounds) = graft.operators.ConnectedComponents.minLabel(
-      verts, "vec_id", sym, "x", "nb",
-      init = Some(graft.operators.ConnectedComponents.oneHopInit(
-        verts, "vec_id", sym, "x", "nb")))
+      Tables.embeddings(s, d).select("vec_id"), "vec_id", sym, "x", "nb")
     System.err.println(s"[graft] q60 label propagation converged in $rounds rounds")
     sym.unpersist()
     labels

@@ -21,9 +21,8 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(Seq(100L, 101L, 102L).forall(byId(_) == 100L))
     assert(byId(999L) == 999L, "isolated vertex keeps its own label")
     // plain one-hop propagation would need 63 rounds here; doubling must
-    // stay within ceil(log2(64)) + 1, plus at most one wasted round from
-    // the two-rounds-per-action pairing
-    assert(rounds <= 8, s"expected <= 8 doubling rounds on a 64-chain, got $rounds")
+    // stay within ceil(log2(64)) + 1
+    assert(rounds <= 7, s"expected <= 7 doubling rounds on a 64-chain, got $rounds")
   }
 
   test("1-hop warm start reaches the same fixpoint in fewer rounds") {
@@ -101,12 +100,11 @@ class ConnectedComponentsSpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
   }
 
-  test("empty edge list: every vertex is its own cluster in one action") {
+  test("empty edge list: every vertex is its own cluster in one round") {
     val vertices = spark.range(5).select(col("id"))
     val sym = spark.createDataFrame(Seq.empty[(Long, Long)]).toDF("x", "nb")
     val (labels, rounds) = ConnectedComponents.minLabel(vertices, "id", sym, "x", "nb")
     assert(labels.filter(col("id") =!= col("cluster_id")).count() == 0)
-    // one fused PAIR of rounds (one Spark action) confirms the fixpoint
-    assert(rounds <= 2)
+    assert(rounds == 1)
   }
 }
