@@ -531,7 +531,7 @@ object Main {
             Snapshots.currentVersion(spark, tablePath))
           .filter(col("key") === cName).limit(1).count() > 0
         val prune = if (keyed) scala.util.Try(value.toDouble).toOption
-          .map(v => (v, v)) else None
+          .map(v => (cName, v, v)) else None
         val colType = Snapshots.read(spark, tablePath).schema(cName).dataType
         // validate the literal's cast on the driver FIRST: a value that
         // fails to cast (typo, wrong type) yields null, the predicate

@@ -135,7 +135,7 @@ object PipelineShapes {
     "p_snap_delete" -> ((s, d) => {
       val st = graft.pipeline.Snapshots.delete(s, annDir(d) + "_snap",
         col("doc_id") >= 100 && col("doc_id") <= 140,
-        prune = Some((100.0, 140.0)))
+        prune = Some(("doc_id", 100.0, 140.0)))
       s.range(st.rowsDeleted).toDF("deleted")
     }))
 }

@@ -190,7 +190,12 @@ object Snapshots {
                           statsCol: Option[String]): DataFrame =
     statsCol match {
       case Some(c) =>
-        written.select(input_file_name().as("f"), col(c).cast("double").as("k"))
+        // try_cast, not cast: under ANSI (Spark 4 default) a stats key
+        // whose value doesn't parse as a number would THROW and fail
+        // the whole commit — null stats (file never pruned, advice-fix
+        // contract) is the right degradation for a non-numeric key
+        written.select(input_file_name().as("f"),
+          expr(s"try_cast(`$c` AS DOUBLE)").as("k"))
           .groupBy("f")
           .agg(count(lit(1)).as("rows"), min("k").as("min_k"), max("k").as("max_k"))
           .select(
@@ -355,8 +360,11 @@ object Snapshots {
     // documented "strict optimization, never a semantics change"
     // contract (r11, advice fix: the old key===c && overlap filter
     // silently DROPPED every null-stats file)
-    val disjoint = col("key") === c && col("min_k").isNotNull &&
-      col("max_k").isNotNull && (col("max_k") < lo || col("min_k") > hi)
+    // key.isNotNull leads so the conjunction is FALSE (not NULL) on
+    // null keys — `!NULL` would silently drop the row from the scan
+    val disjoint = col("key").isNotNull && col("key") === c &&
+      col("min_k").isNotNull && col("max_k").isNotNull &&
+      (col("max_k") < lo || col("min_k") > hi)
     val keep = m.filter(!disjoint)
       .select(concat(lit(dataDir(table).toString + "/"), col("file")))
       .collect().map(_.getString(0))
@@ -379,16 +387,19 @@ object Snapshots {
     * deletion is durable once vacuumed.
     *
     * Discovery: one column-pruned scan of the candidate files finds
-    * which contain hits (`prune = Some((lo, hi))` first restricts the
-    * candidates to manifest-stats overlaps — pass the hash/cluster-key
-    * range covering the delete key and discovery also skips the cold
-    * files). Rewrite: survivors of the hit files are re-clustered on
-    * the table's recorded stats key, keeping later pruned reads intact.
-    * A DELETE with no hits burns no version. Returns the new version
-    * and the rewrite/keep/row accounting.
+    * which contain hits (`prune = Some((col, lo, hi))` first restricts
+    * the candidates to files whose recorded stats FOR THAT COLUMN
+    * provably overlap — pass the hash/cluster-key range covering the
+    * delete key and discovery also skips the cold files; files with no
+    * stats, null stats, or another column's stats are always
+    * candidates, so pruning can never skip a matching row). Rewrite:
+    * survivors of the hit files are re-clustered on the table's
+    * recorded stats key, keeping later pruned reads intact. A DELETE
+    * with no hits burns no version. Returns the new version and the
+    * rewrite/keep/row accounting.
     */
   def delete(spark: SparkSession, table: String, pred: Column,
-             prune: Option[(Double, Double)] = None,
+             prune: Option[(String, Double, Double)] = None,
              meta: String = ""): DeleteStats = {
     val cur = currentVersion(spark, table)
     require(cur > 0, s"$table has no committed version")
@@ -397,15 +408,21 @@ object Snapshots {
     val keyCol = m.filter(col("key").isNotNull).select("key")
       .limit(1).collect().headOption.map(_.getString(0))
     val candidates = prune match {
-      case Some((lo, hi)) =>
-        // null-stats rows (appends without statsCol, or keys whose
-        // cast-to-double min/max is null) are ALWAYS candidates — a
-        // delete that skipped them would silently leave matching rows
-        // behind and report success (r11, advice fix; the spec pins a
-        // GDPR forget on a mixed-stats table)
-        m.filter(col("key").isNull || col("min_k").isNull ||
-            col("max_k").isNull || (col("max_k") >= lo && col("min_k") <= hi))
-          .select("file").collect().map(_.getString(0))
+      case Some((c, lo, hi)) =>
+        // a file is skipped ONLY on positive evidence: stats recorded
+        // FOR THE PRUNE COLUMN and provably disjoint from [lo, hi].
+        // Null-stats rows (appends without statsCol, string keys whose
+        // cast-to-double min/max is null) and files clustered on a
+        // DIFFERENT column say nothing about c and stay candidates —
+        // a delete that skipped them would silently leave matching
+        // rows behind and report success (r11, advice fix; the spec
+        // pins a GDPR forget on a mixed-stats table)
+        // key.isNotNull leads so the conjunction is FALSE (not NULL)
+        // on null keys — `!NULL` would silently drop the row
+        val disjoint = col("key").isNotNull && col("key") === c &&
+          col("min_k").isNotNull && col("max_k").isNotNull &&
+          (col("max_k") < lo || col("min_k") > hi)
+        m.filter(!disjoint).select("file").collect().map(_.getString(0))
       case None => m.select("file").collect().map(_.getString(0))
     }
     require(candidates.length <= 1000000, "manifest not metadata-sized")

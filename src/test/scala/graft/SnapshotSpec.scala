@@ -146,7 +146,7 @@ class SnapshotSpec extends SparkSpec {
       .select("file").collect().map(_.getString(0)).toSet
     // pruned delete of k in [10, 14]: candidates only overlap-files
     val st = Snapshots.delete(spark, t, col("k") >= 10 && col("k") <= 14,
-      prune = Some((10.0, 14.0)))
+      prune = Some(("k", 10.0, 14.0)))
     assert(st.version == 2 && st.rowsDeleted == 5)
     assert(st.filesRewritten == 1, "hits span one clustered file")
     assert(st.filesKept == 3)
@@ -331,9 +331,19 @@ class SnapshotSpec extends SparkSpec {
     // a pruned GDPR delete must remove matching rows from unstatsed
     // files too, not report success while leaving them behind
     val st = Snapshots.delete(spark, t, col("k") >= 45 && col("k") <= 55,
-      prune = Some((45.0, 55.0)))
+      prune = Some(("k", 45.0, 55.0)))
     assert(st.rowsDeleted == 11, s"deleted ${st.rowsDeleted} of 11 matches")
     val left = Snapshots.read(spark, t).select("k").collect().map(_.getLong(0))
     assert(left.length == 89 && !left.exists(k => k >= 45 && k <= 55))
+    // a file keyed on a DIFFERENT column (here "v", whose string stats
+    // cast to null) says nothing about "k" — a k-pruned delete must
+    // still treat it as a candidate and delete its matching rows
+    Snapshots.commit(spark, df(100 until 120), t, statsCol = Some("v"), files = 1)
+    val m3 = Snapshots.manifest(spark, t, Snapshots.currentVersion(spark, t))
+    assert(m3.filter(col("key") === "v").count() == 1, "other-keyed file present")
+    val st2 = Snapshots.delete(spark, t, col("k") >= 105 && col("k") <= 114,
+      prune = Some(("k", 105.0, 114.0)))
+    assert(st2.rowsDeleted == 10, s"deleted ${st2.rowsDeleted} of 10 matches " +
+      "— the other-column-keyed file must not be pruned away")
   }
 }
