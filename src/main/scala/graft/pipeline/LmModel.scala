@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   *
   * Artifacts are plain parquet under `modelDir`: `c2` (bigram counts),
   * `c1` (context counts), `meta` (one row: vocabulary size). Model size
-  * is the OBSERVED bigram vocabulary — ≪ corpus — and scoring is two
-  * key-partitioned joins plus a doc-keyed average, no windows.
+  * is the OBSERVED bigram vocabulary — ≪ corpus, few MB for a CCNet-
+  * style LM — so scoring BROADCASTS both model tables and the token
+  * stream is never join-shuffled; the only data-sized exchange is the
+  * doc-keyed average, map-side combined (the r11 shape key-partitioned
+  * the raw bigram stream through two joins and went super-linear).
   *
   * Scoring a DIFFERENT corpus hits out-of-vocabulary mass the declared
   * query never sees; add-one smoothing defines it exactly:
@@ -43,9 +46,12 @@ object LmModel {
     val c2 = s.read.parquet(s"$modelDir/c2")
     val c1 = s.read.parquet(s"$modelDir/c1")
     val v = s.read.parquet(s"$modelDir/meta")
+    // OOV needs per-key left joins (an unseen bigram may still have a
+    // seen context a), so c2/c1 broadcast separately rather than as one
+    // fused (a, b, logp) frame
     bigrams(docs)
-      .join(c2, Seq("a", "b"), "left")
-      .join(c1, Seq("a"), "left")
+      .join(broadcast(c2), Seq("a", "b"), "left")
+      .join(broadcast(c1), Seq("a"), "left")
       .crossJoin(broadcast(v))
       .withColumn("logp",
         log((coalesce(col("n2"), lit(0L)) + 1).cast("double")
