@@ -1,5 +1,75 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Box-factor canary (VERDICT r11 item 2): three pinned, CODE-FROZEN
+  * calibration shapes — a fixed-shape scan-agg, a shuffle join, and a
+  * 5-round iterative agg loop — timed before every stamped run, against
+  * reference times pinned from a quiet box (loadavg < 1, r12).
+  * `box_factor` = geometric mean of measured/reference across the three
+  * shapes: ~1.0 on a quiet box, >1 under contention. A per-cell
+  * "regression" in a run whose box_factor reads 1.7 is the box, not the
+  * code — r10/r11 each burned a judge cycle plus a multi-scale A/B
+  * proving exactly that; this makes it one number in the artifact.
+  *
+  * The shapes are `spark.range`-generated (no dependence on sfDir or
+  * checked-in data), deterministic, and MUST NOT be edited — an edit
+  * invalidates every cross-round box_factor comparison. If Spark's
+  * planner changes a shape's plan across an upgrade, re-pin `refs` and
+  * note the re-pin in BASELINE.
+  */
+object BoxCanary {
+  /** Quiet-box reference seconds — the per-shape MINIMUM across 6
+    * instrumented runs spanning loadavg 0.7-7 (2026-08-15, local[32],
+    * r12): the floor each shape actually reached on this box, so
+    * box_factor reads ~1.0 quiet and >1 under contention rather than
+    * oscillating around a mid-load pin. */
+  val refs: Seq[(String, Double)] =
+    Seq("scan" -> 0.205, "join" -> 0.87, "loop" -> 0.635)
+
+  private def scanAgg(s: SparkSession): Unit =
+    s.range(0L, 200000000L, 1L, 32)
+      .selectExpr("id * 2654435761 % 1000003 AS k")
+      .groupBy().agg(org.apache.spark.sql.functions.sum("k"),
+        org.apache.spark.sql.functions.avg("k"))
+      .count()
+
+  private def shuffleJoin(s: SparkSession): Unit = {
+    val a = s.range(0L, 4000000L, 1L, 32).selectExpr("id % 1000000 AS k", "id AS v")
+    val b = s.range(0L, 4000000L, 1L, 32).selectExpr("id % 1000000 AS k", "id AS w")
+    a.join(b, "k").groupBy().count().count()
+  }
+
+  private def iterLoop(s: SparkSession): Unit = {
+    var df = s.range(0L, 2000000L, 1L, 32).selectExpr("id % 100000 AS k", "id AS v")
+    var i = 0
+    while (i < 5) {
+      df = df.groupBy("k").agg(org.apache.spark.sql.functions.sum("v").as("v"))
+        .selectExpr("(k * 31 + 7) % 100000 AS k", "v")
+      i += 1
+    }
+    df.count()
+  }
+
+  /** Runs each shape twice (min wins — least-contended observation of a
+    * deterministic plan) and returns (per-shape seconds, box_factor). */
+  def run(s: SparkSession): (Seq[(String, Double)], Double) = {
+    val shapes: Seq[(String, SparkSession => Unit)] =
+      Seq("scan" -> scanAgg _, "join" -> shuffleJoin _, "loop" -> iterLoop _)
+    val times = shapes.map { case (name, fn) =>
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(s)
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> math.min(once(), once())
+    }
+    val refMap = refs.toMap
+    val factor = math.exp(
+      times.map { case (n, t) => math.log(t / refMap(n)) }.sum / times.size)
+    (times, factor)
+  }
+}
+
 object Bench {
   /** 1-minute loadavg — snapshotted per rep so an outlier timing is
     * attributable to box contention from the artifact alone (three rounds
@@ -28,6 +98,15 @@ object Bench {
       s
     }
     var spark = newSession()
+    // the canary runs FIRST (post-warmup, pre-suite) so its reading
+    // describes the box the suite is about to run on; skippable for
+    // micro-iterations but never for stamped runs
+    val (calib, boxFactor) =
+      if (sys.env.get("GRAFT_BENCH_NO_CANARY").contains("1")) (Seq.empty[(String, Double)], -1.0)
+      else BoxCanary.run(spark)
+    val calibJson = calib.map { case (n, t) => f""""$n":$t%.3f""" }.mkString("{", ",", "}")
+    if (calib.nonEmpty)
+      System.err.println(f"[bench] box_factor $boxFactor%.2f calib $calibJson")
     var failed = 0
     // a query may leave persisted/localCheckpointed blocks behind (e.g.
     // q39's final label checkpoint, q44's signature persist — blocks the
@@ -150,8 +229,11 @@ object Bench {
     // null, 29 cells unreadable); centisecond ints cut each cell to ~10
     // chars and the whole line to ~1.6 KB. Full-precision seconds remain
     // in the stderr/disk artifact.
+    // floor at 1 cs for nonzero timings — a sub-5ms query must not read
+    // as literally free (ADVICE r11); failed queries stay -100
     val qs = results.map { case (k, v) =>
-      s""""${shortKey(k)}":${math.round(v * 100)}"""
+      val cs = if (v > 0) math.max(1L, math.round(v * 100)) else math.round(v * 100)
+      s""""${shortKey(k)}":$cs"""
     }.mkString("{", ",", "}")
     def arr(xs: Seq[Double]): String = xs.mkString("[", ",", "]")
     val diagJson = diag.map { case (k, (reps, loads)) =>
@@ -195,14 +277,15 @@ object Bench {
     // past the driver's capture and the whole artifact failed to parse —
     // round 9's item 8 regressed by growth); they live in bench_compact
     // .json and the full artifact instead
+    val bf = f"$boxFactor%.2f"
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"q_unit":"cs","queries":$qs,"reps":$benchReps,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"q_unit":"cs","box_factor":$bf,"queries":$qs,"reps":$benchReps,"sf":"$sfDir"}"""
     val compactWithFlags =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"q_unit":"cs","queries":$qs,"reps":$benchReps,"load_flags":$flagsJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"q_unit":"cs","box_factor":$bf,"calib":$calibJson,"queries":$qs,"reps":$benchReps,"load_flags":$flagsJson,"sf":"$sfDir"}"""
     val fullQs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$fullQs,"reps":$benchReps,"load_end":${loadAvg()},"diag":$diagJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"box_factor":$bf,"calib":$calibJson,"queries":$fullQs,"reps":$benchReps,"load_end":${loadAvg()},"diag":$diagJson,"sf":"$sfDir"}"""
     // full artifact (with per-rep timings + loadavg diag) goes to stderr and
     // to disk — stamped per run, because a partial GRAFT_BENCH_ONLY re-run
     // overwrote the round-7 full-suite bench_out.json and the evidence

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -29,10 +29,18 @@ import org.apache.spark.sql.types._
   * `data/` (names are UUID-unique, no collision) → write the manifest
   * to a tmp dir → rename it to `v{N+1}` → atomically CREATE the marker
   * file `v{N+1}.ok` with overwrite=false. The marker create is the
-  * commit point — `FileSystem.create(path, false)` is the one
-  * exists-exclusive atomic primitive the Hadoop API guarantees
-  * everywhere (a bare dir rename silently moves INTO an existing
-  * destination, so it cannot arbitrate a race). Readers only see
+  * commit point. ATOMICITY IS PER-FILESYSTEM, not a Hadoop-API
+  * guarantee (ADVICE r11): `create(path, overwrite=false)` is
+  * namenode-arbitrated on HDFS but an exists-check-then-open on
+  * RawLocalFileSystem and a blind PUT on most object stores — two
+  * racers can both pass. [[createExclusive]] therefore routes file://
+  * through `java.nio.Files.createFile` (O_EXCL at the kernel, the
+  * primitive Delta's HDFSLogStore posture assumes), keeps the Hadoop
+  * call for hdfs://, and REFUSES unknown schemes loudly — s3a/gs/abfs
+  * need a conditional-put LogStore, and corrupting a manifest silently
+  * is worse than failing a commit. A bare dir rename silently moves
+  * INTO an existing destination, so it can never arbitrate the race
+  * itself. Readers only see
   * versions whose marker exists; a writer that loses the race (or
   * finds a stale unmarked dir from a crashed writer) throws, and its
   * data files are orphans — invisible to every reader — until
@@ -47,6 +55,14 @@ object Snapshots {
 
   final case class CommitStats(version: Long, filesAdded: Int, filesTotal: Long)
 
+  /** A commit lost the optimistic-concurrency race (the version lock, or
+    * a stale current-version read): the table is untouched by this
+    * writer, and re-reading the current version and recomputing is the
+    * remedy. Subclasses IllegalStateException so callers that treated
+    * every abort as fatal keep working; [[upsert]] catches THIS type to
+    * retry and lets genuine I/O faults propagate. */
+  final class CommitContention(msg: String) extends IllegalStateException(msg)
+
   private val ManifestSchema = StructType(Seq(
     StructField("file", StringType, nullable = false),
     StructField("rows", LongType, nullable = false),
@@ -56,6 +72,29 @@ object Snapshots {
 
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Atomic exists-exclusive create of a zero-byte arbiter file — throws
+    * IOException iff the file already exists (the lost-the-race signal).
+    * See the commit-protocol doc above for why this is per-scheme: the
+    * Hadoop `create(p, false)` is only atomic where a central arbiter
+    * (the HDFS namenode) backs it. */
+  private def createExclusive(fs: FileSystem, p: Path): Unit = fs.getScheme match {
+    case "file" =>
+      // qualify against the fs working dir so relative table paths
+      // resolve the same way every other Hadoop call here resolves them
+      val local = java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath)
+      if (local.getParent != null) java.nio.file.Files.createDirectories(local.getParent)
+      try java.nio.file.Files.createFile(local)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new java.io.IOException(s"$p already exists")
+      }
+    case "hdfs" => fs.create(p, false).close()
+    case other => throw new UnsupportedOperationException(
+      s"snapshot commit needs an atomic putIfAbsent and '$other' has none in the " +
+        "plain Hadoop API — wire a conditional-PUT arbiter (the Delta LogStore " +
+        "pattern) for this scheme before committing to it")
+  }
 
   private def manifestDir(table: String) = new Path(table, "_manifests")
   private def dataDir(table: String) = new Path(table, "data")
@@ -225,7 +264,8 @@ object Snapshots {
     val lockFile = new Path(manifestDir(table), f"v${cur + 1}%06d.lock")
     // r11 lock protocol (the Delta LogStore putIfAbsent posture): the
     // version NUMBER is arbitrated FIRST by an exists-exclusive .lock
-    // create — the one atomic primitive the Hadoop API guarantees. The
+    // create — atomic per-scheme via createExclusive (r12: O_EXCL on
+    // file://, where the Hadoop call is check-then-open). The
     // previous shape arbitrated on the marker AFTER the dir rename, and
     // two writers passing the exists-check together could interleave
     // renames (a bare dir rename silently moves INTO an existing
@@ -235,27 +275,30 @@ object Snapshots {
     // their own tmp dir and retry at the next version. A crashed
     // holder's stale lock blocks its version number until vacuum
     // reclaims it — exactly the posture stale manifest dirs already had.
-    try fs.create(lockFile, false).close()
+    try createExclusive(fs, lockFile)
     catch { case _: java.io.IOException =>
       fs.delete(mTmp, true)
-      throw new IllegalStateException(
+      throw new CommitContention(
         s"commit of $table v${cur + 1} lost the version lock " +
           "(concurrent writer, or stale crash debris vacuum reclaims) — " +
           "re-read the current version and retry")
     }
-    def releaseAndAbort(reason: String): Nothing = {
+    def releaseAndAbort(reason: String, contention: Boolean): Nothing = {
       fs.delete(mTmp, true)
       fs.delete(lockFile, false)
-      throw new IllegalStateException(
-        s"commit of $table v${cur + 1} aborted: $reason")
+      val msg = s"commit of $table v${cur + 1} aborted: $reason"
+      throw (if (contention) new CommitContention(msg)
+             else new IllegalStateException(msg))
     }
     // a committed-and-vacuum-less past life of this version number (the
     // caller read a stale `cur`) or a crashed holder's dir: abort —
-    // never rename into it
+    // never rename into it. Contention-typed: a stale read means a
+    // concurrent writer won, and re-reading + recomputing is the remedy.
     if (fs.exists(okFile) || fs.exists(target))
-      releaseAndAbort("version already exists — stale current-version read")
+      releaseAndAbort("version already exists — stale current-version read",
+        contention = true)
     if (!fs.rename(mTmp, target))
-      releaseAndAbort("manifest rename failed")
+      releaseAndAbort("manifest rename failed", contention = false)
     // commit metadata rides a sidecar written BEFORE the marker, so a
     // version's meta is always complete once the marker exists (the
     // idempotent-sink contract depends on that ordering)
@@ -268,7 +311,7 @@ object Snapshots {
     // COMMIT POINT — uncontended (we hold the lock and proved the
     // marker absent), so a failure here is an I/O fault, not a race:
     // roll back this writer's own artifacts and rethrow
-    try fs.create(okFile, false).close()
+    try createExclusive(fs, okFile)
     catch { case e: java.io.IOException =>
       fs.delete(target, true)
       fs.delete(metaFile, false)
@@ -378,7 +421,7 @@ object Snapshots {
                                filesKept: Long, rowsDeleted: Long)
 
   /** Catalog-scoped DELETE — the third verb of the DML triad (append =
-    * [[commit]], MERGE = upsert, DELETE = this): remove every row
+    * [[commit]], MERGE = [[upsert]], DELETE = this): remove every row
     * matching `pred` by REWRITING ONLY THE FILES THAT CONTAIN HITS;
     * untouched files carry over into the next manifest version by
     * reference (zero bytes moved), so the GDPR "forget this user" pass
@@ -465,6 +508,116 @@ object Snapshots {
     publishManifest(spark, table, cur, full, meta)
     DeleteStats(cur + 1, hitFiles.size.toLong, kept.count(),
       hitRows - survivorRows)
+  }
+
+  final case class UpsertStats(version: Long, filesRewritten: Long,
+                               rowsUpdated: Long, rowsInserted: Long)
+
+  /** Catalog-scoped MERGE (upsert) — the second verb of the DML triad
+    * (append = [[commit]], MERGE = this, DELETE = [[delete]]), the
+    * versioned sibling of [[graft.sources.Sources.upsertClustered]]:
+    * rows of `updates` whose `keyCol` matches an existing row REPLACE
+    * it, the rest are INSERTED — by rewriting only the files that
+    * contain matched keys (discovered by a stats-pruned scan + one
+    * semi join; file names are captured at the scan so the join may
+    * shuffle freely) and appending the remainder; untouched files carry
+    * into the next manifest by reference. Assumes the upsertClustered
+    * key contract: `keyCol` unique in both the snapshot and `updates`.
+    *
+    * WRITE-WRITE CONFLICTS (VERDICT r11 item 7): the rewrite is
+    * computed against the current snapshot and published under the
+    * v{N+1} lock. A writer that loses the lock — or read a version that
+    * went stale while it rewrote — gets [[CommitContention]], re-reads
+    * the NEW current version, recomputes the rewrite against it, and
+    * republishes (bounded by `maxRetries`, jittered so symmetric racers
+    * de-phase). Both racers' effects therefore land in the final
+    * version even when their key ranges overlap — no lost update
+    * (spec-pinned with two racing writers). Data files renamed by a
+    * losing attempt are unreferenced orphans: invisible to every reader
+    * and reclaimed by [[vacuum]], the same debris class as a crashed
+    * writer's. Genuine I/O faults are NOT retried.
+    */
+  def upsert(spark: SparkSession, table: String, updates: DataFrame,
+             keyCol: String, prune: Option[(String, Double, Double)] = None,
+             meta: String = "", maxRetries: Int = 5): UpsertStats = {
+    var attempt = 0
+    while (true) {
+      try return upsertOnce(spark, table, updates, keyCol, prune, meta)
+      catch {
+        case e: CommitContention =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          Thread.sleep(20L * attempt + (Thread.currentThread().getId & 31))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def upsertOnce(spark: SparkSession, table: String,
+                         updates: DataFrame, keyCol: String,
+                         prune: Option[(String, Double, Double)],
+                         meta: String): UpsertStats = {
+    val cur = currentVersion(spark, table)
+    require(cur > 0, s"$table has no committed version")
+    val m = manifest(spark, table, cur)
+    val dd = dataDir(table).toString
+    val statsKey = m.filter(col("key").isNotNull).select("key")
+      .limit(1).collect().headOption.map(_.getString(0))
+    val candidates = prune match {
+      case Some((c, lo, hi)) =>
+        // positive-evidence pruning only — identical contract to
+        // [[delete]]'s (null/other-column stats stay candidates)
+        val disjoint = col("key").isNotNull && col("key") === c &&
+          col("min_k").isNotNull && col("max_k").isNotNull &&
+          (col("max_k") < lo || col("min_k") > hi)
+        m.filter(!disjoint).select("file").collect().map(_.getString(0))
+      case None => m.select("file").collect().map(_.getString(0))
+    }
+    require(candidates.length <= 1000000, "manifest not metadata-sized")
+    val upN = updates.count()
+    if (upN == 0) return UpsertStats(cur, 0L, 0L, 0L)
+    val keys = updates.select(col(keyCol)).distinct()
+    val hitFiles: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else readFiles(spark, candidates.map(f => s"$dd/$f").toIndexedSeq)
+        .select(col(keyCol),
+          element_at(split(input_file_name(), "/"), -1).as("_src_file"))
+        .join(keys, Seq(keyCol), "left_semi")
+        .select("_src_file").distinct().collect().map(_.getString(0)).toSet
+    val hit =
+      if (hitFiles.isEmpty) None
+      else Some(readFiles(spark, hitFiles.toSeq.sorted.map(f => s"$dd/$f")))
+    val hitRows = hit.map(_.count()).getOrElse(0L)
+    val survivors = hit.map(_.join(keys, Seq(keyCol), "left_anti"))
+    val merged = survivors match {
+      case Some(sv) => sv.unionByName(updates.select(sv.columns.map(col): _*))
+      case None => updates
+    }
+    val nFiles = math.max(1, hitFiles.size)
+    val shaped = statsKey match {
+      case Some(c) => merged
+        .repartitionByRange(nFiles, col(c)).sortWithinPartitions(c)
+      case None => merged.repartition(nFiles)
+    }
+    val fs = fsOf(spark, dataDir(table))
+    val tmp = new Path(table, s"_commit_tmp_${java.util.UUID.randomUUID()}")
+    shaped.write.mode(SaveMode.ErrorIfExists).parquet(tmp.toString)
+    val newRows = statsRowsOf(spark.read.parquet(tmp.toString), statsKey).collect()
+    val writtenRows = newRows.map(_.getLong(1)).sum
+    fs.listStatus(tmp).map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      .foreach { p =>
+        require(fs.rename(p, new Path(dataDir(table), p.getName)),
+          s"rename $p failed")
+      }
+    fs.delete(tmp, true)
+    val kept = m.filter(!col("file").isin(hitFiles.toSeq: _*))
+    val full = kept.unionByName(spark.createDataFrame(
+      java.util.Arrays.asList(newRows: _*), ManifestSchema))
+    publishManifest(spark, table, cur, full, meta)
+    // written = survivors + ALL updates, so the matched count falls out
+    // of the row accounting without an extra action
+    val rowsUpdated = hitRows - (writtenRows - upN)
+    UpsertStats(cur + 1, hitFiles.size.toLong, rowsUpdated, upN - rowsUpdated)
   }
 
   /** Schema-drift report between two versions — the metadata half of

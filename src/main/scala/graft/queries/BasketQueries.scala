@@ -22,20 +22,25 @@ object BasketQueries {
     * exact ppm. The frequent-itemset-pairs report (Agrawal & Srikant's
     * Apriori at k=2) that drives "bought together" features.
     *
-    * Plan (r11 — replaces the basket self-join that cost 11.1× wall for
-    * 100× data at sf10): the brand vocabulary is require()-bounded at
-    * ≤ 63 (25 in TPC-H), so each order's basket is ONE long bitmask —
-    * lineitem joins the broadcast (partkey → brand bit) dim, then one
-    * orders-keyed hash-agg bit_or's the basket mask (map-side combined;
-    * bit_or is inherently DISTINCT, so the old distinct shuffle is gone
-    * too). Pairs enumerate MAP-SIDE from each mask (Σ basket²/2 rows
-    * into a ≤ 300-key partial agg — the shuffle carries per-partition
-    * partial counts, not pairs), after an Apriori k=1 pre-prune
-    * (Agrawal & Srikant): brands below the declared support floor are
-    * masked out before enumeration, since supp_ab ≥ 3 needs both sides
-    * ≥ 3 — identical results above the floor, materially less fan-out
-    * on a skewed corpus. Supports and the order count are broadcast
-    * back onto the pair table.
+    * Plan (r11 bitmask, r12 distinct-basket compaction): the brand
+    * vocabulary is require()-bounded at ≤ 63 (25 in TPC-H), so each
+    * order's basket is ONE long bitmask — lineitem joins the broadcast
+    * (partkey → brand bit) dim, then one orders-keyed hash-agg bit_or's
+    * the basket mask (map-side combined; bit_or is inherently DISTINCT).
+    * r12: the mask stream is immediately compacted to (mask, cnt) —
+    * every downstream cost (support explode, Apriori prune, pair
+    * enumeration) then scales with DISTINCT baskets (≤ 2^brands,
+    * observed ~1000× below order count at sf10), not with orders, and
+    * the weighted counts are exactly equal. The compacted frame is
+    * EAGERLY materialized before the assembly action because four
+    * consumers (n_orders, supports, prune mask, pairs) broadcast off it
+    * inside one action — a lazily persisted frame there races its own
+    * cache fill and computes the lineitem chain per-branch (the r11 CC
+    * finding; BlockManager "already exists, not re-adding"). Pairs
+    * enumerate MAP-SIDE from each distinct mask after the Apriori k=1
+    * pre-prune (Agrawal & Srikant: supp_ab ≥ floor needs both sides
+    * ≥ floor) plus a bit_count ≥ 2 re-group — identical results above
+    * the floor. Supports and the order count broadcast onto the pairs.
     */
   val q115 = DeclaredQuery(
     "q115_basket_rules",
@@ -71,31 +76,39 @@ object BasketQueries {
     val partBits = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
       .join(brandIdx, col("p_brand") === col("b"))
       .select(col("p_partkey"), col("i"))
-    // one shuffle: per-order basket bitmask (bit_or == DISTINCT brands)
+    // one data-sized shuffle: per-order basket bitmask (bit_or ==
+    // DISTINCT brands), then the (mask, cnt) compaction — its shuffle
+    // carries only per-partition distinct masks
     val masks = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
       .join(broadcast(partBits), col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_orderkey"))
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), i))").as("mask"))
       .select("mask")
-      .persist()
-    val nOrders = masks.agg(count(lit(1)).as("n_orders"))
+    val mc = masks.groupBy("mask").agg(count(lit(1)).as("cnt")).persist()
+    mc.count() // eager fill — four same-action consumers below (see doc)
+    val nOrders = mc.agg(sum(col("cnt")).as("n_orders"))
     val setBits =
       s"filter(sequence(0, ${n - 1}), x -> (shiftright(mask, x) & 1) = 1)"
-    val supp = masks.select(explode(expr(setBits)).as("i"))
-      .groupBy("i").agg(count(lit(1)).as("supp"))
+    val supp = mc.select(explode(expr(setBits)).as("i"), col("cnt"))
+      .groupBy("i").agg(sum(col("cnt")).as("supp"))
     // Apriori k=1 prune: a pair at the floor needs BOTH items at the
     // floor, so sub-floor brands vanish from the masks before pair
     // enumeration (results above the floor are unchanged)
     val freq = supp.filter(col("supp") >= MinSupp)
       .agg(coalesce(expr("bit_or(shiftleft(CAST(1 AS BIGINT), i))"), lit(0L))
         .as("fmask"))
-    val pairCounts = masks.crossJoin(broadcast(freq))
-      .select(col("mask").bitwiseAND(col("fmask")).as("mask"))
-      .select(col("mask"), explode(expr(setBits)).as("ia"))
-      .select(col("ia"), explode(expr(
+    val pairCounts = mc.crossJoin(broadcast(freq))
+      .select(col("mask").bitwiseAND(col("fmask")).as("mask"), col("cnt"))
+      // pruned masks collide — re-group so the pair fan-out runs on the
+      // post-prune distinct set; masks with < 2 surviving bits have no
+      // pairs to emit
+      .filter(expr("bit_count(mask) >= 2"))
+      .groupBy("mask").agg(sum(col("cnt")).as("cnt"))
+      .select(col("cnt"), col("mask"), explode(expr(setBits)).as("ia"))
+      .select(col("cnt"), col("ia"), explode(expr(
         s"filter(sequence(0, ${n - 1}), y -> y > ia AND (shiftright(mask, y) & 1) = 1)"))
         .as("ib"))
-      .groupBy("ia", "ib").agg(count(lit(1)).as("supp_ab"))
+      .groupBy("ia", "ib").agg(sum(col("cnt")).as("supp_ab"))
       .filter(col("supp_ab") >= MinSupp)
     val out = pairCounts
       .join(broadcast(brandIdx.select(col("b").as("brand_a"), col("i").as("ia"))), "ia")

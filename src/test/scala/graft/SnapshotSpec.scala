@@ -346,4 +346,78 @@ class SnapshotSpec extends SparkSpec {
     assert(st2.rowsDeleted == 10, s"deleted ${st2.rowsDeleted} of 10 matches " +
       "— the other-column-keyed file must not be pruned away")
   }
+
+  private def dfv(range: Range, prefix: String) = {
+    import spark.implicits._
+    range.map(i => (i.toLong, s"$prefix$i")).toDF("k", "v")
+  }
+
+  test("upsert: matched keys replaced, rest inserted, untouched files by reference") {
+    val t = freshTable()
+    Snapshots.commit(spark, df(0 until 100), t,
+      statsCol = Some("k"), clustered = true, files = 4)
+    // 20 matches (in one clustered range) + 5 inserts
+    val st = Snapshots.upsert(spark, t, dfv(80 until 105, "up"), "k",
+      prune = Some(("k", 80.0, 104.0)))
+    assert(st.version == 2)
+    assert(st.rowsUpdated == 20 && st.rowsInserted == 5, st.toString)
+    // pruning kept the cold files out of the rewrite
+    assert(st.filesRewritten < 4, s"pruned upsert rewrote ${st.filesRewritten} of 4 files")
+    val out = Snapshots.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 105)
+    (0 until 80).foreach(i => assert(out(i.toLong) == s"row$i"))
+    (80 until 105).foreach(i => assert(out(i.toLong) == s"up$i"))
+    // time travel: v1 still reads the pre-upsert snapshot
+    assert(Snapshots.read(spark, t, 1).count() == 100)
+    // empty updates burn no version
+    val st0 = Snapshots.upsert(spark, t, dfv(0 until 0, "x"), "k")
+    assert(st0.version == 2 && st0.rowsUpdated == 0 && st0.rowsInserted == 0)
+  }
+
+  test("racing upserts on overlapping key ranges: loser retries, no lost update") {
+    val t = freshTable()
+    Snapshots.commit(spark, df(0 until 100), t,
+      statsCol = Some("k"), clustered = true, files = 4)
+    // A rewrites keys 40-59 and inserts 100-104; B rewrites 50-69 and
+    // inserts 110-114 — the 50-59 overlap forces both to rewrite the
+    // same files, and whoever publishes second must have recomputed
+    // against the winner's version (CommitContention + built-in retry)
+    // or A's/B's disjoint effects would be silently lost
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    def writer(prefix: String, upd: Range, ins: Range) = new Thread(() => {
+      try {
+        gate.await()
+        val updates = dfv(upd, prefix).unionByName(dfv(ins, prefix))
+        Snapshots.upsert(spark, t, updates, "k")
+      } catch { case e: Throwable => errors.add(e) }
+    })
+    val a = writer("A", 40 until 60, 100 until 105)
+    val b = writer("B", 50 until 70, 110 until 115)
+    a.start(); b.start(); gate.countDown()
+    a.join(); b.join()
+    assert(errors.isEmpty, s"writer died: ${Option(errors.peek())}")
+    assert(Snapshots.currentVersion(spark, t) == 3,
+      "both upserts must have committed (serialized to v2 then v3)")
+    val out = Snapshots.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 110, s"expected 110 distinct keys, got ${out.size}")
+    // both writers' NON-overlapping effects are visible — the lost-update check
+    (40 until 50).foreach(i => assert(out(i.toLong) == s"A$i",
+      s"key $i lost writer A's update: ${out(i.toLong)}"))
+    (60 until 70).foreach(i => assert(out(i.toLong) == s"B$i",
+      s"key $i lost writer B's update: ${out(i.toLong)}"))
+    (100 until 105).foreach(i => assert(out(i.toLong) == s"A$i"))
+    (110 until 115).foreach(i => assert(out(i.toLong) == s"B$i"))
+    // the overlap belongs wholly to whichever writer committed LAST —
+    // last-writer-wins per key, applied atomically per commit
+    val overlap = (50 until 60).map(i => out(i.toLong).take(1)).toSet
+    assert(overlap.size == 1 && (overlap("A") || overlap("B")),
+      s"overlap range must be one writer's block, got $overlap")
+    (0 until 40).foreach(i => assert(out(i.toLong) == s"row$i"))
+    // every version remains a readable snapshot
+    assert(Snapshots.read(spark, t, 1).count() == 100)
+    assert(Snapshots.read(spark, t, 2).count() >= 100)
+  }
 }
