@@ -536,9 +536,15 @@ object Main {
         // validate the literal's cast on the driver FIRST: a value that
         // fails to cast (typo, wrong type) yields null, the predicate
         // matches nothing, and a right-to-be-forgotten request would
-        // report rows_deleted=0 as a successful run — fail loudly instead
+        // report rows_deleted=0 as a successful run — fail loudly
+        // instead. try_cast, not cast (ADVICE r11): under ANSI mode
+        // (the Spark 4 default) a bad cast THROWS at execution, so the
+        // probe must use the null-yielding form for the intended
+        // message to fire identically in ANSI and legacy modes
+        val sqlLit = "'" + value.replace("'", "''") + "'"
         require(!spark.range(1)
-            .select(lit(value).cast(colType).isNull).head().getBoolean(0),
+            .select(expr(s"try_cast($sqlLit AS ${colType.sql}) IS NULL"))
+            .head().getBoolean(0),
           s"forget_value '$value' does not cast to $cName's type " +
             s"$colType — the delete predicate would silently match nothing")
         val st = Snapshots.delete(spark, tablePath,

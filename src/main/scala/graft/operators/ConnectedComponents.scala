@@ -19,11 +19,15 @@ import org.apache.spark.sql.functions._
   * depth, which is why ConnectedComponentsSpec's deep-chain bound holds).
   * True per-round pointer doubling (re-deriving the rep map each jump) ran
   * the same round count with identical changed-counts: on this edge
-  * topology more jumps cannot beat the flood. Changing the ROUND complexity
-  * would need edge contraction (large-star/small-star re-keying edges by
-  * label each round) — at ~1 s/round here that extra edges-sized
-  * join+distinct isn't worth it for near-dup cluster graphs, whose
-  * diameters are small. The fixed point is the same as plain propagation —
+  * topology more jumps cannot beat the flood. The long-cited alternative —
+  * [[contract]], Kiveris large-star/small-star edge contraction — was
+  * BUILT AND MEASURED in r12 (BASELINE r12 addendum): on path graphs from
+  * 10³ to 10⁶ hops the flood's rounds grow logarithmically (the jumps
+  * contract label chains), so the linear-diameter regime the hatch was
+  * reserved for never materializes below ~3²⁵ docs, and contraction's
+  * per-round edges-sized distinct costs more wall at every measured
+  * diameter. `GRAFT_CC_ALGO=contract` selects it anyway (same fixpoint,
+  * spec-pinned). The fixed point is the same as plain propagation —
   * every vertex labeled with its component's minimum id — so callers'
   * oracles are unchanged.
   *
@@ -100,6 +104,9 @@ object ConnectedComponents {
                labelCol: String = "cluster_id",
                maxIter: Int = 50,
                init: Option[DataFrame] = None): (DataFrame, Int) = {
+    if (sys.env.get("GRAFT_CC_ALGO").contains("contract"))
+      return contract(vertices, idCol, sym, srcCol, dstCol, labelCol,
+        maxIter, init)
     val spark = vertices.sparkSession
     val edges = sym.select(col(srcCol).as("_x"), col(dstCol).as("_nb"))
     // localCheckpoint truncates LINEAGE but its LogicalRDD CARRIES the
@@ -190,5 +197,99 @@ object ConnectedComponents {
       s"connected components unconverged after $maxIter doubling rounds — " +
         "at 2^50 reachable hops this is a broken edge list, not a deep graph")
     (labels.select(col("_id").as(idCol), col("_lbl").as(labelCol)), iter)
+  }
+
+  /** Alternating large-star/small-star EDGE CONTRACTION (Kiveris,
+    * Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected Components
+    * in MapReduce and Beyond", SoCC 2014), the escape hatch the
+    * [[minLabel]] scaladoc has cited since r6 — built and measured in
+    * r12 (VERDICT item 6), selected via `GRAFT_CC_ALGO=contract`
+    * (default remains the flood). Same fixpoint: every vertex labeled
+    * with its component's minimum id, so callers' oracles are unchanged
+    * (spec-pinned equal to the flood on chains, stars, and the full
+    * MinHash corpus graph).
+    *
+    * One round = large-star ∘ small-star over the current edge set:
+    *   - large-star(u): every neighbor v > u re-points to
+    *     m = min(Γ(u) ∪ u) — long-range shortcuts grow exponentially.
+    *   - small-star(u): every lower neighbor (and u itself) points to
+    *     the min of u's lower closure — local stars flatten.
+    * Edges stay oriented high→low; at convergence (edge-set signature
+    * stable) the edge set IS the star forest (v → component-min), and
+    * labels fall out of one left join. O(log² n) rounds proven,
+    * ~log n observed.
+    *
+    * Per-round cost is EDGES-sized (two groupBy+join+distinct passes)
+    * vs the flood's LABELS-sized joins — the trade this hatch was
+    * reserved for. Each intermediate is eagerly localCheckpoint'ed:
+    * both star steps read their input through two branches (the
+    * neighbor-min agg and the re-point join), the same
+    * one-materialization-per-action constraint the flood loop obeys
+    * (lazy persist there double-computes — r11 measured). `init` warm
+    * labels fold in as extra (id → label) edges: a label is a reachable
+    * id, so components are unchanged. */
+  def contract(vertices: DataFrame, idCol: String,
+               sym: DataFrame, srcCol: String, dstCol: String,
+               labelCol: String = "cluster_id",
+               maxIter: Int = 50,
+               init: Option[DataFrame] = None): (DataFrame, Int) = {
+    val spark = vertices.sparkSession
+    def rebase(ck: DataFrame): DataFrame = spark.createDataFrame(ck.rdd, ck.schema)
+    val raw = sym.select(col(srcCol).as("_u"), col(dstCol).as("_v"))
+    var edges = {
+      val base = raw.select(greatest(col("_u"), col("_v")).as("_a"),
+        least(col("_u"), col("_v")).as("_b"))
+      (if (init.isDefined) base.unionByName(
+        init.get.select(col(idCol).as("_a"), col(labelCol).as("_b"))) else base)
+        .filter(col("_a") =!= col("_b"))
+        .distinct()
+        .localCheckpoint(true)
+    }
+    edges = rebase(edges)
+    // hash sum widened to DECIMAL(38,0): a long sum of 64-bit hashes
+    // overflows (and ANSI mode throws on it)
+    def signature(e: DataFrame): (Long, String) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("_a"), col("_b")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
+    }
+    var sig = signature(edges)
+    var iter = 0
+    var converged = sig._1 == 0L
+    while (!converged && iter < maxIter) {
+      // large-star over the symmetrized view
+      val symView = edges.select(col("_a").as("_u"), col("_b").as("_v"))
+        .unionByName(edges.select(col("_b").as("_u"), col("_a").as("_v")))
+      val lsMin = symView.groupBy("_u").agg(min(col("_v")).as("_m"))
+      val ls = rebase(symView.join(lsMin, Seq("_u"))
+        .filter(col("_v") > col("_u"))
+        .select(col("_v").as("_a"), least(col("_m"), col("_u")).as("_b"))
+        .distinct()
+        .localCheckpoint(true))
+      // small-star over the high→low orientation (large-star preserves it)
+      val ssMin = ls.groupBy("_a").agg(min(col("_b")).as("_m"))
+      val ss = rebase(ls.join(ssMin, Seq("_a"))
+        .select(col("_b").as("_v"), col("_m"))
+        .unionByName(ssMin.select(col("_a").as("_v"), col("_m")))
+        .filter(col("_v") =!= col("_m"))
+        .select(col("_v").as("_a"), col("_m").as("_b"))
+        .distinct()
+        .localCheckpoint(true))
+      val nextSig = signature(ss)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc-contract] round ${iter + 1}: edges=${nextSig._1}")
+      converged = nextSig == sig
+      sig = nextSig
+      edges = ss
+      iter += 1
+    }
+    if (!converged && sig._1 > 0) throw new IllegalStateException(
+      s"edge contraction unconverged after $maxIter star rounds — broken edge list")
+    val stars = edges.select(col("_a").as("_id"), col("_b").as("_lbl"))
+    val labels = vertices.select(col(idCol).as("_id"))
+      .join(stars, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("_lbl"), col("_id")).as(labelCol))
+    (labels, iter)
   }
 }

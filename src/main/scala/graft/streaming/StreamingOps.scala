@@ -473,7 +473,16 @@ object StreamingOps {
     * the step list weekly, which is why it is a parameter. For in-order
     * feeds the armed times are the per-step minima of the step-ordered
     * first-match chain; late data follows the incremental contract
-    * (already-armed steps never re-arm). */
+    * (already-armed steps never re-arm).
+    *
+    * State is keyed BY STEP NAME (`Map[step → armed-µs]`, ADVICE r11),
+    * not by position, precisely so those weekly step-list edits compose
+    * with a restored checkpoint: a surviving step keeps its armed time,
+    * an inserted/renamed step starts unarmed, a removed step's entry is
+    * dropped on the next update — never a positional misalignment or an
+    * index-out-of-bounds from a grown list. (The Seq[Long]→Map state
+    * ENCODING change itself requires one fresh checkpoint when
+    * upgrading across r12.) */
   def cepStream(events: Dataset[FunnelEvent], steps: Seq[String],
                 windowUs: Long): Dataset[FunnelStep] = {
     require(steps.nonEmpty && steps.distinct.size == steps.size,
@@ -483,9 +492,10 @@ object StreamingOps {
     val stepOf = steps.zipWithIndex.toMap
     val n = steps.size
     events.groupByKey(_.user)
-      .flatMapGroupsWithState[Seq[Long], FunnelStep](
+      .flatMapGroupsWithState[Map[String, Long], FunnelStep](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) { (u, rows, state) =>
-        val armed = state.getOption.getOrElse(Seq.fill(n)(-1L)).toArray
+        val saved = state.getOption.getOrElse(Map.empty[String, Long])
+        val armed = Array.tabulate(n)(i => saved.getOrElse(steps(i), -1L))
         val out = List.newBuilder[FunnelStep]
         rows.toSeq.sortBy(e => (e.eus, e.tb)).foreach { e =>
           stepOf.get(e.typ).foreach { i =>
@@ -499,7 +509,9 @@ object StreamingOps {
             }
           }
         }
-        state.update(armed.toSeq)
+        state.update(steps.zipWithIndex.collect {
+          case (st, i) if armed(i) >= 0 => st -> armed(i)
+        }.toMap)
         out.result().iterator
       }
   }

@@ -107,4 +107,35 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(labels.filter(col("id") =!= col("cluster_id")).count() == 0)
     assert(rounds == 1)
   }
+
+  test("edge contraction (large-star/small-star) reaches the flood's exact fixpoint") {
+    // same adversarial mix as the flood pin: 64-path + triangle +
+    // isolate, plus a star and a two-edge vee — contraction must label
+    // every vertex with its component min, identically to minLabel
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val star = (201L to 205L).map(i => (200L, i))
+    val vee = Seq((301L, 300L), (301L, 302L))
+    val edges = spark.createDataFrame(chain ++ tri ++ star ++ vee).toDF("a", "b")
+    val sym = edges.select(col("a").as("x"), col("b").as("nb"))
+      .unionByName(edges.select(col("b").as("x"), col("a").as("nb")))
+    val ids = (0L until 64L) ++ Seq(100L, 101L, 102L, 999L) ++
+      (200L to 205L) ++ (300L to 302L)
+    val vertices = spark.createDataFrame(ids.map(Tuple1(_))).toDF("id")
+    val (cLabels, cRounds) =
+      ConnectedComponents.contract(vertices, "id", sym, "x", "nb")
+    val (fLabels, _) = ConnectedComponents.minLabel(vertices, "id", sym, "x", "nb")
+    val c = cLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val f = fLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c == f, s"contraction fixpoint must equal the flood's")
+    assert(c(63L) == 0L && c(205L) == 200L && c(302L) == 300L && c(999L) == 999L)
+    // O(log^2 n) proven, ~log n observed: a 64-path must be well under
+    // the path length
+    assert(cRounds <= 12, s"expected <= 12 star rounds on a 64-path, got $cRounds")
+    // empty edge list: all isolated, zero rounds
+    val (iso, r0) = ConnectedComponents.contract(
+      spark.range(5).select(col("id")), "id",
+      spark.createDataFrame(Seq.empty[(Long, Long)]).toDF("x", "nb"), "x", "nb")
+    assert(iso.filter(col("id") =!= col("cluster_id")).count() == 0 && r0 == 0)
+  }
 }
