@@ -22,12 +22,16 @@ import org.apache.spark.sql.functions._
   * topology more jumps cannot beat the flood. The long-cited alternative —
   * [[contract]], Kiveris large-star/small-star edge contraction — was
   * BUILT AND MEASURED in r12 (BASELINE r12 addendum): on path graphs from
-  * 10³ to 10⁶ hops the flood's rounds grow logarithmically (the jumps
-  * contract label chains), so the linear-diameter regime the hatch was
-  * reserved for never materializes below ~3²⁵ docs, and contraction's
-  * per-round edges-sized distinct costs more wall at every measured
-  * diameter. `GRAFT_CC_ALGO=contract` selects it anyway (same fixpoint,
-  * spec-pinned). The fixed point is the same as plain propagation —
+  * 10³ to 10⁶ hops the flood's rounds grow LOGARITHMICALLY (8→12 for
+  * 1000× the diameter — the jumps contract label chains), so the
+  * linear-diameter regime the hatch was reserved for never materializes;
+  * contraction needs ~1.8× the rounds, loses wall at 10⁴–10⁵ hops, and
+  * only reaches parity-to-slightly-ahead at 10⁶ (within box variance).
+  * Real corpora measure ≤ 16 hops — the flood stays the default;
+  * `GRAFT_CC_ALGO=contract` selects contraction (same fixpoint,
+  * spec-pinned) for graphs past ~10⁶-hop diameters where its
+  * edges-shrink-per-round economics finally pay. The fixed point is the
+  * same as plain propagation —
   * every vertex labeled with its component's minimum id — so callers'
   * oracles are unchanged.
   *
