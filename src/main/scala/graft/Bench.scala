@@ -18,13 +18,13 @@ import org.apache.spark.sql.SparkSession
   * note the re-pin in BASELINE.
   */
 object BoxCanary {
-  /** Quiet-box reference seconds — the per-shape MINIMUM across 6
-    * instrumented runs spanning loadavg 0.7-7 (2026-08-15, local[32],
-    * r12): the floor each shape actually reached on this box, so
-    * box_factor reads ~1.0 quiet and >1 under contention rather than
-    * oscillating around a mid-load pin. */
+  /** Quiet-box reference seconds — the per-shape MINIMUM across 8
+    * instrumented runs (2026-08-15, local[32], r12); the floor run
+    * started at loadavg 0.56. The pin is the floor each shape actually
+    * reached on this box, so box_factor reads ~1.0 quiet and >1 under
+    * contention rather than oscillating around a mid-load pin. */
   val refs: Seq[(String, Double)] =
-    Seq("scan" -> 0.205, "join" -> 0.87, "loop" -> 0.635)
+    Seq("scan" -> 0.183, "join" -> 0.715, "loop" -> 0.593)
 
   private def scanAgg(s: SparkSession): Unit =
     s.range(0L, 200000000L, 1L, 32)
