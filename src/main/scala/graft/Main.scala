@@ -51,13 +51,17 @@ import scala.jdk.CollectionConverters._
   *   - `upsert`  — catalog-scoped MERGE of `paths.updates` into the
   *                 clustered `paths.records` (key via `paths.upsert_key`,
   *                 default doc_id): only touched key ranges rewrite
-  *   - `snapshot`/`timetravel`/`cdc`/`vacuum`/`forget` — versioned-
-  *                 snapshot table lifecycle (pipeline/Snapshots) at
-  *                 `paths.table`: commit `paths.records` as the next
-  *                 version (stats via `paths.snapshot_key`), read any
-  *                 retained version, row-level change feed between two
-  *                 versions, reclaim space keeping `paths.vacuum_keep`
-  *                 versions, and catalog-scoped DELETE of
+  *   - `snapshot`/`timetravel`/`cdc`/`vacuum`/`merge`/`forget` —
+  *                 versioned-snapshot table lifecycle
+  *                 (pipeline/Snapshots) at `paths.table`: commit
+  *                 `paths.records` as the next version (stats via
+  *                 `paths.snapshot_key`), read any retained version,
+  *                 row-level change feed between two versions, reclaim
+  *                 space keeping `paths.vacuum_keep` versions,
+  *                 catalog-scoped MERGE of `paths.updates` on
+  *                 `paths.merge_key` (scoped rewrite, optimistic retry,
+  *                 optional `paths.merge_lo`/`merge_hi` discovery
+  *                 pruning), and catalog-scoped DELETE of
   *                 `paths.forget_column == paths.forget_value` rows
   *                 rewriting only files with hits (GDPR forget)
   *   - `gate`    — write-audit-publish commit of `paths.records` into
@@ -512,6 +516,32 @@ object Main {
               "failed_checks" -> e.failed.mkString(","))
         }
 
+      case "merge" =>
+        // catalog-scoped MERGE into paths.table: rows of paths.updates
+        // whose paths.merge_key matches an existing row replace it, the
+        // rest are inserted — the versioned sibling of `upsert` (which
+        // rewrites a clustered dataset in place). Scoped rewrite +
+        // optimistic retry: racing writers serialize with no lost
+        // update. If merge_key is the table's recorded stats key, pass
+        // paths.merge_lo/merge_hi to also prune hit-file discovery.
+        val tablePath = ioPathExtra(configPath, "table")
+          .getOrElse(throw new IllegalArgumentException("merge needs paths.table"))
+        val updatesPath = ioPathExtra(configPath, "updates")
+          .getOrElse(throw new IllegalArgumentException("merge needs paths.updates"))
+        val key = ioPathExtra(configPath, "merge_key")
+          .getOrElse(throw new IllegalArgumentException("merge needs paths.merge_key"))
+        val prune = for {
+          lo <- ioPathExtra(configPath, "merge_lo").map(_.toDouble)
+          hi <- ioPathExtra(configPath, "merge_hi").map(_.toDouble)
+        } yield (key, lo, hi)
+        val st = Snapshots.upsert(spark, tablePath,
+          spark.read.parquet(updatesPath), key, prune = prune,
+          meta = s"merge $key from $updatesPath")
+        Map("version" -> st.version.toString,
+          "rows_updated" -> st.rowsUpdated.toString,
+          "rows_inserted" -> st.rowsInserted.toString,
+          "files_rewritten" -> st.filesRewritten.toString)
+
       case "forget" =>
         // catalog-scoped DELETE from paths.table: remove every row whose
         // paths.forget_column equals paths.forget_value (the GDPR
@@ -556,14 +586,14 @@ object Main {
           "files_kept" -> st.filesKept.toString)
 
       case other => throw new IllegalArgumentException(
-        s"unknown command '$other' — expected cache|serve|explore|predict|dedup|split|score|ingest|decontaminate|annbuild|annsearch|compact|upsert|snapshot|timetravel|cdc|vacuum|forget|gate")
+        s"unknown command '$other' — expected cache|serve|explore|predict|dedup|split|score|ingest|decontaminate|annbuild|annsearch|compact|upsert|snapshot|timetravel|cdc|vacuum|merge|forget|gate")
     }
   }
 
   def main(args: Array[String]): Unit = {
     require(args.length == 2,
       "usage: graft.Main <data-config.yaml> " +
-        "<cache|serve|explore|predict|dedup|split|score|ingest|decontaminate|annbuild|annsearch|compact|upsert|snapshot|timetravel|cdc|vacuum|forget|gate>")
+        "<cache|serve|explore|predict|dedup|split|score|ingest|decontaminate|annbuild|annsearch|compact|upsert|snapshot|timetravel|cdc|vacuum|merge|forget|gate>")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.shuffle.partitions",

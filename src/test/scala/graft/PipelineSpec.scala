@@ -398,6 +398,23 @@ class PipelineSpec extends SparkSpec {
     val left = graft.pipeline.Snapshots.read(spark, s"$root/table")
     assert(left.count() == total + 4)
     assert(left.filter(col("doc_id") === 3).count() == 0)
+    // merge: the versioned MERGE verb — matched keys replaced, rest
+    // inserted, untouched files by reference
+    Tables.documents(spark, sf0001).select("doc_id", "n_chars")
+      .filter(col("doc_id") < 3)
+      .withColumn("n_chars", col("n_chars") + 100000)
+      .unionByName(Tables.documents(spark, sf0001)
+        .select("doc_id", "n_chars").filter(col("doc_id") < 3)
+        .withColumn("doc_id", col("doc_id") + 2000000))
+      .write.mode("overwrite").parquet(s"$root/upd")
+    val mg = Main.run(spark,
+      cfg(s"  updates: $root/upd\n  merge_key: doc_id\n"), "merge")
+    assert(mg("rows_updated") == "3" && mg("rows_inserted") == "3", mg.toString)
+    val merged = graft.pipeline.Snapshots.read(spark, s"$root/table")
+    assert(merged.count() == total + 7)
+    assert(merged.filter(col("doc_id") === 0).select("n_chars")
+      .head().getAs[Number](0).longValue >= 100000L,
+      "matched key must carry the update")
     // gate: the WAP verb — audits the STAGED batch; a clean batch
     // publishes...
     val vBefore = graft.pipeline.Snapshots.currentVersion(spark, s"$root/table")

@@ -65,4 +65,28 @@ class PlanAuditSpec extends SparkSpec {
         s"order-date range not in any scan's PushedFilters: $pushed")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("q89's scoring join is broadcast — the bigram stream never join-shuffles") {
+    // regression guard for the r12 model-broadcast rewrite (BASELINE r12
+    // addendum 1): the r11 shape shuffle-joined the token-sized bigram
+    // stream back to its own aggregates and went 20x super-linear at
+    // sf10. The model frame must arrive by broadcast; the only sort-merge
+    // or shuffled-hash joins allowed are none at all.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = queries.LmQueries.q89.build(spark, sf0001)
+        .queryExecution.executedPlan
+      val shuffleJoins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(shuffleJoins.isEmpty,
+        s"q89 plans ${shuffleJoins.size} shuffle join(s) — the model must broadcast")
+      val bcasts = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }
+      assert(bcasts.nonEmpty, "q89 lost its broadcast scoring join entirely")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
