@@ -260,31 +260,39 @@ object ConnectedComponents {
     var sig = signature(edges)
     var iter = 0
     var converged = sig._1 == 0L
+    // previous round's checkpoint blocks are dropped once the round is
+    // done (the flood loop's prevCk.unpersist posture — 20 rounds of
+    // retained 10⁶-edge checkpoints is block-manager debt, not state)
+    var retired: Seq[DataFrame] = Nil
     while (!converged && iter < maxIter) {
       // large-star over the symmetrized view
       val symView = edges.select(col("_a").as("_u"), col("_b").as("_v"))
         .unionByName(edges.select(col("_b").as("_u"), col("_a").as("_v")))
       val lsMin = symView.groupBy("_u").agg(min(col("_v")).as("_m"))
-      val ls = rebase(symView.join(lsMin, Seq("_u"))
+      val lsCk = symView.join(lsMin, Seq("_u"))
         .filter(col("_v") > col("_u"))
         .select(col("_v").as("_a"), least(col("_m"), col("_u")).as("_b"))
         .distinct()
-        .localCheckpoint(true))
+        .localCheckpoint(true)
+      val ls = rebase(lsCk)
       // small-star over the high→low orientation (large-star preserves it)
       val ssMin = ls.groupBy("_a").agg(min(col("_b")).as("_m"))
-      val ss = rebase(ls.join(ssMin, Seq("_a"))
+      val ssCk = ls.join(ssMin, Seq("_a"))
         .select(col("_b").as("_v"), col("_m"))
         .unionByName(ssMin.select(col("_a").as("_v"), col("_m")))
         .filter(col("_v") =!= col("_m"))
         .select(col("_v").as("_a"), col("_m").as("_b"))
         .distinct()
-        .localCheckpoint(true))
+        .localCheckpoint(true)
+      val ss = rebase(ssCk)
       val nextSig = signature(ss)
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc-contract] round ${iter + 1}: edges=${nextSig._1}")
       converged = nextSig == sig
       sig = nextSig
       edges = ss
+      retired.foreach(_.unpersist())
+      retired = Seq(lsCk, ssCk)
       iter += 1
     }
     if (!converged && sig._1 > 0) throw new IllegalStateException(
