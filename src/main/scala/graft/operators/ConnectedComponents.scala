@@ -21,17 +21,18 @@ import org.apache.spark.sql.functions._
   * the same round count with identical changed-counts: on this edge
   * topology more jumps cannot beat the flood. The long-cited alternative —
   * [[contract]], Kiveris large-star/small-star edge contraction — was
-  * BUILT AND MEASURED in r12 (BASELINE r12 addendum): on path graphs from
-  * 10³ to 10⁶ hops the flood's rounds grow LOGARITHMICALLY (8→12 for
-  * 1000× the diameter — the jumps contract label chains), so the
-  * linear-diameter regime the hatch was reserved for never materializes;
-  * contraction needs ~1.8× the rounds, loses wall at 10⁴–10⁵ hops, and
-  * only reaches parity-to-slightly-ahead at 10⁶ (within box variance).
-  * Real corpora measure ≤ 16 hops — the flood stays the default;
-  * `GRAFT_CC_ALGO=contract` selects contraction (same fixpoint,
-  * spec-pinned) for graphs past ~10⁶-hop diameters where its
-  * edges-shrink-per-round economics finally pay. The fixed point is the
-  * same as plain propagation —
+  * BUILT AND MEASURED in r12 (BASELINE r12 addenda 2/5). Two regimes
+  * emerged: on PURE PATHS the flood is logarithmic in diameter (8→12
+  * rounds for 1000×) and contraction only ties at 10⁶ hops; but on the
+  * PIPELINE's band-star graphs the flood pays near-per-hop (5000-hop
+  * chain corpus = 35 rounds / 39.8 s) while contraction's shrinking edge
+  * set converges in 8 rounds / 12.4 s, and even the natural sf1 corpus
+  * ran 2-4× faster contracted. The default is therefore a HYBRID: flood
+  * until `escalateRounds` (8), then hand the mostly-collapsed QUOTIENT
+  * graph to contraction and compose the label maps — sf0.1-scale
+  * corpora (≤ 5 rounds) never escalate, deep graphs get the better
+  * asymptote. `GRAFT_CC_ALGO=flood|contract` forces either pure
+  * algorithm. The fixed point is the same as plain propagation —
   * every vertex labeled with its component's minimum id — so callers'
   * oracles are unchanged.
   *
@@ -66,6 +67,15 @@ object ConnectedComponents {
   private val EscalateAfter = 3
   private val JumpsShallow = sys.env.get("GRAFT_CC_JUMPS").map(_.toInt).getOrElse(1)
   private val JumpsDeep = sys.env.get("GRAFT_CC_JUMPS").map(_.toInt).getOrElse(3)
+
+  /** Flood rounds before the hybrid hands the quotient graph to
+    * [[contract]] (GRAFT_CC_ESCALATE overrides). Chosen from the r12
+    * measurements: natural corpora converge well under it (sf0.1 ≤ 5
+    * rounds — the switch never fires on the driver's bench scale), and
+    * graphs that are still moving at round 8 are the deep-topology
+    * regime where contraction wins 3-4× (BASELINE r12 addendum 2). */
+  private val defaultEscalateRounds =
+    sys.env.get("GRAFT_CC_ESCALATE").map(_.toInt).getOrElse(8)
 
   /** @param vertices one row per vertex
     * @param idCol    vertex id column in `vertices` (orderable; min wins)
@@ -107,7 +117,8 @@ object ConnectedComponents {
                sym: DataFrame, srcCol: String, dstCol: String,
                labelCol: String = "cluster_id",
                maxIter: Int = 50,
-               init: Option[DataFrame] = None): (DataFrame, Int) = {
+               init: Option[DataFrame] = None,
+               escalateRounds: Int = defaultEscalateRounds): (DataFrame, Int) = {
     if (sys.env.get("GRAFT_CC_ALGO").contains("contract"))
       return contract(vertices, idCol, sym, srcCol, dstCol, labelCol,
         maxIter, init)
@@ -150,7 +161,41 @@ object ConnectedComponents {
     // action is fundamental to this operator (the jump joins read mins
     // twice as well), so actions are the only safe materialization
     // points; the warm start above is where the round count is cut.
+    //
+    // HYBRID ESCALATION (r12): a graph still unconverged after
+    // `escalateRounds` has demonstrated depth the flood pays for
+    // per-hop-ish (measured on the band-graph topology: 5000-hop chain
+    // corpus = 35 flood rounds) — hand the QUOTIENT graph (edges
+    // re-keyed by current labels: same components, mostly collapsed)
+    // to [[contract]], whose shrinking edge set owns that regime
+    // (8 rounds / 3.2× less wall on the same corpus), and compose the
+    // label maps. Labels after k rounds are reachable-min ids and the
+    // component min labels itself, so the quotient's component min IS
+    // the component min — fixpoint unchanged (spec-pinned). Shallow
+    // graphs (every natural sf0.1 corpus: ≤ 5 rounds) never reach the
+    // switch. GRAFT_CC_ALGO=flood forces the pure flood.
+    val pureFlood = sys.env.get("GRAFT_CC_ALGO").contains("flood")
     while (!converged && iter < maxIter) {
+      if (!pureFlood && iter == escalateRounds) {
+        val quot = edges
+          .join(labels.select(col("_id").as("_x"), col("_lbl").as("_lx")), Seq("_x"))
+          .join(labels.select(col("_id").as("_nb"), col("_lbl").as("_ln")), Seq("_nb"))
+          .select(col("_lx"), col("_ln"))
+          .filter(col("_lx") =!= col("_ln"))
+        val verts = labels.select(col("_lbl").as("_q")).distinct()
+        val (qLabels, qRounds) =
+          contract(verts, "_q", quot, "_lx", "_ln", "_qlbl", maxIter)
+        // checkpoint + rebase the composition so the returned frame's
+        // stats are a plain leaf default, not the join product of two
+        // checkpointed frames (the compounding guard this loop already
+        // holds for its own rounds)
+        val composed = rebase(labels
+          .join(qLabels.select(col("_q").as("_lbl"), col("_qlbl")), Seq("_lbl"), "left")
+          .select(col("_id").as(idCol),
+            coalesce(col("_qlbl"), col("_lbl")).as(labelCol))
+          .localCheckpoint(true))
+        return (composed, iter + qRounds)
+      }
       val prevCk = labelsCk
       // step 1: neighbor min — lazily cached so step 2's self-join reads
       // the InMemoryRelation instead of re-running the join (the

@@ -138,4 +138,27 @@ class ConnectedComponentsSpec extends SparkSpec {
       spark.createDataFrame(Seq.empty[(Long, Long)]).toDF("x", "nb"), "x", "nb")
     assert(iso.filter(col("id") =!= col("cluster_id")).count() == 0 && r0 == 0)
   }
+
+  test("hybrid escalation: flood hands the quotient to contraction at the same fixpoint") {
+    // 300-hop path + triangle + isolate; escalateRounds = 2 forces the
+    // switch while labels are still far from converged, so the quotient
+    // graph is non-trivial — the composed labels must equal the pure
+    // flood's fixpoint exactly
+    val chain = (0L until 300L).map(i => (i, i + 1))
+    val tri = Seq((900L, 901L), (901L, 902L))
+    val edges = spark.createDataFrame(chain ++ tri).toDF("a", "b")
+    val sym = edges.select(col("a").as("x"), col("b").as("nb"))
+      .unionByName(edges.select(col("b").as("x"), col("a").as("nb")))
+    val ids = (0L to 300L) ++ Seq(900L, 901L, 902L, 999L)
+    val vertices = spark.createDataFrame(ids.map(Tuple1(_))).toDF("id")
+    val (hybrid, hRounds) = ConnectedComponents.minLabel(
+      vertices, "id", sym, "x", "nb", escalateRounds = 2)
+    val (flood, fRounds) = ConnectedComponents.minLabel(
+      vertices, "id", sym, "x", "nb", escalateRounds = Int.MaxValue)
+    val h = hybrid.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val f = flood.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h == f, "hybrid fixpoint must equal the pure flood's")
+    assert((0L to 300L).forall(h(_) == 0L) && h(902L) == 900L && h(999L) == 999L)
+    assert(hRounds >= 2, "rounds must count both phases")
+  }
 }
