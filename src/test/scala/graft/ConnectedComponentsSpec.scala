@@ -161,4 +161,43 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert((0L to 300L).forall(h(_) == 0L) && h(902L) == 900L && h(999L) == 999L)
     assert(hRounds >= 2, "rounds must count both phases")
   }
+
+  test("randomized graphs: flood, contract, and hybrid all match a union-find model") {
+    // seeded random graphs checked against a driver-side union-find
+    // MODEL (union-by-min keeps every root the component minimum), so
+    // all three execution modes are pinned to ground truth, not just to
+    // each other
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val n = 20 + rnd.nextInt(30)
+      val m = rnd.nextInt(2 * n)
+      val es = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val edges = spark.createDataFrame(es).toDF("a", "b")
+      val sym = edges.select(col("a").as("x"), col("b").as("nb"))
+        .unionByName(edges.select(col("b").as("x"), col("a").as("nb")))
+      val vertices = spark.range(n).select(col("id"))
+      def labelsOf(run: => (org.apache.spark.sql.DataFrame, Int)): Map[Long, Long] =
+        run._1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val flood = labelsOf(ConnectedComponents.minLabel(
+        vertices, "id", sym, "x", "nb", escalateRounds = Int.MaxValue))
+      val hybrid = labelsOf(ConnectedComponents.minLabel(
+        vertices, "id", sym, "x", "nb", escalateRounds = 1))
+      val contr = labelsOf(ConnectedComponents.contract(
+        vertices, "id", sym, "x", "nb"))
+      assert(flood == expect, s"trial $trial: flood != model")
+      assert(hybrid == expect, s"trial $trial: hybrid != model")
+      assert(contr == expect, s"trial $trial: contract != model")
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+  }
 }
