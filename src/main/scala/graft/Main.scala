@@ -570,10 +570,14 @@ object Main {
         // instead. try_cast, not cast (ADVICE r11): under ANSI mode
         // (the Spark 4 default) a bad cast THROWS at execution, so the
         // probe must use the null-yielding form for the intended
-        // message to fire identically in ANSI and legacy modes
-        val sqlLit = "'" + value.replace("'", "''") + "'"
+        // message to fire identically in ANSI and legacy modes.
+        // Column-level try_cast on lit(value), NOT a SQL-parsed string
+        // literal (ADVICE r12): the parser interprets backslash escapes
+        // by default, so a value containing backslashes would be
+        // validated as a DIFFERENT string than the lit(value) the delete
+        // predicate uses — probe and predicate must share the literal
         require(!spark.range(1)
-            .select(expr(s"try_cast($sqlLit AS ${colType.sql}) IS NULL"))
+            .select(lit(value).try_cast(colType).isNull)
             .head().getBoolean(0),
           s"forget_value '$value' does not cast to $cName's type " +
             s"$colType — the delete predicate would silently match nothing")

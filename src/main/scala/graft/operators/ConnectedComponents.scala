@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.CheckpointShim.unpersistCheckpoint
 
 /** Distributed connected components by min-label propagation with pointer
   * jumping.
@@ -194,6 +195,12 @@ object ConnectedComponents {
           .select(col("_id").as(idCol),
             coalesce(col("_qlbl"), col("_lbl")).as(labelCol))
           .localCheckpoint(true))
+        // composed is an INDEPENDENT eager checkpoint, so the flood's
+        // round-`escalateRounds` label blocks and the quotient contract's
+        // label blocks are dead weight from here (ADVICE r12: the hybrid
+        // return path leaked both per invocation)
+        unpersistCheckpoint(labelsCk)
+        unpersistCheckpoint(qLabels)
         return (composed, iter + qRounds)
       }
       val prevCk = labelsCk
@@ -237,7 +244,11 @@ object ConnectedComponents {
         System.err.println(s"[cc] round ${iter + 1}: changed=$changed t=${System.nanoTime() / 1000000000L % 10000}")
       labelsCk = nextCk
       labels = rebase(nextCk).select("_id", "_lbl")
-      prevCk.unpersist()
+      // checkpoint blocks live on the RDD, not in the CacheManager —
+      // Dataset.unpersist is a no-op on them (ADVICE r12); go through
+      // the shim so each round's blocks free promptly instead of waiting
+      // on a GC-driven ContextCleaner pass
+      unpersistCheckpoint(prevCk)
       mins.unpersist()
       converged = changed == 0
       iter += 1
@@ -285,7 +296,7 @@ object ConnectedComponents {
     val spark = vertices.sparkSession
     def rebase(ck: DataFrame): DataFrame = spark.createDataFrame(ck.rdd, ck.schema)
     val raw = sym.select(col(srcCol).as("_u"), col(dstCol).as("_v"))
-    var edges = {
+    val initCk = {
       val base = raw.select(greatest(col("_u"), col("_v")).as("_a"),
         least(col("_u"), col("_v")).as("_b"))
       (if (init.isDefined) base.unionByName(
@@ -294,7 +305,7 @@ object ConnectedComponents {
         .distinct()
         .localCheckpoint(true)
     }
-    edges = rebase(edges)
+    var edges = rebase(initCk)
     // hash sum widened to DECIMAL(38,0): a long sum of 64-bit hashes
     // overflows (and ANSI mode throws on it)
     def signature(e: DataFrame): (Long, String) = {
@@ -306,9 +317,10 @@ object ConnectedComponents {
     var iter = 0
     var converged = sig._1 == 0L
     // previous round's checkpoint blocks are dropped once the round is
-    // done (the flood loop's prevCk.unpersist posture — 20 rounds of
-    // retained 10⁶-edge checkpoints is block-manager debt, not state)
-    var retired: Seq[DataFrame] = Nil
+    // done (the flood loop's posture — 20 rounds of retained 10⁶-edge
+    // checkpoints is block-manager debt, not state); the initial distinct
+    // edge checkpoint retires with round 1 (ADVICE r12: it never did)
+    var retired: Seq[DataFrame] = Seq(initCk)
     while (!converged && iter < maxIter) {
       // large-star over the symmetrized view
       val symView = edges.select(col("_a").as("_u"), col("_b").as("_v"))
@@ -336,17 +348,24 @@ object ConnectedComponents {
       converged = nextSig == sig
       sig = nextSig
       edges = ss
-      retired.foreach(_.unpersist())
+      retired.foreach(unpersistCheckpoint(_))
       retired = Seq(lsCk, ssCk)
       iter += 1
     }
     if (!converged && sig._1 > 0) throw new IllegalStateException(
       s"edge contraction unconverged after $maxIter star rounds — broken edge list")
     val stars = edges.select(col("_a").as("_id"), col("_b").as("_lbl"))
+    // labels are eagerly checkpointed so the final star-forest edge
+    // blocks (and the last round's retired pair) can be freed HERE
+    // instead of leaking per invocation (ADVICE r12) — the returned
+    // frame is self-contained, callers re-read its blocks, never the
+    // contraction lineage
     val labels = vertices.select(col(idCol).as("_id"))
       .join(stars, Seq("_id"), "left")
       .select(col("_id").as(idCol),
         coalesce(col("_lbl"), col("_id")).as(labelCol))
+      .localCheckpoint(true)
+    retired.foreach(unpersistCheckpoint(_))
     (labels, iter)
   }
 }

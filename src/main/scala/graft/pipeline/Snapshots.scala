@@ -74,10 +74,15 @@ object Snapshots {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Atomic exists-exclusive create of a zero-byte arbiter file — throws
-    * IOException iff the file already exists (the lost-the-race signal).
-    * See the commit-protocol doc above for why this is per-scheme: the
-    * Hadoop `create(p, false)` is only atomic where a central arbiter
-    * (the HDFS namenode) backs it. */
+    * Hadoop's `FileAlreadyExistsException` iff the file already exists
+    * (the ONE lost-the-race signal the lock site may map to
+    * [[CommitContention]]; ADVICE r12: a generic IOException here also
+    * covered permissions/disk-full/parent-create faults, and the retry
+    * loop then hammered a non-retriable fault 5 times under a misleading
+    * 'lost the version lock' message). Genuine I/O faults propagate as
+    * plain IOExceptions. See the commit-protocol doc above for why this
+    * is per-scheme: the Hadoop `create(p, false)` is only atomic where a
+    * central arbiter (the HDFS namenode) backs it. */
   private def createExclusive(fs: FileSystem, p: Path): Unit = fs.getScheme match {
     case "file" =>
       // qualify against the fs working dir so relative table paths
@@ -87,8 +92,11 @@ object Snapshots {
       try java.nio.file.Files.createFile(local)
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          throw new java.io.IOException(s"$p already exists")
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+            s"$p already exists")
       }
+    // the namenode raises Hadoop's FileAlreadyExistsException on the
+    // exists case; other faults surface as their own IOException types
     case "hdfs" => fs.create(p, false).close()
     case other => throw new UnsupportedOperationException(
       s"snapshot commit needs an atomic putIfAbsent and '$other' has none in the " +
@@ -276,12 +284,19 @@ object Snapshots {
     // holder's stale lock blocks its version number until vacuum
     // reclaims it — exactly the posture stale manifest dirs already had.
     try createExclusive(fs, lockFile)
-    catch { case _: java.io.IOException =>
-      fs.delete(mTmp, true)
-      throw new CommitContention(
-        s"commit of $table v${cur + 1} lost the version lock " +
-          "(concurrent writer, or stale crash debris vacuum reclaims) — " +
-          "re-read the current version and retry")
+    catch {
+      // ONLY the exists-exclusive marker type means contention — a
+      // permissions/disk-full/parent-create IOException is a fault the
+      // caller must see as such, not retry 5 times (ADVICE r12)
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        fs.delete(mTmp, true)
+        throw new CommitContention(
+          s"commit of $table v${cur + 1} lost the version lock " +
+            "(concurrent writer, or stale crash debris vacuum reclaims) — " +
+            "re-read the current version and retry")
+      case e: java.io.IOException =>
+        fs.delete(mTmp, true)
+        throw e
     }
     def releaseAndAbort(reason: String, contention: Boolean): Nothing = {
       fs.delete(mTmp, true)
@@ -564,7 +579,32 @@ object Snapshots {
     val statsKey = m.filter(col("key").isNotNull).select("key")
       .limit(1).collect().headOption.map(_.getString(0))
     val candidates = prune match {
-      case Some((c, lo, hi)) =>
+      case Some((c, lo0, hi0)) =>
+        // caller-supplied bounds are a pruning HINT, never trusted truth
+        // (ADVICE r12): when the prune column IS the merge key, a range
+        // narrower than the updates' actual key span would prune files
+        // that contain matched keys — the stale row then survives beside
+        // its inserted update, silently breaking the key-unique contract.
+        // Widen to the measured span (and say so). For c != keyCol the
+        // key→range mapping is caller-asserted and unverifiable here.
+        val (lo, hi) =
+          if (c == keyCol) {
+            val span = updates.agg(
+              min(expr(s"try_cast(`$keyCol` AS DOUBLE)")),
+              max(expr(s"try_cast(`$keyCol` AS DOUBLE)"))).head()
+            // non-numeric keys cast to null — but then every manifest
+            // min_k/max_k for this column is null too and nothing prunes
+            if (span.isNullAt(0) || span.isNullAt(1)) (lo0, hi0)
+            else {
+              val (wlo, whi) = (math.min(lo0, span.getDouble(0)),
+                math.max(hi0, span.getDouble(1)))
+              if (wlo < lo0 || whi > hi0) System.err.println(
+                s"[snapshots] merge prune range [$lo0, $hi0] narrower than " +
+                  s"updates' $keyCol span [${span.getDouble(0)}, " +
+                  s"${span.getDouble(1)}] — widened to cover it")
+              (wlo, whi)
+            }
+          } else (lo0, hi0)
         // positive-evidence pruning only — identical contract to
         // [[delete]]'s (null/other-column stats stay candidates)
         val disjoint = col("key").isNotNull && col("key") === c &&

@@ -37,7 +37,13 @@ object CcBench {
         val t0 = System.nanoTime()
         val (labels, rounds) =
           if (algo == "flood")
-            ConnectedComponents.minLabel(vertices, "id", sym, "_s", "_d")
+            // escalateRounds = MaxValue: this arm must measure the PURE
+            // flood — with the r12 hybrid default of 8, every diameter
+            // here (>= 1000) would silently hand off to contraction and
+            // the tool would print hybrid-vs-contract while claiming
+            // flood-vs-contract (ADVICE r12)
+            ConnectedComponents.minLabel(vertices, "id", sym, "_s", "_d",
+              escalateRounds = Int.MaxValue)
           else
             ConnectedComponents.contract(vertices, "id", sym, "_s", "_d")
         val r = labels.agg(countDistinct(col("cluster_id")).as("k"),

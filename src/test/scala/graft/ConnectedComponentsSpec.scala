@@ -162,6 +162,42 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(hRounds >= 2, "rounds must count both phases")
   }
 
+  test("checkpoint blocks retire per round — only the returned labels stay persisted") {
+    // ADVICE r12: Dataset.unpersist is a CacheManager no-op on
+    // localCheckpointed frames (their blocks live on the RDD inside the
+    // LogicalRDD leaf), so the rounds' retirement must go through
+    // CheckpointShim — otherwise every round of a long run leaks a
+    // label-frame's worth of block-manager state. After a run completes
+    // and its result is materialized, the ONLY persisted RDD left may be
+    // the returned frame's own checkpoint.
+    def clear(): Unit = spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    def persisted(): Int = spark.sparkContext.getPersistentRDDs.size
+    val chain = (0L until 200L).map(i => (i, i + 1))
+    val edges = spark.createDataFrame(chain).toDF("a", "b")
+    val sym = edges.select(col("a").as("x"), col("b").as("nb"))
+      .unionByName(edges.select(col("b").as("x"), col("a").as("nb")))
+    val vertices = spark.range(201L).select(col("id"))
+
+    clear()
+    val (flood, _) = ConnectedComponents.minLabel(
+      vertices, "id", sym, "x", "nb", escalateRounds = Int.MaxValue)
+    assert(flood.filter(col("cluster_id") =!= 0L).count() == 0)
+    assert(persisted() <= 1, s"flood leaked checkpoints: ${persisted()} persisted RDDs")
+
+    clear()
+    val (hybrid, _) = ConnectedComponents.minLabel(
+      vertices, "id", sym, "x", "nb", escalateRounds = 2)
+    assert(hybrid.filter(col("cluster_id") =!= 0L).count() == 0)
+    assert(persisted() <= 1, s"hybrid leaked checkpoints: ${persisted()} persisted RDDs")
+
+    clear()
+    val (contr, _) = ConnectedComponents.contract(vertices, "id", sym, "x", "nb")
+    assert(contr.filter(col("cluster_id") =!= 0L).count() == 0)
+    assert(persisted() <= 1, s"contract leaked checkpoints: ${persisted()} persisted RDDs")
+    clear()
+  }
+
   test("randomized graphs: flood, contract, and hybrid all match a union-find model") {
     // seeded random graphs checked against a driver-side union-find
     // MODEL (union-by-min keeps every root the component minimum), so
