@@ -50,18 +50,26 @@ object BatchServer {
       .drop("_grp_n", "_total")
   }
 
-  /** Scalable deterministic prefix sum over a numeric-id total order:
+  /** 60-bit deterministic total-order key over an id column — md5-based
+    * ([[Det.hex60]]) rather than xxhash64 so the cumulative order (and
+    * therefore every interval a draw lands in) is REPLAYABLE IN SQL:
+    * `hex60(md5(CAST(id AS VARCHAR)))` — the change that let q141
+    * oracle-hash the full weighted draw (VERDICT r12 item 3). */
+  private[pipeline] def ordKey(c: Column): Column = Det.hex60(md5(c.cast("string")))
+
+  /** [[ordKey]]'s bucket: top 10 of its 60 bits — the shift is monotone
+    * in the key, so buckets preserve the total order. */
+  private[pipeline] def ordBucket(c: Column): Column = shiftright(ordKey(c), 50)
+
+  /** Scalable deterministic prefix sum over a hashed-id total order:
     * two-phase — per-bucket partial sums (tiny) get running offsets, rows
     * window-sum only within their bucket. A single global
     * `Window.orderBy(id)` funnels every row through one reducer; this
     * shape never does, and the result is identical because the bucket
-    * function (id DIV width) preserves the id order. */
+    * function preserves the key order. */
   def scalableCumSum(df: DataFrame, idCol: String, valueCol: String): DataFrame = {
-    // total order = xxhash64(id): numeric for any id type, deterministic,
-    // collision-free in practice; bucket = top 10 bits (arithmetic shift is
-    // monotone in the key, so buckets preserve the order)
-    val withB = df.withColumn("_ord", xxhash64(col(idCol)))
-      .withColumn("_b", shiftright(col("_ord"), 54))
+    val withB = df.withColumn("_ord", ordKey(col(idCol)))
+      .withColumn("_b", shiftright(col("_ord"), 50))
     val bucketTotals = withB.groupBy("_b").agg(sum(col(valueCol)).as("_b_sum"))
     // offsets frame is ≤1024 post-agg rows — deliberate (non-foldable)
     // single-partition key keeps the tiny running sum off the
@@ -78,8 +86,11 @@ object BatchServer {
   }
 
   /** R2 WeightedRandomSampler analog: `draws` seeded with-replacement picks
-    * ∝ weight. Deterministic inverse-CDF: u_i = hash(i, seed) ∈ [0,1),
-    * pick the row whose cumulative-weight interval contains ⌊u_i·W⌋.
+    * ∝ weight. Deterministic inverse-CDF: u_i = hex60(md5(i:draw:seed))
+    * mod W — pure 64-bit integer arithmetic, pick the row whose
+    * cumulative-weight interval contains u_i. (Modulo bias is ≤ W/2^60
+    * relative — ~10⁻⁵ at W≈10¹³ — irrelevant next to the sampler's own
+    * variance, and determinism, not entropy, is the contract here.)
     *
     * Weights are quantized to exact integer micro-units (×1e6) first:
     * integer cumulative sums are associative, so adjacent intervals tile
@@ -88,8 +99,10 @@ object BatchServer {
     * partition-invariant. `_w_total` is `max(_cum_hi)` of the same sums,
     * never a separately-ordered double sum. (Weights below 5e-7 quantize
     * to zero and are never drawn.)
-    * Declared contract checks the weights (Q05); the draw itself is
-    * property-tested (SURVEY §7.4.4). */
+    * Declared contract: q05 checks the weights and q141 oracle-hashes the
+    * FULL draw (VERDICT r12 item 3 closed the old property-test-only
+    * posture): every hash here is md5-based and every sum integer, so
+    * DuckDB replays draw-by-draw byte-for-byte. */
   def weightedDraw(df: DataFrame, idCol: String, draws: Int, seed: Long): DataFrame = {
     val spark = df.sparkSession
     val units = df.withColumn("_wu", round(col("weight") * 1e6, 0).cast("long"))
@@ -100,15 +113,15 @@ object BatchServer {
       // through the tiny boundary table and then equi-join on _b — a
       // range-predicate join straight against `cum` would be a nested-loop
       // over the corpus-sized table
-      .withColumn("_b", shiftright(xxhash64(col(idCol)), 54))
+      .withColumn("_b", ordBucket(col(idCol)))
     val bounds = cum.groupBy("_b")
       .agg(min(col("_cum_lo")).as("_b_lo"), max(col("_cum_hi")).as("_b_hi"))
     val total = cum.agg(max(col("_cum_hi")).as("_w_total"))
     val drawsDf = spark.range(draws.toLong).select(col("id").as("draw_nr"))
       .crossJoin(broadcast(total))
-      .withColumn("_u",
-        floor((pmod(xxhash64(col("draw_nr"), lit(seed)), lit(1L << 24)).cast("double")
-          / lit((1L << 24).toDouble)) * col("_w_total").cast("double")).cast("long"))
+      .withColumn("_u", pmod(
+        Det.hex60(Det.seededKey(s"draw:$seed", col("draw_nr"))),
+        col("_w_total")))
     val routed = drawsDf.join(broadcast(bounds),
       col("_u") >= col("_b_lo") && col("_u") < col("_b_hi"))
     // interval containment, now bucket-local: _cum_lo <= u < _cum_hi

@@ -120,6 +120,53 @@ object RelationalQueries {
       .orderBy("c_custkey")
   }
 
+  // ---------------------------------------------------------------- Q141
+  /** R2, the DRAW itself (`pipeline/data_module.py:146-157`
+    * WeightedRandomSampler): 1000 seeded with-replacement picks ∝ q05's
+    * inverse-frequency weights, via [[graft.pipeline.BatchServer
+    * .weightedDraw]]'s exact arithmetic — md5-hex60 uniforms over
+    * cumulative integer micro-unit weight intervals, so DuckDB replays
+    * every draw byte-for-byte (VERDICT r12 item 3: the last SURVEY §2
+    * row that was property-tested but not oracle-hashed; q52/q61 proved
+    * the seeded-md5 pattern). Scale: the cumulative table is the
+    * two-phase bucketed prefix sum (no global window), draws route to
+    * their bucket through a ≤1024-row broadcast boundary table, and the
+    * final containment join is bucket-local. */
+  val q141 = DeclaredQuery(
+    "q141_weighted_draw",
+    Some {
+      val ordH = Det.sql.hex60("h")
+      s"""WITH w AS (
+         |  SELECT c_custkey,
+         |         CAST((SELECT COUNT(*) FROM customer) AS DOUBLE)
+         |           / CAST(COUNT(*) OVER (PARTITION BY c_mktsegment, c_nationkey) AS DOUBLE) AS weight,
+         |         md5(CAST(c_custkey AS VARCHAR)) AS h
+         |  FROM customer),
+         |u AS (SELECT c_custkey, CAST(ROUND(weight*1e6) AS BIGINT) AS wu,
+         |             $ordH AS ord
+         |      FROM w),
+         |c AS (SELECT c_custkey, wu,
+         |             CAST(SUM(wu) OVER (ORDER BY ord, c_custkey) AS BIGINT) AS cum_hi
+         |      FROM u),
+         |t AS (SELECT MAX(cum_hi) AS tw FROM c),
+         |dh AS (SELECT r.range AS draw_nr,
+         |              md5(concat_ws(':', CAST(r.range AS VARCHAR), 'draw:7')) AS h
+         |       FROM range(0, 1000) r),
+         |d AS (SELECT draw_nr, $ordH % t.tw AS u FROM dh, t)
+         |SELECT d.draw_nr, c.c_custkey AS picked
+         |FROM d JOIN c ON d.u >= c.cum_hi - c.wu AND d.u < c.cum_hi
+         |ORDER BY draw_nr""".stripMargin
+    }) { (s, d) =>
+    val c = Tables.customer(s, d)
+      .select("c_custkey", "c_mktsegment", "c_nationkey")
+    val weighted = graft.pipeline.BatchServer
+      .inverseFrequencyWeights(c, Seq("c_mktsegment", "c_nationkey"))
+    graft.pipeline.BatchServer.weightedDraw(weighted, "c_custkey",
+        draws = 1000, seed = 7L)
+      .select(col("draw_nr"), col("c_custkey").as("picked"))
+      .orderBy("draw_nr")
+  }
+
   // ---------------------------------------------------------------- Q06
   /** J2/A13: per-order enrichment join against the subject table + per-split
     * summary counts (`dataset_cacher.py:393-415`, `pipeline/utils.py:138-149`).
@@ -371,8 +418,34 @@ object RelationalQueries {
       .select(col("flag"), col("qname"), col("_b"),
         (col("_rk") - col("_off_lo")).as("_local_rk"))
     val needed = located.select("flag", "_b").distinct()
+    // SECOND-SCAN PRUNING (VERDICT r12 item 8): the needed buckets are
+    // known here from literal-frame arithmetic only (bagg is a collected
+    // ≤4096-row local relation — no cluster scan happens in this collect),
+    // and each bucket is a narrow $1000 band of the RAW price column. Push
+    // an OR-of-ranges predicate on l_extendedprice into the re-scan so the
+    // parquet reader drops non-quantile rows at decode (PushedFilters) and
+    // row-group stats can prune on price-clustered layouts — the exact
+    // (flag, _b) join below is unchanged (the ranges are a rounded
+    // superset: c = round(price*100) ≥ b·10⁵ ⟺ price ≥ b·1000 − 0.005).
+    val neededBs = needed.select("_b").distinct().collect()
+      .map(_.getLong(0)).sorted
+    val ranges = neededBs.foldLeft(Vector.empty[(Long, Long)]) { (acc, b) =>
+      acc.lastOption match {
+        case Some((lo, hi)) if b == hi + 1 => acc.init :+ ((lo, b))
+        case _ => acc :+ ((b, b))
+      }
+    }
+    val pricePred =
+      (if (ranges.length > 64) Vector((neededBs.min, neededBs.max)) else ranges)
+        .map { case (lo, hi) =>
+          col("l_extendedprice") >= lit(lo * 1000.0 - 0.01) &&
+            col("l_extendedprice") <= lit((hi + 1) * 1000.0 + 0.01)
+        }.reduce(_ || _)
+    val rescanned = li(s, d).filter(pricePred)
+      .select(col("l_returnflag").as("flag"), Det.cents(col("l_extendedprice")).as("c"))
+      .withColumn("_b", floor(col("c").cast("double") / 1e5).cast("long"))
     val wIn = Window.partitionBy(col("flag"), col("_b")).orderBy(col("c"))
-    val vals = bucketed.join(broadcast(needed), Seq("flag", "_b"))
+    val vals = rescanned.join(broadcast(needed), Seq("flag", "_b"))
       .withColumn("_lrn", row_number().over(wIn))
       .join(broadcast(located), Seq("flag", "_b"))
       .filter(col("_lrn") === col("_local_rk"))
@@ -951,5 +1024,5 @@ object RelationalQueries {
 
   val all: Seq[DeclaredQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-    q16, q17, q18, q19, q20, q21, q22, q23, q94, q123, q126, q129)
+    q16, q17, q18, q19, q20, q21, q22, q23, q94, q123, q126, q129, q141)
 }

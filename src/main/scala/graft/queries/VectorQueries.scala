@@ -70,29 +70,44 @@ object VectorQueries {
   }
 
   // ---------------------------------------------------------------- Q34
-  /** Embedding near-dup detection: top-20 most-similar pairs over a
-    * deterministic 1/25 sample of the pair space (both ids ≡ 0 mod 5).
-    * The full-corpus path at scale is q35's LSH bucketing — an O(n²)
-    * all-pairs join is declared only on the sampled subset. */
+  /** Embedding near-dup detection: top-20 most-similar pairs where the
+    * LOWER end sits in a FIXED 100-probe panel (vec_id ≡ 0 mod 5 and
+    * vec_id < 500 — deterministic, scale-independent), scored by exact
+    * cosine against the full 1/5 id-sample.
+    *
+    * VERDICT r12 item 5 closed the suite's last super-linear decade
+    * here: the previous contract scored ALL pairs within a 1/25 sample —
+    * an O(n²) theta-join whose sf1→sf10 wall grew 18.8× for 10× data.
+    * Bounding one side to a fixed panel makes the pair space O(100·n):
+    * the panel broadcasts (100-row build side of the nested-loop join),
+    * the sample side streams ONCE, and top-20 is a distributed
+    * TakeOrderedAndProject — the "score a fixed probe set against the
+    * corpus" shape that stays linear at 100 TB. The unconstrained
+    * full-corpus path remains q35/q57's LSH bucketing and q56's PQ-ADC. */
   val q34 = DeclaredQuery(
     "q34_embed_neardup",
     Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 5 = 0),
            |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+           |p AS (SELECT vec_id, v, nrm FROM n WHERE vec_id < 500),
            |sim AS (
            |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            |         list_dot_product(a.v, b.v)/(a.nrm*b.nrm) AS cosine
-           |  FROM n a JOIN n b ON a.vec_id < b.vec_id),
+           |  FROM p a JOIN n b ON a.vec_id < b.vec_id),
            |r AS (SELECT id_a, id_b, cosine,
            |             row_number() OVER (ORDER BY cosine DESC, id_a, id_b) AS rk
            |      FROM sim)
            |SELECT rk, id_a, id_b, cosine FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin)) { (s, d) =>
     val n = normed(s, d).filter(col("vec_id") % 5 === 0)
-    val a = n.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val panel = n.filter(col("vec_id") < 500)
+      .select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = n.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    // top-20 via orderBy+limit → distributed TakeOrderedAndProject; the
-    // rank is then assigned over the surviving 20 rows only (constant
-    // partition key — partition defined, 20-row window, not a global sort)
-    a.join(b, col("id_a") < col("id_b"))
+    // panel is the BROADCAST build side; the sample streams once through
+    // the nested-loop (the id_a < id_b theta condition keeps within-panel
+    // pairs deduplicated). top-20 via orderBy+limit → distributed
+    // TakeOrderedAndProject; the rank is then assigned over the surviving
+    // 20 rows only (constant partition key — partition defined, 20-row
+    // window, not a global sort)
+    b.join(broadcast(panel), col("id_a") < col("id_b"))
       .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
       .limit(20)

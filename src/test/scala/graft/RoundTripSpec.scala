@@ -113,14 +113,15 @@ class RoundTripSpec extends SparkSpec {
     }
   }
 
-  test("scalableCumSum equals single-window prefix sum in xxhash64 order") {
+  test("scalableCumSum equals single-window prefix sum in md5-hex60 order") {
     import org.apache.spark.sql.expressions.Window
     val df = Tables.customer(spark, sf0001).withColumn("weight", col("c_acctbal") + 1000.0)
     val scalable = graft.pipeline.BatchServer.scalableCumSum(df, "c_custkey", "weight")
       .select(col("c_custkey"), col("_cum_hi")).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val naive = df.withColumn("_cum_hi", sum(col("weight")).over(
-      Window.orderBy(xxhash64(col("c_custkey")), col("c_custkey"))))
+      Window.orderBy(graft.util.Det.hex60(md5(col("c_custkey").cast("string"))),
+        col("c_custkey"))))
       .select(col("c_custkey"), col("_cum_hi")).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(scalable.keySet == naive.keySet)
