@@ -23,6 +23,8 @@ import org.apache.spark.sql.types._
   *   <table>/_manifests/v%06d/        one parquet dir per version:
   *       (file, rows, key, min_k, max_k) rows — file membership plus
   *       optional per-file min/max stats for planner-level pruning
+  *   <table>/_manifests/v%06d.schema  recorded reader schema (JSON) —
+  *       carries add-column evolution across mixed file generations
   * }}}
   *
   * Commit protocol: write data files to a tmp dir → rename them into
@@ -107,6 +109,32 @@ object Snapshots {
   private def manifestDir(table: String) = new Path(table, "_manifests")
   private def dataDir(table: String) = new Path(table, "data")
 
+  /** Recorded reader schema of `version` — the v%06d.schema sidecar
+    * (StructType JSON, written before the marker like the meta sidecar,
+    * so a committed version's schema is always complete). `None` for
+    * versions committed before schema recording existed (their
+    * membership is schema-uniform by the old exact-match append rule, so
+    * footer-derived schemas remain correct for them).
+    *
+    * This is what carries ADD-COLUMN EVOLUTION through snapshots
+    * (VERDICT r12 item 7, the Delta behavior): after a `mergeSchema`
+    * append, the membership mixes file generations — readers apply the
+    * RECORDED schema and parquet fills the evolved column with null for
+    * old files; time travel to a pre-evolution version reads under THAT
+    * version's recorded schema, without the column. */
+  def readerSchema(spark: SparkSession, table: String,
+                   version: Long): Option[StructType] = {
+    val p = new Path(manifestDir(table), f"v$version%06d.schema")
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(DataType.fromJson(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType])
+      finally in.close()
+    }
+  }
+
   /** Committed versions only: the `.ok` marker is the commit point. */
   private def markerOf(name: String): Option[Long] =
     if (name.matches("v\\d{6}\\.ok")) Some(name.drop(1).dropRight(3).toLong)
@@ -159,27 +187,53 @@ object Snapshots {
              overwrite: Boolean = false, statsCol: Option[String] = None,
              clustered: Boolean = false, files: Int = 0,
              meta: String = "",
-             audit: Seq[(String, Column)] = Nil): CommitStats = {
+             audit: Seq[(String, Column)] = Nil,
+             mergeSchema: Boolean = false): CommitStats = {
     require(!clustered || statsCol.nonEmpty, "clustered commit needs statsCol")
     val dd = dataDir(table)
     val fs = fsOf(spark, dd)
     fs.mkdirs(dd)
     fs.mkdirs(manifestDir(table))
     // appends must match the live schema EXACTLY (name → type, order
-    // apart): a silently divergent append would poison every later read
-    // of the mixed membership. Overwrites may evolve the schema — the
-    // new membership is self-consistent and old versions stay readable
-    // under their own schema via time travel.
+    // apart) unless mergeSchema: a silently divergent append would
+    // poison every later read of the mixed membership. With mergeSchema
+    // an append may ADD columns (every live column still required, typed
+    // as recorded) — the evolved schema is recorded in the version's
+    // sidecar and old files read the new column as null. Overwrites may
+    // reshape freely — the new membership is self-consistent and old
+    // versions stay readable under their own recorded schema via time
+    // travel.
     val curV = currentVersion(spark, table)
+    val liveSchema: Option[StructType] =
+      if (curV > 0) Some(readerSchema(spark, table, curV)
+        .getOrElse(read(spark, table, curV).schema))
+      else None
     if (!overwrite && curV > 0) {
-      val live = read(spark, table, curV).schema
-        .map(f => f.name -> f.dataType).toMap
+      val live = liveSchema.get.map(f => f.name -> f.dataType).toMap
       val incoming = df.schema.map(f => f.name -> f.dataType).toMap
-      require(incoming == live,
+      if (mergeSchema) {
+        val broken = live.toSeq.sortBy(_._1)
+          .filterNot { case (n, t) => incoming.get(n).contains(t) }
+        require(broken.isEmpty,
+          s"mergeSchema append for $table v$curV must carry every live " +
+            s"column at its recorded type; missing/retyped: " +
+            broken.mkString(", "))
+      } else require(incoming == live,
         s"append schema mismatch for $table v$curV: " +
           s"table has ${live.toSeq.sortBy(_._1).mkString(", ")}; " +
           s"append has ${incoming.toSeq.sortBy(_._1).mkString(", ")} " +
-          "(overwrite=true to evolve the schema)")
+          "(mergeSchema=true to add columns, overwrite=true to reshape)")
+    }
+    // the NEXT version's recorded schema: on append, live columns first
+    // (stable positions for existing readers) then the added ones, all
+    // nullable — old files lack them; on overwrite/first commit the
+    // frame is self-defining
+    val recorded: StructType = (overwrite, liveSchema) match {
+      case (false, Some(ls)) =>
+        val added = df.schema.filterNot(f => ls.fieldNames.contains(f.name))
+          .map(_.copy(nullable = true))
+        StructType(ls.fields ++ added)
+      case _ => df.schema
     }
 
     // 1. data files → tmp, stats computed there (basenames survive the
@@ -226,7 +280,7 @@ object Snapshots {
     val full =
       if (overwrite || cur == 0L) newManifest
       else manifest(spark, table, cur).unionByName(newManifest)
-    publishManifest(spark, table, cur, full, meta)
+    publishManifest(spark, table, cur, full, meta, Some(recorded))
     val total = manifest(spark, table, cur + 1).count()
     CommitStats(cur + 1, newRows.length, total)
   }
@@ -263,7 +317,8 @@ object Snapshots {
     * exists-check + marker race handling must stay byte-identical or
     * the concurrent-writer contract silently forks. */
   private def publishManifest(spark: SparkSession, table: String, cur: Long,
-                              full: DataFrame, meta: String): Unit = {
+                              full: DataFrame, meta: String,
+                              schema: Option[StructType] = None): Unit = {
     val fs = fsOf(spark, manifestDir(table))
     val mTmp = new Path(table, s"_manifest_tmp_${java.util.UUID.randomUUID()}")
     full.coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(mTmp.toString)
@@ -314,13 +369,20 @@ object Snapshots {
         contention = true)
     if (!fs.rename(mTmp, target))
       releaseAndAbort("manifest rename failed", contention = false)
-    // commit metadata rides a sidecar written BEFORE the marker, so a
-    // version's meta is always complete once the marker exists (the
-    // idempotent-sink contract depends on that ordering)
+    // commit metadata and the recorded reader schema ride sidecars
+    // written BEFORE the marker, so a committed version's meta/schema
+    // are always complete once the marker exists (the idempotent-sink
+    // and evolution-read contracts depend on that ordering)
     val metaFile = new Path(manifestDir(table), f"v${cur + 1}%06d.meta")
     if (meta.nonEmpty) {
       val out = fs.create(metaFile, true)
       out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    }
+    val schemaFile = new Path(manifestDir(table), f"v${cur + 1}%06d.schema")
+    schema.foreach { st =>
+      val out = fs.create(schemaFile, true)
+      out.write(st.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       out.close()
     }
     // COMMIT POINT — uncontended (we hold the lock and proved the
@@ -330,6 +392,7 @@ object Snapshots {
     catch { case e: java.io.IOException =>
       fs.delete(target, true)
       fs.delete(metaFile, false)
+      fs.delete(schemaFile, false)
       fs.delete(lockFile, false)
       throw new IllegalStateException(
         s"commit of $table v${cur + 1} could not place its marker", e)
@@ -386,19 +449,29 @@ object Snapshots {
     manifest(spark, table, v)
       .select(concat(lit(dataDir(table).toString + "/"), col("file")).as("path"))
 
-  private def readFiles(spark: SparkSession, paths: Seq[String]): DataFrame = {
+  /** `schema`: the version's RECORDED reader schema — applied explicitly
+    * so a membership that mixes file generations (post-`mergeSchema`
+    * evolution) reads uniformly, with the added columns null for files
+    * written before them. None (legacy tables) keeps footer inference. */
+  private def readFiles(spark: SparkSession, paths: Seq[String],
+                        schema: Option[StructType] = None): DataFrame = {
     require(paths.nonEmpty, "empty file set")
-    spark.read.parquet(paths: _*)
+    schema match {
+      case Some(st) => spark.read.schema(st).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
   }
 
   /** Snapshot read of `version` (default: latest) — exactly the files
-    * that manifest lists, regardless of what later commits added. */
+    * that manifest lists, regardless of what later commits added, under
+    * that version's recorded schema (time travel across an add-column
+    * evolution reads each version the way it was committed). */
   def read(spark: SparkSession, table: String, version: Long = -1L): DataFrame = {
     val v = if (version < 0) currentVersion(spark, table) else version
     require(v > 0, s"$table has no committed version")
     val paths = filesOf(spark, table, v).collect().map(_.getString(0))
     require(paths.length <= 1000000, "manifest not metadata-sized")
-    readFiles(spark, paths.toIndexedSeq)
+    readFiles(spark, paths.toIndexedSeq, readerSchema(spark, table, v))
   }
 
   /** Manifest-pruned snapshot read: keep only files whose recorded
@@ -428,7 +501,7 @@ object Snapshots {
       .collect().map(_.getString(0))
     require(keep.length <= 1000000, "manifest not metadata-sized")
     if (keep.isEmpty) read(spark, table, v).filter(lit(false))
-    else readFiles(spark, keep.toIndexedSeq)
+    else readFiles(spark, keep.toIndexedSeq, readerSchema(spark, table, v))
       .filter(col(c) >= lo && col(c) <= hi)
   }
 
@@ -463,6 +536,9 @@ object Snapshots {
     require(cur > 0, s"$table has no committed version")
     val m = manifest(spark, table, cur)
     val dd = dataDir(table).toString
+    // the current version's recorded schema rides through the rewrite
+    // (mixed-generation candidate files read uniformly; DML never evolves)
+    val sch = readerSchema(spark, table, cur)
     val keyCol = m.filter(col("key").isNotNull).select("key")
       .limit(1).collect().headOption.map(_.getString(0))
     val candidates = prune match {
@@ -486,14 +562,14 @@ object Snapshots {
     require(candidates.length <= 1000000, "manifest not metadata-sized")
     val hitFiles: Set[String] =
       if (candidates.isEmpty) Set.empty
-      else readFiles(spark, candidates.map(f => s"$dd/$f").toIndexedSeq)
+      else readFiles(spark, candidates.map(f => s"$dd/$f").toIndexedSeq, sch)
         .filter(pred)
         .select(element_at(split(input_file_name(), "/"), -1).as("f"))
         .distinct().collect().map(_.getString(0)).toSet
     if (hitFiles.isEmpty)
       return DeleteStats(cur, 0L, m.count(), 0L)
 
-    val hit = readFiles(spark, hitFiles.toSeq.sorted.map(f => s"$dd/$f"))
+    val hit = readFiles(spark, hitFiles.toSeq.sorted.map(f => s"$dd/$f"), sch)
     val hitRows = hit.count()
     val survivors = hit.filter(!pred)
     // survivors keep the table's clustering so stats-pruned reads stay
@@ -520,7 +596,7 @@ object Snapshots {
     val kept = m.filter(!col("file").isin(hitFiles.toSeq: _*))
     val full = kept.unionByName(spark.createDataFrame(
       java.util.Arrays.asList(newRows: _*), ManifestSchema))
-    publishManifest(spark, table, cur, full, meta)
+    publishManifest(spark, table, cur, full, meta, sch)
     DeleteStats(cur + 1, hitFiles.size.toLong, kept.count(),
       hitRows - survivorRows)
   }
@@ -576,6 +652,8 @@ object Snapshots {
     require(cur > 0, s"$table has no committed version")
     val m = manifest(spark, table, cur)
     val dd = dataDir(table).toString
+    // recorded schema carried through the rewrite, as in [[delete]]
+    val sch = readerSchema(spark, table, cur)
     val statsKey = m.filter(col("key").isNotNull).select("key")
       .limit(1).collect().headOption.map(_.getString(0))
     val candidates = prune match {
@@ -619,14 +697,14 @@ object Snapshots {
     val keys = updates.select(col(keyCol)).distinct()
     val hitFiles: Set[String] =
       if (candidates.isEmpty) Set.empty
-      else readFiles(spark, candidates.map(f => s"$dd/$f").toIndexedSeq)
+      else readFiles(spark, candidates.map(f => s"$dd/$f").toIndexedSeq, sch)
         .select(col(keyCol),
           element_at(split(input_file_name(), "/"), -1).as("_src_file"))
         .join(keys, Seq(keyCol), "left_semi")
         .select("_src_file").distinct().collect().map(_.getString(0)).toSet
     val hit =
       if (hitFiles.isEmpty) None
-      else Some(readFiles(spark, hitFiles.toSeq.sorted.map(f => s"$dd/$f")))
+      else Some(readFiles(spark, hitFiles.toSeq.sorted.map(f => s"$dd/$f"), sch))
     val hitRows = hit.map(_.count()).getOrElse(0L)
     val survivors = hit.map(_.join(keys, Seq(keyCol), "left_anti"))
     val merged = survivors match {
@@ -653,7 +731,7 @@ object Snapshots {
     val kept = m.filter(!col("file").isin(hitFiles.toSeq: _*))
     val full = kept.unionByName(spark.createDataFrame(
       java.util.Arrays.asList(newRows: _*), ManifestSchema))
-    publishManifest(spark, table, cur, full, meta)
+    publishManifest(spark, table, cur, full, meta, sch)
     // written = survivors + ALL updates, so the matched count falls out
     // of the row accounting without an extra action
     val rowsUpdated = hitRows - (writtenRows - upN)
@@ -670,12 +748,17 @@ object Snapshots {
   def schemaDrift(spark: SparkSession, table: String,
                   v0: Long, v1: Long): DataFrame = {
     import spark.implicits._
-    def schemaAt(v: Long): Map[String, String] = {
-      val one = filesOf(spark, table, v).limit(1).collect()
-      require(one.nonEmpty, s"$table v$v has no files")
-      spark.read.parquet(one.head.getString(0)).schema
-        .map(f => f.name -> f.dataType.simpleString).toMap
-    }
+    // prefer the recorded sidecar: after a mergeSchema append, one file's
+    // footer no longer describes the mixed membership
+    def schemaAt(v: Long): Map[String, String] =
+      readerSchema(spark, table, v) match {
+        case Some(st) => st.map(f => f.name -> f.dataType.simpleString).toMap
+        case None =>
+          val one = filesOf(spark, table, v).limit(1).collect()
+          require(one.nonEmpty, s"$table v$v has no files")
+          spark.read.parquet(one.head.getString(0)).schema
+            .map(f => f.name -> f.dataType.simpleString).toMap
+      }
     val (s0, s1) = (schemaAt(v0), schemaAt(v1))
     val rows =
       (s1.keySet -- s0.keySet).toSeq.sorted.map(c =>
@@ -700,11 +783,15 @@ object Snapshots {
     require(f0.size <= 1000000 && f1.size <= 1000000, "manifest not metadata-sized")
     val added = (f1 -- f0).toSeq.sorted
     val removed = (f0 -- f1).toSeq.sorted
+    // both sides read under v1's recorded schema: across an add-column
+    // evolution, removed (pre-evolution) rows surface with the new
+    // column null — one uniform CDC schema, the Delta posture
+    val v1Schema = readerSchema(spark, table, v1)
     val schema = read(spark, table, v1).schema
     def side(paths: Seq[String]) =
       if (paths.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else readFiles(spark, paths)
+      else readFiles(spark, paths, v1Schema)
     val ins = side(added).exceptAll(side(removed))
       .select(lit("insert").as("_op") +: schema.fieldNames.map(col): _*)
     val del = side(removed).exceptAll(side(added))
@@ -743,6 +830,7 @@ object Snapshots {
     drop.foreach { v =>
       fs.delete(new Path(md, f"v$v%06d.ok"), false)
       fs.delete(new Path(md, f"v$v%06d.meta"), false)
+      fs.delete(new Path(md, f"v$v%06d.schema"), false)
       fs.delete(new Path(md, f"v$v%06d.lock"), false)
       fs.delete(new Path(md, f"v$v%06d"), true)
     }
@@ -751,7 +839,8 @@ object Snapshots {
     // are old enough to be provably not in-flight
     fs.listStatus(md)
       .filter { st =>
-        val base = st.getPath.getName.stripSuffix(".meta").stripSuffix(".lock")
+        val base = st.getPath.getName.stripSuffix(".meta")
+          .stripSuffix(".schema").stripSuffix(".lock")
         base.matches("v\\d{6}") && !fs.exists(new Path(md, base + ".ok")) &&
           now - st.getModificationTime >= orphanMinAgeMs
       }

@@ -420,4 +420,58 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshots.read(spark, t, 1).count() == 100)
     assert(Snapshots.read(spark, t, 2).count() >= 100)
   }
+
+  test("mergeSchema append: added column reads null for old files, time travel keeps both schemas") {
+    import spark.implicits._
+    val t = freshTable()
+    // v1: (k, v) clustered on k
+    Snapshots.commit(spark, df(0 until 100), t,
+      statsCol = Some("k"), clustered = true, files = 2)
+    // plain append of a WIDER frame still rejects without the flag
+    val widened = (100 until 120)
+      .map(i => (i.toLong, s"row$i", i * 1.5)).toDF("k", "v", "w")
+    intercept[IllegalArgumentException](
+      Snapshots.commit(spark, widened, t, files = 1))
+    // mergeSchema append must still carry every live column at type
+    intercept[IllegalArgumentException](
+      Snapshots.commit(spark, Seq((120L, 1.0)).toDF("k", "w"), t,
+        files = 1, mergeSchema = true))
+    // v2: evolved append — membership now mixes file generations
+    val s2 = Snapshots.commit(spark, widened, t,
+      statsCol = Some("k"), clustered = true, files = 1, mergeSchema = true)
+    assert(s2.version == 2)
+    val v2 = Snapshots.read(spark, t)
+    assert(v2.columns.toSeq == Seq("k", "v", "w"), "live columns lead, added trail")
+    assert(v2.count() == 120)
+    assert(v2.filter(col("w").isNull).count() == 100, "old files read the added column as null")
+    assert(v2.filter(col("w").isNotNull).count() == 20)
+    assert(v2.filter(col("k") === 110).select("w").head.getDouble(0) == 165.0)
+    // time travel: v1 reads under ITS recorded schema — no w column
+    assert(Snapshots.read(spark, t, 1).columns.toSeq == Seq("k", "v"))
+    // schemaDrift sees the evolution from the sidecars
+    val drift = Snapshots.schemaDrift(spark, t, 1, 2).collect()
+    assert(drift.map(r => (r.getString(0), r.getString(1))).toSeq
+      == Seq(("w", "added")))
+    // pruned reads still work over the mixed membership (and find the
+    // evolved rows: the v2 file is clustered on k too)
+    val pruned = Snapshots.readPruned(spark, t, "k", 100, 119)
+    assert(pruned.count() == 20 && pruned.filter(col("w").isNull).count() == 0)
+    // DML over the mixed membership: delete an OLD row — the rewrite
+    // carries the evolved schema, and the surviving old rows keep w=null
+    val del = Snapshots.delete(spark, t, col("k") === 5L,
+      prune = Some(("k", 5.0, 5.0)))
+    assert(del.rowsDeleted == 1)
+    val v3 = Snapshots.read(spark, t)
+    assert(v3.count() == 119 && v3.columns.toSeq == Seq("k", "v", "w"))
+    assert(v3.filter(col("w").isNull).count() == 99)
+    // upsert an evolved-shape row into the mixed table
+    val up = Snapshots.upsert(spark, t,
+      Seq((0L, "ZERO", 0.5)).toDF("k", "v", "w"), "k",
+      prune = Some(("k", 0.0, 0.0)))
+    assert(up.rowsUpdated == 1 && up.rowsInserted == 0)
+    val v4 = Snapshots.read(spark, t)
+    assert(v4.filter(col("k") === 0L).select("v", "w").head()
+      .toSeq == Seq("ZERO", 0.5))
+    assert(v4.count() == 119)
+  }
 }
