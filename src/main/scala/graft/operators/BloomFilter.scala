@@ -43,11 +43,28 @@ object BloomFilter {
   def position(key: Column, j: Int, m: Long): Column =
     pmod(Det.hex60(md5(concat(key, lit(s"@$j")))), lit(m)).cast("long")
 
+  /** [[position]] on xxhash64 instead of md5 — for PREFILTER composition
+    * only (q38's shape), where the filter's verdict never reaches the
+    * output: a bloom prefilter is a superset pass whatever the hash, so
+    * the probe side can use the native codegen'd hash (~ns/row) instead
+    * of paying 3 md5 hex strings per corpus row (~µs/row — measured 1.4×
+    * of q38's whole sf10 wall). q82, whose CONTRACT is the sketch
+    * itself, stays on the md5 family its DuckDB oracle replays. */
+  def positionFast(key: Column, j: Int, m: Long): Column =
+    pmod(xxhash64(key, lit(j)), lit(m)).cast("long")
+
   /** The filter itself: the distinct set-bit positions of `df`'s `keyCol`
     * under d hashes — ≤ m rows, one column `pos`. */
   def bits(df: DataFrame, keyCol: String, d: Int, m: Long): DataFrame =
     df.select(explode(array((0 until d).map(j =>
         position(col(keyCol), j, m)): _*)).as("pos"))
+      .distinct()
+
+  /** [[bits]] under the [[positionFast]] hash family — build and probe
+    * must share the family. */
+  def bitsFast(df: DataFrame, keyCol: String, d: Int, m: Long): DataFrame =
+    df.select(explode(array((0 until d).map(j =>
+        positionFast(col(keyCol), j, m)): _*)).as("pos"))
       .distinct()
 
   /** Membership probe: one row per `probe` row (identified by its unique

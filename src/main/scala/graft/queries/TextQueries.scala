@@ -432,21 +432,38 @@ object TextQueries {
     val benchTris = bench.select(col("tri")).distinct()
     val benchDocs = bench.select(col("doc_id").as("bench_doc"), col("tri"))
     import graft.operators.BloomFilter
-    // size the filter to the benchmark's distinct trigram count (one tiny
-    // 1%-side job, the q82 sizing posture); d=3 positions per key
-    val m = BloomFilter.sized(math.max(1L, benchTris.count()))
-    val bloom = BloomFilter.bits(benchTris, "tri", 3, m)
+    // m sized from the corpus doc count (a parquet-metadata count-star,
+    // not a bench-side explode job): benchmark trigrams ≤ corpus docs on
+    // any real eval set, and an oversized m only lowers the FP rate —
+    // the bits frame stays ≤ 3·keys rows regardless of m
+    val m = BloomFilter.sized(math.max(1L, docs(s, d).count()))
+    // FAST hash family (xxhash64): the bloom's verdict never reaches the
+    // output, so the probe needn't be oracle-replayable
+    val bloom = BloomFilter.bitsFast(benchTris, "tri", 3, m)
     // three broadcast LEFT SEMI joins on the hash positions — membership
     // = all 3 set, expressed as successive anyone-set filters so each
     // stays a map-side BroadcastHashJoin (no groupBy shuffle); rows
-    // surviving all three are bloom hits (guaranteed-negative-free)
+    // surviving all three are bloom hits (guaranteed-negative-free).
+    // MEASURED CAVEAT (r13, tools/Q38Profile + DuckDB audit): on THIS
+    // synthetic corpus the 30-word vocab saturates the trigram space —
+    // the benchmark side covers all 27000 possible trigrams at sf10, so
+    // the bloom (or ANY prefilter) drops zero training rows and the cost
+    // floor is the trigram explode itself (~q37's explode plus the wider
+    // string). On a real corpus the benchmark n-gram set is sparse in the
+    // corpus n-gram space and this composition is the win the operator
+    // exists for; it stays because its overhead is three codegen'd
+    // hash-joins against an ≤3n-row broadcast.
     val prefiltered = (0 until 3).foldLeft(
         g.filter(col("doc_id") % 100 =!= 7)) { (acc, j) =>
       acc.join(broadcast(bloom.select(col("pos").as(s"_p$j"))),
-        BloomFilter.position(col("tri"), j, m) === col(s"_p$j"), "left_semi")
+        BloomFilter.positionFast(col("tri"), j, m) === col(s"_p$j"), "left_semi")
     }
-    prefiltered.distinct()
-      .join(broadcast(benchTris), "tri")
+    // ONE exact broadcast join: the inner join with benchDocs IS the
+    // exact membership filter (bloom FPs die here), and countDistinct
+    // dedups (doc, tri) multiplicity itself — the former benchTris
+    // semi-join and the pre-join distinct were a redundant pass and a
+    // corpus-sized string shuffle respectively (r13 profile)
+    prefiltered
       .join(broadcast(benchDocs), "tri")
       .groupBy("doc_id")
       .agg(countDistinct(col("tri")).as("n_shared_trigrams"),

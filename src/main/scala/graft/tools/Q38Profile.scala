@@ -1,0 +1,46 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off stage profile for q38's sf10 wall (r13): times each layer of
+  * the contamination pipeline separately so the optimization attacks the
+  * measured block, not the assumed one. */
+object Q38Profile {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "testdata_gen/sf10")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.Tables.documents(spark, dir)
+    val words = split(col("text"), " ")
+    val tris = transform(sequence(lit(1), size(words) - 2),
+      i => concat_ws(" ", element_at(words, i), element_at(words, i + 1),
+        element_at(words, i + 2)))
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[q38prof] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s  (n=$n)")
+    }
+    val g = docs.select(col("doc_id"), explode(tris).as("tri"))
+    val train = g.filter(col("doc_id") % 100 =!= 7)
+    t("explode+count")(train.agg(count(lit(1))).head().getLong(0))
+    t("explode+distinct")(train.distinct().count())
+    val bench = g.filter(col("doc_id") % 100 === 7)
+    val benchTris = bench.select("tri").distinct()
+    t("bench distinct")(benchTris.count())
+    val benchDocs = bench.select(col("doc_id").as("bench_doc"), col("tri"))
+    t("join expansion count")(
+      train.distinct().join(broadcast(benchDocs), "tri").agg(count(lit(1))).head().getLong(0))
+    t("full agg")(
+      train.distinct().join(broadcast(benchTris), "tri")
+        .join(broadcast(benchDocs), "tri")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("tri")), countDistinct(col("bench_doc")))
+        .count())
+    spark.stop()
+  }
+}
