@@ -70,13 +70,18 @@ object ConnectedComponents {
   private val JumpsDeep = sys.env.get("GRAFT_CC_JUMPS").map(_.toInt).getOrElse(3)
 
   /** Flood rounds before the hybrid hands the quotient graph to
-    * [[contract]] (GRAFT_CC_ESCALATE overrides). Chosen from the r12
-    * measurements: natural corpora converge well under it (sf0.1 ≤ 5
-    * rounds — the switch never fires on the driver's bench scale), and
-    * graphs that are still moving at round 8 are the deep-topology
-    * regime where contraction wins 3-4× (BASELINE r12 addendum 2). */
+    * [[contract]] (GRAFT_CC_ESCALATE overrides). r12 shipped 8; r13
+    * lowered it to 5 after measuring the prelude's cost at sf10
+    * (BASELINE r13): sf0.1 corpora converge in ≤5 rounds and still never
+    * escalate, but every graph that outlives round 5 landed faster under
+    * earlier contraction — natural sf10 ~29→26 s box-normalized, the
+    * 20000-hop chain corpus 39→20 s (where escalate-at-5 even beat pure
+    * contraction: the cheap early flood rounds collapse local stars
+    * before the quotient contracts). Pure contraction remains slightly
+    * ahead on the deepest natural corpus (~22 s) but loses at the
+    * driver's sf0.1 scale — the hybrid keeps both regimes. */
   private val defaultEscalateRounds =
-    sys.env.get("GRAFT_CC_ESCALATE").map(_.toInt).getOrElse(8)
+    sys.env.get("GRAFT_CC_ESCALATE").map(_.toInt).getOrElse(5)
 
   /** @param vertices one row per vertex
     * @param idCol    vertex id column in `vertices` (orderable; min wins)
