@@ -427,7 +427,8 @@ object RelationalQueries {
     // row-group stats can prune on price-clustered layouts — the exact
     // (flag, _b) join below is unchanged (the ranges are a rounded
     // superset: c = round(price*100) ≥ b·10⁵ ⟺ price ≥ b·1000 − 0.005).
-    val neededBs = needed.select("_b").distinct().collect()
+    val neededBs = graft.util.Bounded.rows(
+        needed.select("_b").distinct(), 4096, "q11 needed quantile buckets")
       .map(_.getLong(0)).sorted
     val ranges = neededBs.foldLeft(Vector.empty[(Long, Long)]) { (acc, b) =>
       acc.lastOption match {

@@ -25,4 +25,17 @@ object Bounded {
     plan.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), plan.schema)
   }
+
+  /** Collect `plan`'s rows for driver-side arithmetic (scan-range
+    * derivation, loop bounds) under the same loud cap as
+    * [[literalFrame]] — for sites that need the VALUES, not a
+    * re-plantable frame. */
+  def rows(plan: DataFrame, cap: Int,
+           what: String): Array[org.apache.spark.sql.Row] = {
+    val rows = plan.collect()
+    require(rows.length <= cap,
+      s"$what collected ${rows.length} rows, over its documented bound of " +
+        s"$cap — driver-side row sets must be bounded by construction")
+    rows
+  }
 }
