@@ -57,16 +57,17 @@ object BatchServer {
     * oracle-hash the full weighted draw (VERDICT r12 item 3). */
   private[pipeline] def ordKey(c: Column): Column = Det.hex60(md5(c.cast("string")))
 
-  /** [[ordKey]]'s bucket: top 10 of its 60 bits — the shift is monotone
-    * in the key, so buckets preserve the total order. */
-  private[pipeline] def ordBucket(c: Column): Column = shiftright(ordKey(c), 50)
-
   /** Scalable deterministic prefix sum over a hashed-id total order:
     * two-phase — per-bucket partial sums (tiny) get running offsets, rows
     * window-sum only within their bucket. A single global
     * `Window.orderBy(id)` funnels every row through one reducer; this
     * shape never does, and the result is identical because the bucket
-    * function preserves the key order. */
+    * function preserves the key order.
+    *
+    * The internal bucket column RIDES ALONG as `_b` (callers that don't
+    * want it drop it): [[weightedDraw]] routes draws by the same bucket,
+    * and recomputing it there would pay a second md5 pass over the
+    * corpus for a value this pass just derived (r13 self-review). */
   def scalableCumSum(df: DataFrame, idCol: String, valueCol: String): DataFrame = {
     val withB = df.withColumn("_ord", ordKey(col(idCol)))
       .withColumn("_b", shiftright(col("_ord"), 50))
@@ -82,7 +83,7 @@ object BatchServer {
     val wIn = Window.partitionBy(col("_b")).orderBy(col("_ord"), col(idCol))
     withB.join(broadcast(offsets), Seq("_b"))
       .withColumn("_cum_hi", col("_b_off") + sum(col(valueCol)).over(wIn))
-      .drop("_b", "_b_off", "_ord")
+      .drop("_b_off", "_ord")
   }
 
   /** R2 WeightedRandomSampler analog: `draws` seeded with-replacement picks
@@ -106,14 +107,13 @@ object BatchServer {
   def weightedDraw(df: DataFrame, idCol: String, draws: Int, seed: Long): DataFrame = {
     val spark = df.sparkSession
     val units = df.withColumn("_wu", round(col("weight") * 1e6, 0).cast("long"))
+    // `_b` rides out of scalableCumSum (same bucket function, computed
+    // once): each bucket owns a contiguous cumulative range, so a draw
+    // can be ROUTED to its bucket through the tiny boundary table and
+    // then equi-join on _b — a range-predicate join straight against
+    // `cum` would be a nested-loop over the corpus-sized table
     val cum = scalableCumSum(units, idCol, "_wu")
       .withColumn("_cum_lo", col("_cum_hi") - col("_wu"))
-      // same bucket function as scalableCumSum: each bucket owns a
-      // contiguous cumulative range, so a draw can be ROUTED to its bucket
-      // through the tiny boundary table and then equi-join on _b — a
-      // range-predicate join straight against `cum` would be a nested-loop
-      // over the corpus-sized table
-      .withColumn("_b", ordBucket(col(idCol)))
     val bounds = cum.groupBy("_b")
       .agg(min(col("_cum_lo")).as("_b_lo"), max(col("_cum_hi")).as("_b_hi"))
     val total = cum.agg(max(col("_cum_hi")).as("_w_total"))

@@ -204,7 +204,10 @@ object Snapshots {
     // versions stay readable under their own recorded schema via time
     // travel.
     val curV = currentVersion(spark, table)
-    val liveSchema: Option[StructType] =
+    // LAZY: appends force it for validation + the recorded schema;
+    // overwrites never touch it (their schema is self-defining, and a
+    // legacy table's fallback read here would be pure wasted I/O)
+    lazy val liveSchema: Option[StructType] =
       if (curV > 0) Some(readerSchema(spark, table, curV)
         .getOrElse(read(spark, table, curV).schema))
       else None
@@ -228,13 +231,15 @@ object Snapshots {
     // (stable positions for existing readers) then the added ones, all
     // nullable — old files lack them; on overwrite/first commit the
     // frame is self-defining
-    val recorded: StructType = (overwrite, liveSchema) match {
-      case (false, Some(ls)) =>
-        val added = df.schema.filterNot(f => ls.fieldNames.contains(f.name))
-          .map(_.copy(nullable = true))
-        StructType(ls.fields ++ added)
-      case _ => df.schema
-    }
+    val recorded: StructType =
+      if (overwrite || curV == 0L) df.schema
+      else liveSchema match {
+        case Some(ls) =>
+          val added = df.schema.filterNot(f => ls.fieldNames.contains(f.name))
+            .map(_.copy(nullable = true))
+          StructType(ls.fields ++ added)
+        case None => df.schema
+      }
 
     // 1. data files → tmp, stats computed there (basenames survive the
     //    rename, so the manifest rows stay valid)
@@ -273,16 +278,21 @@ object Snapshots {
       }
     fs.delete(tmp, true)
 
-    // 2. next manifest = (previous membership if appending) + new rows
-    val cur = currentVersion(spark, table)
+    // 2. next manifest = (previous membership if appending) + new rows.
+    // The version is NOT re-read here (r13 self-review): validation, the
+    // recorded schema, and the publish target must all come from the ONE
+    // curV snapshot — a re-read would let a concurrent commit that landed
+    // mid-write slip underneath (this writer would then target v+2 with a
+    // schema validated against v, and the lock on v+2 would never fire).
+    // Targeting curV+1 instead makes that race a CommitContention.
     val newManifest = spark.createDataFrame(
       java.util.Arrays.asList(newRows: _*), ManifestSchema)
     val full =
-      if (overwrite || cur == 0L) newManifest
-      else manifest(spark, table, cur).unionByName(newManifest)
-    publishManifest(spark, table, cur, full, meta, Some(recorded))
-    val total = manifest(spark, table, cur + 1).count()
-    CommitStats(cur + 1, newRows.length, total)
+      if (overwrite || curV == 0L) newManifest
+      else manifest(spark, table, curV).unionByName(newManifest)
+    publishManifest(spark, table, curV, full, meta, Some(recorded))
+    val total = manifest(spark, table, curV + 1).count()
+    CommitStats(curV + 1, newRows.length, total)
   }
 
   /** per-file manifest rows (file, rows, key, min_k, max_k) of a frame
@@ -665,30 +675,46 @@ object Snapshots {
         // its inserted update, silently breaking the key-unique contract.
         // Widen to the measured span (and say so). For c != keyCol the
         // key→range mapping is caller-asserted and unverifiable here.
-        val (lo, hi) =
+        val spanOpt =
           if (c == keyCol) {
             val span = updates.agg(
               min(expr(s"try_cast(`$keyCol` AS DOUBLE)")),
-              max(expr(s"try_cast(`$keyCol` AS DOUBLE)"))).head()
-            // non-numeric keys cast to null — but then every manifest
-            // min_k/max_k for this column is null too and nothing prunes
-            if (span.isNullAt(0) || span.isNullAt(1)) (lo0, hi0)
-            else {
+              max(expr(s"try_cast(`$keyCol` AS DOUBLE)")),
+              sum(when(expr(s"try_cast(`$keyCol` AS DOUBLE)").isNull, 1L)
+                .otherwise(0L))).head()
+            // ANY non-numeric update key disables pruning outright: such
+            // a key has no place on the [lo, hi] axis, and a file whose
+            // OTHER keys are numeric still carries numeric min/max stats
+            // (min/max skip nulls), so it could be pruned while holding
+            // the non-numeric match — the stale-duplicate hole this
+            // widening exists to close (r13 self-review; the old
+            // null-span fallback assumed null stats everywhere, which is
+            // false for mixed numeric/non-numeric key columns)
+            if (span.isNullAt(0) || span.isNullAt(1) || span.getLong(2) > 0L) {
+              System.err.println(
+                s"[snapshots] merge prune disabled: updates' $keyCol has " +
+                  "non-numeric values — every manifest file stays a candidate")
+              None
+            } else {
               val (wlo, whi) = (math.min(lo0, span.getDouble(0)),
                 math.max(hi0, span.getDouble(1)))
               if (wlo < lo0 || whi > hi0) System.err.println(
                 s"[snapshots] merge prune range [$lo0, $hi0] narrower than " +
                   s"updates' $keyCol span [${span.getDouble(0)}, " +
                   s"${span.getDouble(1)}] — widened to cover it")
-              (wlo, whi)
+              Some((wlo, whi))
             }
-          } else (lo0, hi0)
-        // positive-evidence pruning only — identical contract to
-        // [[delete]]'s (null/other-column stats stay candidates)
-        val disjoint = col("key").isNotNull && col("key") === c &&
-          col("min_k").isNotNull && col("max_k").isNotNull &&
-          (col("max_k") < lo || col("min_k") > hi)
-        m.filter(!disjoint).select("file").collect().map(_.getString(0))
+          } else Some((lo0, hi0))
+        spanOpt match {
+          case None => m.select("file").collect().map(_.getString(0))
+          case Some((lo, hi)) =>
+            // positive-evidence pruning only — identical contract to
+            // [[delete]]'s (null/other-column stats stay candidates)
+            val disjoint = col("key").isNotNull && col("key") === c &&
+              col("min_k").isNotNull && col("max_k").isNotNull &&
+              (col("max_k") < lo || col("min_k") > hi)
+            m.filter(!disjoint).select("file").collect().map(_.getString(0))
+        }
       case None => m.select("file").collect().map(_.getString(0))
     }
     require(candidates.length <= 1000000, "manifest not metadata-sized")
@@ -740,10 +766,12 @@ object Snapshots {
 
   /** Schema-drift report between two versions — the metadata half of
     * [[diff]]: columns added, removed, or retyped across an overwrite
-    * evolution (appends can't drift — [[commit]] rejects them). Reads
-    * only TWO parquet footers (one file per side carries the schema of
-    * its self-consistent membership), so the report is free at any
-    * table size. One row per drifted column: (column, change ∈
+    * reshape or a `mergeSchema` append (plain appends can't drift —
+    * [[commit]] rejects them). Reads each side's recorded-schema sidecar
+    * when present (after a mergeSchema append the membership mixes file
+    * generations, so no single footer describes it) and falls back to
+    * one parquet footer for legacy schema-uniform versions — metadata
+    * cost either way. One row per drifted column: (column, change ∈
     * {added, removed, retyped}, from_type, to_type). */
   def schemaDrift(spark: SparkSession, table: String,
                   v0: Long, v1: Long): DataFrame = {

@@ -436,8 +436,11 @@ object RelationalQueries {
         case _ => acc :+ ((b, b))
       }
     }
+    // empty input → no located buckets → scan nothing (lit(false)), the
+    // same empty result frame as before the pushdown existed
     val pricePred =
-      (if (ranges.length > 64) Vector((neededBs.min, neededBs.max)) else ranges)
+      if (neededBs.isEmpty) lit(false)
+      else (if (ranges.length > 64) Vector((neededBs.min, neededBs.max)) else ranges)
         .map { case (lo, hi) =>
           col("l_extendedprice") >= lit(lo * 1000.0 - 0.01) &&
             col("l_extendedprice") <= lit((hi + 1) * 1000.0 + 0.01)

@@ -531,10 +531,22 @@ object TextQueries {
     * honest cold-cost measurement mode; BASELINE.md records both). */
   private val ccMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** memo key = dir + the documents table's modification time, so a
+    * corpus REGENERATED at the same path within one JVM (the chain-docs
+    * A/B workflow does exactly this) misses the memo instead of serving
+    * the previous corpus' labels (r13 self-review). */
+  private def ccMemoKey(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(d, "documents.parquet")
+    val stamp =
+      try p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).getModificationTime
+      catch { case _: java.io.IOException => 0L }
+    s"$d@$stamp"
+  }
   private def nearDupClusters(s: SparkSession, d: String): DataFrame =
     if (sys.env.get("GRAFT_CC_MEMO").contains("off")) nearDupClustersOf(docs(s, d))
     else {
-      val path = ccMemo.computeIfAbsent(d, _ => {
+      val path = ccMemo.computeIfAbsent(ccMemoKey(s, d), _ => {
         val p = java.nio.file.Files.createTempDirectory("graft_cc_labels_")
           .resolve("labels.parquet").toString
         nearDupClustersOf(docs(s, d)).write.mode("overwrite").parquet(p)
