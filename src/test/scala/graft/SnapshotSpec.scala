@@ -474,4 +474,33 @@ class SnapshotSpec extends SparkSpec {
       .toSeq == Seq("ZERO", 0.5))
     assert(v4.count() == 119)
   }
+
+  test("evolved schema becomes the live append contract; vacuum keeps sidecars consistent") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commit(spark, df(0 until 50), t, files = 1)
+    Snapshots.commit(spark,
+      (50 until 60).map(i => (i.toLong, s"row$i", i * 2.0)).toDF("k", "v", "w"),
+      t, files = 1, mergeSchema = true)
+    // after the evolution, a PLAIN append must carry the evolved schema —
+    // the pre-evolution shape is now the mismatch
+    intercept[IllegalArgumentException](
+      Snapshots.commit(spark, df(60 until 70), t, files = 1))
+    Snapshots.commit(spark,
+      (60 until 70).map(i => (i.toLong, s"row$i", i * 2.0)).toDF("k", "v", "w"),
+      t, files = 1)
+    assert(Snapshots.read(spark, t).count() == 70)
+    assert(Snapshots.read(spark, t).filter(col("w").isNull).count() == 50)
+    // vacuum to the latest version: dropped versions lose their .schema
+    // sidecars, the retained version still reads under its recorded schema
+    val md = new org.apache.hadoop.fs.Path(t, "_manifests")
+    val fs = md.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Snapshots.vacuum(spark, t, keepLast = 1, orphanMinAgeMs = 0L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(md, "v000001.schema")),
+      "dropped version's schema sidecar must be reclaimed")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(md, "v000003.schema")))
+    val after = Snapshots.read(spark, t)
+    assert(after.columns.toSeq == Seq("k", "v", "w") && after.count() == 70)
+    assert(after.filter(col("w").isNull).count() == 50)
+  }
 }
