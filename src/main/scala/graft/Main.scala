@@ -412,6 +412,9 @@ object Main {
         // true replaces the membership — old versions stay readable).
         // paths.snapshot_key additionally records per-file min/max stats
         // and clusters the files on that key (pruned time travel).
+        // paths.snapshot_merge_schema: true lets an append ADD nullable
+        // columns (recorded in the version's schema sidecar; old files
+        // read them as null — the r13 evolution path).
         val recordsPath = p.records.getOrElse(throw new IllegalArgumentException(
           "snapshot needs paths.records (the rows to commit)"))
         val tablePath = ioPathExtra(configPath, "table")
@@ -422,7 +425,9 @@ object Main {
         val st = Snapshots.commit(spark, spark.read.parquet(recordsPath),
           tablePath, overwrite = over, statsCol = key,
           clustered = key.nonEmpty,
-          files = ioPathExtra(configPath, "snapshot_files").map(_.toInt).getOrElse(0))
+          files = ioPathExtra(configPath, "snapshot_files").map(_.toInt).getOrElse(0),
+          mergeSchema = ioPathExtra(configPath, "snapshot_merge_schema")
+            .contains("true"))
         Map("version" -> st.version.toString,
           "files_added" -> st.filesAdded.toString,
           "files_total" -> st.filesTotal.toString)
