@@ -12,9 +12,11 @@ import org.apache.spark.sql.execution.window.WindowExec
   *     bounded side (Catalyst plans those as BroadcastNestedLoopJoin, not
   *     CartesianProductExec).
   *
-  * Exceptions are DECLARED, not discovered: q33/q34 are contractually
-  * sampled all-pairs queries (SURVEY §2.13) and keep their sampled
-  * Cartesian. Any new query that trips this spec either gets a bounded
+  * Exceptions are DECLARED, not discovered: q33 is a contractually
+  * sampled all-pairs query (SURVEY §2.13) and keeps its sampled
+  * Cartesian (q34 left this list in r13 — its fixed probe panel
+  * broadcasts, so its pair join is a bounded BroadcastNestedLoopJoin).
+  * Any new query that trips this spec either gets a bounded
   * plan or a documented exception here — silent regressions don't merge.
   * AQE is disabled during planning so the physical tree stays walkable;
   * the audit inspects plans only (no execution), so it covers every
@@ -22,7 +24,7 @@ import org.apache.spark.sql.execution.window.WindowExec
   */
 class PlanAuditSpec extends SparkSpec {
 
-  private val cartesianBySampleContract = Set("q33_ngram_jaccard", "q34_embed_neardup")
+  private val cartesianBySampleContract = Set("q33_ngram_jaccard")
 
   test("no declared query plans an unpartitioned window or a raw cartesian join") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
@@ -87,6 +89,52 @@ class PlanAuditSpec extends SparkSpec {
         case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
       }
       assert(bcasts.nonEmpty, "q89 lost its broadcast scoring join entirely")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("q11's re-scan carries the located price ranges in PushedFilters") {
+    // regression guard for the r13 second-scan pruning (BASELINE r13
+    // addendum 5): the located quantile buckets must reach the parquet
+    // scan as an Or-of-ranges on the RAW price column (sf10 14.4 → 5.1 s)
+    // — a refactor that moves the filter above the scan silently reverts
+    // to reading the whole table twice
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = queries.RelationalQueries.q11.build(spark, sf0001)
+        .queryExecution.executedPlan
+      val pushed = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metadata.getOrElse("PushedFilters", "")
+      }
+      assert(pushed.exists(p => p.contains("Or(") &&
+        p.contains("GreaterThanOrEqual(l_extendedprice")),
+        s"located price ranges not pushed into any scan: $pushed")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("q38's bloom prefilter stays three map-side broadcast semi-joins") {
+    // regression guard for the r13 shape: the training explode must pass
+    // through exactly 3 LeftSemi BroadcastHashJoins (the bloom positions)
+    // and the exact benchDocs join must broadcast — any SortMergeJoin
+    // here means the corpus-sized trigram stream is shuffling again
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = queries.TextQueries.q38.build(spark, sf0001)
+        .queryExecution.executedPlan
+      val semis = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }
+      assert(semis.size == 3,
+        s"expected 3 bloom LeftSemi broadcast joins, found ${semis.size}")
+      val shuffleJoins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(shuffleJoins.isEmpty,
+        s"q38 plans ${shuffleJoins.size} shuffle join(s) — bench side must broadcast")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 }
