@@ -62,13 +62,19 @@ object BatchServer {
     * window-sum only within their bucket. A single global
     * `Window.orderBy(id)` funnels every row through one reducer; this
     * shape never does, and the result is identical because the bucket
-    * function preserves the key order.
-    *
-    * The internal bucket column RIDES ALONG as `_b` (callers that don't
-    * want it drop it): [[weightedDraw]] routes draws by the same bucket,
+    * function preserves the key order. Adds only `_cum_hi` to the
+    * caller's schema. */
+  def scalableCumSum(df: DataFrame, idCol: String, valueCol: String): DataFrame =
+    cumSumWithBucket(df, idCol, valueCol).drop("_b")
+
+  /** [[scalableCumSum]] with the internal bucket column riding along as
+    * `_b` — PRIVATE: [[weightedDraw]] routes draws by the same bucket,
     * and recomputing it there would pay a second md5 pass over the
-    * corpus for a value this pass just derived (r13 self-review). */
-  def scalableCumSum(df: DataFrame, idCol: String, valueCol: String): DataFrame = {
+    * corpus for a value this pass just derived (r13 reviews: the public
+    * variant keeps its schema contract — callers must not inherit an
+    * undocumented column, nor have an existing `_b` overwritten). */
+  private def cumSumWithBucket(df: DataFrame, idCol: String,
+                               valueCol: String): DataFrame = {
     val withB = df.withColumn("_ord", ordKey(col(idCol)))
       .withColumn("_b", shiftright(col("_ord"), 50))
     val bucketTotals = withB.groupBy("_b").agg(sum(col(valueCol)).as("_b_sum"))
@@ -107,12 +113,12 @@ object BatchServer {
   def weightedDraw(df: DataFrame, idCol: String, draws: Int, seed: Long): DataFrame = {
     val spark = df.sparkSession
     val units = df.withColumn("_wu", round(col("weight") * 1e6, 0).cast("long"))
-    // `_b` rides out of scalableCumSum (same bucket function, computed
+    // `_b` rides out of cumSumWithBucket (same bucket function, computed
     // once): each bucket owns a contiguous cumulative range, so a draw
     // can be ROUTED to its bucket through the tiny boundary table and
     // then equi-join on _b — a range-predicate join straight against
     // `cum` would be a nested-loop over the corpus-sized table
-    val cum = scalableCumSum(units, idCol, "_wu")
+    val cum = cumSumWithBucket(units, idCol, "_wu")
       .withColumn("_cum_lo", col("_cum_hi") - col("_wu"))
     val bounds = cum.groupBy("_b")
       .agg(min(col("_cum_lo")).as("_b_lo"), max(col("_cum_hi")).as("_b_hi"))

@@ -664,6 +664,11 @@ object Snapshots {
     val dd = dataDir(table).toString
     // recorded schema carried through the rewrite, as in [[delete]]
     val sch = readerSchema(spark, table, cur)
+    // empty updates: no version burned, and neither the span job nor the
+    // manifest collect below runs (r13 review: the old ordering paid both
+    // and logged a misleading 'non-numeric values' warning on the way out)
+    val upN = updates.count()
+    if (upN == 0) return UpsertStats(cur, 0L, 0L, 0L)
     val statsKey = m.filter(col("key").isNotNull).select("key")
       .limit(1).collect().headOption.map(_.getString(0))
     val candidates = prune match {
@@ -718,8 +723,6 @@ object Snapshots {
       case None => m.select("file").collect().map(_.getString(0))
     }
     require(candidates.length <= 1000000, "manifest not metadata-sized")
-    val upN = updates.count()
-    if (upN == 0) return UpsertStats(cur, 0L, 0L, 0L)
     val keys = updates.select(col(keyCol)).distinct()
     val hitFiles: Set[String] =
       if (candidates.isEmpty) Set.empty
