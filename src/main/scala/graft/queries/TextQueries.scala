@@ -429,14 +429,18 @@ object TextQueries {
            |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)) { (s, d) =>
     val g = docs(s, d).select(col("doc_id"), explode(ngrams(3)).as("tri"))
     val bench = g.filter(col("doc_id") % 100 === 7)
-    val benchTris = bench.select(col("tri")).distinct()
+    // persisted: the count below sizes m AND fills the cache the bits
+    // build (and nothing else) then reads — one bench-side explode total
+    val benchTris = bench.select(col("tri")).distinct().persist()
     val benchDocs = bench.select(col("doc_id").as("bench_doc"), col("tri"))
     import graft.operators.BloomFilter
-    // m sized from the corpus doc count (a parquet-metadata count-star,
-    // not a bench-side explode job): benchmark trigrams ≤ corpus docs on
-    // any real eval set, and an oversized m only lowers the FP rate —
-    // the bits frame stays ≤ 3·keys rows regardless of m
-    val m = BloomFilter.sized(math.max(1L, docs(s, d).count()))
+    // m sized from the ACTUAL benchmark trigram count (ADVICE r13: the
+    // old corpus-doc-count proxy undersizes m whenever distinct bench
+    // trigrams exceed total docs — bench docs × trigrams/doc can, on a
+    // real corpus, dwarf the doc count and drive the FP rate toward 1).
+    // The bench side is the tiny side by contract, so counting it is a
+    // small job, and it doubles as the cache fill for the bits build.
+    val m = BloomFilter.sized(math.max(1L, benchTris.count()))
     // FAST hash family (xxhash64): the bloom's verdict never reaches the
     // output, so the probe needn't be oracle-replayable
     val bloom = BloomFilter.bitsFast(benchTris, "tri", 3, m)
@@ -523,12 +527,21 @@ object TextQueries {
     * and fail its next reader, while a parquet labels table (the exact
     * artifact `CorpusDedup` ships) survives both and is readable from
     * any session. The labels are a pure function of the corpus bytes
-    * (md5-seeded chain end to end), so a key collision can only happen
-    * for a byte-identical regeneration — where the stale answer IS the
-    * right answer. Superseding a dir's generation evicts the old entry
-    * and deletes its temp table (no unbounded /tmp growth across A/B
-    * regenerations); a stat failure on the corpus disables the memo for
-    * that call LOUDLY instead of guessing a key (r13 reviews). Each
+    * (md5-seeded chain end to end), and the generation stamp folds every
+    * part file's (name, length, mtime) — so a stale hit requires a
+    * regeneration that reproduces the exact file listing AND lands in
+    * the same mtime millisecond, at which point the overwhelmingly
+    * likely cause is the same bytes (ADVICE r13 softened the old
+    * "collision ⇒ byte-identical" claim; the stamp is a strong listing
+    * fingerprint, not a content hash). Superseding a dir's generation
+    * RETIRES the old table and deletes it one supersede LATER — a
+    * lazily-evaluated frame handed out against generation N-1 stays
+    * readable until N+1 lands (no unbounded /tmp growth across A/B
+    * regenerations, no pulled rug); a stat failure on the corpus
+    * disables the memo for that call LOUDLY instead of guessing a key
+    * (r13 reviews). On a non-local master the table is written through
+    * the CORPUS dir's Hadoop FileSystem (under hadoop.tmp.dir), not a
+    * driver-local java.nio path executors can't see (ADVICE r13). Each
     * query still declares — and the oracle still replays — the full
     * chain; the memo only de-duplicates identical work inside one JVM,
     * exactly like the labels table a production pipeline would reuse.
@@ -536,17 +549,29 @@ object TextQueries {
     * cold-cost measurement mode; BASELINE.md records both). */
   private val ccMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
-  /** generation stamp = documents.parquet mtime + summed file lengths
-    * (metadata listing only); None (loudly) if the corpus can't be
-    * stat'ed. */
+  /** superseded generations, kept ONE deep per dir: the N-1 table is
+    * deleted only when generation N+1 lands, so a lazy DataFrame handed
+    * out against the previous path survives one regeneration (ADVICE
+    * r13: immediate eviction could delete under a live reader). */
+  private val ccRetired =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** generation stamp = md5 over every part file's (name, length, mtime)
+    * (metadata listing only — ADVICE r13: the old mtime+summed-lengths
+    * aggregate could collide across regenerations with equal total
+    * bytes); None (loudly) if the corpus can't be stat'ed. */
   private def ccStamp(s: SparkSession, d: String): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(d, "documents.parquet")
     try {
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       val st = fs.getFileStatus(p)
-      val bytes =
-        if (st.isDirectory) fs.listStatus(p).map(_.getLen).sum else st.getLen
-      Some(s"${st.getModificationTime}#$bytes")
+      val parts =
+        if (st.isDirectory) fs.listStatus(p).sortBy(_.getPath.getName)
+        else Array(st)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      parts.foreach(f => md.update(
+        s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime};"
+          .getBytes("UTF-8")))
+      Some(md.digest().map("%02x".format(_)).mkString)
     } catch {
       case e: java.io.IOException =>
         System.err.println(s"[graft] cc-label memo disabled for $d: " +
@@ -554,6 +579,30 @@ object TextQueries {
         None
     }
   }
+  /** Scratch location for a new memo table. A local master keeps the
+    * driver-local java.nio temp dir (executors share the driver's
+    * filesystem); any other master resolves under hadoop.tmp.dir through
+    * the CORPUS dir's FileSystem, so every executor that could read the
+    * input can read the memo (ADVICE r13: a driver-local path is
+    * invisible to remote executors). */
+  private def ccScratch(s: SparkSession, d: String): String =
+    if (s.sparkContext.isLocal)
+      java.nio.file.Files.createTempDirectory("graft_cc_labels_")
+        .resolve("labels.parquet").toString
+    else {
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(d).getFileSystem(conf)
+      val root = new org.apache.hadoop.fs.Path(
+        conf.get("hadoop.tmp.dir", "/tmp"), "graft_cc_labels")
+      fs.makeQualified(new org.apache.hadoop.fs.Path(root,
+        s"gen_${java.util.UUID.randomUUID().toString.take(12)}/labels.parquet"))
+        .toString
+    }
+  private def ccDelete(s: SparkSession, table: String): Unit =
+    try {
+      val dir = new org.apache.hadoop.fs.Path(table).getParent
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+    } catch { case _: java.io.IOException => () }
   private def nearDupClusters(s: SparkSession, d: String): DataFrame =
     if (sys.env.get("GRAFT_CC_MEMO").contains("off")) nearDupClustersOf(docs(s, d))
     else ccStamp(s, d) match {
@@ -562,12 +611,13 @@ object TextQueries {
         val (_, path) = ccMemo.compute(d, (_, prev) => {
           if (prev != null && prev._1 == stamp) prev
           else {
-            if (prev != null) // superseded generation: reclaim its table
-              try org.apache.commons.io.FileUtils.deleteDirectory(
-                new java.io.File(prev._2).getParentFile)
-              catch { case _: java.io.IOException => () }
-            val p = java.nio.file.Files.createTempDirectory("graft_cc_labels_")
-              .resolve("labels.parquet").toString
+            if (prev != null) {
+              // retire, don't delete: reclaim the table one supersede
+              // later so a live reader of the old generation survives
+              val older = ccRetired.put(d, prev._2)
+              if (older != null) ccDelete(s, older)
+            }
+            val p = ccScratch(s, d)
             nearDupClustersOf(docs(s, d)).write.mode("overwrite").parquet(p)
             (stamp, p)
           }

@@ -107,8 +107,14 @@ class PlanAuditSpec extends SparkSpec {
         case s: org.apache.spark.sql.execution.FileSourceScanExec =>
           s.metadata.getOrElse("PushedFilters", "")
       }
-      assert(pushed.exists(p => p.contains("Or(") &&
-        p.contains("GreaterThanOrEqual(l_extendedprice")),
+      // assert both range ENDS reached a scan on the raw column — not the
+      // "Or(" spelling (ADVICE r13: if the fixture's needed buckets ever
+      // coalesce into one contiguous range the pushed predicate is a
+      // plain GTE∧LTE conjunction and an Or( requirement fails spuriously
+      // even though the pushdown works)
+      assert(pushed.exists(p =>
+        p.contains("GreaterThanOrEqual(l_extendedprice") &&
+        p.contains("LessThanOrEqual(l_extendedprice")),
         s"located price ranges not pushed into any scan: $pushed")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
