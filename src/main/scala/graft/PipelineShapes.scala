@@ -53,6 +53,32 @@ object PipelineShapes {
         dd.filter(col("doc_id") % 2 === 0),
         dd.filter(col("doc_id") % 2 === 1)))
     }),
+    // incremental label maintenance (VERDICT r13 item 1): p_dedup_index
+    // prices the COLD state build (full minhash → LSH → CC over the
+    // corpus, labels + band index written once); p_dedup_append prices
+    // the DAILY operation — a ~6% shard appended against the
+    // materialized state, quotient-CC over touched components only.
+    // The pair is the O(corpus)-once vs O(shard)-per-day story.
+    "p_dedup_index" -> ((s, d) => {
+      val t = annDir(d) + "_dedup"
+      val p = new org.apache.hadoop.fs.Path(t)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val corpus = Tables.documents(s, d)
+        .filter(col("doc_id") % 17 =!= 0).select("doc_id", "text")
+      val st = CorpusDedup.indexCorpus(corpus)
+      st.labels.write.parquet(s"$t/labels.parquet")
+      st.bandIndex.write.parquet(s"$t/band_index.parquet")
+      s.range(1).toDF("ok")
+    }),
+    "p_dedup_append" -> ((s, d) => {
+      val t = annDir(d) + "_dedup"
+      val state = CorpusDedup.DedupState(
+        s.read.parquet(s"$t/labels.parquet"),
+        s.read.parquet(s"$t/band_index.parquet"))
+      val shard = Tables.documents(s, d)
+        .filter(col("doc_id") % 17 === 0).select("doc_id", "text")
+      forced(CorpusDedup.appendShard(state, shard).state.labels)
+    }),
     // train-once: build the persistent IVF-PQ index (result row is a
     // sentinel; the work is the parquet artifacts under annDir)
     "p_ann_build" -> ((s, d) => {

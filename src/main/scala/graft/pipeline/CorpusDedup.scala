@@ -57,6 +57,153 @@ object CorpusDedup {
         coalesce(col("exact_id"), col("near_id"), lit(-1L)).cast("long").as("match_id"))
   }
 
+  /** Materialized near-dup dedup state — the two tables a production
+    * ingest keeps current between shards: `labels(doc_id, cluster_id)`
+    * (the q39 fixpoint over every corpus doc: cluster_id = min doc_id
+    * reachable through shared LSH bands) and
+    * `bandIndex(band_idx, band, ex_id)` (one row per occupied LSH
+    * bucket, ex_id = the bucket's minimum doc_id — the probe index
+    * [[incremental]] joins against). Both are plain DataFrames so a
+    * deployment can serve them from parquet/snapshot tables. */
+  final case class DedupState(labels: DataFrame, bandIndex: DataFrame)
+
+  /** What [[appendShard]] hands back: the merged state, the UPSERT-ready
+    * subset (`changedLabels` = every shard doc's new row plus every
+    * existing row whose cluster_id moved — exactly the rows a scoped
+    * [[Snapshots.upsert]] MERGE writes; untouched components never
+    * leave their files), and the CC round count over the quotient
+    * graph (diagnostics). */
+  final case class ShardDelta(state: DedupState, changedLabels: DataFrame,
+                              rounds: Int)
+
+  /** Full state build over a corpus — the cold path a deployment runs
+    * once, then maintains with [[appendShard]]. */
+  def indexCorpus(docs: DataFrame): DedupState = {
+    val dd = docs.select(col("doc_id"), col("text"))
+    val idx = TextQueries.bandKeys(dd)
+      .groupBy("band_idx", "band").agg(min(col("doc_id")).as("ex_id"))
+    DedupState(TextQueries.nearDupClustersOf(dd), idx)
+  }
+
+  /** Incremental label maintenance (VERDICT r13 item 1): append `shard`
+    * to a corpus whose [[DedupState]] is already materialized, producing
+    * labels IDENTICAL to a full re-cluster of corpus ∪ shard — at
+    * O(shard) cost, not O(corpus).
+    *
+    * The trick is running connected components on the QUOTIENT graph:
+    *
+    *   - vertices: shard doc ids ∪ the LABELS of existing components the
+    *     shard touches. Every old member of an LSH bucket is connected
+    *     to the bucket's min doc (the star edges cluster formation
+    *     used), so one representative label stands for ALL old members
+    *     of every bucket in that component — each old component enters
+    *     the graph pre-collapsed to a single vertex. This is the
+    *     maximal form of [[graft.operators.ConnectedComponents.minLabel]]'s
+    *     warm start: instead of seeding touched docs with old labels
+    *     and re-flooding them, the old fixpoint is USED as the vertex
+    *     set, so CC work is O(shard + touched components), never
+    *     O(touched docs).
+    *   - edges: per LSH bucket the shard occupies, a star over
+    *     {shard members} ∪ {the bucket's existing component label}.
+    *     A full recompute's bucket star connects old ∪ new members
+    *     directly; these edges generate the same connectivity because
+    *     old members are already mutually connected through the old
+    *     fixpoint (and assert nothing the full graph lacks).
+    *
+    * The quotient fixpoint's min per merged component =
+    * min(old component minima ∪ shard ids in it) = the min doc id over
+    * the merged component — exactly the full recompute's label, label
+    * for label (spec-pinned, including shards that MERGE existing
+    * components and shard ids smaller than an existing component's
+    * min). Buckets untouched by the shard contribute no new
+    * connectivity, so untouched components keep their labels verbatim.
+    *
+    * Scale/cost at 100 TB: the corpus-sized tables are only ever
+    * STREAMED against broadcast probes — touched-rep lookup and label
+    * composition are broadcast hash joins into scans of `labels`;
+    * the index merge is a broadcast anti join into a scan of
+    * `bandIndex`; nothing corpus-sized shuffles and no corpus text is
+    * re-shingled. The shard side (bands, quotient graph, CC rounds) is
+    * O(shard). Returned frames are lazy; [[ShardDelta.changedLabels]]
+    * is the scoped-MERGE payload so the daily shard append rewrites
+    * only the files holding moved labels.
+    *
+    * Contract: doc_ids unique across corpus ∪ shard (the
+    * [[Snapshots.upsert]] key contract); `state` current for the
+    * corpus. Reference shape: the cache skip/refresh posture
+    * (`pipeline/dataset_cacher.py:67-76`) applied to dedup state.
+    */
+  def appendShard(state: DedupState, shard: DataFrame): ShardDelta = {
+    val shardBands = TextQueries.bandKeys(
+      shard.select(col("doc_id"), col("text"))).persist()
+    val shardBuckets = shardBands.select("band_idx", "band").distinct()
+    // shard-touched buckets that already exist: stream the (corpus-sized)
+    // index against the broadcast shard buckets — scan, no shuffle
+    val touched = state.bandIndex
+      .join(broadcast(shardBuckets), Seq("band_idx", "band"))
+      .persist()
+    // labels of the touched bucket representatives, same broadcast-probe
+    // shape against the labels scan
+    val touchedReps = touched.select(col("ex_id").as("doc_id")).distinct()
+    val repLabels = state.labels.join(broadcast(touchedReps), Seq("doc_id"))
+      .select(col("doc_id").as("ex_id"), col("cluster_id").as("ex_lbl"))
+      .persist()
+    // quotient bucket members: shard docs plus (for pre-existing buckets)
+    // the bucket's old component label; star edges to the bucket min —
+    // the same linear-in-band-rows shape cluster formation uses
+    val members = shardBands
+      .select(col("band_idx"), col("band"), col("doc_id").as("id"))
+      .unionByName(touched.join(repLabels, Seq("ex_id"))
+        .select(col("band_idx"), col("band"), col("ex_lbl").as("id")))
+    val edges = members
+      .withColumn("rep", min(col("id")).over(
+        Window.partitionBy(col("band_idx"), col("band"))))
+      .filter(col("id") =!= col("rep"))
+      .select(col("rep").as("a"), col("id").as("c")).distinct()
+    val sym = edges.select(col("a").as("x"), col("c").as("nb"))
+      .unionByName(edges.select(col("c").as("x"), col("a").as("nb")))
+    val verts = shard.select(col("doc_id").as("id"))
+      .unionByName(repLabels.select(col("ex_lbl").as("id"))).distinct()
+    val (quot, rounds) = graft.operators.ConnectedComponents.minLabel(
+      verts, "id", sym, "x", "nb", "_qlbl")
+    // label moves for existing components: old label L → quotient min.
+    // Only touched components whose min actually changed are rewritten.
+    val exMoves = quot
+      .join(repLabels.select(col("ex_lbl").as("id")).distinct(), Seq("id"))
+      .filter(col("_qlbl") =!= col("id"))
+      .select(col("id").as("cluster_id"), col("_qlbl"))
+    val movedExisting = state.labels.join(broadcast(exMoves), Seq("cluster_id"))
+      .select(col("doc_id"), col("_qlbl").as("cluster_id"))
+    val newExisting = state.labels
+      .join(broadcast(exMoves), Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_qlbl"), col("cluster_id")).as("cluster_id"))
+    // every shard doc is a quotient vertex; left+coalesce only guards
+    // degenerate empty inputs
+    val shardLabels = shard.select(col("doc_id"))
+      .join(quot.select(col("id").as("doc_id"), col("_qlbl")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_qlbl"), col("doc_id")).as("cluster_id"))
+    // band-index merge: shard bucket minima that are new or improve the
+    // existing min, anti-joined (broadcast — the upsert set is
+    // shard-sized) into the streamed old index
+    val shardMins = shardBands.groupBy("band_idx", "band")
+      .agg(min(col("doc_id")).as("ex_id"))
+    val improved = shardMins
+      .join(touched.select(col("band_idx"), col("band"),
+        col("ex_id").as("_old")), Seq("band_idx", "band"), "left")
+      .filter(col("_old").isNull || col("ex_id") < col("_old"))
+      .select("band_idx", "band", "ex_id")
+    val newIndex = state.bandIndex
+      .join(broadcast(improved.select("band_idx", "band")),
+        Seq("band_idx", "band"), "left_anti")
+      .unionByName(improved)
+    ShardDelta(
+      DedupState(newExisting.unionByName(shardLabels), newIndex),
+      movedExisting.unionByName(shardLabels), rounds)
+  }
+
   /** Per-document dedup verdict over `docs(doc_id, text, …)`:
     * (doc_id, content_hash, exact_canonical_id, cluster_id, cluster_size,
     * quality_score, kept). `kept` ⇔ the doc survives exact dedup (is its

@@ -1,0 +1,114 @@
+package graft
+
+import graft.pipeline.{CorpusDedup, Snapshots}
+import graft.queries.TextQueries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Incremental CC label maintenance (VERDICT r13 item 1): appendShard's
+  * labels must equal a FULL re-cluster of corpus ∪ shard, label for
+  * label — including shards that merge existing components and shard ids
+  * below an existing component's min.
+  *
+  * The bridge fixture is hand-searched offline against the exact Spark
+  * hashing (md5 3-shingle minhash, 4 bands of 2): X = word00..word53;
+  * Z = X with [17]→alt7, [36]→alt14; M = X with [17]→alt7.
+  * bands(X) ∩ bands(Z) = ∅ (two separate corpus clusters) while M shares
+  * bands with BOTH — one shard doc merges two existing components. All
+  * hashing is deterministic, so the precondition asserts below can never
+  * flake; they fail loudly if the minhash pipeline changes.
+  */
+class AppendShardSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val baseWords = (0 until 54).map(i => f"word$i%02d")
+  private val textX = baseWords.mkString(" ")
+  private val textZ = baseWords.updated(17, "alt7").updated(36, "alt14").mkString(" ")
+  private val textM = baseWords.updated(17, "alt7").mkString(" ")
+  private val textNovel = "zebra xylophone quartz jigsaw vortex plasma nebula kumquat"
+
+  private def labelsMap(df: DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def full(docs: DataFrame): Map[Long, Long] =
+    labelsMap(TextQueries.nearDupClustersOf(docs.select("doc_id", "text")))
+
+  private def indexMap(df: DataFrame): Map[(Int, String), Long] =
+    df.collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+
+  test("appendShard: a bridging shard doc merges two existing components, " +
+       "label-for-label equal to a full re-cluster") {
+    val corpus = Seq((10L, textX), (11L, textX), (20L, textZ), (21L, textZ))
+      .toDF("doc_id", "text")
+    val shard = Seq((30L, textM), (40L, textNovel)).toDF("doc_id", "text")
+    val state = CorpusDedup.indexCorpus(corpus)
+    val old = labelsMap(state.labels)
+    // precondition: X and Z really are two separate components cold
+    assert(old == Map(10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L),
+      s"bridge fixture preconditions broke: $old")
+
+    val delta = CorpusDedup.appendShard(state, shard)
+    val expect = full(corpus.unionByName(shard))
+    // precondition: the merge actually happens in the full fixpoint
+    assert(expect(20L) == 10L && expect(30L) == 10L,
+      s"bridge fixture no longer merges: $expect")
+    assert(labelsMap(delta.state.labels) == expect)
+    assert(expect(40L) == 40L, "novel shard doc must label itself")
+
+    // changedLabels = shard rows + moved existing rows, NOTHING else:
+    // docs 10/11 keep label 10 and must not be rewritten
+    val changed = labelsMap(delta.changedLabels)
+    assert(changed == Map(20L -> 10L, 21L -> 10L, 30L -> 10L, 40L -> 40L),
+      s"changed set must be the moved component + the shard: $changed")
+
+    // band index parity with a full rebuild
+    assert(indexMap(delta.state.bandIndex) ==
+      indexMap(CorpusDedup.indexCorpus(corpus.unionByName(shard)).bandIndex))
+  }
+
+  test("appendShard: shard id below the existing component min relabels " +
+       "existing docs; sequential shards compose") {
+    val corpus = Seq((10L, textX), (11L, textX), (20L, textZ), (21L, textZ))
+      .toDF("doc_id", "text")
+    val shard1 = Seq((30L, textM)).toDF("doc_id", "text")
+    val shard2 = Seq((1L, textX), (50L, textZ)).toDF("doc_id", "text")
+    val s1 = CorpusDedup.appendShard(CorpusDedup.indexCorpus(corpus), shard1)
+    val s2 = CorpusDedup.appendShard(s1.state, shard2)
+    val expect = full(corpus.unionByName(shard1).unionByName(shard2))
+    assert(labelsMap(s2.state.labels) == expect)
+    // doc 1 is the new global min of the merged component: every doc
+    // (bridged X∪Z∪M plus both shard docs) must relabel to 1
+    assert(expect.values.toSet == Set(1L), s"expected one component at min 1: $expect")
+    assert(indexMap(s2.state.bandIndex) ==
+      indexMap(CorpusDedup.indexCorpus(
+        corpus.unionByName(shard1).unionByName(shard2)).bandIndex))
+  }
+
+  test("appendShard: parity on a natural corpus slice (sf0.001 documents)") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") < 40)
+    val shard = docs.filter(col("doc_id") >= 40)
+    assert(shard.count() > 0, "fixture needs a non-empty shard")
+    val delta = CorpusDedup.appendShard(CorpusDedup.indexCorpus(corpus), shard)
+    assert(labelsMap(delta.state.labels) == full(docs))
+    assert(indexMap(delta.state.bandIndex) ==
+      indexMap(CorpusDedup.indexCorpus(docs).bandIndex))
+  }
+
+  test("appendShard: changedLabels MERGEs into a snapshot labels table " +
+       "and reproduces the full fixpoint") {
+    val corpus = Seq((10L, textX), (11L, textX), (20L, textZ), (21L, textZ))
+      .toDF("doc_id", "text")
+    val shard = Seq((30L, textM), (40L, textNovel)).toDF("doc_id", "text")
+    val state = CorpusDedup.indexCorpus(corpus)
+    val table = Files.createTempDirectory("graft-appendshard").toString + "/labels"
+    Snapshots.commit(spark, state.labels, table, statsCol = Some("doc_id"))
+    val delta = CorpusDedup.appendShard(state, shard)
+    val st = Snapshots.upsert(spark, table, delta.changedLabels, "doc_id")
+    assert(st.rowsInserted == 2 && st.rowsUpdated == 2,
+      s"scoped MERGE should insert the shard and update the moved component: $st")
+    assert(labelsMap(Snapshots.read(spark, table).select("doc_id", "cluster_id"))
+      == full(corpus.unionByName(shard)))
+  }
+}
