@@ -75,6 +75,44 @@ object Snapshots {
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // ---- column mapping: rename/drop without file rewrites ---------------
+  // (VERDICT r13 item 5 — the Delta column-mapping posture). Every field
+  // of a recorded schema has a LOGICAL name (the field name readers see)
+  // and a PHYSICAL name (the parquet column name in data files, stamped
+  // in the field metadata once they diverge). Data files are ALWAYS
+  // written under physical names, so a rename is one metadata-only
+  // manifest commit (logical name changes, physical stays), and a drop
+  // is a metadata-only commit that TOMBSTONES the field: readers stop
+  // requesting it (parquet never even decodes the column), no file is
+  // rewritten, and the tombstone keeps the physical name reserved so a
+  // later re-add of the same logical name gets a FRESH physical name —
+  // old files' stale bytes can never resurface under the new column
+  // (they read as null, the add-column contract).
+  private val PhysKey = "graft.physicalName"
+  private val DroppedKey = "graft.dropped"
+  private def physicalName(f: StructField): String =
+    if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey) else f.name
+  private def isDropped(f: StructField): Boolean =
+    f.metadata.contains(DroppedKey) && f.metadata.getBoolean(DroppedKey)
+  /** reader-facing fields of a recorded schema (tombstones excluded). */
+  private def visible(st: StructType): StructType =
+    StructType(st.fields.filterNot(isDropped))
+  /** physical column name serving logical `c` under `sch` (identity for
+    * legacy tables and unmapped fields). */
+  private def physicalOf(sch: Option[StructType], c: String): String =
+    sch.flatMap(st => visible(st).fields.find(_.name == c).map(physicalName))
+      .getOrElse(c)
+  /** a logical-named frame, renamed to the physical column layout data
+    * files are written in (recorded order; identity when no schema). */
+  private def toPhysical(df: DataFrame, sch: Option[StructType]): DataFrame =
+    sch match {
+      case Some(st) =>
+        val vis = visible(st)
+        df.select(vis.fields.map(f => col(f.name).as(physicalName(f)))
+          .toIndexedSeq: _*)
+      case None => df
+    }
+
   /** Atomic exists-exclusive create of a zero-byte arbiter file — throws
     * Hadoop's `FileAlreadyExistsException` iff the file already exists
     * (the ONE lost-the-race signal the lock site may map to
@@ -212,7 +250,9 @@ object Snapshots {
         .getOrElse(read(spark, table, curV).schema))
       else None
     if (!overwrite && curV > 0) {
-      val live = liveSchema.get.map(f => f.name -> f.dataType).toMap
+      // tombstoned (dropped) fields are not part of the append contract —
+      // writers neither see nor supply them
+      val live = visible(liveSchema.get).map(f => f.name -> f.dataType).toMap
       val incoming = df.schema.map(f => f.name -> f.dataType).toMap
       if (mergeSchema) {
         val broken = live.toSeq.sortBy(_._1)
@@ -235,8 +275,22 @@ object Snapshots {
       if (overwrite || curV == 0L) df.schema
       else liveSchema match {
         case Some(ls) =>
-          val added = df.schema.filterNot(f => ls.fieldNames.contains(f.name))
-            .map(_.copy(nullable = true))
+          val visNames = visible(ls).fieldNames.toSet
+          // physical names already in use — live fields AND tombstones
+          // (a dropped column's bytes still sit in old files)
+          val reserved = ls.fields.map(physicalName).toSet
+          val added = df.schema.filterNot(f => visNames.contains(f.name))
+            .map { f0 =>
+              val f = f0.copy(nullable = true)
+              if (reserved.contains(physicalName(f))) {
+                // re-added after a drop (or physical collision): mint a
+                // fresh physical name so old files' stale bytes stay
+                // invisible — the new column reads null from them
+                val mb = new MetadataBuilder().withMetadata(f.metadata)
+                  .putString(PhysKey, s"${f.name}_v${curV + 1}").build()
+                f.copy(metadata = mb)
+              } else f
+            }
           StructType(ls.fields ++ added)
         case None => df.schema
       }
@@ -250,9 +304,14 @@ object Snapshots {
         df.repartitionByRange(n, col(c)).sortWithinPartitions(c)
       case _ => if (files > 0) df.repartition(files) else df
     }
-    shaped.write.mode(SaveMode.ErrorIfExists).parquet(tmp.toString)
+    // data files always carry PHYSICAL column names — that is what makes
+    // rename/drop metadata-only (identity until a mapping exists)
+    toPhysical(shaped, Some(recorded)).write
+      .mode(SaveMode.ErrorIfExists).parquet(tmp.toString)
 
-    val written = spark.read.parquet(tmp.toString)
+    // read back under logical names so audit expressions and the stats
+    // key (both caller-facing) keep addressing logical columns
+    val written = readBack(spark, tmp, Some(recorded))
     if (audit.nonEmpty) {
       val verdicts = written
         .agg(audit.head._2.as(audit.head._1),
@@ -293,6 +352,15 @@ object Snapshots {
     publishManifest(spark, table, curV, full, meta, Some(recorded))
     val total = manifest(spark, table, curV + 1).count()
     CommitStats(curV + 1, newRows.length, total)
+  }
+
+  /** re-read a tmp dir this writer just wrote via [[toPhysical]],
+    * surfacing logical names again (the file column order IS the
+    * recorded visible order — toPhysical wrote it). */
+  private def readBack(spark: SparkSession, tmp: Path,
+                       sch: Option[StructType]): DataFrame = {
+    val df = spark.read.parquet(tmp.toString)
+    sch.map(st => df.toDF(visible(st).fieldNames.toIndexedSeq: _*)).getOrElse(df)
   }
 
   /** per-file manifest rows (file, rows, key, min_k, max_k) of a frame
@@ -467,7 +535,14 @@ object Snapshots {
                         schema: Option[StructType] = None): DataFrame = {
     require(paths.nonEmpty, "empty file set")
     schema match {
-      case Some(st) => spark.read.schema(st).parquet(paths: _*)
+      case Some(st) =>
+        // request the VISIBLE fields by their PHYSICAL names (dropped
+        // columns are never decoded), then surface logical names
+        val vis = visible(st)
+        spark.read
+          .schema(StructType(vis.fields.map(f => f.copy(name = physicalName(f)))))
+          .parquet(paths: _*)
+          .toDF(vis.fieldNames.toIndexedSeq: _*)
       case None => spark.read.parquet(paths: _*)
     }
   }
@@ -551,6 +626,10 @@ object Snapshots {
     val sch = readerSchema(spark, table, cur)
     val keyCol = m.filter(col("key").isNotNull).select("key")
       .limit(1).collect().headOption.map(_.getString(0))
+      // a stats key that was since dropped (or renamed — old manifests
+      // keep the old name) no longer resolves on the logical frame:
+      // rewrite unclustered rather than fail the DELETE on a dead name
+      .filter(k => sch.forall(st => visible(st).fieldNames.contains(k)))
     val candidates = prune match {
       case Some((c, lo, hi)) =>
         // a file is skipped ONLY on positive evidence: stats recorded
@@ -591,11 +670,11 @@ object Snapshots {
     }
     val fs = fsOf(spark, dataDir(table))
     val tmp = new Path(table, s"_commit_tmp_${java.util.UUID.randomUUID()}")
-    shaped.write.mode(SaveMode.ErrorIfExists).parquet(tmp.toString)
+    toPhysical(shaped, sch).write.mode(SaveMode.ErrorIfExists).parquet(tmp.toString)
     val wroteAny = fs.listStatus(tmp).exists(_.getPath.getName.endsWith(".parquet"))
     val newRows =
       if (!wroteAny) Array.empty[org.apache.spark.sql.Row]
-      else statsRowsOf(spark.read.parquet(tmp.toString), keyCol).collect()
+      else statsRowsOf(readBack(spark, tmp, sch), keyCol).collect()
     val survivorRows = newRows.map(_.getLong(1)).sum
     fs.listStatus(tmp).map(_.getPath).filter(_.getName.endsWith(".parquet"))
       .foreach { p =>
@@ -671,6 +750,9 @@ object Snapshots {
     if (upN == 0) return UpsertStats(cur, 0L, 0L, 0L)
     val statsKey = m.filter(col("key").isNotNull).select("key")
       .limit(1).collect().headOption.map(_.getString(0))
+      // same dead-name guard as [[delete]]: a dropped/renamed stats key
+      // must not fail the MERGE
+      .filter(k => sch.forall(st => visible(st).fieldNames.contains(k)))
     val candidates = prune match {
       case Some((c, lo0, hi0)) =>
         // caller-supplied bounds are a pruning HINT, never trusted truth
@@ -748,8 +830,8 @@ object Snapshots {
     }
     val fs = fsOf(spark, dataDir(table))
     val tmp = new Path(table, s"_commit_tmp_${java.util.UUID.randomUUID()}")
-    shaped.write.mode(SaveMode.ErrorIfExists).parquet(tmp.toString)
-    val newRows = statsRowsOf(spark.read.parquet(tmp.toString), statsKey).collect()
+    toPhysical(shaped, sch).write.mode(SaveMode.ErrorIfExists).parquet(tmp.toString)
+    val newRows = statsRowsOf(readBack(spark, tmp, sch), statsKey).collect()
     val writtenRows = newRows.map(_.getLong(1)).sum
     fs.listStatus(tmp).map(_.getPath).filter(_.getName.endsWith(".parquet"))
       .foreach { p =>
@@ -765,6 +847,75 @@ object Snapshots {
     // of the row accounting without an extra action
     val rowsUpdated = hitRows - (writtenRows - upN)
     UpsertStats(cur + 1, hitFiles.size.toLong, rowsUpdated, upN - rowsUpdated)
+  }
+
+  /** Current recorded schema of `table`, derived from a data-file footer
+    * for legacy tables that predate schema sidecars — the shared entry
+    * point of the two metadata-only DDL verbs below. */
+  private def recordedOrFooter(spark: SparkSession, table: String,
+                               v: Long): StructType =
+    readerSchema(spark, table, v).getOrElse(read(spark, table, v).schema)
+
+  /** Metadata-only column RENAME (Delta column-mapping parity, VERDICT
+    * r13 item 5): the logical field name changes, the PHYSICAL parquet
+    * column name is stamped in the field metadata, and one new manifest
+    * version is published with the SAME file membership — zero data
+    * files touched. Time travel keeps serving each version under its
+    * own recorded name. The manifest's per-file stats rows are re-keyed
+    * to the new name so [[readPruned]] on the renamed column keeps
+    * pruning. Returns the new version. */
+  def renameColumn(spark: SparkSession, table: String,
+                   from: String, to: String, meta: String = ""): Long = {
+    val cur = currentVersion(spark, table)
+    require(cur > 0, s"$table has no committed version")
+    val sch = recordedOrFooter(spark, table, cur)
+    require(visible(sch).fieldNames.contains(from),
+      s"$table has no column '$from' at v$cur")
+    require(!visible(sch).fieldNames.contains(to),
+      s"$table already has a column '$to' at v$cur")
+    val next = StructType(sch.fields.map { f =>
+      if (!isDropped(f) && f.name == from) {
+        val mb = new MetadataBuilder().withMetadata(f.metadata)
+          .putString(PhysKey, physicalName(f)).build()
+        f.copy(name = to, metadata = mb)
+      } else f
+    })
+    val m = manifest(spark, table, cur).withColumn("key",
+      when(col("key") === from, to).otherwise(col("key")))
+    publishManifest(spark, table, cur, m, meta, Some(next))
+    cur + 1
+  }
+
+  /** Metadata-only column DROP: the field is TOMBSTONED in the recorded
+    * schema — readers stop requesting it (parquet never decodes the
+    * column), no file is rewritten, and the tombstone keeps the physical
+    * name reserved so a later mergeSchema re-add of the same name mints
+    * a fresh physical name (old files' stale bytes read as null, never
+    * as the new column). Time travel to any pre-drop version still
+    * serves the column. Returns the new version. */
+  def dropColumn(spark: SparkSession, table: String,
+                 name: String, meta: String = ""): Long = {
+    val cur = currentVersion(spark, table)
+    require(cur > 0, s"$table has no committed version")
+    val sch = recordedOrFooter(spark, table, cur)
+    require(visible(sch).fieldNames.contains(name),
+      s"$table has no column '$name' at v$cur")
+    require(visible(sch).fields.length > 1,
+      s"cannot drop the last visible column of $table")
+    val next = StructType(sch.fields.map { f =>
+      if (!isDropped(f) && f.name == name) {
+        val mb = new MetadataBuilder().withMetadata(f.metadata)
+          .putString(PhysKey, physicalName(f))
+          .putBoolean(DroppedKey, true).build()
+        // reserved placeholder name keeps the logical namespace clean
+        // for a later re-add of `name`
+        f.copy(name = s"_dropped_${physicalName(f)}_v${cur + 1}",
+          nullable = true, metadata = mb)
+      } else f
+    })
+    publishManifest(spark, table, cur, manifest(spark, table, cur), meta,
+      Some(next))
+    cur + 1
   }
 
   /** Schema-drift report between two versions — the metadata half of
@@ -783,7 +934,10 @@ object Snapshots {
     // footer no longer describes the mixed membership
     def schemaAt(v: Long): Map[String, String] =
       readerSchema(spark, table, v) match {
-        case Some(st) => st.map(f => f.name -> f.dataType.simpleString).toMap
+        // reader-facing drift only: a tombstoned field reports as
+        // `removed` at the version that dropped it, not as a rename to
+        // its reserved placeholder
+        case Some(st) => visible(st).map(f => f.name -> f.dataType.simpleString).toMap
         case None =>
           val one = filesOf(spark, table, v).limit(1).collect()
           require(one.nonEmpty, s"$table v$v has no files")

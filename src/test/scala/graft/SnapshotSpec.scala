@@ -503,4 +503,98 @@ class SnapshotSpec extends SparkSpec {
     assert(after.columns.toSeq == Seq("k", "v", "w") && after.count() == 70)
     assert(after.filter(col("w").isNull).count() == 50)
   }
+
+  private def dataFiles(t: String): Set[String] = {
+    val dd = new org.apache.hadoop.fs.Path(t, "data")
+    dd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(dd).map(_.getPath.getName).toSet
+  }
+
+  test("renameColumn: metadata-only, time travel per-version names, DML keeps working") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commit(spark, df(0 until 100), t,
+      statsCol = Some("k"), clustered = true, files = 4)
+    val before = dataFiles(t)
+    assert(Snapshots.renameColumn(spark, t, "v", "label") == 2)
+    assert(Snapshots.renameColumn(spark, t, "k", "id") == 3)
+    // zero data files touched by either rename
+    assert(dataFiles(t) == before, "rename must not rewrite data files")
+    // latest reads under the new names with values intact; time travel
+    // serves v1 under the original names
+    val cur = Snapshots.read(spark, t)
+    assert(cur.columns.toSeq == Seq("id", "label"))
+    assert(cur.select(sum("id")).head.getLong(0) == (0L until 100).sum)
+    assert(cur.filter(col("label") === "row7").count() == 1)
+    assert(Snapshots.read(spark, t, 1).columns.toSeq == Seq("k", "v"))
+    // manifest stats were re-keyed: pruning on the RENAMED stats column
+    // still skips files
+    val pruned = Snapshots.readPruned(spark, t, "id", 0, 10)
+    assert(pruned.count() == 11)
+    assert(pruned.inputFiles.length < 4, "rename lost the pruning stats")
+    // appends speak the new schema — the old shape is now the mismatch
+    intercept[IllegalArgumentException](
+      Snapshots.commit(spark, df(100 until 110), t, files = 1))
+    Snapshots.commit(spark,
+      (100 until 110).map(i => (i.toLong, s"row$i")).toDF("id", "label"),
+      t, statsCol = Some("id"), files = 1)
+    assert(Snapshots.read(spark, t).count() == 110)
+    // MERGE through the rename: pre-rename files rewrite under the
+    // mapping, post-rename files as written
+    val st = Snapshots.upsert(spark, t,
+      Seq((5L, "edited"), (200L, "new")).toDF("id", "label"), "id")
+    assert(st.rowsUpdated == 1 && st.rowsInserted == 1)
+    val m = Snapshots.read(spark, t).filter(col("id").isin(5L, 200L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(5L -> "edited", 200L -> "new"))
+  }
+
+  test("dropColumn: hidden without rewrites; a re-added name reads null " +
+       "from old files, never their stale bytes") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commit(spark,
+      (0 until 50).map(i => (i.toLong, s"row$i", i * 1.5)).toDF("k", "v", "extra"),
+      t, files = 2)
+    val before = dataFiles(t)
+    assert(Snapshots.dropColumn(spark, t, "extra") == 2)
+    assert(dataFiles(t) == before, "drop must not rewrite data files")
+    assert(Snapshots.read(spark, t).columns.toSeq == Seq("k", "v"))
+    assert(Snapshots.read(spark, t, 1).columns.toSeq == Seq("k", "v", "extra"))
+    // drift reports the drop as removed, not as a rename to a placeholder
+    val drift = Snapshots.schemaDrift(spark, t, 1, 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(drift == Set(("extra", "removed")), drift.toString)
+    // re-add the SAME logical name: old files hold 'extra' bytes
+    // physically, but the re-added column must get a fresh physical name
+    // and read NULL from them — stale values must never resurface
+    Snapshots.commit(spark,
+      (50 until 60).map(i => (i.toLong, s"row$i", i * 100.0)).toDF("k", "v", "extra"),
+      t, files = 1, mergeSchema = true)
+    val cur = Snapshots.read(spark, t)
+    assert(cur.count() == 60)
+    assert(cur.filter(col("k") < 50 && col("extra").isNotNull).count() == 0,
+      "old files' stale bytes resurfaced under the re-added column")
+    assert(cur.filter(col("k") >= 50 && col("extra") === col("k") * 100.0).count() == 10)
+    // time travel across the whole history: v1 serves the ORIGINAL extra
+    assert(Snapshots.read(spark, t, 1)
+      .filter(col("extra") === col("k") * 1.5).count() == 50)
+  }
+
+  test("dropColumn of the stats key leaves the DML triad working") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commit(spark, df(0 until 40), t,
+      statsCol = Some("k"), clustered = true, files = 2)
+    Snapshots.dropColumn(spark, t, "k")
+    // delete + upsert on the surviving column: the dead stats key must
+    // degrade to an unclustered rewrite, not an unresolved-column failure
+    val del = Snapshots.delete(spark, t, col("v") === "row3")
+    assert(del.rowsDeleted == 1)
+    val up = Snapshots.upsert(spark, t,
+      Seq("row5", "brandnew").toDF("v"), "v")
+    assert(up.rowsUpdated == 1 && up.rowsInserted == 1)
+    assert(Snapshots.read(spark, t).count() == 40) // 40 - 1 + 1
+    assert(Snapshots.read(spark, t).columns.toSeq == Seq("v"))
+  }
 }
