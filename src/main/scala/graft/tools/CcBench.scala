@@ -33,19 +33,15 @@ object CcBench {
       val edges = spark.range(d).select(col("id").as("_s"), (col("id") + 1).as("_d"))
       val sym = edges.unionByName(
         edges.select(col("_d").as("_s"), col("_s").as("_d")))
-      Seq("flood", "contract").foreach { algo =>
+      Seq("flood", "contract", "hybrid", "auto").foreach { algo =>
         val t0 = System.nanoTime()
+        // every arm forced EXPLICITLY via the algo parameter (r13's
+        // flood arm silently measured the hybrid until ADVICE caught
+        // it); "auto" is the r14 default — the edge-count probe must
+        // land ≈ the best forced arm on every topology here
         val (labels, rounds) =
-          if (algo == "flood")
-            // escalateRounds = MaxValue: this arm must measure the PURE
-            // flood — with the r12 hybrid default of 8, every diameter
-            // here (>= 1000) would silently hand off to contraction and
-            // the tool would print hybrid-vs-contract while claiming
-            // flood-vs-contract (ADVICE r12)
-            ConnectedComponents.minLabel(vertices, "id", sym, "_s", "_d",
-              escalateRounds = Int.MaxValue)
-          else
-            ConnectedComponents.contract(vertices, "id", sym, "_s", "_d")
+          ConnectedComponents.minLabel(vertices, "id", sym, "_s", "_d",
+            algo = algo)
         val r = labels.agg(countDistinct(col("cluster_id")).as("k"),
           min(col("cluster_id")).as("m"), count(lit(1)).as("n")).head()
         val wall = (System.nanoTime() - t0) / 1e9

@@ -53,6 +53,24 @@ object DataGen {
     "part", "vector", "small", "big", "data", "row", "sort", "column", "batch",
     "agg", "merge", "the", "a")
 
+  /** GRAFT_DOC_VOCAB=zipf swaps the 30-word vocabulary for a Zipfian
+    * 50k-type one (VERDICT r13 item 2): the legacy vocab SATURATES the
+    * trigram space (27000 possible trigrams, all covered at sf10 —
+    * BASELINE r13 addendum 6), which makes n-gram prefilter selectivity,
+    * LSH bucket-occupancy, and BPE-merge claims unfalsifiable on it. A
+    * real corpus' benchmark n-grams are sparse in the corpus n-gram
+    * space; this variant restores that. Deterministic and hash-derived
+    * like everything here: rank = floor(V^u) with u a pure hash uniform
+    * (inverse-CDF of P(r) ∝ 1/r, the classic Zipf s=1), word text =
+    * 4-9 hex chars of md5(rank) under a 'z' prefix so types are
+    * length-varied for subword/BPE realism. */
+  private val ZipfV = 50000.0
+  private def zipfWord(u: Column): Column = {
+    val rank = floor(pow(lit(ZipfV), u)).cast("long") + 1
+    concat(lit("z"), md5(concat(lit("zw"), rank))
+      .substr(lit(1), (pmod(rank, lit(6L)) + 4).cast("int")))
+  }
+
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.map(_.toDouble).getOrElse(1.0)
     val outDir = if (args.length > 1) args(1) else s"testdata_gen/sf$sf"
@@ -154,12 +172,19 @@ object DataGen {
     // ≈ N — the adversarial topology for connected components' round
     // count (real corpora measured ≤ ~16 hops; this forces ≥ N hops).
     val chainDocs = sys.env.getOrElse("GRAFT_CHAIN_DOCS", "0").toLong
-    def streamWord(j: Column): Column = element_at(array(DocVocab.map(lit): _*),
-      pmod(xxhash64(j, lit("d_chain")), lit(DocVocab.size.toLong)).cast("int") + 1)
+    val zipf = sys.env.get("GRAFT_DOC_VOCAB").contains("zipf")
+    def uHash(cols: Column*): Column =
+      (pmod(xxhash64(cols: _*), lit(1000000L)).cast("double") + 0.5) / 1e6
+    def streamWord(j: Column): Column =
+      if (zipf) zipfWord(uHash(j, lit("d_chain")))
+      else element_at(array(DocVocab.map(lit): _*),
+        pmod(xxhash64(j, lit("d_chain")), lit(DocVocab.size.toLong)).cast("int") + 1)
     val normalWords = transform(
       sequence(lit(0L), (uint(baseId, "d_len", 86) + 14).cast("long")),
-      i => element_at(array(DocVocab.map(lit): _*),
-        pmod(xxhash64(baseId, i, lit("d_w")), lit(DocVocab.size.toLong)).cast("int") + 1))
+      i =>
+        if (zipf) zipfWord(uHash(baseId, i, lit("d_w")))
+        else element_at(array(DocVocab.map(lit): _*),
+          pmod(xxhash64(baseId, i, lit("d_w")), lit(DocVocab.size.toLong)).cast("int") + 1))
     val words = if (chainDocs > 0)
       when(col("id") < chainDocs,
         transform(sequence(col("id") * 2, col("id") * 2 + 53), j => streamWord(j)))

@@ -33,6 +33,27 @@ object Q38Profile {
     val benchTris = bench.select("tri").distinct()
     t("bench distinct")(benchTris.count())
     val benchDocs = bench.select(col("doc_id").as("bench_doc"), col("tri"))
+    // bloom-prefilter selectivity (VERDICT r13 item 2): the fraction of
+    // raw training trigram rows the three semi-joins shed BEFORE any
+    // shuffle. On the legacy 30-word corpus this is 0 by saturation
+    // (addendum 6); on the Zipf corpus it is the number the prefilter
+    // earns its keep with.
+    locally {
+      import graft.operators.BloomFilter
+      val benchTris = bench.select("tri").distinct().persist()
+      val m = BloomFilter.sized(math.max(1L, benchTris.count()))
+      val bloom = BloomFilter.bitsFast(benchTris, "tri", 3, m)
+      val t0 = System.nanoTime()
+      val raw = train.agg(count(lit(1))).head().getLong(0)
+      val kept = (0 until 3).foldLeft(train) { (acc, j) =>
+        acc.join(broadcast(bloom.select(col("pos").as(s"_p$j"))),
+          BloomFilter.positionFast(col("tri"), j, m) === col(s"_p$j"), "left_semi")
+      }.agg(count(lit(1))).head().getLong(0)
+      val pass = 100.0 * kept / math.max(1L, raw)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[q38prof] bloom prefilter: m=$m raw=$raw kept=$kept pass=$pass%.2f%% $secs%.2f s")
+      benchTris.unpersist()
+    }
     t("join expansion count")(
       train.distinct().join(broadcast(benchDocs), "tri").agg(count(lit(1))).head().getLong(0))
     t("full agg")(

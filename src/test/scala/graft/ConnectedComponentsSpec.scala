@@ -65,8 +65,11 @@ class ConnectedComponentsSpec extends SparkSpec {
     val edges = spark.createDataFrame(chain).toDF("a", "b")
     val sym = edges.select(col("a").as("x"), col("b").as("nb"))
       .unionByName(edges.select(col("b").as("x"), col("a").as("nb")))
+    // algo pinned to the hybrid: this guard is about the FLOOD loop's
+    // per-round stats (auto would hand this ≥4096-edge graph straight
+    // to contraction and skip the loop under test)
     val (labels, rounds) = ConnectedComponents.minLabel(
-      spark.range(n).toDF("id"), "id", sym, "x", "nb")
+      spark.range(n).toDF("id"), "id", sym, "x", "nb", algo = "hybrid")
     assert(labels.filter(col("cluster_id") =!= 0L).count() == 0)
     assert(rounds >= 6, s"a 5000-chain should need many doubling rounds, got $rounds")
     val size = labels.queryExecution.optimizedPlan.stats.sizeInBytes
@@ -97,6 +100,29 @@ class ConnectedComponentsSpec extends SparkSpec {
     // must hold the head of the chain
     val c0 = labels.values.count(_ == 0L)
     assert(c0 >= n - 10, s"chain should collapse to ~one cluster, got $c0 docs in cluster 0")
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+
+  test("auto: the edge-count probe sends a big graph to contraction at the same fixpoint") {
+    // 5000-path = 9998 sym rows, over the 4096-row auto threshold — the
+    // default call must route to contraction (measured 3.3x on the sf1
+    // corpus, r14) and land the identical min-label fixpoint; a small
+    // graph (below threshold) floods as before
+    val n = 5000L
+    val chain = (0L until n - 1).map(i => (i, i + 1))
+    val edges = spark.createDataFrame(chain).toDF("a", "b")
+    val sym = edges.select(col("a").as("x"), col("b").as("nb"))
+      .unionByName(edges.select(col("b").as("x"), col("a").as("nb")))
+    val vertices = spark.range(n).toDF("id")
+    val (auto, _) = ConnectedComponents.minLabel(
+      vertices, "id", sym, "x", "nb") // default algo = auto
+    val (forced, _) = ConnectedComponents.contract(
+      vertices, "id", sym, "x", "nb")
+    assert(auto.filter(col("cluster_id") =!= 0L).count() == 0)
+    assert(forced.except(auto).count() == 0 && auto.except(forced).count() == 0,
+      "auto's fixpoint must equal forced contraction's")
+    intercept[IllegalArgumentException](ConnectedComponents.minLabel(
+      vertices, "id", sym, "x", "nb", algo = "nonsense"))
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
   }
 
