@@ -28,14 +28,15 @@ import org.apache.spark.sql.graftshim.CheckpointShim.unpersistCheckpoint
   * PIPELINE's band-star graphs the flood pays near-per-hop (5000-hop
   * chain corpus = 35 rounds / 39.8 s) while contraction's shrinking edge
   * set converges in 8 rounds / 12.4 s, and even the natural sf1 corpus
-  * ran 2-4× faster contracted. The default is therefore a HYBRID: flood
-  * until `escalateRounds` (8), then hand the mostly-collapsed QUOTIENT
-  * graph to contraction and compose the label maps — sf0.1-scale
-  * corpora (≤ 5 rounds) never escalate, deep graphs get the better
-  * asymptote. `GRAFT_CC_ALGO=flood|contract` forces either pure
-  * algorithm. The fixed point is the same as plain propagation —
-  * every vertex labeled with its component's minimum id — so callers'
-  * oracles are unchanged.
+  * ran 2-4× faster contracted. The default since r14 is AUTO: one
+  * edge-count probe picks contraction at or above [[AutoFloodMax]] sym
+  * rows (it won or tied every measured graph there — see the table at
+  * the probe) and the flood (with the escalate-5 hybrid depth net)
+  * below, where rounds are job-count-bound and the flood's one-action
+  * rounds win. `GRAFT_CC_ALGO=flood|contract|hybrid` (or the `algo`
+  * parameter) forces an arm. The fixed point is the same as plain
+  * propagation — every vertex labeled with its component's minimum
+  * id — so callers' oracles are unchanged.
   *
   * Scale/cost: ONE Spark job per round. The neighbor-min frame is lazily
   * `persist`ed (both jump-join references resolve to the same
