@@ -117,8 +117,14 @@ object PipelineShapes {
     "p_curate_full" -> ((s, d) => {
       val dd = Tables.documents(s, d)
       val verdict = CorpusDedup.keepBest(dd)
+      // kept feeds BOTH the decontamination probe and the final
+      // anti-join — eagerly materialized so the dedup chain above it
+      // computes once per run, not once per reference (the q115
+      // double-fill class; tools/CurateProfile r14: 48.5 -> 42.5 s at
+      // sf10, with keepBest itself 94% of the composed wall)
       val kept = dd.join(
-        verdict.filter(col("kept")).select("doc_id"), "doc_id")
+        verdict.filter(col("kept")).select("doc_id"), "doc_id").persist()
+      kept.count()
       val bench = dd.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id"), col("text"))
       val cont = Curation.decontaminate(
