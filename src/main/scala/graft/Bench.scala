@@ -298,9 +298,12 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get(stamped),
         (full + "\n").getBytes("UTF-8"))
       // keep the fixed-path copy for anything that greps it, but only the
-      // FULL declared suite may write it — a restricted or pipeline run
-      // must not clobber the driver-read artifact
-      if (only.isEmpty && !pipelineMode) {
+      // FULL declared suite ON THE DRIVER'S DATA may write it — a
+      // restricted or pipeline run must not clobber the driver-read
+      // artifact, and neither may a full-suite SCALE run (r14: the sf10
+      // sweep silently overwrote the sf0.1 bench_out.json and INDEX's
+      // sf0.1 column regenerated with sf10 numbers)
+      if (only.isEmpty && !pipelineMode && sfDir.startsWith("/root/testdata/")) {
         java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
           (full + "\n").getBytes("UTF-8"))
         // driver-readable mirror of the stdout line PLUS the load_flags

@@ -96,6 +96,17 @@ class AppendShardSpec extends SparkSpec {
       indexMap(CorpusDedup.indexCorpus(docs).bandIndex))
   }
 
+  test("appendShard: an empty shard is a no-op on labels and index") {
+    val corpus = Seq((10L, textX), (11L, textX), (20L, textZ))
+      .toDF("doc_id", "text")
+    val state = CorpusDedup.indexCorpus(corpus)
+    val delta = CorpusDedup.appendShard(state,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    assert(labelsMap(delta.state.labels) == labelsMap(state.labels))
+    assert(indexMap(delta.state.bandIndex) == indexMap(state.bandIndex))
+    assert(delta.changedLabels.count() == 0)
+  }
+
   test("appendShard: changedLabels MERGEs into a snapshot labels table " +
        "and reproduces the full fixpoint") {
     val corpus = Seq((10L, textX), (11L, textX), (20L, textZ), (21L, textZ))
