@@ -37,6 +37,13 @@ import scala.jdk.CollectionConverters._
   *   - `ingest`  — incremental dedup of `paths.incoming` against the
   *                 `paths.documents` corpus (exact_dup/near_dup/novel);
   *                 writes `output/ingest`
+  *   - `dedupindex` — build + snapshot-commit the incremental-dedup
+  *                 state (labels + band index) under `paths.state_dir`
+  *                 (pipeline/CorpusDedup.indexCorpus)
+  *   - `dedupappend` — append `paths.incoming` to that state without
+  *                 re-clustering the corpus: quotient CC over touched
+  *                 components, scoped MERGEs of moved labels / improved
+  *                 buckets only (CorpusDedup.appendShard)
   *   - `decontaminate` — flag `paths.documents` docs sharing any
   *                 word-13-gram with `paths.benchmarks`
   *                 (pipeline/Curation); writes `output/decontaminate`
@@ -305,6 +312,66 @@ object Main {
           "exact_dups" -> counts.getOrElse("exact_dup", 0L).toString,
           "near_dups" -> counts.getOrElse("near_dup", 0L).toString,
           "novel" -> counts.getOrElse("novel", 0L).toString)
+
+      case "dedupindex" =>
+        // build + snapshot-commit the incremental-dedup state (VERDICT
+        // r14: CorpusDedup.indexCorpus as a production verb): labels
+        // (doc_id, cluster_id) clustered on doc_id so the per-shard
+        // MERGE prunes, and the band→min-id probe index keyed by a
+        // composite band_key for the same reason. paths.state_dir (or
+        // paths.output/dedup_state) is the state home.
+        val docsPath = p.documents.getOrElse(throw new IllegalArgumentException(
+          "dedupindex needs paths.documents (parquet with doc_id, text)"))
+        val stateDir = ioPathExtra(configPath, "state_dir")
+          .orElse(p.output.map(_ + "/dedup_state"))
+          .getOrElse(throw new IllegalArgumentException(
+            "dedupindex needs paths.state_dir (or paths.output)"))
+        val st = CorpusDedup.indexCorpus(spark.read.parquet(docsPath))
+        val ls = Snapshots.commit(spark, st.labels, s"$stateDir/labels",
+          overwrite = true, statsCol = Some("doc_id"), clustered = true,
+          files = 8, meta = "dedupindex")
+        val bs = Snapshots.commit(spark,
+          st.bandIndex.withColumn("band_key",
+            concat(col("band_idx").cast("string"), lit(":"), col("band"))),
+          s"$stateDir/bands", overwrite = true, meta = "dedupindex")
+        val nDocs = Snapshots.read(spark, s"$stateDir/labels").count()
+        Map("docs" -> nDocs.toString,
+          "labels_version" -> ls.version.toString,
+          "bands_version" -> bs.version.toString)
+
+      case "dedupappend" =>
+        // append a shard to the dedupindex state WITHOUT re-clustering
+        // the corpus (CorpusDedup.appendShard): quotient CC over touched
+        // components, then scoped MERGEs — only the moved components'
+        // label rows and the improved band buckets rewrite.
+        val incomingPath = p.incoming.getOrElse(throw new IllegalArgumentException(
+          "dedupappend needs paths.incoming (the new shard parquet)"))
+        val stateDir = ioPathExtra(configPath, "state_dir")
+          .orElse(p.output.map(_ + "/dedup_state"))
+          .getOrElse(throw new IllegalArgumentException(
+            "dedupappend needs paths.state_dir (or paths.output)"))
+        val labelsT = s"$stateDir/labels"
+        val bandsT = s"$stateDir/bands"
+        val state = CorpusDedup.DedupState(
+          Snapshots.read(spark, labelsT).select("doc_id", "cluster_id"),
+          Snapshots.read(spark, bandsT).select("band_idx", "band", "ex_id"))
+        val shard = spark.read.parquet(incomingPath)
+        val nShard = shard.count()
+        val delta = CorpusDedup.appendShard(state, shard)
+        val changed = delta.changedLabels.persist()
+        val nChanged = changed.count()
+        val lv = Snapshots.upsert(spark, labelsT, changed, "doc_id",
+          meta = "dedupappend")
+        val bv = Snapshots.upsert(spark, bandsT,
+          delta.changedIndex.withColumn("band_key",
+            concat(col("band_idx").cast("string"), lit(":"), col("band"))),
+          "band_key", meta = "dedupappend")
+        changed.unpersist()
+        Map("shard_docs" -> nShard.toString,
+          "labels_changed" -> nChanged.toString,
+          "labels_version" -> lv.version.toString,
+          "bands_upserted" -> (bv.rowsUpdated + bv.rowsInserted).toString,
+          "cc_rounds" -> delta.rounds.toString)
 
       case "decontaminate" =>
         // benchmark decontamination: flag paths.documents docs sharing any

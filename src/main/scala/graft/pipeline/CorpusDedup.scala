@@ -68,13 +68,14 @@ object CorpusDedup {
   final case class DedupState(labels: DataFrame, bandIndex: DataFrame)
 
   /** What [[appendShard]] hands back: the merged state, the UPSERT-ready
-    * subset (`changedLabels` = every shard doc's new row plus every
-    * existing row whose cluster_id moved — exactly the rows a scoped
-    * [[Snapshots.upsert]] MERGE writes; untouched components never
-    * leave their files), and the CC round count over the quotient
-    * graph (diagnostics). */
+    * subsets (`changedLabels` = every shard doc's new row plus every
+    * existing row whose cluster_id moved; `changedIndex` = the band
+    * buckets the shard created or whose min id improved — exactly the
+    * rows a scoped [[Snapshots.upsert]] MERGE writes; untouched
+    * components and buckets never leave their files), and the CC round
+    * count over the quotient graph (diagnostics). */
   final case class ShardDelta(state: DedupState, changedLabels: DataFrame,
-                              rounds: Int)
+                              changedIndex: DataFrame, rounds: Int)
 
   /** Full state build over a corpus — the cold path a deployment runs
     * once, then maintains with [[appendShard]]. */
@@ -201,7 +202,7 @@ object CorpusDedup {
       .unionByName(improved)
     ShardDelta(
       DedupState(newExisting.unionByName(shardLabels), newIndex),
-      movedExisting.unionByName(shardLabels), rounds)
+      movedExisting.unionByName(shardLabels), improved, rounds)
   }
 
   /** Per-document dedup verdict over `docs(doc_id, text, …)`:

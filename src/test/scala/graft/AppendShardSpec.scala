@@ -122,4 +122,32 @@ class AppendShardSpec extends SparkSpec {
     assert(labelsMap(Snapshots.read(spark, table).select("doc_id", "cluster_id"))
       == full(corpus.unionByName(shard)))
   }
+
+  test("CLI: dedupindex + dedupappend maintain the snapshot state " +
+       "label-equal and index-equal to a full recompute") {
+    val corpus = Seq((10L, textX), (11L, textX), (20L, textZ), (21L, textZ))
+      .toDF("doc_id", "text")
+    val shard = Seq((30L, textM), (40L, textNovel)).toDF("doc_id", "text")
+    val root = Files.createTempDirectory("graft-dedupcli").toString
+    corpus.write.parquet(s"$root/docs")
+    shard.write.parquet(s"$root/shard")
+    Files.writeString(java.nio.file.Paths.get(s"$root/config.yaml"),
+      s"""paths:
+         |  documents: $root/docs
+         |  incoming: $root/shard
+         |  state_dir: $root/state
+         |""".stripMargin)
+    val r1 = Main.run(spark, s"$root/config.yaml", "dedupindex")
+    assert(r1("docs") == "4" && r1("labels_version") == "1", r1.toString)
+    val r2 = Main.run(spark, s"$root/config.yaml", "dedupappend")
+    // 20,21 moved to the merged component + the two shard docs
+    assert(r2("labels_changed") == "4" && r2("labels_version") == "2", r2.toString)
+    val labels = Snapshots.read(spark, s"$root/state/labels")
+      .select("doc_id", "cluster_id")
+    assert(labelsMap(labels) == full(corpus.unionByName(shard)))
+    val bands = Snapshots.read(spark, s"$root/state/bands")
+      .select("band_idx", "band", "ex_id")
+    assert(indexMap(bands) ==
+      indexMap(CorpusDedup.indexCorpus(corpus.unionByName(shard)).bandIndex))
+  }
 }
