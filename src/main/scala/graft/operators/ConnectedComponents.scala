@@ -127,9 +127,13 @@ object ConnectedComponents {
     *   round, which is worth nothing on flood-bound graphs (the sf1
     *   chain corpus runs 24 rounds either way), and the init plan is
     *   eagerly checkpointed here (one extra job) — so the dedup chain
-    *   queries deliberately do NOT use it. It exists for callers whose
-    *   warm labels are already materialized (e.g. an incremental run
-    *   re-clustering from a previous epoch's labels).
+    *   queries deliberately do NOT use it. The incremental-ingest use
+    *   case it was reserved for landed in r14 as
+    *   [[graft.pipeline.CorpusDedup.appendShard]], which goes one step
+    *   further than warm labels: the old fixpoint becomes the VERTEX
+    *   SET (each component pre-collapsed to its label), so CC work is
+    *   O(shard + touched components) — `init` remains for callers whose
+    *   warm labels are free-standing but who still need per-doc vertices.
     * @return (labels as (idCol, labelCol) DataFrame, rounds used)
     */
   /** Generic 1-hop warm start for [[minLabel]]: each vertex labeled
