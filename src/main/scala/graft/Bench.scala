@@ -302,8 +302,10 @@ object Bench {
       // restricted or pipeline run must not clobber the driver-read
       // artifact, and neither may a full-suite SCALE run (r14: the sf10
       // sweep silently overwrote the sf0.1 bench_out.json and INDEX's
-      // sf0.1 column regenerated with sf10 numbers)
-      if (only.isEmpty && !pipelineMode && sfDir.startsWith("/root/testdata/")) {
+      // sf0.1 column regenerated with sf10 numbers — and a prefix match
+      // on /root/testdata/ would still let the sf0.001/sf0.01 gate dirs
+      // do the same, so the guard pins the driver's EXACT data dir)
+      if (only.isEmpty && !pipelineMode && sfDir == "/root/testdata/sf0.1") {
         java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
           (full + "\n").getBytes("UTF-8"))
         // driver-readable mirror of the stdout line PLUS the load_flags

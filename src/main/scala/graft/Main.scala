@@ -352,26 +352,58 @@ object Main {
             "dedupappend needs paths.state_dir (or paths.output)"))
         val labelsT = s"$stateDir/labels"
         val bandsT = s"$stateDir/bands"
+        // torn-state guard (r14 review): the two MERGEs below cannot be
+        // atomic across tables, so every append stamps the bands table
+        // with the labels version it pairs with, and a new append REFUSES
+        // to run when the stamp disagrees — a crash between the two
+        // MERGEs is caught here on the next run (with a rebuild remedy)
+        // instead of silently drifting the band minima
+        val curLabelsV = Snapshots.currentVersion(spark, labelsT)
+        val bandsMeta = Snapshots.commitMeta(spark, bandsT,
+          Snapshots.currentVersion(spark, bandsT))
+        if (bandsMeta.startsWith("dedupappend:")) {
+          val tag = ":labels_v"
+          val declared = bandsMeta.substring(
+            bandsMeta.lastIndexOf(tag) + tag.length).toLong
+          require(declared == curLabelsV,
+            s"dedup state is torn: bands table pairs with labels v$declared " +
+              s"but labels are at v$curLabelsV — a previous dedupappend " +
+              "failed between its two MERGEs; rebuild with dedupindex")
+        }
         val state = CorpusDedup.DedupState(
           Snapshots.read(spark, labelsT).select("doc_id", "cluster_id"),
           Snapshots.read(spark, bandsT).select("band_idx", "band", "ex_id"))
         val shard = spark.read.parquet(incomingPath)
         val nShard = shard.count()
-        val delta = CorpusDedup.appendShard(state, shard)
-        val changed = delta.changedLabels.persist()
-        val nChanged = changed.count()
-        val lv = Snapshots.upsert(spark, labelsT, changed, "doc_id",
-          meta = "dedupappend")
-        val bv = Snapshots.upsert(spark, bandsT,
-          delta.changedIndex.withColumn("band_key",
-            concat(col("band_idx").cast("string"), lit(":"), col("band"))),
-          "band_key", meta = "dedupappend")
-        changed.unpersist()
-        Map("shard_docs" -> nShard.toString,
-          "labels_changed" -> nChanged.toString,
-          "labels_version" -> lv.version.toString,
-          "bands_upserted" -> (bv.rowsUpdated + bv.rowsInserted).toString,
-          "cc_rounds" -> delta.rounds.toString)
+        if (nShard == 0) Map("shard_docs" -> "0", "labels_changed" -> "0",
+          "labels_version" -> curLabelsV.toString, "bands_upserted" -> "0",
+          "cc_rounds" -> "0")
+        else {
+          val delta = CorpusDedup.appendShard(state, shard)
+          val changed = delta.changedLabels.persist()
+          val nChanged = changed.count()
+          val token = java.util.UUID.randomUUID().toString.take(8)
+          val lv = Snapshots.upsert(spark, labelsT, changed, "doc_id",
+            meta = s"dedupappend:$token")
+          val ci = delta.changedIndex.withColumn("band_key",
+            concat(col("band_idx").cast("string"), lit(":"), col("band")))
+          val bandsStamp = s"dedupappend:$token:labels_v${lv.version}"
+          val bvBefore = Snapshots.currentVersion(spark, bandsT)
+          val bv = Snapshots.upsert(spark, bandsT, ci, "band_key",
+            meta = bandsStamp)
+          // an upsert with zero changed buckets burns no version, which
+          // would leave the guard stamp pointing at the PREVIOUS labels
+          // version — stamp with an empty append instead
+          if (bv.version == bvBefore)
+            Snapshots.commit(spark, ci.limit(0), bandsT, meta = bandsStamp)
+          changed.unpersist()
+          delta.release()
+          Map("shard_docs" -> nShard.toString,
+            "labels_changed" -> nChanged.toString,
+            "labels_version" -> lv.version.toString,
+            "bands_upserted" -> (bv.rowsUpdated + bv.rowsInserted).toString,
+            "cc_rounds" -> delta.rounds.toString)
+        }
 
       case "decontaminate" =>
         // benchmark decontamination: flag paths.documents docs sharing any

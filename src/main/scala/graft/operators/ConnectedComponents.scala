@@ -155,20 +155,32 @@ object ConnectedComponents {
   /** @param algo "auto" (default: the edge-count probe above) |
     *   "flood" (pure min-label flood) | "contract" (pure star
     *   contraction) | "hybrid" (flood, escalating to contraction at
-    *   `escalateRounds` — the r13 default). The GRAFT_CC_ALGO env var
-    *   seeds the default so deployments can force an arm without code. */
+    *   `escalateRounds` — the r13 default). Empty (the default) reads
+    *   GRAFT_CC_ALGO so deployments can force an arm without code. An
+    *   unknown EXPLICIT value throws; an unknown env value only warns
+    *   and runs auto — a stale/mistyped deployment env var must not
+    *   crash every CC-backed query (r14 review). */
   def minLabel(vertices: DataFrame, idCol: String,
                sym: DataFrame, srcCol: String, dstCol: String,
                labelCol: String = "cluster_id",
                maxIter: Int = 50,
                init: Option[DataFrame] = None,
                escalateRounds: Int = defaultEscalateRounds,
-               algo: String = sys.env.getOrElse("GRAFT_CC_ALGO", "auto"))
-              : (DataFrame, Int) = {
-    require(Set("auto", "flood", "contract", "hybrid").contains(algo),
-      s"unknown CC algorithm '$algo'")
-    if (algo == "contract" ||
-        (algo == "auto" && sym.count() >= AutoFloodMax))
+               algo: String = ""): (DataFrame, Int) = {
+    val known = Set("auto", "flood", "contract", "hybrid")
+    val requested =
+      if (algo.nonEmpty) algo else sys.env.getOrElse("GRAFT_CC_ALGO", "auto")
+    val mode =
+      if (known.contains(requested)) requested
+      else if (algo.nonEmpty)
+        throw new IllegalArgumentException(s"unknown CC algorithm '$algo'")
+      else {
+        System.err.println(
+          s"[cc] unknown GRAFT_CC_ALGO '$requested' — running auto")
+        "auto"
+      }
+    if (mode == "contract" ||
+        (mode == "auto" && sym.count() >= AutoFloodMax))
       return contract(vertices, idCol, sym, srcCol, dstCol, labelCol,
         maxIter, init)
     val spark = vertices.sparkSession
@@ -223,7 +235,7 @@ object ConnectedComponents {
     // the component min — fixpoint unchanged (spec-pinned). Shallow
     // graphs (every natural sf0.1 corpus: ≤ 5 rounds) never reach the
     // switch. GRAFT_CC_ALGO=flood forces the pure flood.
-    val pureFlood = algo == "flood"
+    val pureFlood = mode == "flood"
     while (!converged && iter < maxIter) {
       if (!pureFlood && iter == escalateRounds) {
         val quot = edges

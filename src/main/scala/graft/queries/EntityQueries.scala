@@ -100,7 +100,11 @@ object EntityQueries {
         col("blk") === col("blk2") && col("x") < col("y"))
       .filter(levenshtein(col("x"), col("y")) <= 2)
       .select("x", "y")
+    // persisted: auto's edge-count probe would otherwise re-execute the
+    // blocked levenshtein self-join once before the CC rounds (r14
+    // review); the rounds then read the same cache
     val sym = e.unionByName(e.select(col("y").as("x"), col("x").as("y")))
+      .persist()
     val (labels, _) = graft.operators.ConnectedComponents.minLabel(
       vocab, "p_name", sym, "x", "y", labelCol = "entity")
     val aliasCounts = labels.groupBy("entity")

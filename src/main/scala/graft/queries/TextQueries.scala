@@ -657,6 +657,18 @@ object TextQueries {
     // 24 rounds are FLOOD-bound, where a 1-hop head start is worth at
     // most one round — q39 went 15 s → 24-29 s. minLabel keeps the
     // `init` parameter for callers whose warm labels are free-standing.
+    val labels = nearDupClustersOfBands(dd.select("doc_id"), bands)
+    sig.unpersist()
+    labels
+  }
+
+  /** Cluster labels from a PRECOMPUTED (caller-cached) band-key frame —
+    * the post-band half of [[nearDupClustersOf]], shared with
+    * pipeline/CorpusDedup.indexCorpus so the state build derives bands
+    * ONCE for both the probe index and the labels (r14 review: the old
+    * shape re-shingled the corpus for each). */
+  private[graft] def nearDupClustersOfBands(vertices: DataFrame,
+                                            bands: DataFrame): DataFrame = {
     val edges = bands
       .withColumn("rep", min(col("doc_id")).over(
         Window.partitionBy(col("band_idx"), col("band"))))
@@ -666,11 +678,10 @@ object TextQueries {
       .unionByName(edges.select(col("c").as("x"), col("a").as("nb")))
       .persist()
     val (labels, rounds) = graft.operators.ConnectedComponents.minLabel(
-      dd.select("doc_id"), "doc_id", sym, "x", "nb")
+      vertices, "doc_id", sym, "x", "nb")
     // surfaces in the bench log: rounds track the widest component's
     // diameter (BASELINE.md round-6 finding), one job per round
     System.err.println(s"[graft] label propagation converged in $rounds rounds")
-    sig.unpersist()
     sym.unpersist()
     labels
   }

@@ -149,5 +149,14 @@ class AppendShardSpec extends SparkSpec {
       .select("band_idx", "band", "ex_id")
     assert(indexMap(bands) ==
       indexMap(CorpusDedup.indexCorpus(corpus.unionByName(shard)).bandIndex))
+    // torn-state guard: simulate a dedupappend that crashed between its
+    // two MERGEs (labels landed, bands did not) — the next append must
+    // refuse with the rebuild remedy instead of drifting the band minima
+    Snapshots.upsert(spark, s"$root/state/labels",
+      Seq((99L, 99L)).toDF("doc_id", "cluster_id"), "doc_id",
+      meta = "dedupappend:deadbeef")
+    val e = intercept[IllegalArgumentException](
+      Main.run(spark, s"$root/config.yaml", "dedupappend"))
+    assert(e.getMessage.contains("torn"), e.getMessage)
   }
 }
