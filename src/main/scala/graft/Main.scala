@@ -361,8 +361,8 @@ object Main {
         val curLabelsV = Snapshots.currentVersion(spark, labelsT)
         val bandsMeta = Snapshots.commitMeta(spark, bandsT,
           Snapshots.currentVersion(spark, bandsT))
-        if (bandsMeta.startsWith("dedupappend:")) {
-          val tag = ":labels_v"
+        val tag = ":labels_v"
+        if (bandsMeta.startsWith("dedupappend:") && bandsMeta.contains(tag)) {
           val declared = bandsMeta.substring(
             bandsMeta.lastIndexOf(tag) + tag.length).toLong
           require(declared == curLabelsV,

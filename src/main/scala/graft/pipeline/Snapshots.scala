@@ -310,8 +310,20 @@ object Snapshots {
       .mode(SaveMode.ErrorIfExists).parquet(tmp.toString)
 
     // read back under logical names so audit expressions and the stats
-    // key (both caller-facing) keep addressing logical columns
-    val written = readBack(spark, tmp, Some(recorded))
+    // key (both caller-facing) keep addressing logical columns. A
+    // ZERO-ROW append writes no part files (r14: schema inference over
+    // the empty tmp dir would throw), so it reads as an explicit empty
+    // frame instead — the commit still burns a version with its meta
+    // (the dedupappend torn-state stamp depends on that), audits still
+    // evaluate (a nonempty expectation correctly fails), membership is
+    // carried unchanged.
+    val wroteAny =
+      fs.listStatus(tmp).exists(_.getPath.getName.endsWith(".parquet"))
+    val written =
+      if (wroteAny) readBack(spark, tmp, Some(recorded))
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(visible(recorded).fields.map(_.copy(nullable = true))))
     if (audit.nonEmpty) {
       val verdicts = written
         .agg(audit.head._2.as(audit.head._1),

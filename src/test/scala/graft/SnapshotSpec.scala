@@ -581,6 +581,24 @@ class SnapshotSpec extends SparkSpec {
       .filter(col("extra") === col("k") * 1.5).count() == 50)
   }
 
+  test("empty append burns a version with its meta, membership unchanged") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commit(spark, df(0 until 20), t, files = 2)
+    // zero-row append: no part files are written (schema inference over
+    // the empty tmp dir used to throw), but the version + meta land —
+    // the dedupappend torn-state stamp depends on exactly this
+    val st = Snapshots.commit(spark, df(0 until 0), t, meta = "stamp:v7")
+    assert(st.version == 2 && st.filesAdded == 0 && st.filesTotal == 2)
+    assert(Snapshots.commitMeta(spark, t, 2) == "stamp:v7")
+    assert(Snapshots.read(spark, t).count() == 20)
+    // a write-audit-publish expectation still evaluates (and a nonempty
+    // audit correctly rejects an empty append, burning nothing)
+    intercept[Snapshots.AuditFailed](Snapshots.commit(spark, df(0 until 0), t,
+      audit = Seq(("nonempty", count(lit(1)) > 0))))
+    assert(Snapshots.currentVersion(spark, t) == 2)
+  }
+
   test("dropColumn of the stats key leaves the DML triad working") {
     import spark.implicits._
     val t = freshTable()
