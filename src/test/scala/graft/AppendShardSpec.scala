@@ -96,6 +96,45 @@ class AppendShardSpec extends SparkSpec {
       indexMap(CorpusDedup.indexCorpus(docs).bandIndex))
   }
 
+  test("appendShard: randomized corpora — sequential shards always equal " +
+       "the full re-cluster (seeded)") {
+    // the randomized-graphs pin of ConnectedComponentsSpec applied to the
+    // WHOLE incremental path: seeded random docs over a small vocab (so
+    // band collisions, exact dups, and cross-shard merges all occur),
+    // split randomly into corpus + two shards, appended sequentially —
+    // labels and band index must equal the cold rebuild every time
+    val rnd = new scala.util.Random(1014)
+    val vocab = (0 until 12).map(i => s"v$i")
+    for (trial <- 1 to 3) {
+      val n = 18 + rnd.nextInt(10)
+      val docs = (0 until n).map { i =>
+        // ~1/3 of docs copy an earlier doc's text (exact dups); the rest
+        // draw 5-9 words so shingle overlap is common
+        i.toLong -> (if (i > 2 && rnd.nextInt(3) == 0) null
+          else Seq.fill(5 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size)))
+            .mkString(" "))
+      }
+      val resolved = docs.foldLeft(Vector.empty[(Long, String)]) {
+        case (acc, (id, null)) => acc :+ (id -> acc(rnd.nextInt(acc.size))._2)
+        case (acc, (id, t)) => acc :+ (id -> t)
+      }
+      val all = resolved.toDF("doc_id", "text")
+      val cut1 = n / 2 + rnd.nextInt(3)
+      val cut2 = cut1 + (n - cut1) / 2
+      val s0 = CorpusDedup.indexCorpus(all.filter(col("doc_id") < cut1))
+      val s1 = CorpusDedup.appendShard(s0,
+        all.filter(col("doc_id") >= cut1 && col("doc_id") < cut2))
+      val s2 = CorpusDedup.appendShard(s1.state,
+        all.filter(col("doc_id") >= cut2))
+      assert(labelsMap(s2.state.labels) == full(all), s"trial $trial labels")
+      assert(indexMap(s2.state.bandIndex) ==
+        indexMap(CorpusDedup.indexCorpus(all).bandIndex), s"trial $trial index")
+      s1.release(); s2.release()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+  }
+
   test("appendShard: an empty shard is a no-op on labels and index") {
     val corpus = Seq((10L, textX), (11L, textX), (20L, textZ))
       .toDF("doc_id", "text")
@@ -149,6 +188,23 @@ class AppendShardSpec extends SparkSpec {
       .select("band_idx", "band", "ex_id")
     assert(indexMap(bands) ==
       indexMap(CorpusDedup.indexCorpus(corpus.unionByName(shard)).bandIndex))
+    // a SECOND healthy append: the torn-state guard must pass on a
+    // well-formed history (bands stamp == current labels version) and
+    // the state must keep tracking the full fixpoint
+    val shard2 = Seq((50L, textZ), (60L, textNovel + " extra words here"))
+      .toDF("doc_id", "text")
+    shard2.write.parquet(s"$root/shard2")
+    Files.writeString(java.nio.file.Paths.get(s"$root/config2.yaml"),
+      s"""paths:
+         |  documents: $root/docs
+         |  incoming: $root/shard2
+         |  state_dir: $root/state
+         |""".stripMargin)
+    val r3 = Main.run(spark, s"$root/config2.yaml", "dedupappend")
+    assert(r3("labels_version") == "3", r3.toString)
+    assert(labelsMap(Snapshots.read(spark, s"$root/state/labels")
+        .select("doc_id", "cluster_id")) ==
+      full(corpus.unionByName(shard).unionByName(shard2)))
     // torn-state guard: simulate a dedupappend that crashed between its
     // two MERGEs (labels landed, bands did not) — the next append must
     // refuse with the rebuild remedy instead of drifting the band minima

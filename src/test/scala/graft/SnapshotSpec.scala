@@ -581,6 +581,32 @@ class SnapshotSpec extends SparkSpec {
       .filter(col("extra") === col("k") * 1.5).count() == 50)
   }
 
+  test("renameColumn: a freed logical name can be re-taken — values follow physical identity") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commit(spark, df(0 until 10), t, files = 1)
+    // v→w frees "v"; k→v re-takes it. Logical v now maps to PHYSICAL k
+    // and logical w to physical v — reads must follow the mapping, not
+    // the name, for files written before AND after the swap.
+    Snapshots.renameColumn(spark, t, "v", "w")
+    Snapshots.renameColumn(spark, t, "k", "v")
+    val cur = Snapshots.read(spark, t)
+    assert(cur.columns.toSeq == Seq("v", "w"))
+    assert(cur.select(sum("v")).head.getLong(0) == (0L until 10).sum,
+      "logical v must carry the old k values")
+    assert(cur.filter(col("w") === "row3").count() == 1,
+      "logical w must carry the old v values")
+    Snapshots.commit(spark,
+      (10 until 15).map(i => (i.toLong, s"row$i")).toDF("v", "w"), t, files = 1)
+    val mixed = Snapshots.read(spark, t)
+    assert(mixed.count() == 15 &&
+      mixed.select(sum("v")).head.getLong(0) == (0L until 15).sum)
+    // time travel to v1 still serves the original names and values
+    val v1 = Snapshots.read(spark, t, 1)
+    assert(v1.columns.toSeq == Seq("k", "v") &&
+      v1.filter(col("v") === "row3").count() == 1)
+  }
+
   test("empty append burns a version with its meta, membership unchanged") {
     import spark.implicits._
     val t = freshTable()
