@@ -330,10 +330,15 @@ object Main {
         val ls = Snapshots.commit(spark, st.labels, s"$stateDir/labels",
           overwrite = true, statsCol = Some("doc_id"), clustered = true,
           files = 8, meta = "dedupindex")
+        // the bands stamp declares the labels version it pairs with from
+        // the very first commit — without it, a FIRST dedupappend that
+        // crashed between its two MERGEs would slip past the torn-state
+        // guard (bands meta would still read as the unversioned rebuild)
         val bs = Snapshots.commit(spark,
           st.bandIndex.withColumn("band_key",
             concat(col("band_idx").cast("string"), lit(":"), col("band"))),
-          s"$stateDir/bands", overwrite = true, meta = "dedupindex")
+          s"$stateDir/bands", overwrite = true,
+          meta = s"dedupindex:labels_v${ls.version}")
         val nDocs = Snapshots.read(spark, s"$stateDir/labels").count()
         Map("docs" -> nDocs.toString,
           "labels_version" -> ls.version.toString,
@@ -362,7 +367,13 @@ object Main {
         val bandsMeta = Snapshots.commitMeta(spark, bandsT,
           Snapshots.currentVersion(spark, bandsT))
         val tag = ":labels_v"
-        if (bandsMeta.startsWith("dedupappend:") && bandsMeta.contains(tag)) {
+        if (bandsMeta.startsWith("dedupappend:") ||
+            bandsMeta.startsWith("dedupindex:")) {
+          // an unparseable stamp refuses rather than failing open — a
+          // safety guard must not treat a truncated/hand-edited stamp as
+          // permission to proceed (r14 review)
+          require(bandsMeta.contains(tag),
+            s"unparseable dedup state stamp '$bandsMeta' — rebuild with dedupindex")
           val declared = bandsMeta.substring(
             bandsMeta.lastIndexOf(tag) + tag.length).toLong
           require(declared == curLabelsV,

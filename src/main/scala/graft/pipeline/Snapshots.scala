@@ -317,10 +317,9 @@ object Snapshots {
     // (the dedupappend torn-state stamp depends on that), audits still
     // evaluate (a nonempty expectation correctly fails), membership is
     // carried unchanged.
-    val wroteAny =
-      fs.listStatus(tmp).exists(_.getPath.getName.endsWith(".parquet"))
+    val tmpParts = partFiles(fs, tmp)
     val written =
-      if (wroteAny) readBack(spark, tmp, Some(recorded))
+      if (tmpParts.nonEmpty) readBack(spark, tmp, Some(recorded))
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(visible(recorded).fields.map(_.copy(nullable = true))))
@@ -343,10 +342,9 @@ object Snapshots {
     val newRows = stats.collect()
     require(newRows.length <= 1000000,
       s"${newRows.length} files in one commit — not metadata-sized")
-    fs.listStatus(tmp).map(_.getPath).filter(_.getName.endsWith(".parquet"))
-      .foreach { p =>
-        require(fs.rename(p, new Path(dd, p.getName)), s"rename $p failed")
-      }
+    tmpParts.foreach { p =>
+      require(fs.rename(p, new Path(dd, p.getName)), s"rename $p failed")
+    }
     fs.delete(tmp, true)
 
     // 2. next manifest = (previous membership if appending) + new rows.
@@ -365,6 +363,12 @@ object Snapshots {
     val total = manifest(spark, table, curV + 1).count()
     CommitStats(curV + 1, newRows.length, total)
   }
+
+  /** part files of a just-written tmp dir — the one detection shared by
+    * commit/delete/upsert for both the wrote-anything probe and the
+    * rename-into-place loop (r14 review: three verbatim copies). */
+  private def partFiles(fs: FileSystem, tmp: Path): Array[Path] =
+    fs.listStatus(tmp).map(_.getPath).filter(_.getName.endsWith(".parquet"))
 
   /** re-read a tmp dir this writer just wrote via [[toPhysical]],
     * surfacing logical names again (the file column order IS the
@@ -568,7 +572,17 @@ object Snapshots {
     require(v > 0, s"$table has no committed version")
     val paths = filesOf(spark, table, v).collect().map(_.getString(0))
     require(paths.length <= 1000000, "manifest not metadata-sized")
-    readFiles(spark, paths.toIndexedSeq, readerSchema(spark, table, v))
+    if (paths.isEmpty) {
+      // a zero-file version (zero-row overwrite = truncate, or an empty
+      // first commit) serves an empty frame under its recorded schema —
+      // r14 review: without this, such a commit published a version no
+      // read could ever open (readFiles requires a nonempty file set)
+      val st = readerSchema(spark, table, v).getOrElse(
+        throw new IllegalStateException(
+          s"$table v$v has no files and no recorded schema — nothing to infer from"))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], visible(st))
+    } else readFiles(spark, paths.toIndexedSeq, readerSchema(spark, table, v))
   }
 
   /** Manifest-pruned snapshot read: keep only files whose recorded
@@ -683,16 +697,15 @@ object Snapshots {
     val fs = fsOf(spark, dataDir(table))
     val tmp = new Path(table, s"_commit_tmp_${java.util.UUID.randomUUID()}")
     toPhysical(shaped, sch).write.mode(SaveMode.ErrorIfExists).parquet(tmp.toString)
-    val wroteAny = fs.listStatus(tmp).exists(_.getPath.getName.endsWith(".parquet"))
+    val tmpParts = partFiles(fs, tmp)
     val newRows =
-      if (!wroteAny) Array.empty[org.apache.spark.sql.Row]
+      if (tmpParts.isEmpty) Array.empty[org.apache.spark.sql.Row]
       else statsRowsOf(readBack(spark, tmp, sch), keyCol).collect()
     val survivorRows = newRows.map(_.getLong(1)).sum
-    fs.listStatus(tmp).map(_.getPath).filter(_.getName.endsWith(".parquet"))
-      .foreach { p =>
-        require(fs.rename(p, new Path(dataDir(table), p.getName)),
-          s"rename $p failed")
-      }
+    tmpParts.foreach { p =>
+      require(fs.rename(p, new Path(dataDir(table), p.getName)),
+        s"rename $p failed")
+    }
     fs.delete(tmp, true)
     val kept = m.filter(!col("file").isin(hitFiles.toSeq: _*))
     val full = kept.unionByName(spark.createDataFrame(
@@ -843,13 +856,13 @@ object Snapshots {
     val fs = fsOf(spark, dataDir(table))
     val tmp = new Path(table, s"_commit_tmp_${java.util.UUID.randomUUID()}")
     toPhysical(shaped, sch).write.mode(SaveMode.ErrorIfExists).parquet(tmp.toString)
+    val tmpParts = partFiles(fs, tmp)
     val newRows = statsRowsOf(readBack(spark, tmp, sch), statsKey).collect()
     val writtenRows = newRows.map(_.getLong(1)).sum
-    fs.listStatus(tmp).map(_.getPath).filter(_.getName.endsWith(".parquet"))
-      .foreach { p =>
-        require(fs.rename(p, new Path(dataDir(table), p.getName)),
-          s"rename $p failed")
-      }
+    tmpParts.foreach { p =>
+      require(fs.rename(p, new Path(dataDir(table), p.getName)),
+        s"rename $p failed")
+    }
     fs.delete(tmp, true)
     val kept = m.filter(!col("file").isin(hitFiles.toSeq: _*))
     val full = kept.unionByName(spark.createDataFrame(

@@ -214,5 +214,26 @@ class AppendShardSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       Main.run(spark, s"$root/config.yaml", "dedupappend"))
     assert(e.getMessage.contains("torn"), e.getMessage)
+
+    // the FIRST-append crash window (r14 review): fresh dedupindex, then
+    // a simulated crash between the first append's two MERGEs — the
+    // dedupindex stamp itself must carry the labels version so this is
+    // caught too, not just crashes after a prior successful append
+    val root2 = Files.createTempDirectory("graft-dedupcli2").toString
+    corpus.write.parquet(s"$root2/docs")
+    shard.write.parquet(s"$root2/shard")
+    Files.writeString(java.nio.file.Paths.get(s"$root2/config.yaml"),
+      s"""paths:
+         |  documents: $root2/docs
+         |  incoming: $root2/shard
+         |  state_dir: $root2/state
+         |""".stripMargin)
+    Main.run(spark, s"$root2/config.yaml", "dedupindex")
+    Snapshots.upsert(spark, s"$root2/state/labels",
+      Seq((99L, 99L)).toDF("doc_id", "cluster_id"), "doc_id",
+      meta = "dedupappend:crashed")
+    val e2 = intercept[IllegalArgumentException](
+      Main.run(spark, s"$root2/config.yaml", "dedupappend"))
+    assert(e2.getMessage.contains("torn"), e2.getMessage)
   }
 }

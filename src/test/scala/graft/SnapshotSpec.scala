@@ -625,6 +625,27 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshots.currentVersion(spark, t) == 2)
   }
 
+  test("zero-row overwrite truncates the table and stays readable") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commit(spark, df(0 until 20), t, files = 2)
+    // truncate: empty membership published — reads must serve an empty
+    // frame under the recorded schema, not throw on the empty file set
+    // (r14 review: this used to brick the table's current version)
+    val st = Snapshots.commit(spark, df(0 until 0), t, overwrite = true)
+    assert(st.version == 2 && st.filesTotal == 0)
+    val cur = Snapshots.read(spark, t)
+    assert(cur.columns.toSeq == Seq("k", "v") && cur.count() == 0)
+    assert(Snapshots.readPruned(spark, t, "k", 0, 5).count() == 0)
+    assert(Snapshots.read(spark, t, 1).count() == 20, "time travel past the truncate")
+    // CDC across the truncate reports the 20 deletes
+    assert(Snapshots.diff(spark, t, 1, 2)
+      .filter(col("_op") === "delete").count() == 20)
+    // life goes on: append after the truncate
+    Snapshots.commit(spark, df(100 until 105), t, files = 1)
+    assert(Snapshots.read(spark, t).count() == 5)
+  }
+
   test("dropColumn of the stats key leaves the DML triad working") {
     import spark.implicits._
     val t = freshTable()
