@@ -43,7 +43,11 @@ import scala.jdk.CollectionConverters._
   *   - `dedupappend` — append `paths.incoming` to that state without
   *                 re-clustering the corpus: quotient CC over touched
   *                 components, scoped MERGEs of moved labels / improved
-  *                 buckets only (CorpusDedup.appendShard)
+  *                 buckets only (CorpusDedup.appendShard). With
+  *                 `--resume`, replays an append that crashed between
+  *                 its two MERGEs at O(shard): the labels head stamp
+  *                 names the torn shard (content token), and only the
+  *                 missing band-index MERGE is re-derived and applied
   *   - `decontaminate` — flag `paths.documents` docs sharing any
   *                 word-13-gram with `paths.benchmarks`
   *                 (pipeline/Curation); writes `output/decontaminate`
@@ -339,16 +343,20 @@ object Main {
             concat(col("band_idx").cast("string"), lit(":"), col("band"))),
           s"$stateDir/bands", overwrite = true,
           meta = s"dedupindex:labels_v${ls.version}")
+        st.release()
         val nDocs = Snapshots.read(spark, s"$stateDir/labels").count()
         Map("docs" -> nDocs.toString,
           "labels_version" -> ls.version.toString,
           "bands_version" -> bs.version.toString)
 
-      case "dedupappend" =>
+      case cmd @ ("dedupappend" | "dedupappend-resume") =>
         // append a shard to the dedupindex state WITHOUT re-clustering
         // the corpus (CorpusDedup.appendShard): quotient CC over touched
         // components, then scoped MERGEs — only the moved components'
-        // label rows and the improved band buckets rewrite.
+        // label rows and the improved band buckets rewrite. The
+        // `--resume` CLI variant replays a crashed append at O(shard)
+        // (VERDICT r14 item 2) instead of the old O(corpus) rebuild.
+        val resume = cmd == "dedupappend-resume"
         val incomingPath = p.incoming.getOrElse(throw new IllegalArgumentException(
           "dedupappend needs paths.incoming (the new shard parquet)"))
         val stateDir = ioPathExtra(configPath, "state_dir")
@@ -357,17 +365,25 @@ object Main {
             "dedupappend needs paths.state_dir (or paths.output)"))
         val labelsT = s"$stateDir/labels"
         val bandsT = s"$stateDir/bands"
+        val shard = spark.read.parquet(incomingPath)
+        val nShard = shard.count()
+        // shard identity = content token (CorpusDedup.shardToken): every
+        // append stamps BOTH MERGEs with it — the Delta txnAppId pattern
+        // — so a torn state names the shard that tore it and a replay of
+        // the same shard is recognizable
+        val token = CorpusDedup.shardToken(shard)
         // torn-state guard (r14 review): the two MERGEs below cannot be
         // atomic across tables, so every append stamps the bands table
         // with the labels version it pairs with, and a new append REFUSES
         // to run when the stamp disagrees — a crash between the two
-        // MERGEs is caught here on the next run (with a rebuild remedy)
-        // instead of silently drifting the band minima
+        // MERGEs is caught here on the next run instead of silently
+        // drifting the band minima
         val curLabelsV = Snapshots.currentVersion(spark, labelsT)
+        val labelsMeta = Snapshots.commitMeta(spark, labelsT, curLabelsV)
         val bandsMeta = Snapshots.commitMeta(spark, bandsT,
           Snapshots.currentVersion(spark, bandsT))
         val tag = ":labels_v"
-        if (bandsMeta.startsWith("dedupappend:") ||
+        val torn = if (bandsMeta.startsWith("dedupappend:") ||
             bandsMeta.startsWith("dedupindex:")) {
           // an unparseable stamp refuses rather than failing open — a
           // safety guard must not treat a truncated/hand-edited stamp as
@@ -376,29 +392,58 @@ object Main {
             s"unparseable dedup state stamp '$bandsMeta' — rebuild with dedupindex")
           val declared = bandsMeta.substring(
             bandsMeta.lastIndexOf(tag) + tag.length).toLong
-          require(declared == curLabelsV,
-            s"dedup state is torn: bands table pairs with labels v$declared " +
-              s"but labels are at v$curLabelsV — a previous dedupappend " +
-              "failed between its two MERGEs; rebuild with dedupindex")
-        }
-        val state = CorpusDedup.DedupState(
-          Snapshots.read(spark, labelsT).select("doc_id", "cluster_id"),
-          Snapshots.read(spark, bandsT).select("band_idx", "band", "ex_id"))
-        val shard = spark.read.parquet(incomingPath)
-        val nShard = shard.count()
-        if (nShard == 0) Map("shard_docs" -> "0", "labels_changed" -> "0",
-          "labels_version" -> curLabelsV.toString, "bands_upserted" -> "0",
-          "cc_rounds" -> "0")
+          declared != curLabelsV
+        } else false
+        if (torn && !resume) throw new IllegalStateException(
+          "dedup state is torn: the bands table pairs with an older labels " +
+            s"version than v$curLabelsV — a previous dedupappend failed " +
+            "between its two MERGEs. Re-run THAT shard with " +
+            "`dedupappend --resume` (O(shard) recovery), or rebuild with " +
+            "dedupindex")
+        if (torn) {
+          // O(shard) recovery: the labels MERGE committed atomically, so
+          // labels are fully post-append; only the bands MERGE is
+          // missing. Replay is legal ONLY for the shard that tore the
+          // state (the labels head stamp names it); the payload is
+          // re-derived from the shard text against the still-unchanged
+          // bands table (CorpusDedup.bandDelta) — no CC, no corpus scan.
+          require(labelsMeta == s"dedupappend:$token",
+            s"torn state was left by shard '$labelsMeta', not this shard " +
+              s"('dedupappend:$token') — resume with that shard's parquet, " +
+              "or rebuild with dedupindex")
+          val bands = Snapshots.read(spark, bandsT)
+            .select("band_idx", "band", "ex_id")
+          val ci = CorpusDedup.bandDelta(bands, shard).withColumn("band_key",
+            concat(col("band_idx").cast("string"), lit(":"), col("band")))
+          val bandsStamp = s"dedupappend:$token$tag$curLabelsV"
+          val bvBefore = Snapshots.currentVersion(spark, bandsT)
+          val bv = Snapshots.upsert(spark, bandsT, ci, "band_key",
+            meta = bandsStamp)
+          if (bv.version == bvBefore)
+            Snapshots.commit(spark, ci.limit(0), bandsT, meta = bandsStamp)
+          Map("resumed" -> "true", "shard_docs" -> nShard.toString,
+            "labels_version" -> curLabelsV.toString,
+            "bands_upserted" -> (bv.rowsUpdated + bv.rowsInserted).toString)
+        } else if (resume && labelsMeta == s"dedupappend:$token") {
+          // both MERGEs landed before the crash — replay is a no-op
+          Map("resumed" -> "noop", "shard_docs" -> nShard.toString,
+            "labels_version" -> curLabelsV.toString, "bands_upserted" -> "0")
+        } else if (nShard == 0)
+          Map("shard_docs" -> "0", "labels_changed" -> "0",
+            "labels_version" -> curLabelsV.toString, "bands_upserted" -> "0",
+            "cc_rounds" -> "0")
         else {
+          val state = CorpusDedup.DedupState(
+            Snapshots.read(spark, labelsT).select("doc_id", "cluster_id"),
+            Snapshots.read(spark, bandsT).select("band_idx", "band", "ex_id"))
           val delta = CorpusDedup.appendShard(state, shard)
           val changed = delta.changedLabels.persist()
           val nChanged = changed.count()
-          val token = java.util.UUID.randomUUID().toString.take(8)
           val lv = Snapshots.upsert(spark, labelsT, changed, "doc_id",
             meta = s"dedupappend:$token")
           val ci = delta.changedIndex.withColumn("band_key",
             concat(col("band_idx").cast("string"), lit(":"), col("band")))
-          val bandsStamp = s"dedupappend:$token:labels_v${lv.version}"
+          val bandsStamp = s"dedupappend:$token$tag${lv.version}"
           val bvBefore = Snapshots.currentVersion(spark, bandsT)
           val bv = Snapshots.upsert(spark, bandsT, ci, "band_key",
             meta = bandsStamp)
@@ -710,9 +755,11 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 2,
+    require(args.length == 2 ||
+      (args.length == 3 && args(1) == "dedupappend" && args(2) == "--resume"),
       "usage: graft.Main <data-config.yaml> " +
-        "<cache|serve|explore|predict|dedup|split|score|ingest|decontaminate|annbuild|annsearch|compact|upsert|snapshot|timetravel|cdc|vacuum|merge|forget|gate>")
+        "<cache|serve|explore|predict|dedup|split|score|ingest|decontaminate|annbuild|annsearch|compact|upsert|snapshot|timetravel|cdc|vacuum|merge|forget|gate>" +
+        " (dedupappend also takes --resume)")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.shuffle.partitions",
@@ -725,7 +772,8 @@ object Main {
       .appName("graft")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, args(0), args(1)).toSeq.sortBy(_._1)
+    val command = if (args.length == 3) "dedupappend-resume" else args(1)
+    try run(spark, args(0), command).toSeq.sortBy(_._1)
       .foreach { case (k, v) => println(s"$k: $v") }
     finally spark.stop()
   }

@@ -99,18 +99,70 @@ object ConnectedComponents {
     *   path 10^5             200k    20.9     20.6        —
     *   path 10^6               2M    46.2     49.9        —
     *
-    * Contraction wins or ties EVERY measured graph at ≥20k sym rows
-    * (3.3× at sf1 — the saturated corpus' depth makes the flood pay
-    * label-frame rounds per hop); below ~4k rows both arms are pure
-    * job-count (the tie at sf0.1) and the flood's one-action rounds
-    * beat contraction's three eager checkpoints per round. AUTO
-    * therefore floods (with the escalate-5 depth net) under
-    * [[AutoFloodMax]] sym rows and contracts at or above it. The probe
+    * Contraction wins or ties every measured BAND-STAR graph at ≥20k
+    * sym rows (3.3× at sf1 — the saturated corpus' depth makes the
+    * flood pay label-frame rounds per hop). The one measured exception
+    * is the degenerate PURE PATH at 10⁶ hops (2M sym rows: flood 46.2 s
+    * vs contract 49.9 s) — a topology LSH band graphs never produce
+    * (every bucket is a star); on such graphs auto picks the ~8% slower
+    * arm, and a deployment that runs CC over genuine deep paths should
+    * force GRAFT_CC_ALGO=hybrid, which hedges exactly that regime.
+    * Below ~4k rows both arms are pure job-count (the tie at sf0.1)
+    * and the flood's one-action rounds beat contraction's three eager
+    * checkpoints per round. AUTO therefore floods (with the escalate-5
+    * depth net) under [[AutoFloodMax]] sym rows and contracts at or
+    * above it. The probe
     * is one count on the caller-persisted edge frame — the rounds that
     * follow scan it many times either way. GRAFT_CC_ALGO forces
     * flood | contract | hybrid (the r13 default, probe-less). */
   private val AutoFloodMax =
     sys.env.get("GRAFT_CC_AUTO_MAX").map(_.toLong).getOrElse(4096L)
+
+  /** Round-checkpoint strategy (VERDICT r14 item 4): `localCheckpoint`
+    * truncates lineage into EXECUTOR block storage — free in local mode,
+    * but on a multi-node cluster an executor loss mid-fixpoint makes the
+    * truncated RDD unrecoverable (no lineage, blocks gone) and the whole
+    * CC invocation dies. On a non-local master this routes every round
+    * checkpoint through `Dataset.checkpoint` onto the reliable
+    * `spark.checkpoint.dir` store instead; retired rounds delete their
+    * checkpoint files promptly via [[unpersistCheckpoint]]'s reliable
+    * branch. `spark.graft.cc.checkpoint` = `auto` (default: reliable iff
+    * the master is non-local and a checkpoint dir is set — a non-local
+    * master WITHOUT a dir warns once and stays local rather than failing
+    * every CC query) | `local` | `reliable` (spec hook; throws without a
+    * checkpoint dir). Measured local-mode cost of the reliable path
+    * ([[graft.tools.CcCkptProbe]], 200k-vertex star-chain graph, 15
+    * flood rounds, local[32], /tmp dir): 1.20× wall per fixpoint — real
+    * but bounded; the default only pays it where block storage is
+    * actually volatile. */
+  private def ckpt(df: DataFrame, eager: Boolean): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val mode = df.sparkSession.conf
+      .get("spark.graft.cc.checkpoint", sys.env.getOrElse("GRAFT_CC_CKPT", "auto"))
+    val reliable = mode match {
+      case "reliable" =>
+        require(sc.getCheckpointDir.isDefined,
+          "spark.graft.cc.checkpoint=reliable needs spark.checkpoint.dir set")
+        true
+      case "local" => false
+      case _ =>
+        val nonLocal = !sc.isLocal
+        if (nonLocal && sc.getCheckpointDir.isEmpty) {
+          if (!warnedNoDir.getAndSet(true)) System.err.println(
+            "[cc] non-local master without spark.checkpoint.dir — round " +
+              "checkpoints stay LOCAL (executor loss mid-fixpoint is fatal); " +
+              "set spark.checkpoint.dir to enable reliable checkpoints")
+          false
+        } else nonLocal
+    }
+    // the reliable arm is ALWAYS eager: a lazy Dataset.checkpoint
+    // materializes at the caller's action and then RECOMPUTES the whole
+    // plan a second time when doCheckpoint writes the files (the classic
+    // non-eager reliable-checkpoint double-execution) — eager writes the
+    // files in one job and the caller's action reads them back instead
+    if (reliable) df.checkpoint(true) else df.localCheckpoint(eager)
+  }
+  private val warnedNoDir = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** @param vertices one row per vertex
     * @param idCol    vertex id column in `vertices` (orderable; min wins)
@@ -205,7 +257,7 @@ object ConnectedComponents {
     var labelsCk = init
       .map(_.select(col(idCol).as("_id"), col(labelCol).as("_lbl")))
       .getOrElse(vertices.select(col(idCol).as("_id"), col(idCol).as("_lbl")))
-      .localCheckpoint(true)
+      .transform(ckpt(_, true))
     var labels = rebase(labelsCk)
     var converged = false
     var iter = 0
@@ -254,7 +306,7 @@ object ConnectedComponents {
           .join(qLabels.select(col("_q").as("_lbl"), col("_qlbl")), Seq("_lbl"), "left")
           .select(col("_id").as(idCol),
             coalesce(col("_qlbl"), col("_lbl")).as(labelCol))
-          .localCheckpoint(true))
+          .transform(ckpt(_, true)))
         // composed is an INDEPENDENT eager checkpoint, so the flood's
         // round-`escalateRounds` label blocks and the quotient contract's
         // label blocks are dead weight from here (ADVICE r12: the hybrid
@@ -298,7 +350,7 @@ object ConnectedComponents {
       // lazy checkpoint: the convergence count below is the round's SINGLE
       // action — it computes the joins, fills the mins cache, persists the
       // checkpoint blocks, and counts changed labels in one job
-      val nextCk = jumped.localCheckpoint(false)
+      val nextCk = ckpt(jumped, false)
       val changed = nextCk.filter(col("_lbl") =!= col("_old")).count()
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] round ${iter + 1}: changed=$changed t=${System.nanoTime() / 1000000000L % 10000}")
@@ -363,7 +415,7 @@ object ConnectedComponents {
         init.get.select(col(idCol).as("_a"), col(labelCol).as("_b"))) else base)
         .filter(col("_a") =!= col("_b"))
         .distinct()
-        .localCheckpoint(true)
+        .transform(ckpt(_, true))
     }
     var edges = rebase(initCk)
     // hash sum widened to DECIMAL(38,0): a long sum of 64-bit hashes
@@ -390,7 +442,7 @@ object ConnectedComponents {
         .filter(col("_v") > col("_u"))
         .select(col("_v").as("_a"), least(col("_m"), col("_u")).as("_b"))
         .distinct()
-        .localCheckpoint(true)
+        .transform(ckpt(_, true))
       val ls = rebase(lsCk)
       // small-star over the high→low orientation (large-star preserves it)
       val ssMin = ls.groupBy("_a").agg(min(col("_b")).as("_m"))
@@ -400,7 +452,7 @@ object ConnectedComponents {
         .filter(col("_v") =!= col("_m"))
         .select(col("_v").as("_a"), col("_m").as("_b"))
         .distinct()
-        .localCheckpoint(true)
+        .transform(ckpt(_, true))
       val ss = rebase(ssCk)
       val nextSig = signature(ss)
       if (sys.env.contains("GRAFT_CC_DEBUG"))
@@ -424,7 +476,7 @@ object ConnectedComponents {
       .join(stars, Seq("_id"), "left")
       .select(col("_id").as(idCol),
         coalesce(col("_lbl"), col("_id")).as(labelCol))
-      .localCheckpoint(true)
+      .transform(ckpt(_, true))
     retired.foreach(unpersistCheckpoint(_))
     (labels, iter)
   }

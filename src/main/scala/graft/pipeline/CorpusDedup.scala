@@ -64,8 +64,17 @@ object CorpusDedup {
     * `bandIndex(band_idx, band, ex_id)` (one row per occupied LSH
     * bucket, ex_id = the bucket's minimum doc_id — the probe index
     * [[incremental]] joins against). Both are plain DataFrames so a
-    * deployment can serve them from parquet/snapshot tables. */
-  final case class DedupState(labels: DataFrame, bandIndex: DataFrame)
+    * deployment can serve them from parquet/snapshot tables.
+    * [[release]] unpersists what [[indexCorpus]] pinned for its own
+    * two-reader band frame — call it after materializing both tables
+    * (ADVICE r14: a long-lived session otherwise leaks one corpus-sized
+    * cache per state build; labels stay valid — they are
+    * checkpoint-backed — and bandIndex recomputes from source if
+    * re-read). */
+  final case class DedupState(labels: DataFrame, bandIndex: DataFrame,
+                              pinned: Seq[DataFrame] = Nil) {
+    def release(): Unit = pinned.foreach(_.unpersist())
+  }
 
   /** What [[appendShard]] hands back: the merged state, the UPSERT-ready
     * subsets (`changedLabels` = every shard doc's new row plus every
@@ -93,14 +102,53 @@ object CorpusDedup {
     * independently re-shingled the corpus for each): the labels come out
     * checkpoint-backed (self-contained), the band index is one agg over
     * the cached band frame — which stays pinned until the caller
-    * materializes the index and clears it (the CLI verb does; the bench
-    * harness does between cells). */
+    * materializes the index and calls [[DedupState.release]] (the CLI
+    * verb does; the bench harness clears caches between cells). */
   def indexCorpus(docs: DataFrame): DedupState = {
     val dd = docs.select(col("doc_id"), col("text"))
     val bands = TextQueries.bandKeys(dd).persist()
     val labels = TextQueries.nearDupClustersOfBands(dd.select("doc_id"), bands)
     val idx = bands.groupBy("band_idx", "band").agg(min(col("doc_id")).as("ex_id"))
-    DedupState(labels, idx)
+    DedupState(labels, idx, pinned = Seq(bands))
+  }
+
+  /** Order-invariant content identity of a shard — the `txnAppId` of the
+    * dedup-append transaction (VERDICT r14 item 2): md5 over the
+    * decimal-exact SUM of per-row xxhash64(doc_id, text), so the same
+    * shard content yields the same token whatever its path, file layout,
+    * or partitioning — which is what lets a crashed `dedupappend` be
+    * recognized on replay and resumed instead of forcing an O(corpus)
+    * rebuild. One O(shard) scan. */
+  def shardToken(shard: DataFrame): String = {
+    val r = shard.agg(
+      sum(xxhash64(col("doc_id"), col("text")).cast("decimal(38,0)"))
+        .cast("string")).head()
+    val s = if (r.isNullAt(0)) "empty" else r.getString(0)
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(12)
+  }
+
+  /** The band-index MERGE payload ALONE, recomputed at O(shard) from an
+    * UNCHANGED `bandIndex`: shard bucket minima that are new or improve
+    * the existing bucket min — exactly [[appendShard]]'s `changedIndex`
+    * given the same inputs (same shardMins ⟕ touched-bucket join, same
+    * filter). This is the torn-state recovery path: a crash BETWEEN the
+    * labels MERGE and the bands MERGE leaves labels fully post-append
+    * (the upsert is atomic per table) and bands untouched, so replaying
+    * the second MERGE needs no CC and no label work — just this frame,
+    * re-derived from the shard text and the still-old index. */
+  def bandDelta(bandIndex: DataFrame, shard: DataFrame): DataFrame = {
+    val shardMins = TextQueries.bandKeys(
+        shard.select(col("doc_id"), col("text")))
+      .groupBy("band_idx", "band").agg(min(col("doc_id")).as("ex_id"))
+    val old = bandIndex
+      .join(broadcast(shardMins.select("band_idx", "band")),
+        Seq("band_idx", "band"))
+      .select(col("band_idx"), col("band"), col("ex_id").as("_old"))
+    shardMins.join(broadcast(old), Seq("band_idx", "band"), "left")
+      .filter(col("_old").isNull || col("ex_id") < col("_old"))
+      .select("band_idx", "band", "ex_id")
   }
 
   /** Incremental label maintenance (VERDICT r13 item 1): append `shard`

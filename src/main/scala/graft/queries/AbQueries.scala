@@ -68,14 +68,19 @@ object AbQueries {
             |                  THEN 1 ELSE 0 END) AS BIGINT) AS conv_c
             |  FROM arms)
             |SELECT n_t, conv_t, n_c, conv_c,
-            |       (1000000 * conv_t) // n_t AS conv_t_ppm,
-            |       (1000000 * conv_c) // n_c AS conv_c_ppm,
+            |       CASE WHEN n_t = 0 THEN NULL
+            |            ELSE (1000000 * conv_t) // n_t END AS conv_t_ppm,
+            |       CASE WHEN n_c = 0 THEN NULL
+            |            ELSE (1000000 * conv_c) // n_c END AS conv_c_ppm,
+            |       CASE WHEN n_t = 0 OR n_c = 0 OR conv_t + conv_c = 0
+            |              OR (n_t-conv_t) + (n_c-conv_c) = 0 THEN NULL
+            |       ELSE
             |       CAST((CAST(1000000 AS HUGEINT) * (n_t + n_c) *
             |             (conv_t*(n_c-conv_c) - conv_c*(n_t-conv_t)) *
             |             (conv_t*(n_c-conv_c) - conv_c*(n_t-conv_t)))
             |            // (CAST(n_t AS HUGEINT) * n_c * (conv_t+conv_c) *
             |               ((n_t-conv_t)+(n_c-conv_c))) AS BIGINT)
-            |         AS chi2_ppm
+            |       END AS chi2_ppm
             |FROM agg""".stripMargin)) { (s, d) =>
     val u = perUser(s, d).select(col("user_id"), col("conv"))
       .withColumn("arm",
@@ -89,13 +94,26 @@ object AbQueries {
         sum(when(col("arm") === "control" && col("conv") === 1, 1L)
           .otherwise(0L)).as("conv_c"))
       .select(col("n_t"), col("conv_t"), col("n_c"), col("conv_c"),
-        expr("(1000000 * conv_t) div n_t").as("conv_t_ppm"),
-        expr("(1000000 * conv_c) div n_c").as("conv_c_ppm"),
-        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * (n_t + n_c) *
+        // DEGENERATE-TABLE GUARD (found by the r15 Zipf oracle gate, the
+        // round's purpose): on a small-corpus generation EVERY user
+        // converted, so the non-converting margin — and the chi²
+        // denominator — was exactly 0 and ANSI integer division threw.
+        // A 2×2 table with an empty margin carries no independence
+        // signal; the statistic is UNDEFINED there, and both engines now
+        // agree on NULL rather than crashing (Spark) or diverging.
+        expr("CASE WHEN n_t = 0 THEN NULL " +
+          "ELSE (1000000 * conv_t) div n_t END").as("conv_t_ppm"),
+        expr("CASE WHEN n_c = 0 THEN NULL " +
+          "ELSE (1000000 * conv_c) div n_c END").as("conv_c_ppm"),
+        expr("""CASE WHEN n_t = 0 OR n_c = 0 OR conv_t + conv_c = 0
+               |  OR (n_t-conv_t) + (n_c-conv_c) = 0 THEN NULL
+               |ELSE
+               |CAST((CAST(1000000 AS DECIMAL(38,0)) * (n_t + n_c) *
                | (conv_t*(n_c-conv_c) - conv_c*(n_t-conv_t)) *
                | (conv_t*(n_c-conv_c) - conv_c*(n_t-conv_t)))
                | div (CAST(n_t AS DECIMAL(38,0)) * n_c * (conv_t+conv_c) *
-               | ((n_t-conv_t)+(n_c-conv_c))) AS BIGINT)"""
+               | ((n_t-conv_t)+(n_c-conv_c))) AS BIGINT)
+               |END"""
           .stripMargin.replace("\n", " ")).as("chi2_ppm"))
   }
 

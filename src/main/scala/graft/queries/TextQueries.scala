@@ -429,38 +429,52 @@ object TextQueries {
            |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)) { (s, d) =>
     val g = docs(s, d).select(col("doc_id"), explode(ngrams(3)).as("tri"))
     val bench = g.filter(col("doc_id") % 100 === 7)
-    // persisted: the count below sizes m AND fills the cache the bits
-    // build (and nothing else) then reads — one bench-side explode total
-    val benchTris = bench.select(col("tri")).distinct().persist()
+    val benchTris = bench.select(col("tri")).distinct()
     val benchDocs = bench.select(col("doc_id").as("bench_doc"), col("tri"))
     import graft.operators.BloomFilter
-    // m sized from the ACTUAL benchmark trigram count (ADVICE r13: the
-    // old corpus-doc-count proxy undersizes m whenever distinct bench
-    // trigrams exceed total docs — bench docs × trigrams/doc can, on a
-    // real corpus, dwarf the doc count and drive the FP rate toward 1).
-    // The bench side is the tiny side by contract, so counting it is a
-    // small job, and it doubles as the cache fill for the bits build.
-    val m = BloomFilter.sized(math.max(1L, benchTris.count()))
-    // FAST hash family (xxhash64): the bloom's verdict never reaches the
-    // output, so the probe needn't be oracle-replayable
-    val bloom = BloomFilter.bitsFast(benchTris, "tri", 3, m)
+    // ONE small bench-side job sizes m (ADVICE r13: the old corpus-doc-
+    // count proxy undersizes m whenever distinct bench trigrams exceed
+    // total docs) AND estimates the bench VOCABULARY (distinct leading
+    // words of the trigrams) — the saturation probe below. The bench side
+    // is the tiny side by contract, so re-deriving it for the bits build
+    // instead of persisting costs one extra 1%-sized explode and removes
+    // the stranded cache a long-lived session otherwise accumulates per
+    // q38 invocation (ADVICE r14).
+    val row = benchTris.agg(
+      count(lit(1)).as("n"),
+      countDistinct(split(col("tri"), " ").getItem(0)).as("vb")).head()
+    val nTris = row.getLong(0)
+    val vocabB = row.getLong(1)
+    val m = BloomFilter.sized(math.max(1L, nTris))
+    // SATURATION SKIP (VERDICT r14 item 3): when the bench trigram set
+    // covers a large fraction of its own vocabulary's trigram space
+    // (nTris ≥ 0.5 · vb³), the corpus — drawn from ~the same vocabulary —
+    // cannot miss the bloom often enough to pay for the probe: r14
+    // measured 0% shed on the legacy 30-word corpus (27000/27000 possible
+    // trigrams covered at sf10) at ~1 s of pure overhead, vs 99.07% shed
+    // on the Zipf 50k-type corpus where coverage is ≈0. The verdict is a
+    // plan choice only — the exact benchDocs join below is the membership
+    // filter either way, so the oracle SQL is UNCHANGED by the skip.
+    val saturated =
+      nTris.toDouble >= 0.5 * math.pow(vocabB.toDouble, 3)
+    val train = g.filter(col("doc_id") % 100 =!= 7)
     // three broadcast LEFT SEMI joins on the hash positions — membership
     // = all 3 set, expressed as successive anyone-set filters so each
     // stays a map-side BroadcastHashJoin (no groupBy shuffle); rows
     // surviving all three are bloom hits (guaranteed-negative-free).
-    // MEASURED CAVEAT (r13, tools/Q38Profile + DuckDB audit): on THIS
-    // synthetic corpus the 30-word vocab saturates the trigram space —
-    // the benchmark side covers all 27000 possible trigrams at sf10, so
-    // the bloom (or ANY prefilter) drops zero training rows and the cost
-    // floor is the trigram explode itself (~q37's explode plus the wider
-    // string). On a real corpus the benchmark n-gram set is sparse in the
-    // corpus n-gram space and this composition is the win the operator
-    // exists for; it stays because its overhead is three codegen'd
-    // hash-joins against an ≤3n-row broadcast.
-    val prefiltered = (0 until 3).foldLeft(
-        g.filter(col("doc_id") % 100 =!= 7)) { (acc, j) =>
-      acc.join(broadcast(bloom.select(col("pos").as(s"_p$j"))),
-        BloomFilter.positionFast(col("tri"), j, m) === col(s"_p$j"), "left_semi")
+    // FAST hash family (xxhash64): the bloom's verdict never reaches the
+    // output, so the probe needn't be oracle-replayable. The right side
+    // keeps ONE column name across the three joins (a semi join emits
+    // only left-side columns, so no clash) → the three broadcast
+    // exchanges canonicalize identically and ReuseExchange builds the
+    // bits once per execution, unpersisted.
+    val prefiltered = if (saturated) train else {
+      val bloom = BloomFilter.bitsFast(benchTris, "tri", 3, m)
+        .select(col("pos").as("_p"))
+      (0 until 3).foldLeft(train) { (acc, j) =>
+        acc.join(broadcast(bloom),
+          BloomFilter.positionFast(col("tri"), j, m) === col("_p"), "left_semi")
+      }
     }
     // ONE exact broadcast join: the inner join with benchDocs IS the
     // exact membership filter (bloom FPs die here), and countDistinct

@@ -26,7 +26,21 @@ import org.apache.spark.sql.execution.LogicalRDD
 object CheckpointShim {
   def unpersistCheckpoint(df: Dataset[_], blocking: Boolean = false): Unit =
     df.queryExecution.analyzed match {
-      case lr: LogicalRDD => lr.rdd.unpersist(blocking)
+      case lr: LogicalRDD =>
+        lr.rdd.unpersist(blocking)
+        // RELIABLE checkpoints (Dataset.checkpoint — the non-local CC
+        // path, r15) retire FILES, not blocks: delete the rdd-<id>
+        // checkpoint dir once the caller declares the frame dead, the
+        // same promptness contract the block unpersist gives local
+        // checkpoints (the ContextCleaner only cleans these when
+        // spark.cleaner.referenceTracking.cleanCheckpoints is on AND the
+        // reference is GC'd — dozens of retired rounds can pile up on
+        // the checkpoint store meanwhile). getCheckpointFile is None for
+        // local checkpoints and unfinished checkpoints, so this is
+        // exactly the reliable-and-materialized case.
+        if (lr.rdd.getCheckpointFile.isDefined)
+          org.apache.spark.rdd.ReliableRDDCheckpointData.cleanCheckpoint(
+            lr.rdd.sparkContext, lr.rdd.id)
       case _ => ()
     }
 }

@@ -211,9 +211,10 @@ class AppendShardSpec extends SparkSpec {
     Snapshots.upsert(spark, s"$root/state/labels",
       Seq((99L, 99L)).toDF("doc_id", "cluster_id"), "doc_id",
       meta = "dedupappend:deadbeef")
-    val e = intercept[IllegalArgumentException](
+    val e = intercept[IllegalStateException](
       Main.run(spark, s"$root/config.yaml", "dedupappend"))
     assert(e.getMessage.contains("torn"), e.getMessage)
+    assert(e.getMessage.contains("--resume"), "remedy must name the O(shard) path")
 
     // the FIRST-append crash window (r14 review): fresh dedupindex, then
     // a simulated crash between the first append's two MERGEs — the
@@ -232,8 +233,86 @@ class AppendShardSpec extends SparkSpec {
     Snapshots.upsert(spark, s"$root2/state/labels",
       Seq((99L, 99L)).toDF("doc_id", "cluster_id"), "doc_id",
       meta = "dedupappend:crashed")
-    val e2 = intercept[IllegalArgumentException](
+    val e2 = intercept[IllegalStateException](
       Main.run(spark, s"$root2/config.yaml", "dedupappend"))
     assert(e2.getMessage.contains("torn"), e2.getMessage)
+  }
+
+  test("CLI: dedupappend --resume replays a crash between the two MERGEs " +
+       "at O(shard), ending state-equal to the never-crashed run") {
+    // VERDICT r14 item 2: the guard used to refuse with an O(corpus)
+    // rebuild remedy; now the labels head stamp carries the shard's
+    // CONTENT token, so the interrupted shard is recognizable and only
+    // the missing band-index MERGE replays.
+    val corpus = Seq((10L, textX), (11L, textX), (20L, textZ), (21L, textZ))
+      .toDF("doc_id", "text")
+    val shard = Seq((30L, textM), (40L, textNovel)).toDF("doc_id", "text")
+    def mkRoot(): String = {
+      val root = Files.createTempDirectory("graft-dedupresume").toString
+      corpus.write.parquet(s"$root/docs")
+      shard.write.parquet(s"$root/shard")
+      Files.writeString(java.nio.file.Paths.get(s"$root/config.yaml"),
+        s"""paths:
+           |  documents: $root/docs
+           |  incoming: $root/shard
+           |  state_dir: $root/state
+           |""".stripMargin)
+      Main.run(spark, s"$root/config.yaml", "dedupindex")
+      root
+    }
+    // reference: the append that never crashes
+    val rootA = mkRoot()
+    Main.run(spark, s"$rootA/config.yaml", "dedupappend")
+    // crashed: MERGE 1 (labels, stamped with the real content token)
+    // lands, MERGE 2 (bands) does not
+    val rootB = mkRoot()
+    val stateB = CorpusDedup.DedupState(
+      Snapshots.read(spark, s"$rootB/state/labels").select("doc_id", "cluster_id"),
+      Snapshots.read(spark, s"$rootB/state/bands").select("band_idx", "band", "ex_id"))
+    val delta = CorpusDedup.appendShard(stateB, shard)
+    val token = CorpusDedup.shardToken(shard)
+    Snapshots.upsert(spark, s"$rootB/state/labels", delta.changedLabels,
+      "doc_id", meta = s"dedupappend:$token")
+    delta.release()
+    // a plain append refuses and names the O(shard) remedy
+    val torn = intercept[IllegalStateException](
+      Main.run(spark, s"$rootB/config.yaml", "dedupappend"))
+    assert(torn.getMessage.contains("--resume"), torn.getMessage)
+    // resuming with a DIFFERENT shard refuses: the token disagrees
+    val wrong = Seq((70L, textNovel + " other")).toDF("doc_id", "text")
+    wrong.write.parquet(s"$rootB/wrong")
+    Files.writeString(java.nio.file.Paths.get(s"$rootB/configw.yaml"),
+      s"""paths:
+         |  incoming: $rootB/wrong
+         |  state_dir: $rootB/state
+         |""".stripMargin)
+    val mismatch = intercept[IllegalArgumentException](
+      Main.run(spark, s"$rootB/configw.yaml", "dedupappend-resume"))
+    assert(mismatch.getMessage.contains("not this shard"), mismatch.getMessage)
+    // resume with the torn shard: state must equal the never-crashed run
+    val r = Main.run(spark, s"$rootB/config.yaml", "dedupappend-resume")
+    assert(r("resumed") == "true", r.toString)
+    def stateOf(root: String) = (
+      labelsMap(Snapshots.read(spark, s"$root/state/labels")
+        .select("doc_id", "cluster_id")),
+      indexMap(Snapshots.read(spark, s"$root/state/bands")
+        .select("band_idx", "band", "ex_id")),
+      Snapshots.commitMeta(spark, s"$root/state/bands",
+        Snapshots.currentVersion(spark, s"$root/state/bands")))
+    assert(stateOf(rootB) == stateOf(rootA),
+      s"resumed state must equal the healthy run: ${stateOf(rootB)} vs ${stateOf(rootA)}")
+    // a THIRD run of the same shard under --resume is a recognized no-op
+    val again = Main.run(spark, s"$rootB/config.yaml", "dedupappend-resume")
+    assert(again("resumed") == "noop", again.toString)
+    // and the healthy state accepts the next ordinary append
+    val shard2 = Seq((50L, textZ)).toDF("doc_id", "text")
+    shard2.write.parquet(s"$rootB/shard2")
+    Files.writeString(java.nio.file.Paths.get(s"$rootB/config2.yaml"),
+      s"""paths:
+         |  incoming: $rootB/shard2
+         |  state_dir: $rootB/state
+         |""".stripMargin)
+    val r2 = Main.run(spark, s"$rootB/config2.yaml", "dedupappend")
+    assert(r2("labels_changed").toLong > 0, r2.toString)
   }
 }
