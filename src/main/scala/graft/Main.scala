@@ -407,24 +407,24 @@ object Main {
           // state (the labels head stamp names it); the payload is
           // re-derived from the shard text against the still-unchanged
           // bands table (CorpusDedup.bandDelta) — no CC, no corpus scan.
-          require(labelsMeta == s"dedupappend:$token",
+          // startsWith: a STREAMED append (CorpusDedup.appendSink) stamps
+          // `dedupappend:<token>:batch:<app>:<id>` — same content token,
+          // so the CLI can also resume a stream-torn state
+          require(labelsMeta == s"dedupappend:$token" ||
+              labelsMeta.startsWith(s"dedupappend:$token:"),
             s"torn state was left by shard '$labelsMeta', not this shard " +
               s"('dedupappend:$token') — resume with that shard's parquet, " +
               "or rebuild with dedupindex")
           val bands = Snapshots.read(spark, bandsT)
             .select("band_idx", "band", "ex_id")
-          val ci = CorpusDedup.bandDelta(bands, shard).withColumn("band_key",
-            concat(col("band_idx").cast("string"), lit(":"), col("band")))
-          val bandsStamp = s"dedupappend:$token$tag$curLabelsV"
-          val bvBefore = Snapshots.currentVersion(spark, bandsT)
-          val bv = Snapshots.upsert(spark, bandsT, ci, "band_key",
-            meta = bandsStamp)
-          if (bv.version == bvBefore)
-            Snapshots.commit(spark, ci.limit(0), bandsT, meta = bandsStamp)
+          val n = CorpusDedup.mergeBandDelta(spark, bandsT,
+            CorpusDedup.bandDelta(bands, shard),
+            s"dedupappend:$token$tag$curLabelsV")
           Map("resumed" -> "true", "shard_docs" -> nShard.toString,
             "labels_version" -> curLabelsV.toString,
-            "bands_upserted" -> (bv.rowsUpdated + bv.rowsInserted).toString)
-        } else if (resume && labelsMeta == s"dedupappend:$token") {
+            "bands_upserted" -> n.toString)
+        } else if (resume && (labelsMeta == s"dedupappend:$token" ||
+            labelsMeta.startsWith(s"dedupappend:$token:"))) {
           // both MERGEs landed before the crash — replay is a no-op
           Map("resumed" -> "noop", "shard_docs" -> nShard.toString,
             "labels_version" -> curLabelsV.toString, "bands_upserted" -> "0")
@@ -441,23 +441,14 @@ object Main {
           val nChanged = changed.count()
           val lv = Snapshots.upsert(spark, labelsT, changed, "doc_id",
             meta = s"dedupappend:$token")
-          val ci = delta.changedIndex.withColumn("band_key",
-            concat(col("band_idx").cast("string"), lit(":"), col("band")))
-          val bandsStamp = s"dedupappend:$token$tag${lv.version}"
-          val bvBefore = Snapshots.currentVersion(spark, bandsT)
-          val bv = Snapshots.upsert(spark, bandsT, ci, "band_key",
-            meta = bandsStamp)
-          // an upsert with zero changed buckets burns no version, which
-          // would leave the guard stamp pointing at the PREVIOUS labels
-          // version — stamp with an empty append instead
-          if (bv.version == bvBefore)
-            Snapshots.commit(spark, ci.limit(0), bandsT, meta = bandsStamp)
+          val n = CorpusDedup.mergeBandDelta(spark, bandsT, delta.changedIndex,
+            s"dedupappend:$token$tag${lv.version}")
           changed.unpersist()
           delta.release()
           Map("shard_docs" -> nShard.toString,
             "labels_changed" -> nChanged.toString,
             "labels_version" -> lv.version.toString,
-            "bands_upserted" -> (bv.rowsUpdated + bv.rowsInserted).toString,
+            "bands_upserted" -> n.toString,
             "cc_rounds" -> delta.rounds.toString)
         }
 

@@ -275,6 +275,104 @@ object CorpusDedup {
       pinned = Seq(shardBands, touched, repLabels, sym))
   }
 
+  /** MERGE the band-index delta and stamp the guard meta, burning a
+    * version even when the delta is empty (an upsert with zero changed
+    * buckets burns no version, which would leave the stamp pointing at
+    * the PREVIOUS labels version — the torn-state guard's one false
+    * positive). Shared by the CLI verb, its `--resume` replay, and the
+    * streaming sink. Returns rows touched. */
+  private[graft] def mergeBandDelta(spark: org.apache.spark.sql.SparkSession,
+                                    bandsTable: String, delta: DataFrame,
+                                    stamp: String): Long = {
+    val ci = delta.withColumn("band_key",
+      concat(col("band_idx").cast("string"), lit(":"), col("band")))
+    val before = Snapshots.currentVersion(spark, bandsTable)
+    val bv = Snapshots.upsert(spark, bandsTable, ci, "band_key", meta = stamp)
+    if (bv.version == before)
+      Snapshots.commit(spark, ci.limit(0), bandsTable, meta = stamp)
+    bv.rowsUpdated + bv.rowsInserted
+  }
+
+  /** Exactly-once STREAMING shard ingest (VERDICT r14 item 5): a
+    * `foreachBatch` function keeping a `dedupindex` state current as
+    * document shards arrive on a stream — [[appendShard]] composed with
+    * the [[Snapshots.batchSink]] txn guard, so N micro-batches end
+    * label-identical to one cold [[indexCorpus]] over the union
+    * (StreamingSpec pins this), and a recovery replay of an
+    * already-committed batch is a recognized no-op.
+    *
+    * Stamp protocol (one two-table transaction per batch):
+    *   - labels MERGE meta: `dedupappend:<token>:batch:<appId>:<id>` —
+    *     the shard's content token (crash identity) plus the batch
+    *     watermark this appId has reached (replay skip guard).
+    *   - bands MERGE meta: `dedupappend:<token>:labels_v<V>` — the
+    *     torn-state pairing stamp the CLI guard already checks.
+    *
+    * Crash windows, all healed by Structured Streaming's replay of the
+    * in-flight batch: before MERGE 1 → nothing landed, the replay runs
+    * the full append; BETWEEN the MERGEs → the state is torn, the labels
+    * head stamp carries this batch's token, and the replay applies only
+    * the missing band-index MERGE ([[bandDelta]] — the same O(shard)
+    * recovery `dedupappend --resume` runs); after MERGE 2 → the batch
+    * watermark says done, the replay is a no-op. A torn state whose
+    * token does NOT match the replayed batch refuses loudly (it was torn
+    * by a different writer — the one-live-writer-per-table discipline
+    * was broken; recover via the CLI with that shard).
+    *
+    * `appId` must be stable across restarts of the same query (the
+    * batchSink contract). The state must exist (`dedupindex` first). */
+  def appendSink(stateDir: String, appId: String): (DataFrame, Long) => Unit = {
+    (df, batchId) =>
+      require(!appId.contains(":"), s"appId must not contain ':': $appId")
+      val spark = df.sparkSession
+      val labelsT = s"$stateDir/labels"
+      val bandsT = s"$stateDir/bands"
+      // micro-batch frames are single-pass by contract; this one is read
+      // several times (token, bands, quotient CC) — pin it for the batch
+      val shard = df.select(col("doc_id"), col("text")).persist()
+      try {
+        val token = shardToken(shard)
+        val curLabelsV = Snapshots.currentVersion(spark, labelsT)
+        val labelsMeta = Snapshots.commitMeta(spark, labelsT, curLabelsV)
+        val bandsMeta = Snapshots.commitMeta(spark, bandsT,
+          Snapshots.currentVersion(spark, bandsT))
+        val tag = ":labels_v"
+        val torn = (bandsMeta.startsWith("dedupappend:") ||
+            bandsMeta.startsWith("dedupindex:")) && {
+          require(bandsMeta.contains(tag),
+            s"unparseable dedup state stamp '$bandsMeta' — rebuild with dedupindex")
+          bandsMeta.substring(
+            bandsMeta.lastIndexOf(tag) + tag.length).toLong != curLabelsV
+        }
+        val bTag = s":batch:$appId:"
+        val lastBatch = if (labelsMeta.contains(bTag))
+          labelsMeta.substring(
+            labelsMeta.lastIndexOf(bTag) + bTag.length).toLong
+        else -1L
+        if (torn) {
+          require(labelsMeta.startsWith(s"dedupappend:$token:") ||
+              labelsMeta == s"dedupappend:$token",
+            s"dedup state torn by a different shard ('$labelsMeta', this " +
+              s"batch 'dedupappend:$token') — recover it via " +
+              "`dedupappend --resume` with that shard, then restart the stream")
+          val bands = Snapshots.read(spark, bandsT)
+            .select("band_idx", "band", "ex_id")
+          mergeBandDelta(spark, bandsT, bandDelta(bands, shard),
+            s"dedupappend:$token$tag$curLabelsV")
+        } else if (batchId > lastBatch && shard.limit(1).count() > 0) {
+          val state = DedupState(
+            Snapshots.read(spark, labelsT).select("doc_id", "cluster_id"),
+            Snapshots.read(spark, bandsT).select("band_idx", "band", "ex_id"))
+          val delta = appendShard(state, shard)
+          val lv = Snapshots.upsert(spark, labelsT, delta.changedLabels,
+            "doc_id", meta = s"dedupappend:$token$bTag$batchId")
+          mergeBandDelta(spark, bandsT, delta.changedIndex,
+            s"dedupappend:$token$tag${lv.version}")
+          delta.release()
+        }
+      } finally shard.unpersist()
+  }
+
   /** Per-document dedup verdict over `docs(doc_id, text, …)`:
     * (doc_id, content_hash, exact_canonical_id, cluster_id, cluster_size,
     * quality_score, kept). `kept` ⇔ the doc survives exact dedup (is its

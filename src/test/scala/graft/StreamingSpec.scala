@@ -637,6 +637,89 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup-state ingest: micro-batched shards end label-equal " +
+       "to a cold index of the union; replays and torn batches heal") {
+    // VERDICT r14 item 5: CorpusDedup.appendSink — appendShard composed
+    // with the batchSink txn guard as one foreachBatch function. Fixture
+    // texts are AppendShardSpec's hand-searched bridge set (X/Z two
+    // separate cold clusters, M shares bands with both).
+    import graft.pipeline.{CorpusDedup, Snapshots}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val baseWords = (0 until 54).map(i => f"word$i%02d")
+    val textX = baseWords.mkString(" ")
+    val textZ = baseWords.updated(17, "alt7").updated(36, "alt14").mkString(" ")
+    val textM = baseWords.updated(17, "alt7").mkString(" ")
+    val textNovel = "zebra xylophone quartz jigsaw vortex plasma nebula kumquat"
+    val corpus = Seq((10L, textX), (11L, textX), (20L, textZ), (21L, textZ))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-streamdedup").toString
+    corpus.write.parquet(s"$root/docs")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/config.yaml"),
+      s"""paths:
+         |  documents: $root/docs
+         |  state_dir: $root/state
+         |""".stripMargin)
+    Main.run(spark, s"$root/config.yaml", "dedupindex")
+    val batch0 = Seq((30L, textM), (40L, textNovel))
+    val batch1 = Seq((1L, textX), (50L, textZ))
+    val input = MemoryStream[(Long, String)]
+    val docsStream = input.toDF().toDF("doc_id", "text")
+    val q = docsStream.writeStream
+      .foreachBatch(CorpusDedup.appendSink(s"$root/state", "ingest"))
+      .start()
+    try {
+      input.addData(batch0: _*); q.processAllAvailable()
+      input.addData(batch1: _*); q.processAllAvailable()
+    } finally q.stop()
+    def labelsNow() = Snapshots.read(spark, s"$root/state/labels")
+      .select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def bandsNow() = Snapshots.read(spark, s"$root/state/bands")
+      .select("band_idx", "band", "ex_id").collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    def coldOf(df: org.apache.spark.sql.DataFrame) = {
+      val st = CorpusDedup.indexCorpus(df)
+      val l = st.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val b = st.bandIndex.collect()
+        .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      st.release(); (l, b)
+    }
+    val union01 = corpus.unionByName(
+      (batch0 ++ batch1).toDF("doc_id", "text"))
+    val (coldL, coldB) = coldOf(union01)
+    assert(labelsNow() == coldL, "streamed state must equal the cold index")
+    assert(bandsNow() == coldB)
+    // doc 1 is the global min of the merged bridge component
+    assert(labelsNow()(20L) == 1L && labelsNow()(30L) == 1L)
+    // recovery replay of an already-committed batch id: a recognized no-op
+    val vBefore = Snapshots.currentVersion(spark, s"$root/state/labels")
+    CorpusDedup.appendSink(s"$root/state", "ingest")(
+      batch1.toDF("doc_id", "text"), 1L)
+    assert(Snapshots.currentVersion(spark, s"$root/state/labels") == vBefore,
+      "replayed batch must not burn a labels version")
+    assert(labelsNow() == coldL)
+    // torn batch: MERGE 1 (labels, stream-stamped) lands, MERGE 2 does
+    // not; the replay of the same batch applies only the band delta
+    val batch2 = Seq((5L, textZ), (60L, textNovel + " tail")).toDF("doc_id", "text")
+    val state = CorpusDedup.DedupState(
+      Snapshots.read(spark, s"$root/state/labels").select("doc_id", "cluster_id"),
+      Snapshots.read(spark, s"$root/state/bands").select("band_idx", "band", "ex_id"))
+    val delta = CorpusDedup.appendShard(state, batch2)
+    val token = CorpusDedup.shardToken(batch2)
+    Snapshots.upsert(spark, s"$root/state/labels", delta.changedLabels,
+      "doc_id", meta = s"dedupappend:$token:batch:ingest:2")
+    delta.release()
+    CorpusDedup.appendSink(s"$root/state", "ingest")(batch2, 2L)
+    val (coldL2, coldB2) = coldOf(union01.unionByName(batch2))
+    assert(labelsNow() == coldL2, "torn-batch replay must heal to the cold index")
+    assert(bandsNow() == coldB2)
+    // healed: a further replay of batch 2 is skipped by the watermark
+    val v2 = Snapshots.currentVersion(spark, s"$root/state/labels")
+    CorpusDedup.appendSink(s"$root/state", "ingest")(batch2, 2L)
+    assert(Snapshots.currentVersion(spark, s"$root/state/labels") == v2)
+  }
+
   test("rolling stream: batch parity with q96's RANGE window on events") {
     import spark.implicits._
     import StreamingOps.{RollingEvent, RollingOut}
