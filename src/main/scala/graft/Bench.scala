@@ -305,14 +305,24 @@ object Bench {
       // sf0.1 column regenerated with sf10 numbers — and a prefix match
       // on /root/testdata/ would still let the sf0.001/sf0.01 gate dirs
       // do the same, so the guard pins the driver's EXACT data dir)
-      if (only.isEmpty && !pipelineMode && sfDir == "/root/testdata/sf0.1") {
+      // GRAFT_DRIVER_SF_DIR overrides the pinned default for deployments
+      // whose driver data lives elsewhere (ADVICE r14: the literal pin
+      // silently stopped refreshing bench_out.json on any other dir)
+      val driverDir = sys.env.getOrElse("GRAFT_DRIVER_SF_DIR",
+        "/root/testdata/sf0.1")
+      if (only.isEmpty && !pipelineMode && sfDir == driverDir) {
         java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
           (full + "\n").getBytes("UTF-8"))
         // driver-readable mirror of the stdout line PLUS the load_flags
         // diag (flags are off the stdout line so it stays parseable)
         java.nio.file.Files.write(java.nio.file.Paths.get("bench_compact.json"),
           (compactWithFlags + "\n").getBytes("UTF-8"))
-      }
+      } else if (only.isEmpty && !pipelineMode)
+        // loud, so a full-suite run on other data can't leave a STALE
+        // bench_out.json that gen_index silently bakes into INDEX's
+        // sf0.1 column (the inverse of the clobbering bug the pin fixed)
+        System.err.println(s"[bench] full-suite run on $sfDir != driver dir " +
+          s"$driverDir — bench_out.json NOT refreshed (stamped file only)")
     } catch { case _: Throwable => () }
     spark.stop()
     // compact line goes out LAST, after spark.stop(), so no shutdown noise

@@ -34,8 +34,13 @@ def newest_cells(sf_label):
             return int(p.rsplit(".", 2)[1])
         except ValueError:
             return -1
+    # root stamps are the current round's; bench_evidence/<round>/ holds
+    # prior rounds' (repo-hygiene home since r15) — the epoch stamp in
+    # the filename orders across both, newest wins either way
     files = sorted(
-        glob.glob(os.path.join(REPO, f"bench_out.{sf_label}.*.json")),
+        glob.glob(os.path.join(REPO, f"bench_out.{sf_label}.*.json")) +
+        glob.glob(os.path.join(
+            REPO, "bench_evidence", "*", f"bench_out.{sf_label}.*.json")),
         key=stamp)
     for path in files:  # oldest -> newest; newer values overwrite
         try:
@@ -110,6 +115,18 @@ CEILINGS = {
         "the banded pair join itself is linear in band rows",
     "q91_span_dedup_rewrite": "rewrite-output-bound: emits the full "
         "rewritten corpus text by contract",
+    # VERDICT r14 item 6: the two graph cells attributed — both run on an
+    # IN-QUERY-GENERATED fixed 2000-node graph (q75 precedent), so their
+    # cost is data-independent by construction and identical at every sf;
+    # what the cell prices is the distributed loop's fixed floor, not data
+    "q103_pagerank": "job-count-bound: 10 integer-Pregel supersteps x "
+        "3 exchanges each over the fixed in-query graph — scheduler/"
+        "planning floor, same cell at every sf (the declared contract "
+        "pins the 10-iteration recurrence)",
+    "q108_triangles": "job-count-bound: degree-oriented wedge join over "
+        "the same fixed in-query graph — exchange/planning floor, same "
+        "cell at every sf; the sqrt(m) orientation is what scales, the "
+        "cell prices the floor",
 }
 
 
@@ -139,8 +156,8 @@ def main():
         "the same accounting as the sf1/sf10 cells); methodology in",
         "BASELINE r13 addendum 2.",
         "",
-        "`†` = declared ceiling: measured output-/compute-bound at sf10",
-        "with no plan win available inside the query's contract —",
+        "`†` = declared ceiling: measured output-/compute-/job-count-bound",
+        "at sf10 with no plan win available inside the query's contract —",
         "",
     ] + [f"  - {q}: {note}" for q, note in sorted(CEILINGS.items())] + [
         "",
