@@ -65,24 +65,64 @@ object PipelineShapes {
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       val corpus = Tables.documents(s, d)
         .filter(col("doc_id") % 17 =!= 0).select("doc_id", "text")
+      // the state lands as SNAPSHOT tables with the CLI verb's exact
+      // stamps (r15: was plain parquet) — the cold build this row prices
+      // is `graft.Main dedupindex`, and the committed/stamped tables are
+      // what p_dedup_append reads and p_dedup_stream copies
       val st = CorpusDedup.indexCorpus(corpus)
-      st.labels.write.parquet(s"$t/labels.parquet")
-      st.bandIndex.write.parquet(s"$t/band_index.parquet")
+      val ls = graft.pipeline.Snapshots.commit(s, st.labels, s"$t/labels",
+        overwrite = true, statsCol = Some("doc_id"), clustered = true,
+        files = 8, meta = "dedupindex")
+      graft.pipeline.Snapshots.commit(s,
+        st.bandIndex.withColumn("band_key",
+          concat(col("band_idx").cast("string"), lit(":"), col("band"))),
+        s"$t/bands", overwrite = true,
+        meta = s"dedupindex:labels_v${ls.version}")
+      st.release()
       // the shard lands as its own table here (untimed relative to the
       // build): in production a shard ARRIVES as a table — carving it
       // from the corpus inside p_dedup_append would bill a full corpus
       // text scan to the append and bury the O(shard) story
       Tables.documents(s, d).filter(col("doc_id") % 17 === 0)
-        .select("doc_id", "text").write.parquet(s"$t/shard.parquet")
+        .select("doc_id", "text").write.mode("overwrite")
+        .parquet(s"$t/shard.parquet")
       s.range(1).toDF("ok")
     }),
     "p_dedup_append" -> ((s, d) => {
       val t = annDir(d) + "_dedup"
       val state = CorpusDedup.DedupState(
-        s.read.parquet(s"$t/labels.parquet"),
-        s.read.parquet(s"$t/band_index.parquet"))
+        graft.pipeline.Snapshots.read(s, s"$t/labels")
+          .select("doc_id", "cluster_id"),
+        graft.pipeline.Snapshots.read(s, s"$t/bands")
+          .select("band_idx", "band", "ex_id"))
       val shard = s.read.parquet(s"$t/shard.parquet")
       forced(CorpusDedup.appendShard(state, shard).state.labels)
+    }),
+    // the STREAMING ingest story (r15): the same staged shard arrives as
+    // 3 micro-batches through CorpusDedup.appendSink — per batch: token
+    // scan, quotient CC over touched components, two stamped MERGEs.
+    // Each invocation works on a FRESH copy of the committed state
+    // (appendSink mutates its tables; a shared state would make rep 2 a
+    // watermark no-op and report the skip, not the ingest) — the copy is
+    // narrow-table FS I/O, billed here and noted in BASELINE.
+    "p_dedup_stream" -> ((s, d) => {
+      val src = annDir(d) + "_dedup"
+      val t = annDir(d) + "_dedupstream"
+      val conf = s.sparkContext.hadoopConfiguration
+      val tp = new org.apache.hadoop.fs.Path(t)
+      val fs = tp.getFileSystem(conf)
+      fs.delete(tp, true)
+      fs.mkdirs(tp)
+      for (tbl <- Seq("labels", "bands"))
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, new org.apache.hadoop.fs.Path(s"$src/$tbl"),
+          fs, new org.apache.hadoop.fs.Path(s"$t/$tbl"), false, conf)
+      val shard = s.read.parquet(s"$src/shard.parquet")
+      val sink = CorpusDedup.appendSink(t, "bench")
+      for (b <- 0 until 3)
+        sink(shard.filter(pmod(col("doc_id"), lit(3)) === b), b.toLong)
+      forced(graft.pipeline.Snapshots.read(s, s"$t/labels")
+        .select("doc_id", "cluster_id"))
     }),
     // train-once: build the persistent IVF-PQ index (result row is a
     // sentinel; the work is the parquet artifacts under annDir)

@@ -449,12 +449,16 @@ object TextQueries {
     // SATURATION SKIP (VERDICT r14 item 3): when the bench trigram set
     // covers a large fraction of its own vocabulary's trigram space
     // (nTris ≥ 0.5 · vb³), the corpus — drawn from ~the same vocabulary —
-    // cannot miss the bloom often enough to pay for the probe: r14
-    // measured 0% shed on the legacy 30-word corpus (27000/27000 possible
-    // trigrams covered at sf10) at ~1 s of pure overhead, vs 99.07% shed
-    // on the Zipf 50k-type corpus where coverage is ≈0. The verdict is a
+    // cannot miss the bloom often enough to pay for the probe. Measured
+    // coverage on the driver's 30-word corpus (r15 DuckDB audit):
+    // 0.007/0.009/0.078 at sf0.001/0.01/0.1 — the arm keeps running
+    // there (a 7.8%-of-space bloom sheds ~92% of candidates) — and
+    // ≈1.0 at sf10, where r14 measured 0% shed and the skip now fires
+    // (sf10 cell 5.6 → 3.2 s box-normalized). Zipf coverage is ≈0 at
+    // every scale (99.07% shed, the arm always runs). The verdict is a
     // plan choice only — the exact benchDocs join below is the membership
     // filter either way, so the oracle SQL is UNCHANGED by the skip.
+    // PlanAuditSpec pins both sides of the choice.
     val saturated =
       nTris.toDouble >= 0.5 * math.pow(vocabB.toDouble, 3)
     val train = g.filter(col("doc_id") % 100 =!= 7)

@@ -129,6 +129,13 @@ class AppendShardSpec extends SparkSpec {
       assert(labelsMap(s2.state.labels) == full(all), s"trial $trial labels")
       assert(indexMap(s2.state.bandIndex) ==
         indexMap(CorpusDedup.indexCorpus(all).bandIndex), s"trial $trial index")
+      // recovery-payload parity (r15): bandDelta recomputed from the
+      // pre-append index must equal the append's own changedIndex — the
+      // exact equivalence `dedupappend --resume` rests on, pinned here
+      // on every randomized corpus, not just the hand-built fixture
+      assert(indexMap(CorpusDedup.bandDelta(s1.state.bandIndex,
+          all.filter(col("doc_id") >= cut2))) == indexMap(s2.changedIndex),
+        s"trial $trial: bandDelta != changedIndex")
       s1.release(); s2.release()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

@@ -141,6 +141,33 @@ class PlanAuditSpec extends SparkSpec {
       }
       assert(shuffleJoins.isEmpty,
         s"q38 plans ${shuffleJoins.size} shuffle join(s) — bench side must broadcast")
+      // SATURATION SKIP (r15): when the bench trigram set covers ≥ 0.5
+      // of its own vocabulary's trigram space, the bloom arm must be
+      // dropped entirely — zero LeftSemi joins, just the exact broadcast
+      // membership join. Driver data only reaches that regime at sf10
+      // (coverage ≈ 1.0 there vs 0.009/0.078 at sf0.01/sf0.1 — measured
+      // r15, the gate run above keeps the 3-join arm), so the skip is
+      // pinned on a purpose-built saturated corpus: a 3-word vocabulary
+      // (vb³ = 27) whose single bench doc (doc_id 7) walks enough
+      // distinct trigrams to cross the threshold.
+      val satDir = java.nio.file.Files.createTempDirectory("graft-q38sat").toString
+      import spark.implicits._
+      val vocab = Seq("aa", "bb", "cc")
+      // de Bruijn-ish walk: every length-3 window over this id stream is
+      // a distinct trigram — 25 windows over 27 possible ⇒ coverage 0.93
+      val ids = Seq(0,0,0,1,0,2,0,1,1,2,1,0,1,1,1,2,2,0,2,1,2,2,2,0,0,1,2)
+      val text = ids.map(vocab).mkString(" ")
+      Seq((7L, text), (8L, text), (9L, text))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$satDir/documents.parquet")
+      val satPlan = queries.TextQueries.q38.build(spark, satDir)
+        .queryExecution.executedPlan
+      val satSemis = satPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }
+      assert(satSemis.isEmpty,
+        s"saturated corpus must skip the bloom arm, found ${satSemis.size} semi-joins")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 }
