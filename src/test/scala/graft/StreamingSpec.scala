@@ -720,6 +720,61 @@ class StreamingSpec extends SparkSpec {
     assert(Snapshots.currentVersion(spark, s"$root/state/labels") == v2)
   }
 
+  test("streaming dedup ingest: randomized corpora over 3 micro-batches " +
+       "equal the cold index (seeded)") {
+    // the AppendShardSpec randomized-parity pin applied to the WHOLE
+    // streaming path: seeded random docs over a small vocab (band
+    // collisions, exact dups, cross-batch merges all occur), state built
+    // by the CLI verb, the remainder arriving as 3 appendSink batches —
+    // labels AND band index must equal the cold rebuild every time
+    import graft.pipeline.{CorpusDedup, Snapshots}
+    import spark.implicits._
+    val rnd = new scala.util.Random(1015)
+    val vocab = (0 until 12).map(i => s"w$i")
+    for (trial <- 1 to 2) {
+      val n = 24 + rnd.nextInt(12)
+      val raw = (0 until n).map { i =>
+        i.toLong -> (if (i > 2 && rnd.nextInt(3) == 0) null
+          else Seq.fill(5 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size)))
+            .mkString(" "))
+      }
+      val resolved = raw.foldLeft(Vector.empty[(Long, String)]) {
+        case (acc, (id, null)) => acc :+ (id -> acc(rnd.nextInt(acc.size))._2)
+        case (acc, (id, t)) => acc :+ (id -> t)
+      }
+      val all = resolved.toDF("doc_id", "text")
+      val cut = n / 3 + rnd.nextInt(3)
+      val root = java.nio.file.Files.createTempDirectory(s"graft-sdr$trial").toString
+      all.filter(col("doc_id") < cut).write.parquet(s"$root/docs")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$root/config.yaml"),
+        s"""paths:
+           |  documents: $root/docs
+           |  state_dir: $root/state
+           |""".stripMargin)
+      Main.run(spark, s"$root/config.yaml", "dedupindex")
+      val sink = CorpusDedup.appendSink(s"$root/state", s"t$trial")
+      for (b <- 0 until 3)
+        sink(all.filter(col("doc_id") >= cut &&
+          pmod(col("doc_id"), lit(3)) === b), b.toLong)
+      val got = Snapshots.read(spark, s"$root/state/labels")
+        .select("doc_id", "cluster_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val gotIdx = Snapshots.read(spark, s"$root/state/bands")
+        .select("band_idx", "band", "ex_id").collect()
+        .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      val cold = CorpusDedup.indexCorpus(all)
+      val expL = cold.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expI = cold.bandIndex.collect()
+        .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      cold.release()
+      assert(got == expL, s"trial $trial labels")
+      assert(gotIdx == expI, s"trial $trial index")
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+  }
+
   test("rolling stream: batch parity with q96's RANGE window on events") {
     import spark.implicits._
     import StreamingOps.{RollingEvent, RollingOut}
