@@ -232,7 +232,7 @@ object Bpe {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .withColumn("toks", split(col("word"), ""))
       .select("cnt", "toks")
-      .localCheckpoint()
+      .transform(graft.util.Checkpoints.ckpt(_, true))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     var round = 0
@@ -255,8 +255,11 @@ object Bpe {
         dict = dict.withColumn("toks", applyMerge(col("toks"), a, b))
         round += 1
         // re-base lineage: 30 stacked HOF-fold projections otherwise grow
-        // the plan superlinearly (same failure class as q39's CC rounds)
-        if (round % 8 == 0) dict = dict.localCheckpoint()
+        // the plan superlinearly (same failure class as q39's CC rounds);
+        // routed through the shared strategy so a cluster deployment gets
+        // reliable files instead of lost-executor-fatal blocks (r15)
+        if (round % 8 == 0)
+          dict = graft.util.Checkpoints.ckpt(dict, true)
       }
     }
     merges.toSeq

@@ -118,51 +118,18 @@ object ConnectedComponents {
   private val AutoFloodMax =
     sys.env.get("GRAFT_CC_AUTO_MAX").map(_.toLong).getOrElse(4096L)
 
-  /** Round-checkpoint strategy (VERDICT r14 item 4): `localCheckpoint`
-    * truncates lineage into EXECUTOR block storage — free in local mode,
-    * but on a multi-node cluster an executor loss mid-fixpoint makes the
-    * truncated RDD unrecoverable (no lineage, blocks gone) and the whole
-    * CC invocation dies. On a non-local master this routes every round
-    * checkpoint through `Dataset.checkpoint` onto the reliable
-    * `spark.checkpoint.dir` store instead; retired rounds delete their
-    * checkpoint files promptly via [[unpersistCheckpoint]]'s reliable
-    * branch. `spark.graft.cc.checkpoint` = `auto` (default: reliable iff
-    * the master is non-local and a checkpoint dir is set — a non-local
-    * master WITHOUT a dir warns once and stays local rather than failing
-    * every CC query) | `local` | `reliable` (spec hook; throws without a
-    * checkpoint dir). Measured local-mode cost of the reliable path
+  /** Round-checkpoint strategy (VERDICT r14 item 4): the shared
+    * [[graft.util.Checkpoints]] policy — local blocks on local masters,
+    * reliable `spark.checkpoint.dir` files on clusters (executor loss
+    * mid-fixpoint would otherwise kill the truncated-lineage rounds) —
+    * with CC's spec'd `spark.graft.cc.checkpoint` conf honored ahead of
+    * the engine-wide key. Retired rounds delete their reliable files
+    * promptly via [[unpersistCheckpoint]]'s reliable branch. Measured
+    * local-mode cost of the reliable posture
     * ([[graft.tools.CcCkptProbe]], 200k-vertex star-chain graph, 15
-    * flood rounds, local[32], /tmp dir): 1.20× wall per fixpoint — real
-    * but bounded; the default only pays it where block storage is
-    * actually volatile. */
-  private def ckpt(df: DataFrame, eager: Boolean): DataFrame = {
-    val sc = df.sparkSession.sparkContext
-    val mode = df.sparkSession.conf
-      .get("spark.graft.cc.checkpoint", sys.env.getOrElse("GRAFT_CC_CKPT", "auto"))
-    val reliable = mode match {
-      case "reliable" =>
-        require(sc.getCheckpointDir.isDefined,
-          "spark.graft.cc.checkpoint=reliable needs spark.checkpoint.dir set")
-        true
-      case "local" => false
-      case _ =>
-        val nonLocal = !sc.isLocal
-        if (nonLocal && sc.getCheckpointDir.isEmpty) {
-          if (!warnedNoDir.getAndSet(true)) System.err.println(
-            "[cc] non-local master without spark.checkpoint.dir — round " +
-              "checkpoints stay LOCAL (executor loss mid-fixpoint is fatal); " +
-              "set spark.checkpoint.dir to enable reliable checkpoints")
-          false
-        } else nonLocal
-    }
-    // the reliable arm is ALWAYS eager: a lazy Dataset.checkpoint
-    // materializes at the caller's action and then RECOMPUTES the whole
-    // plan a second time when doCheckpoint writes the files (the classic
-    // non-eager reliable-checkpoint double-execution) — eager writes the
-    // files in one job and the caller's action reads them back instead
-    if (reliable) df.checkpoint(true) else df.localCheckpoint(eager)
-  }
-  private val warnedNoDir = new java.util.concurrent.atomic.AtomicBoolean(false)
+    * flood rounds, local[32], /tmp dir): 1.20× wall per fixpoint. */
+  private def ckpt(df: DataFrame, eager: Boolean): DataFrame =
+    graft.util.Checkpoints.ckpt(df, eager, "spark.graft.cc.checkpoint")
 
   /** @param vertices one row per vertex
     * @param idCol    vertex id column in `vertices` (orderable; min wins)

@@ -74,7 +74,9 @@ object GraphQueries {
       pr = nodes.join(inflow, nodes("v") === inflow("dst"), "left_outer")
         .select(nodes("v"),
           expr(s"(15L * ${Init}L + 85L * coalesce(inflow, 0L)) DIV 100L").as("r"))
-      if (i % 4 == 0) pr = pr.localCheckpoint(false)
+      // shared checkpoint strategy (r15): local-lazy on local masters,
+      // reliable-eager on clusters — the lost-executor posture CC holds
+      if (i % 4 == 0) pr = graft.util.Checkpoints.ckpt(pr, false)
     }
     val out = pr.select(col("v"), col("r").as("rank_scaled")).orderBy("v")
     out
