@@ -366,12 +366,12 @@ object Main {
         val labelsT = s"$stateDir/labels"
         val bandsT = s"$stateDir/bands"
         val shard = spark.read.parquet(incomingPath)
-        val nShard = shard.count()
-        // shard identity = content token (CorpusDedup.shardToken): every
-        // append stamps BOTH MERGEs with it — the Delta txnAppId pattern
-        // — so a torn state names the shard that tore it and a replay of
-        // the same shard is recognizable
-        val token = CorpusDedup.shardToken(shard)
+        // shard identity = content token fused with the row count (one
+        // scan — CorpusDedup.shardIdentity): every append stamps BOTH
+        // MERGEs with the token — the Delta txnAppId pattern — so a torn
+        // state names the shard that tore it and a replay of the same
+        // shard is recognizable
+        val (nShard, token) = CorpusDedup.shardIdentity(shard)
         // torn-state guard (r14 review): the two MERGEs below cannot be
         // atomic across tables, so every append stamps the bands table
         // with the labels version it pairs with, and a new append REFUSES

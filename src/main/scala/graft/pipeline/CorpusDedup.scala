@@ -119,14 +119,22 @@ object CorpusDedup {
     * or partitioning — which is what lets a crashed `dedupappend` be
     * recognized on replay and resumed instead of forcing an O(corpus)
     * rebuild. One O(shard) scan. */
-  def shardToken(shard: DataFrame): String = {
+  def shardToken(shard: DataFrame): String = shardIdentity(shard)._2
+
+  /** [[shardToken]] fused with the row count — ONE shard scan serves
+    * both the txn identity and the empty-shard check / report line
+    * (r15: the CLI verb and the streaming sink each paid a second scan
+    * for the count). */
+  def shardIdentity(shard: DataFrame): (Long, String) = {
     val r = shard.agg(
+      count(lit(1)),
       sum(xxhash64(col("doc_id"), col("text")).cast("decimal(38,0)"))
         .cast("string")).head()
-    val s = if (r.isNullAt(0)) "empty" else r.getString(0)
-    java.security.MessageDigest.getInstance("MD5")
+    val s = if (r.isNullAt(1)) "empty" else r.getString(1)
+    val token = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString.take(12)
+    (r.getLong(0), token)
   }
 
   /** The band-index MERGE payload ALONE, recomputed at O(shard) from an
@@ -331,7 +339,7 @@ object CorpusDedup {
       // several times (token, bands, quotient CC) — pin it for the batch
       val shard = df.select(col("doc_id"), col("text")).persist()
       try {
-        val token = shardToken(shard)
+        val (nShard, token) = shardIdentity(shard)
         val curLabelsV = Snapshots.currentVersion(spark, labelsT)
         val labelsMeta = Snapshots.commitMeta(spark, labelsT, curLabelsV)
         val bandsMeta = Snapshots.commitMeta(spark, bandsT,
@@ -359,7 +367,7 @@ object CorpusDedup {
             .select("band_idx", "band", "ex_id")
           mergeBandDelta(spark, bandsT, bandDelta(bands, shard),
             s"dedupappend:$token$tag$curLabelsV")
-        } else if (batchId > lastBatch && shard.limit(1).count() > 0) {
+        } else if (batchId > lastBatch && nShard > 0) {
           val state = DedupState(
             Snapshots.read(spark, labelsT).select("doc_id", "cluster_id"),
             Snapshots.read(spark, bandsT).select("band_idx", "band", "ex_id"))
