@@ -94,7 +94,10 @@ object Bench {
       // untimed warmup: session/codegen/file-index initialization otherwise
       // lands on whichever query happens to run first (or on the first
       // query after a mid-suite session restart)
-      try SparkEntry.entry(s).count() catch { case _: Throwable => () }
+      // warm the same action the timed region uses (noop write path incl.
+      // its codegen), not count()
+      try SparkEntry.entry(s).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
       s
     }
     var spark = newSession()
@@ -172,9 +175,18 @@ object Bench {
     }
     val diag = scala.collection.mutable.LinkedHashMap.empty[String, (Seq[Double], Seq[Double])]
     val results = selected.map { case (name, fn) =>
+      // the timed action is a NOOP WRITE, not count(): under a bare
+      // count() Catalyst prunes every unreferenced projection (final
+      // select lists, unused aggregate/window value expressions) and
+      // EliminateSorts drops the declared ORDER BY, so projection-tail
+      // queries priced a footer read (VERDICT r15 what's-wrong 1: q33's
+      // sf10 cell read 0.525 s for a 10k x 10k set-intersection join).
+      // The noop sink consumes every output column, forcing full
+      // evaluation of exactly the plan the correctness path runs, with
+      // zero I/O cost of its own.
       def once(): Double = {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
       val reps = scala.collection.mutable.ArrayBuffer.empty[Double]

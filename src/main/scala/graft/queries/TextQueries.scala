@@ -339,13 +339,23 @@ object TextQueries {
   }
 
   // ---------------------------------------------------------------- Q33
-  /** n-gram Jaccard similarity over distinct word sets, on a deterministic
-    * 10×10 pair sample. (The LSH queries above are the scale path; exact
-    * Jaccard is the verifier.) */
+  /** n-gram Jaccard similarity over distinct word sets: a FIXED 10-doc
+    * panel (doc_id < 500 ∧ ≡ 0 mod 50 — absolute, scale-independent)
+    * scored against the 1/50 id-sample. (The LSH queries above are the
+    * scale path; exact Jaccard is the verifier.)
+    *
+    * VERDICT r15 what's-wrong 2: the previous contract sampled BOTH
+    * sides relatively (doc_id % 50), so the declared pair space grew
+    * (n/50)² — 10⁸ pairs at sf10 — the exact super-linear shape r12
+    * removed from q34. Bounding the left side absolutely (the q34
+    * treatment, VectorQueries.scala q34) makes the pair space O(10·n),
+    * the panel broadcasts (BroadcastNestedLoopJoin, never
+    * CartesianProductExec), and the PlanAudit cartesian exception list
+    * is empty again. At sf0.01 (500 docs) the result is unchanged. */
   val q33 = DeclaredQuery(
     "q33_ngram_jaccard",
     Some("""WITH s AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS ws FROM documents),
-           |a AS (SELECT doc_id AS doc_a, ws AS wa FROM s WHERE doc_id % 50 = 0),
+           |a AS (SELECT doc_id AS doc_a, ws AS wa FROM s WHERE doc_id < 500 AND doc_id % 50 = 0),
            |b AS (SELECT doc_id AS doc_b, ws AS wb FROM s WHERE doc_id % 50 = 1)
            |SELECT doc_a, doc_b,
            |       CAST(len(list_intersect(wa, wb)) AS BIGINT) AS n_common,
@@ -354,9 +364,10 @@ object TextQueries {
            |         / CAST(len(list_distinct(list_concat(wa, wb))) AS DOUBLE) AS jaccard
            |FROM a CROSS JOIN b ORDER BY doc_a, doc_b""".stripMargin)) { (s, d) =>
     val sets = docs(s, d).select(col("doc_id"), array_distinct(words).as("ws"))
-    val a = sets.filter(col("doc_id") % 50 === 0).select(col("doc_id").as("doc_a"), col("ws").as("wa"))
+    val a = sets.filter(col("doc_id") < 500 && col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("doc_a"), col("ws").as("wa"))
     val b = sets.filter(col("doc_id") % 50 === 1).select(col("doc_id").as("doc_b"), col("ws").as("wb"))
-    a.crossJoin(b)
+    b.crossJoin(broadcast(a))
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("wa"), col("wb"))).cast("long").as("n_common"),
         size(array_union(col("wa"), col("wb"))).cast("long").as("n_union"))

@@ -201,25 +201,117 @@ object DataGen {
       .withColumn("n_chars", length(col("text")).cast("long"))
     write(docs, "documents")
 
-    // embeddings: 64-dim ~N(0, 0.12) floats, label 0..9
-    val dims = transform(sequence(lit(0L), lit(63L)),
-      i => gauss(col("id") * 64 + i, "e_v", 0.12).cast("float"))
+    // embeddings: 64-dim ~N(0, 0.12) floats, label 0..9.
+    //
+    // GRAFT_VEC_DEGEN=1 (VERDICT r15 next-round 3b): a vector-degeneracy
+    // distribution probing the division-by-degenerate-margin bug class in
+    // the vector family (the q117 recipe applied to embeddings):
+    //   - ZERO-NORM vectors (vec_id ≡ 0 mod 173): cosine denominators go
+    //     0 — q25/q34's dot/(nrm·pnrm) divides by zero unless guarded;
+    //   - EXACT DUPLICATES (vec_id ≡ 1 mod 100 copies vec_id−1, computed
+    //     by re-evaluating the pure hash formulas at id−1): cosine ties at
+    //     exactly 1.0 probe rank tie-breaks; a dup of a zero vector stays
+    //     zero (one-level dupOf below — chains can't occur, 1 mod 100 is
+    //     never consecutive);
+    //   - CLUSTERED 90/10: 90% of vectors sit in 3 tight clusters
+    //     (center σ=0.12, intra-cluster noise σ=0.02), 10% keep the
+    //     legacy scattered draw — an IVF cell-starvation shape (most
+    //     k-means cells end up empty or near-empty).
+    val vecDegen = sys.env.get("GRAFT_VEC_DEGEN").contains("1")
+    def vecOf(vid: Column): Column =
+      if (!vecDegen)
+        transform(sequence(lit(0L), lit(63L)),
+          i => gauss(vid * 64 + i, "e_v", 0.12).cast("float"))
+      else {
+        val cid = uint(vid, "e_cid", 3).cast("long")
+        transform(sequence(lit(0L), lit(63L)), i =>
+          when(u(vid, "e_scat") < 0.10, gauss(vid * 64 + i, "e_v", 0.12))
+            .otherwise(gauss(cid * 64 + i, "e_ctr", 0.12) +
+              gauss(vid * 64 + i, "e_v", 0.02)).cast("float"))
+      }
+    val zeroVec = transform(sequence(lit(0L), lit(63L)), _ => lit(0.0f))
+    def dupOf(vid: Column): Column =
+      when(pmod(vid, lit(173L)) === 0, zeroVec).otherwise(vecOf(vid))
+    val dims =
+      if (vecDegen)
+        when(col("id") % 173 === 0, zeroVec)
+          .when(col("id") % 100 === 1 && col("id") > 0, dupOf(col("id") - 1))
+          .otherwise(vecOf(col("id")))
+      else vecOf(col("id"))
     write(spark.range(nVecs).select(
       col("id").as("vec_id"), dims.as("embedding"),
       uint(col("id"), "e_lbl", 10).as("label")), "embeddings")
 
     // events: ts spread over Jan 2024 in event_id order with jitter, like
-    // the driver's stream (sessionization relies on realistic gaps)
+    // the driver's stream (sessionization relies on realistic gaps).
+    //
+    // GRAFT_EVENT_SKEW=1 (VERDICT r15 next-round 3a): an adversarial event
+    // distribution probing skew and boundary-tie semantics:
+    //   - HOT USER: ~10% of all events land on user_id 0 (on top of its
+    //     uniform share) — the single-hot-key shape for every
+    //     user-partitioned window/session query (q96/q100/q107/q24*);
+    //   - EQUAL-µs TIES: id ≡ 1 mod 89 echoes id−1's exact timestamp and
+    //     user as a 'click'; id ≡ 2 mod 89 echoes id−2 as an 'error' —
+    //     guaranteed click/error pairs at identical microseconds (q58's
+    //     ORDER BY eus, side, event_id tie rule); id ≡ 1/2 mod 83 do the
+    //     same for 'purchase'/'view' pairs (funnel/window tie-breaks);
+    //   - EXACT SESSION-GAP BOUNDARY: id ≡ 1 mod 97 lands exactly
+    //     1800.000000 s after id−1 for the same user — the q24c/q24d
+    //     `> 1800` floored-second edge (same-session, not new);
+    //   - EXACT AS-OF TOLERANCE EDGE: id ≡ 1 mod 101 is forced 'click',
+    //     id ≡ 2 mod 101 is an 'error' exactly 3600000000 µs after id−1
+    //     for the same user — q58's `gap <= tolerance` inclusive edge.
+    // Echo rows re-evaluate the pure hash formulas at the anchor id, so
+    // the generator stays partition-invariant and bit-reproducible. When
+    // an anchor id itself matched an earlier echo rule its natural ts was
+    // overridden and that one probe degrades to an ordinary gap — rare
+    // (rule moduli are coprime) and harmless: the probes fire on the vast
+    // majority of their sites.
+    val evSkew = sys.env.get("GRAFT_EVENT_SKEW").contains("1")
     val epoch24us = lit(java.time.LocalDate.of(2024, 1, 1).toEpochDay * 86400L * 1000000L)
     val spanUs = 30L * 86400L * 1000000L
+    // per-event gap precomputed: id * spanUs overflows Long above ~3.5M
+    // events (ANSI catches it); id * gap stays far inside the range
+    def tsUs(i: Column): Column =
+      epoch24us + i * lit(spanUs / nEvents) + pmod(xxhash64(i, lit("ev_j")), lit(2000000L))
+    def usr(i: Column): Column =
+      if (evSkew)
+        when(u(i, "ev_hot") < 0.10, lit(0L))
+          .otherwise(pmod(xxhash64(i, lit("ev_u")), lit(nUsers)))
+      else pmod(xxhash64(i, lit("ev_u")), lit(nUsers))
+    val id = col("id")
+    val (tsCol, usrCol, typCol) =
+      if (!evSkew)
+        (tsUs(id), usr(id), pick(id, "ev_t", EventTypes))
+      else {
+        val ts = when(id % 89 === 1 && id > 0, tsUs(id - 1))
+          .when(id % 89 === 2 && id > 1, tsUs(id - 2))
+          .when(id % 83 === 1 && id > 0, tsUs(id - 1))
+          .when(id % 83 === 2 && id > 1, tsUs(id - 2))
+          .when(id % 97 === 1 && id > 0, tsUs(id - 1) + lit(1800L * 1000000L))
+          .when(id % 101 === 2 && id > 1, tsUs(id - 1) + lit(3600L * 1000000L))
+          .otherwise(tsUs(id))
+        val us = when(id % 89 === 1 && id > 0, usr(id - 1))
+          .when(id % 89 === 2 && id > 1, usr(id - 2))
+          .when(id % 83 === 1 && id > 0, usr(id - 1))
+          .when(id % 83 === 2 && id > 1, usr(id - 2))
+          .when(id % 97 === 1 && id > 0, usr(id - 1))
+          .when(id % 101 === 2 && id > 1, usr(id - 1))
+          .otherwise(usr(id))
+        val ty = when(id % 89 === 1 && id > 0, lit("click"))
+          .when(id % 89 === 2 && id > 1, lit("error"))
+          .when(id % 83 === 1 && id > 0, lit("purchase"))
+          .when(id % 83 === 2 && id > 1, lit("view"))
+          .when(id % 101 === 1 && id > 0, lit("click"))
+          .when(id % 101 === 2 && id > 1, lit("error"))
+          .otherwise(pick(id, "ev_t", EventTypes))
+        (ts, us, ty)
+      }
     write(spark.range(nEvents).select(
       col("id").as("event_id"),
-      // per-event gap precomputed: id * spanUs overflows Long above ~3.5M
-      // events (ANSI catches it); id * gap stays far inside the range
-      timestamp_micros(epoch24us + col("id") * lit(spanUs / nEvents) +
-        pmod(xxhash64(col("id"), lit("ev_j")), lit(2000000L))).as("ts"),
-      pmod(xxhash64(col("id"), lit("ev_u")), lit(nUsers)).as("user_id"),
-      pick(col("id"), "ev_t", EventTypes).as("event_type"),
+      timestamp_micros(tsCol).as("ts"),
+      usrCol.as("user_id"),
+      typCol.as("event_type"),
       round(u(col("id"), "ev_v") * 560, 2).as("value"),
       concat(lit("{\"k\": "), uint(col("id"), "ev_k", 100), lit("}")).as("props")),
       "events")

@@ -12,19 +12,20 @@ import org.apache.spark.sql.execution.window.WindowExec
   *     bounded side (Catalyst plans those as BroadcastNestedLoopJoin, not
   *     CartesianProductExec).
   *
-  * Exceptions are DECLARED, not discovered: q33 is a contractually
-  * sampled all-pairs query (SURVEY §2.13) and keeps its sampled
-  * Cartesian (q34 left this list in r13 — its fixed probe panel
-  * broadcasts, so its pair join is a bounded BroadcastNestedLoopJoin).
-  * Any new query that trips this spec either gets a bounded
-  * plan or a documented exception here — silent regressions don't merge.
+  * The cartesian exception list is EMPTY as of r16: q34 left it in r13
+  * (fixed probe panel broadcasts → BroadcastNestedLoopJoin) and q33 got
+  * the same treatment in r16 (VERDICT r15 what's-wrong 2 — its "sampled"
+  * cartesian was relative on both sides, (n/50)² pairs at scale; one
+  * side is now an absolute 10-doc panel that broadcasts). Any new query
+  * that trips this spec either gets a bounded plan or a documented
+  * exception here — silent regressions don't merge.
   * AQE is disabled during planning so the physical tree stays walkable;
   * the audit inspects plans only (no execution), so it covers every
   * declared query in seconds.
   */
 class PlanAuditSpec extends SparkSpec {
 
-  private val cartesianBySampleContract = Set("q33_ngram_jaccard")
+  private val cartesianBySampleContract = Set.empty[String]
 
   test("no declared query plans an unpartitioned window or a raw cartesian join") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
