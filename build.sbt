@@ -38,3 +38,25 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// LocalCluster* suites spin their own local-cluster[2,...] SparkContext
+// (separate executor processes, isLocal=false — the non-local checkpoint
+// arm, VERDICT r15 item 4). A JVM holds ONE SparkContext and every other
+// spec shares SparkSpec's local[4] session, so those suites get their own
+// forked JVM group; sbt runs forked groups sequentially by default.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / javaOptions).value.toVector
+  val policy = Tests.SubProcess(ForkOptions().withRunJVMOptions(opts))
+  // the worker's ExecutorRunner builds the executor java command via
+  // AbstractCommandBuilder, which needs SPARK_SCALA_VERSION (else it
+  // hunts for source-tree "build directories") and SPARK_HOME (the
+  // /opt/spark dist whose jars we compile against)
+  val clusterPolicy = Tests.SubProcess(ForkOptions()
+    .withRunJVMOptions(opts)
+    .withEnvVars(Map(
+      "SPARK_SCALA_VERSION" -> "2.13",
+      "SPARK_HOME" -> "/opt/spark")))
+  val (cluster, rest) = tests.partition(_.name.contains("LocalCluster"))
+  Seq(Tests.Group("rest", rest, policy),
+    Tests.Group("localcluster", cluster, clusterPolicy)).filter(_.tests.nonEmpty)
+}

@@ -417,7 +417,7 @@ object Main {
               "or rebuild with dedupindex")
           val bands = Snapshots.read(spark, bandsT)
             .select("band_idx", "band", "ex_id")
-          val n = CorpusDedup.mergeBandDelta(spark, bandsT,
+          val (n, _) = CorpusDedup.mergeBandDelta(spark, bandsT,
             CorpusDedup.bandDelta(bands, shard),
             s"dedupappend:$token$tag$curLabelsV")
           Map("resumed" -> "true", "shard_docs" -> nShard.toString,
@@ -441,7 +441,7 @@ object Main {
           val nChanged = changed.count()
           val lv = Snapshots.upsert(spark, labelsT, changed, "doc_id",
             meta = s"dedupappend:$token")
-          val n = CorpusDedup.mergeBandDelta(spark, bandsT, delta.changedIndex,
+          val (n, _) = CorpusDedup.mergeBandDelta(spark, bandsT, delta.changedIndex,
             s"dedupappend:$token$tag${lv.version}")
           changed.unpersist()
           delta.release()

@@ -234,6 +234,8 @@ object Bpe {
       .select("cnt", "toks")
       .transform(graft.util.Checkpoints.ckpt(_, true))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // the initial dict checkpoint is generation 0 — retired like the rest
+    var lastCkpt: Option[DataFrame] = Some(dict)
     var done = false
     var round = 0
     while (!done && round < nMerges) {
@@ -257,9 +259,18 @@ object Bpe {
         // re-base lineage: 30 stacked HOF-fold projections otherwise grow
         // the plan superlinearly (same failure class as q39's CC rounds);
         // routed through the shared strategy so a cluster deployment gets
-        // reliable files instead of lost-executor-fatal blocks (r15)
-        if (round % 8 == 0)
+        // reliable files instead of lost-executor-fatal blocks (r15).
+        // r16 (ADVICE r15): retire the previous round's checkpoint once
+        // the new one has materialized (ckpt here is eager), as CC does —
+        // otherwise each re-base leaves blocks (local) or an rdd-<id> dir
+        // (reliable) alive for the session lifetime.
+        if (round % 8 == 0) {
+          val prev = lastCkpt
           dict = graft.util.Checkpoints.ckpt(dict, true)
+          lastCkpt = Some(dict)
+          prev.foreach(p =>
+            org.apache.spark.sql.graftshim.CheckpointShim.unpersistCheckpoint(p))
+        }
       }
     }
     merges.toSeq

@@ -113,10 +113,10 @@ object CorpusDedup {
   }
 
   /** Order-invariant content identity of a shard — the `txnAppId` of the
-    * dedup-append transaction (VERDICT r14 item 2): md5 over the
-    * decimal-exact SUM of per-row xxhash64(doc_id, text), so the same
-    * shard content yields the same token whatever its path, file layout,
-    * or partitioning — which is what lets a crashed `dedupappend` be
+    * dedup-append transaction (VERDICT r14 item 2): md5 over (sum, xor,
+    * count) of per-row SHA-256-derived values, so the same shard content
+    * yields the same token whatever its path, file layout, or
+    * partitioning — which is what lets a crashed `dedupappend` be
     * recognized on replay and resumed instead of forcing an O(corpus)
     * rebuild. One O(shard) scan. */
   def shardToken(shard: DataFrame): String = shardIdentity(shard)._2
@@ -126,14 +126,26 @@ object CorpusDedup {
     * (r15: the CLI verb and the streaming sink each paid a second scan
     * for the count). */
   def shardIdentity(shard: DataFrame): (Long, String) = {
+    // ADVICE r15 hardening: corpus text is UNTRUSTED content, and a plain
+    // SUM of non-cryptographic xxhash64 row values is invertible — rows
+    // could be crafted so a different shard's token collides, letting
+    // --resume/appendSink accept a wrong-shard replay. The per-row value
+    // is now derived from SHA-256 of the row (preimage-resistant), the
+    // order-invariant combination keeps THREE independent components a
+    // forged shard would have to match simultaneously (decimal-exact sum,
+    // bitwise xor, row count), and the token keeps 96 digest bits.
+    val vHex = substring(sha2(concat_ws("\u0001",
+      col("doc_id").cast("string"), col("text")), 256), 1, 15)
+    val vNum = conv(vHex, 16, 10)
     val r = shard.agg(
       count(lit(1)),
-      sum(xxhash64(col("doc_id"), col("text")).cast("decimal(38,0)"))
-        .cast("string")).head()
-    val s = if (r.isNullAt(1)) "empty" else r.getString(1)
+      sum(vNum.cast("decimal(38,0)")).cast("string"),
+      bit_xor(vNum.cast("long"))).head()
+    val s = if (r.isNullAt(1)) "empty|0|0"
+      else s"${r.getString(1)}|${r.getLong(2)}|${r.getLong(0)}"
     val token = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString.take(12)
+      .map(b => f"$b%02x").mkString.take(24)
     (r.getLong(0), token)
   }
 
@@ -288,17 +300,19 @@ object CorpusDedup {
     * buckets burns no version, which would leave the stamp pointing at
     * the PREVIOUS labels version — the torn-state guard's one false
     * positive). Shared by the CLI verb, its `--resume` replay, and the
-    * streaming sink. Returns rows touched. */
+    * streaming sink. Returns (rows touched, final bands version). */
   private[graft] def mergeBandDelta(spark: org.apache.spark.sql.SparkSession,
                                     bandsTable: String, delta: DataFrame,
-                                    stamp: String): Long = {
+                                    stamp: String): (Long, Long) = {
     val ci = delta.withColumn("band_key",
       concat(col("band_idx").cast("string"), lit(":"), col("band")))
     val before = Snapshots.currentVersion(spark, bandsTable)
     val bv = Snapshots.upsert(spark, bandsTable, ci, "band_key", meta = stamp)
-    if (bv.version == before)
-      Snapshots.commit(spark, ci.limit(0), bandsTable, meta = stamp)
-    bv.rowsUpdated + bv.rowsInserted
+    val finalV =
+      if (bv.version == before)
+        Snapshots.commit(spark, ci.limit(0), bandsTable, meta = stamp).version
+      else bv.version
+    (bv.rowsUpdated + bv.rowsInserted, finalV)
   }
 
   /** Exactly-once STREAMING shard ingest (VERDICT r14 item 5): a
@@ -328,8 +342,30 @@ object CorpusDedup {
     * was broken; recover via the CLI with that shard).
     *
     * `appId` must be stable across restarts of the same query (the
-    * batchSink contract). The state must exist (`dedupindex` first). */
+    * batchSink contract). The state must exist (`dedupindex` first).
+    *
+    * r16 (VERDICT r15 item 7): the head version/stamp probe is CACHED in
+    * the closure across batches. Under the one-live-writer-per-table
+    * discipline this sink itself authored the head stamps after its
+    * first batch, so re-listing the manifest log and re-reading both
+    * meta files per batch (four fs round-trips whose listing cost grows
+    * with the version count — O(batches²) cumulative) only re-derives
+    * what the closure already knows; the state READS are pinned to the
+    * cached versions too, saving the re-listing inside each read. The
+    * cache is seeded from the log on the FIRST batch — a process-level
+    * restart builds a fresh closure, so torn-state detection reads disk
+    * truth exactly when a foreign writer's tear could have arrived;
+    * afterwards it is updated from this sink's own upsert results. If a
+    * caller reuses ONE closure across an in-JVM query restart, the
+    * replayed batch re-derives its deltas from the cached pre-crash
+    * versions and re-applies them — both MERGEs are idempotent by key at
+    * pinned inputs, so the heads converge to the same state the fresh-
+    * closure torn-heal path produces (StreamingSpec's torn-batch trials
+    * pin the fresh-closure path). The txn stamps are unchanged. */
   def appendSink(stateDir: String, appId: String): (DataFrame, Long) => Unit = {
+    // (labels version, labels meta, bands version, bands meta) at the
+    // table heads; None until the first batch (or after a restart)
+    var head: Option[(Long, String, Long, String)] = None
     (df, batchId) =>
       require(!appId.contains(":"), s"appId must not contain ':': $appId")
       val spark = df.sparkSession
@@ -340,10 +376,12 @@ object CorpusDedup {
       val shard = df.select(col("doc_id"), col("text")).persist()
       try {
         val (nShard, token) = shardIdentity(shard)
-        val curLabelsV = Snapshots.currentVersion(spark, labelsT)
-        val labelsMeta = Snapshots.commitMeta(spark, labelsT, curLabelsV)
-        val bandsMeta = Snapshots.commitMeta(spark, bandsT,
-          Snapshots.currentVersion(spark, bandsT))
+        val (curLabelsV, labelsMeta, curBandsV, bandsMeta) = head.getOrElse {
+          val lv = Snapshots.currentVersion(spark, labelsT)
+          val bv = Snapshots.currentVersion(spark, bandsT)
+          (lv, Snapshots.commitMeta(spark, labelsT, lv),
+            bv, Snapshots.commitMeta(spark, bandsT, bv))
+        }
         val tag = ":labels_v"
         val torn = (bandsMeta.startsWith("dedupappend:") ||
             bandsMeta.startsWith("dedupindex:")) && {
@@ -363,20 +401,28 @@ object CorpusDedup {
             s"dedup state torn by a different shard ('$labelsMeta', this " +
               s"batch 'dedupappend:$token') — recover it via " +
               "`dedupappend --resume` with that shard, then restart the stream")
-          val bands = Snapshots.read(spark, bandsT)
+          val bands = Snapshots.read(spark, bandsT, version = curBandsV)
             .select("band_idx", "band", "ex_id")
-          mergeBandDelta(spark, bandsT, bandDelta(bands, shard),
-            s"dedupappend:$token$tag$curLabelsV")
+          val stamp = s"dedupappend:$token$tag$curLabelsV"
+          val (_, bv) = mergeBandDelta(spark, bandsT, bandDelta(bands, shard), stamp)
+          head = Some((curLabelsV, labelsMeta, bv, stamp))
         } else if (batchId > lastBatch && nShard > 0) {
           val state = DedupState(
-            Snapshots.read(spark, labelsT).select("doc_id", "cluster_id"),
-            Snapshots.read(spark, bandsT).select("band_idx", "band", "ex_id"))
+            Snapshots.read(spark, labelsT, version = curLabelsV)
+              .select("doc_id", "cluster_id"),
+            Snapshots.read(spark, bandsT, version = curBandsV)
+              .select("band_idx", "band", "ex_id"))
           val delta = appendShard(state, shard)
+          val lMeta = s"dedupappend:$token$bTag$batchId"
           val lv = Snapshots.upsert(spark, labelsT, delta.changedLabels,
-            "doc_id", meta = s"dedupappend:$token$bTag$batchId")
-          mergeBandDelta(spark, bandsT, delta.changedIndex,
-            s"dedupappend:$token$tag${lv.version}")
+            "doc_id", meta = lMeta)
+          val bStamp = s"dedupappend:$token$tag${lv.version}"
+          val (_, bv) = mergeBandDelta(spark, bandsT, delta.changedIndex, bStamp)
           delta.release()
+          head = Some((lv.version, lMeta, bv, bStamp))
+        } else {
+          // replayed/empty batch: heads untouched — cache what we read
+          head = Some((curLabelsV, labelsMeta, curBandsV, bandsMeta))
         }
       } finally shard.unpersist()
   }

@@ -119,12 +119,21 @@ object EventQueries {
     * streaming path uses, StreamingOps.sessions) — oracle mirrors the
     * gaps-and-islands semantics on raw fractional-second epochs (events
     * are exactly μs-valued, so both engines see identical doubles;
-    * session end = last event + gap). */
+    * session end = last event + gap).
+    *
+    * BOUNDARY (r16, found by the GRAFT_EVENT_SKEW oracle gate on its
+    * first run — the q117 recipe): Spark's session_window merge is
+    * INCLUSIVE at the gap — an event arriving exactly gap after the
+    * previous one still EXTENDS the session (windows [t, t+gap) and
+    * [t+gap, t+2·gap) merge on start2 <= end1). The r15 oracle declared
+    * `>= 1800` a new session and diverged by 89 sessions the moment the
+    * corpus contained exact-1800.000000 s gaps; `> 1800` is Spark's
+    * actual rule and now both engines pin it. */
   val q24d = DeclaredQuery(
     "q24d_session_window",
     Some("""WITH e AS (SELECT user_id, event_id, epoch(ts) AS es FROM events),
            |f AS (SELECT user_id, event_id, es,
-           |        CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w >= 1800 THEN 1 ELSE 0 END AS new_s
+           |        CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
            |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
            |g AS (SELECT user_id, es,
            |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY es, event_id

@@ -67,6 +67,7 @@ object GraphQueries {
     val ed = e.join(deg, "src").persist()
     ed.count() // materialize once; rounds reuse the persisted edge frame
     var pr = nodes.withColumn("r", lit(Init))
+    var lastCkpt: Option[org.apache.spark.sql.DataFrame] = None
     for (i <- 1 to Iters) {
       val inflow = ed.join(pr, ed("src") === pr("v"))
         .select(col("dst"), expr("r DIV d").as("c"))
@@ -74,9 +75,20 @@ object GraphQueries {
       pr = nodes.join(inflow, nodes("v") === inflow("dst"), "left_outer")
         .select(nodes("v"),
           expr(s"(15L * ${Init}L + 85L * coalesce(inflow, 0L)) DIV 100L").as("r"))
-      // shared checkpoint strategy (r15): local-lazy on local masters,
-      // reliable-eager on clusters — the lost-executor posture CC holds
-      if (i % 4 == 0) pr = graft.util.Checkpoints.ckpt(pr, false)
+      // shared checkpoint strategy (r15). EAGER since r16 (ADVICE r15):
+      // eager materialization lets each retired round's blocks/files be
+      // freed as soon as the next checkpoint lands — a lazy chain could
+      // retire nothing until the final action and, in reliable mode, left
+      // one rdd-<id> dir per re-base on the checkpoint store for the
+      // session lifetime. The extra jobs are noise on the fixed 2000-node
+      // graph (q103's cells are job-count floors, INDEX †).
+      if (i % 4 == 0) {
+        val prev = lastCkpt
+        pr = graft.util.Checkpoints.ckpt(pr, eager = true)
+        lastCkpt = Some(pr)
+        prev.foreach(p =>
+          org.apache.spark.sql.graftshim.CheckpointShim.unpersistCheckpoint(p))
+      }
     }
     val out = pr.select(col("v"), col("r").as("rank_scaled")).orderBy("v")
     out

@@ -37,7 +37,7 @@ object RetrievalQueries {
               |lex AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS lex_rank
               |        FROM scored QUALIFY lex_rank <= $armK),
               |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-              |nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+              |nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE list_dot_product(v, v) > 0),
               |qv AS (SELECT v AS pv, nrm AS pnrm FROM nn WHERE vec_id = 0),
               |cosv AS (SELECT vec_id, list_dot_product(v, pv)/(nrm*pnrm) AS cosine
               |         FROM nn CROSS JOIN qv WHERE vec_id <> 0),

@@ -451,9 +451,16 @@ object TextQueries {
     // instead of persisting costs one extra 1%-sized explode and removes
     // the stranded cache a long-lived session otherwise accumulates per
     // q38 invocation (ADVICE r14).
-    val row = benchTris.agg(
-      count(lit(1)).as("n"),
-      countDistinct(split(col("tri"), " ").getItem(0)).as("vb")).head()
+    // vocabulary over ALL THREE trigram positions (ADVICE r15: the
+    // leading-word-only estimate was blind to words that never lead a
+    // trigram — e.g. the last two tokens of every bench doc — so vb was
+    // undercounted, vb³ shrank, and the bloom arm could be skipped on
+    // borderline corpora where it still pays). Every tri has exactly 3
+    // words, so n = exploded-rows/3 keeps this a single tiny job.
+    val row = benchTris
+      .select(explode(split(col("tri"), " ")).as("w"))
+      .agg((count(lit(1)) / 3).cast("long").as("n"),
+        countDistinct(col("w")).as("vb")).head()
     val nTris = row.getLong(0)
     val vocabB = row.getLong(1)
     val m = BloomFilter.sized(math.max(1L, nTris))

@@ -28,10 +28,21 @@ object VectorQueries {
       ColumnShim.expression(a), ColumnShim.expression(b)))
   }
 
-  /** embeddings with double vectors + L2 norms. */
+  /** embeddings with double vectors + L2 norms — EXCLUDING zero-norm
+    * vectors. Contract (r16, found by the GRAFT_VEC_DEGEN oracle gate on
+    * its first run — the q117 recipe): cosine similarity is undefined on
+    * the zero vector, and under ANSI mode dot/(nrm·pnrm) is a hard
+    * DIVIDE_BY_ZERO the moment a corpus contains one (it killed 7
+    * queries on the degenerate generation: q25/q34/q36/q43/q57/q60/q85).
+    * The similarity universe is therefore the non-zero vectors; every
+    * oracle's `n` CTE carries the same `WHERE list_dot_product(v,v) > 0`.
+    * Queries whose OUTPUT spans all vectors (q60's cluster labels) keep
+    * their vertex set on the unfiltered table — zero vectors appear as
+    * singleton clusters, they just never form edges. */
   private[graft] def normed(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
     e.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
   }
 
   // ---------------------------------------------------------------- Q25
@@ -45,7 +56,7 @@ object VectorQueries {
   val q25 = DeclaredQuery(
     "q25_cosine_topk",
     Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+           |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE list_dot_product(v, v) > 0),
            |p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm FROM n WHERE vec_id < 5),
            |sim AS (
            |  SELECT probe_id, vec_id,
@@ -87,7 +98,7 @@ object VectorQueries {
   val q34 = DeclaredQuery(
     "q34_embed_neardup",
     Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 5 = 0),
-           |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+           |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE list_dot_product(v, v) > 0),
            |p AS (SELECT vec_id, v, nrm FROM n WHERE vec_id < 500),
            |sim AS (
            |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -190,7 +201,7 @@ object VectorQueries {
   val q36 = DeclaredQuery(
     "q36_ivf_ann",
     Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+           |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE list_dot_product(v, v) > 0),
            |cent AS (
            |  SELECT row_number() OVER (ORDER BY md5(concat_ws(':', CAST(vec_id AS VARCHAR), 'centroid')), vec_id) AS cluster_id,
            |         v AS cv, nrm AS cnrm, vec_id AS cent_vec
@@ -297,7 +308,7 @@ object VectorQueries {
   val q43 = DeclaredQuery(
     "q43_ivf_kmeans",
     Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+           |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE list_dot_product(v, v) > 0),
            |cent0 AS (
            |  SELECT row_number() OVER (ORDER BY md5(concat_ws(':', CAST(vec_id AS VARCHAR), 'centroid')), vec_id) AS cluster_id,
            |         v AS cv, nrm AS cnrm
@@ -709,7 +720,7 @@ object VectorQueries {
        |  SELECT COALESCE(MIN(p), $lshMaxPlanes) AS planes
        |  FROM (SELECT CAST(unnest(range(8, ${lshMaxPlanes + 1})) AS INTEGER) AS p)
        |  WHERE 4 * (CAST(1 AS BIGINT) << p) >= (SELECT COUNT(*) FROM embeddings)),
-       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE list_dot_product(v, v) > 0),
        |b AS (SELECT vec_id, v, nrm,
        |             substr($bits, 1, (SELECT planes FROM pl)) AS bucket FROM n)""".stripMargin
   }

@@ -33,12 +33,24 @@ object Checkpoints {
 
   private val warnedNoDir = new java.util.concurrent.atomic.AtomicBoolean(false)
 
+  /** Test hook: the warn-once flag is JVM-global and the local-cluster
+    * spec must observe the first warning deterministically regardless of
+    * suite order. */
+  private[graft] def resetWarnForTest(): Unit = warnedNoDir.set(false)
+
   def ckpt(df: DataFrame, eager: Boolean, specificKey: String = ""): DataFrame = {
     val sc = df.sparkSession.sparkContext
     val conf = df.sparkSession.conf
     val mode = (if (specificKey.nonEmpty) conf.getOption(specificKey) else None)
       .orElse(conf.getOption("spark.graft.checkpoint"))
       .getOrElse(sys.env.getOrElse("GRAFT_CC_CKPT", "auto"))
+    // ADVICE r15: an unrecognized mode (a typo'd 'relaible') must not fall
+    // into the auto branch silently — a cluster deployment that intended
+    // the reliable posture would run lost-executor-fatal local checkpoints
+    require(Set("auto", "local", "reliable")(mode),
+      s"unrecognized checkpoint mode '$mode' (from " +
+        s"${if (specificKey.nonEmpty) s"$specificKey/" else ""}spark.graft.checkpoint/" +
+        "GRAFT_CC_CKPT) — expected one of: auto, local, reliable")
     val reliable = mode match {
       case "reliable" =>
         require(sc.getCheckpointDir.isDefined,

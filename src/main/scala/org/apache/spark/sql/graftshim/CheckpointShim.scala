@@ -24,6 +24,16 @@ import org.apache.spark.sql.execution.LogicalRDD
   * recompute would fail loudly (blocks gone, no lineage to rebuild them).
   */
 object CheckpointShim {
+  /** The reliable checkpoint file behind `df`, if any — None for local
+    * checkpoints and non-checkpoint frames. Observability for the
+    * local-cluster auto-mode spec: "which arm did `Checkpoints.ckpt`
+    * actually take" is exactly this Option's definedness. */
+  def checkpointFile(df: Dataset[_]): Option[String] =
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD => lr.rdd.getCheckpointFile
+      case _ => None
+    }
+
   def unpersistCheckpoint(df: Dataset[_], blocking: Boolean = false): Unit =
     df.queryExecution.analyzed match {
       case lr: LogicalRDD =>

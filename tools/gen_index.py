@@ -24,9 +24,20 @@ import re
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+# Bench action changed count() -> noop write at this commit epoch
+# (r16, VERDICT r15 what's-wrong 1): cells stamped BEFORE it measured a
+# column-pruned plan and are NOT comparable — they must never mix into
+# the re-pinned table. Old stamps stay on disk for the archived
+# old-action trend table (BASELINE r16 addendum).
+ACTION_EPOCH = 1786882178
+
+
 def newest_cells(sf_label):
-    """query -> seconds from the newest stamped artifact that has it."""
+    """(query -> seconds, query -> winning stamp path) from the newest
+    stamped artifact that has it, new-action stamps only."""
     out = {}
+    prov = {}
+    skipped_old_action = 0
     def stamp(p):
         # skip (sort first, i.e. oldest) files whose stamp segment does
         # not parse instead of aborting the whole INDEX generation
@@ -43,6 +54,9 @@ def newest_cells(sf_label):
             REPO, "bench_evidence", "*", f"bench_out.{sf_label}.*.json")),
         key=stamp)
     for path in files:  # oldest -> newest; newer values overwrite
+        if 0 <= stamp(path) < ACTION_EPOCH:
+            skipped_old_action += 1
+            continue
         try:
             doc = json.load(open(path))
         except (ValueError, OSError):
@@ -50,7 +64,21 @@ def newest_cells(sf_label):
         for name, sec in doc.get("queries", {}).items():
             if isinstance(sec, (int, float)) and sec >= 0:
                 out[name] = sec
-    return out
+                prov[name] = path
+    if skipped_old_action:
+        print(f"[gen_index] {sf_label}: skipped {skipped_old_action} "
+              "pre-noop-action stamp file(s) (not comparable)")
+    # ADVICE r15: a scale the current round forgot to re-stamp would
+    # silently inherit a prior round's number (measured at an old HEAD)
+    # — warn with provenance when the winner lives in bench_evidence
+    inherited = sorted({os.path.relpath(p, REPO) for p in prov.values()
+                        if os.sep + "bench_evidence" + os.sep in p})
+    for p in inherited:
+        n = sum(1 for v in prov.values() if v.endswith(os.path.basename(p))
+                and os.sep + "bench_evidence" + os.sep in v)
+        print(f"[gen_index] WARNING {sf_label}: {n} cell(s) inherited from "
+              f"prior-round stamp {p} — re-stamp this scale at HEAD")
+    return out, prov
 
 
 def declaration_sites(names):
@@ -134,9 +162,14 @@ def main():
     bench = json.load(open(os.path.join(REPO, "bench_out.json")))
     sf01 = {k: v for k, v in bench["queries"].items() if v >= 0}
     names = sorted(sf01)
-    sf1 = newest_cells("sf1")
-    sf10 = newest_cells("sf10")
-    cold01 = newest_cells("cold_sf0.1")
+    sf1, prov1 = newest_cells("sf1")
+    sf10, prov10 = newest_cells("sf10")
+    cold01, provc = newest_cells("cold_sf0.1")
+    # provenance marker: ᵉ = the cell's winning stamp lives in
+    # bench_evidence/ (a prior round), not the repo root (this round)
+    def ev(prov, name):
+        p = prov.get(name, "")
+        return "ᵉ" if os.sep + "bench_evidence" + os.sep in p else ""
     sites = declaration_sites(names)
     specs = spec_files(names)
 
@@ -145,7 +178,11 @@ def main():
         "",
         f"{len(names)} declared queries. sf0.1 cells are the latest FULL-suite",
         "run (bench_out.json); sf1/sf10 cells are each query's newest stamped",
-        "scale artifact (— = not in any). Spec column lists test files naming",
+        "scale artifact (— = not in any). All cells are NEW-ACTION (noop-write)",
+        "measurements — pre-r16 count()-action stamps are excluded as not",
+        "comparable (VERDICT r15 what's-wrong 1). `ᵉ` = cell inherited from a",
+        "bench_evidence/ prior-round stamp, not re-stamped at this HEAD.",
+        "Spec column lists test files naming",
         "the query id (every query is additionally oracle-hash-gated). Regenerate: `python3 tools/gen_index.py`.",
         "",
         "`*` = MEMO-WARM cell: the four CC-chain rows (q39/q50/q62/q80)",
@@ -169,9 +206,10 @@ def main():
         ceil = "†" if name in CEILINGS and name in sf10 else ""
         lines.append(
             f"| {name} | {sites.get(name, '—')} | {specs[name]} "
-            f"| {fmt(sf01.get(name))}{warm} | {fmt(cold01.get(name))} "
-            f"| {fmt(sf1.get(name))} "
-            f"| {fmt(sf10.get(name))}{ceil} |")
+            f"| {fmt(sf01.get(name))}{warm} "
+            f"| {fmt(cold01.get(name))}{ev(provc, name)} "
+            f"| {fmt(sf1.get(name))}{ev(prov1, name)} "
+            f"| {fmt(sf10.get(name))}{ev(prov10, name)}{ceil} |")
     out = os.path.join(REPO, "INDEX.md")
     with open(out, "w", encoding="utf-8") as fh:
         fh.write("\n".join(lines) + "\n")
