@@ -22,17 +22,20 @@ object PipelineShapes {
     s"bench_scratch/ann_$lbl"
   }
 
-  /** Fold EVERY column of every row into one hash aggregate. The bench
-    * harness materializes with count(), and count() lets Catalyst
-    * eliminate work that provably preserves cardinality — for
-    * p_dedup_incremental the verdict's left joins against unique-keyed
-    * probe indices were eliminated WHOLESALE and the timing was an empty
-    * id scan (flat 0.31 s from sf0.1 to sf10 was the tell; r9). The
-    * PiiBench precedent: hashing all output columns forces the full
-    * computation while keeping the result bench-countable. */
+  /** Fold EVERY column of every row into one hash aggregate. Historically
+    * this guarded against count()-action pruning (r9: the verdict's left
+    * joins were eliminated wholesale and p_dedup_incremental timed an
+    * empty id scan); under the r16 noop-write action the harness itself
+    * forces evaluation, but the fold stays — it keeps the output
+    * one-row-summarizable and double-guards against any future
+    * cardinality-preserving elimination. r16: the fold is `bit_xor`, not
+    * `sum` — under the new action the fold column actually EVALUATES, and
+    * a sum of uniform 64-bit hashes overflows ANSI long arithmetic almost
+    * surely (all 11 pipeline rows died on first contact); xor is
+    * overflow-free and just as order-invariant. */
   private def forced(df: DataFrame): DataFrame =
     df.select(xxhash64(df.columns.map(col): _*).as("h"))
-      .agg(sum(col("h")).as("fold"))
+      .agg(bit_xor(col("h")).as("fold"))
 
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     // full per-document dedup verdict (exact canon + near-dup cluster +

@@ -236,7 +236,8 @@ object AbQueries {
            |             (2*g.iws - (g.n+1)*g.tot))
            |            // (CAST(g.n AS HUGEINT) * g.tot) AS BIGINT)
            |         AS gini_ppm,
-           |       (1000000 * t.top_cent) // g.tot AS top_decile_share_ppm
+           |       CAST((CAST(1000000 AS HUGEINT) * t.top_cent) // g.tot
+           |            AS BIGINT) AS top_decile_share_ppm
            |FROM g, topdec t""".stripMargin)) { (s, d) =>
     val spend = Tables.orders(s, d)
       .groupBy(col("o_custkey"))
@@ -259,7 +260,12 @@ object AbQueries {
                 | (2*iws - ${n + 1}*CAST(tot AS DECIMAL(38,0))))
                 | div (CAST($n AS DECIMAL(38,0)) * tot) AS BIGINT)"""
           .stripMargin.replace("\n", " ")).as("gini_ppm"),
-        expr("(1000000 * top_cent) div tot").as("top_decile_share_ppm"))
+        // DECIMAL promotion before the ppm multiply (r16, found by the
+        // noop-write bench action at sf10): top_cent reaches ~7.5e13
+        // cents there, and 1e6 × that overflows ANSI long — the same
+        // widening gini_ppm already had
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * top_cent) div tot AS BIGINT)")
+          .as("top_decile_share_ppm"))
   }
 
   val all: Seq[DeclaredQuery] = Seq(q117, q118, q134)
