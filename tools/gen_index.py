@@ -48,11 +48,15 @@ def newest_cells(sf_label):
     # root stamps are the current round's; bench_evidence/<round>/ holds
     # prior rounds' (repo-hygiene home since r15) — the epoch stamp in
     # the filename orders across both, newest wins either way
-    files = sorted(
-        glob.glob(os.path.join(REPO, f"bench_out.{sf_label}.*.json")) +
-        glob.glob(os.path.join(
-            REPO, "bench_evidence", "*", f"bench_out.{sf_label}.*.json")),
-        key=stamp)
+    root_files = glob.glob(os.path.join(REPO, f"bench_out.{sf_label}.*.json"))
+    root_names = {os.path.basename(p) for p in root_files}
+    # a stamp copied into bench_evidence/ during the SAME round also still
+    # sits at the root — prefer the root copy so the ᵉ inherited-marker
+    # means "prior round only", not "archived this round"
+    ev_files = [p for p in glob.glob(os.path.join(
+        REPO, "bench_evidence", "*", f"bench_out.{sf_label}.*.json"))
+        if os.path.basename(p) not in root_names]
+    files = sorted(root_files + ev_files, key=stamp)
     for path in files:  # oldest -> newest; newer values overwrite
         if 0 <= stamp(path) < ACTION_EPOCH:
             skipped_old_action += 1
@@ -155,6 +159,16 @@ CEILINGS = {
         "the same fixed in-query graph — exchange/planning floor, same "
         "cell at every sf; the sqrt(m) orientation is what scales, the "
         "cell prices the floor",
+    # r16: cells first PRICED by the noop-write action (the count()
+    # action pruned their output projections entirely — BASELINE r16
+    # addenda 1/6); both emit corpus-sized derived payloads by contract
+    "q10_stats_standardize": "output-contractual: the result IS the "
+        "standardized flat buffer for every record — the projection the "
+        "old action pruned; linear in tensor bytes (sf1->sf10: 2.35->15.2 s "
+        "for 10x data)",
+    "q66_dup_spans": "rewrite-output-bound (q91's class): emits the "
+        "per-document duplicate-span structures by contract; linear "
+        "sf1->sf10 (3.7->37.7 s for 10x data)",
 }
 
 
