@@ -273,7 +273,30 @@ object EventQueries {
     * grows with the corpus, so partitions stay bounded (this is the
     * GOOD window shape; contrast q95's scaladoc for the few-huge-groups
     * case). One hash shuffle + per-key sort; running state is the
-    * frame's cents sum. */
+    * frame's cents sum.
+    *
+    * SKEW POSTURE (r16): the engine does NOT evaluate the sliding
+    * range frame directly — Spark's SlidingWindowFunctionFrame rebuilds
+    * the aggregation buffer from scratch every time a bound moves
+    * (declarative aggregates have no retraction), so a both-bounds-
+    * moving time frame costs O(rows × frame) PER KEY. Measured on the
+    * GRAFT_EVENT_SKEW sf10 corpus (one user holding 10% of 10M events):
+    * a single task burned 22+ CPU-minutes in
+    * SlidingWindowFunctionFrame.write — the hot-key window is the
+    * classic feature-store job-killer. The rewrite evaluates the same
+    * contract as the DIFFERENCE OF TWO CUMULATIVES:
+    *
+    *   rolling[t−X, t] = cum[≤ t] − cum[≤ t−X−1]
+    *
+    * exact for integer-µs event times and ties-as-peers RANGE
+    * semantics. Both frames have an UNBOUNDED lower bound, which Spark
+    * evaluates with UnboundedPrecedingWindowFunctionFrame — rows are
+    * only ever ADDED as the upper bound advances, O(n) amortized per
+    * key — and both share one WindowExec (same partition/order). The
+    * hot key drops from quadratic to linear; the oracle SQL keeps the
+    * declarative rolling-frame spelling (it pins the ANSWER, not the
+    * plan). count() over an empty frame is 0; sum() is NULL → coalesce
+    * to 0 cents. */
   val q96 = DeclaredQuery(
     "q96_rolling_window",
     Some(s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS eus, value FROM events)
@@ -284,14 +307,20 @@ object EventQueries {
             |WINDOW w AS (PARTITION BY user_id ORDER BY eus
             |             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
             |ORDER BY event_id""".stripMargin)) { (s, d) =>
-    val w = Window.partitionBy(col("user_id")).orderBy(col("eus"))
-      .rangeBetween(-7L * 86400L * 1000000L, Window.currentRow)
+    val sevenDaysUs = 7L * 86400L * 1000000L
+    val wCum = Window.partitionBy(col("user_id")).orderBy(col("eus"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBefore = Window.partitionBy(col("user_id")).orderBy(col("eus"))
+      .rangeBetween(Window.unboundedPreceding, -sevenDaysUs - 1L)
     Tables.events(s, d)
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("eus"), col("value"))
       .select(col("event_id"), col("user_id"), col("eus"),
-        count(lit(1)).over(w).as("n_7d"),
-        Det.unCents(sum(Det.cents(col("value"))).over(w)).as("value_7d"))
+        (count(lit(1)).over(wCum) - count(lit(1)).over(wBefore)).as("n_7d"),
+        Det.unCents(
+          sum(Det.cents(col("value"))).over(wCum) -
+            coalesce(sum(Det.cents(col("value"))).over(wBefore), lit(0L)))
+          .as("value_7d"))
       .orderBy("event_id")
   }
 

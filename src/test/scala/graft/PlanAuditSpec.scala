@@ -120,6 +120,35 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("q96's rolling window plans NO sliding frame — unbounded-preceding cumulatives only") {
+    // regression guard for the r16 hot-key rewrite (BASELINE r16): a
+    // both-bounds-moving RANGE frame is evaluated by Spark's
+    // SlidingWindowFunctionFrame, which REBUILDS the aggregate buffer
+    // every time a bound moves (no retraction) — O(rows × frame) per
+    // key; measured 22+ CPU-minutes on one task for a user holding 10%
+    // of 10M events. q96 must keep the difference-of-cumulatives form:
+    // every window frame in its plan has an UnboundedPreceding lower
+    // bound (Spark's incremental O(n) frame class). Reverting to the
+    // declarative sliding frame re-opens the hot-key quadratic.
+    import org.apache.spark.sql.catalyst.expressions.{SpecifiedWindowFrame, UnboundedPreceding, WindowExpression}
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = queries.EventQueries.q96.build(spark, sf0001)
+        .queryExecution.executedPlan
+      val frames = plan.collect { case w: WindowExec => w }.flatMap(
+        _.windowExpression.flatMap(_.collect {
+          case WindowExpression(_, spec) => spec.frameSpecification
+        }))
+      assert(frames.nonEmpty, "q96 plan has no window frames to audit")
+      val sliding = frames.collect {
+        case f: SpecifiedWindowFrame if f.lower != UnboundedPreceding => f
+      }
+      assert(sliding.isEmpty,
+        s"q96 plans ${sliding.size} sliding frame(s) — the hot-key quadratic is back: $sliding")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("q38's bloom prefilter stays three map-side broadcast semi-joins") {
     // regression guard for the r13 shape: the training explode must pass
     // through exactly 3 LeftSemi BroadcastHashJoins (the bloom positions)
