@@ -101,6 +101,10 @@ object Bench {
       s
     }
     var spark = newSession()
+    // loadavg at canary time: the quiet-box reference point the per-rep
+    // load snapshots are judged against (gen_index flags cells whose
+    // winning rep ran at > 2x this, VERDICT r16 item 4)
+    val loadStart = loadAvg()
     // the canary runs FIRST (post-warmup, pre-suite) so its reading
     // describes the box the suite is about to run on; skippable for
     // micro-iterations but never for stamped runs
@@ -296,8 +300,12 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"q_unit":"cs","box_factor":$bf,"calib":$calibJson,"queries":$qs,"reps":$benchReps,"load_flags":$flagsJson,"sf":"$sfDir"}"""
     val fullQs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
+    // action + stamp ride INSIDE the artifact (ADVICE r16): the fixed-path
+    // bench_out.json has no filename stamp, so gen_index.py could not tell
+    // a pre-noop-action full-suite run from a current one — the epoch and
+    // action tag make every artifact self-describing, filename aside
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"box_factor":$bf,"calib":$calibJson,"queries":$fullQs,"reps":$benchReps,"load_end":${loadAvg()},"diag":$diagJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"box_factor":$bf,"calib":$calibJson,"action":"noop-write","stamp":${System.currentTimeMillis / 1000},"load_start":$loadStart,"queries":$fullQs,"reps":$benchReps,"load_end":${loadAvg()},"diag":$diagJson,"sf":"$sfDir"}"""
     // full artifact (with per-rep timings + loadavg diag) goes to stderr and
     // to disk — stamped per run, because a partial GRAFT_BENCH_ONLY re-run
     // overwrote the round-7 full-suite bench_out.json and the evidence

@@ -410,6 +410,19 @@ object Main {
           // startsWith: a STREAMED append (CorpusDedup.appendSink) stamps
           // `dedupappend:<token>:batch:<app>:<id>` — same content token,
           // so the CLI can also resume a stream-torn state
+          // ADVICE r16: r16 changed the token derivation (xxhash64 sum →
+          // SHA-256 sum/xor/count) AND its width (12 → 24 hex). A state
+          // torn by a PRE-r16 writer carries a 12-hex token no current
+          // binary can ever reproduce — retrying --resume with the same
+          // shard is guaranteed to fail forever, so say that instead of
+          // suggesting it. (Token width IS the format version: 12 = legacy
+          // xxhash64, 24 = current SHA-256-derived.)
+          val tornToken = labelsMeta.stripPrefix("dedupappend:").takeWhile(_ != ':')
+          require(tornToken.length != 12,
+            s"torn state carries a LEGACY pre-r16 shard token '$tornToken' " +
+              "(12-hex xxhash64 format; current tokens are 24-hex " +
+              "SHA-256-derived) — no current binary can match it, so " +
+              "--resume cannot ever succeed: rebuild with dedupindex")
           require(labelsMeta == s"dedupappend:$token" ||
               labelsMeta.startsWith(s"dedupappend:$token:"),
             s"torn state was left by shard '$labelsMeta', not this shard " +

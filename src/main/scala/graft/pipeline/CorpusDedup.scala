@@ -118,7 +118,15 @@ object CorpusDedup {
     * yields the same token whatever its path, file layout, or
     * partitioning — which is what lets a crashed `dedupappend` be
     * recognized on replay and resumed instead of forcing an O(corpus)
-    * rebuild. One O(shard) scan. */
+    * rebuild. One O(shard) scan.
+    *
+    * Token-format versioning (ADVICE r16): the token WIDTH is the format
+    * version — 24 hex = this SHA-256-derived format (r16+); 12 hex = the
+    * legacy xxhash64-sum format retired in r16. A state left torn by a
+    * pre-r16 writer can never be resumed by a current binary (the
+    * recomputed token cannot match); both resume paths recognize a
+    * 12-hex stamp token and direct to a `dedupindex` rebuild instead of
+    * an endlessly-failing `--resume` retry. */
   def shardToken(shard: DataFrame): String = shardIdentity(shard)._2
 
   /** [[shardToken]] fused with the row count — ONE shard scan serves
@@ -366,6 +374,17 @@ object CorpusDedup {
     // (labels version, labels meta, bands version, bands meta) at the
     // table heads; None until the first batch (or after a restart)
     var head: Option[(Long, String, Long, String)] = None
+    // ADVICE r16: the cached head means torn-by-foreign-writer detection
+    // only runs on a closure's FIRST batch — a long-lived sink would mask
+    // an out-of-band CLI write (one-writer discipline broken) and keep
+    // merging against stale pinned versions, silently dropping that
+    // writer's rows from its view. Revalidate the cached bands version
+    // against disk truth every REVALIDATE_EVERY batches: the cost is one
+    // manifest listing per N batches (bounded, unlike the O(batches²)
+    // per-batch re-listing the cache removed), and a foreign advance
+    // fails LOUDLY within N batches instead of never.
+    val RevalidateEvery = 16
+    var sinceCheck = 0
     (df, batchId) =>
       require(!appId.contains(":"), s"appId must not contain ':': $appId")
       val spark = df.sparkSession
@@ -376,6 +395,20 @@ object CorpusDedup {
       val shard = df.select(col("doc_id"), col("text")).persist()
       try {
         val (nShard, token) = shardIdentity(shard)
+        if (head.isDefined) {
+          sinceCheck += 1
+          if (sinceCheck >= RevalidateEvery) {
+            sinceCheck = 0
+            val diskB = Snapshots.currentVersion(spark, bandsT)
+            val diskL = Snapshots.currentVersion(spark, labelsT)
+            require(diskB == head.get._3 && diskL == head.get._1,
+              s"dedup state advanced by a FOREIGN writer (disk labels_v$diskL/" +
+                s"bands_v$diskB, this sink's cached labels_v${head.get._1}/" +
+                s"bands_v${head.get._3}) — the one-live-writer-per-table " +
+                "discipline was broken; stop the other writer and restart " +
+                "this stream (the restart re-seeds from disk truth)")
+          }
+        }
         val (curLabelsV, labelsMeta, curBandsV, bandsMeta) = head.getOrElse {
           val lv = Snapshots.currentVersion(spark, labelsT)
           val bv = Snapshots.currentVersion(spark, bandsT)
@@ -396,6 +429,13 @@ object CorpusDedup {
             labelsMeta.lastIndexOf(bTag) + bTag.length).toLong
         else -1L
         if (torn) {
+          // legacy-token recognition mirrors the CLI verb (ADVICE r16):
+          // a 12-hex token is the pre-r16 xxhash64 format no current
+          // binary can reproduce — only a dedupindex rebuild recovers it
+          val tornToken = labelsMeta.stripPrefix("dedupappend:").takeWhile(_ != ':')
+          require(tornToken.length != 12,
+            s"torn state carries a LEGACY pre-r16 shard token '$tornToken' " +
+              "(12-hex) — --resume can never match it; rebuild with dedupindex")
           require(labelsMeta.startsWith(s"dedupappend:$token:") ||
               labelsMeta == s"dedupappend:$token",
             s"dedup state torn by a different shard ('$labelsMeta', this " +

@@ -793,12 +793,21 @@ object RelationalQueries {
             |FROM est JOIN ex ON est.flag = ex.flag
             |ORDER BY est.flag""".stripMargin)) { (s, d) =>
     import graft.operators.KmvSketch
-    val hv = Det.hex60(md5(col("l_partkey").cast("string")))
+    // Pre-compact to distinct (flag, partkey) BEFORE the typed KMV
+    // aggregator (the q15 pattern, VERDICT r16 item 5): the sketch is a
+    // pure function of the distinct hv set and hv is a pure function of
+    // partkey, so a codegen hash-agg distinct bounds the encoder-boundary
+    // rows by |part| (~2M at sf10) instead of |lineitem| (~60M) — and it
+    // replaces countDistinct's Expand plan with a plain count(*) in the
+    // same pass. Result unchanged by construction.
     li(s, d)
-      .select(col("l_returnflag").as("flag"), col("l_partkey"), hv.as("hv"))
+      .select(col("l_returnflag").as("flag"), col("l_partkey"))
+      .distinct()
+      .select(col("flag"),
+        Det.hex60(md5(col("l_partkey").cast("string"))).as("hv"))
       .groupBy("flag")
       .agg(KmvSketch(col("hv")).as("kmv"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+        count(lit(1)).as("exact_parts"))
       .select(col("flag"),
         col("kmv.estimate").as("approx_parts"),
         col("kmv.support").as("support"),

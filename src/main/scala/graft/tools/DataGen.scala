@@ -267,6 +267,18 @@ object DataGen {
     // overridden and that one probe degrades to an ordinary gap — rare
     // (rule moduli are coprime) and harmless: the probes fire on the vast
     // majority of their sites.
+    //
+    // ADVICE r16: ts/usr/type each had their OWN when-chain with
+    // non-identical rule orderings (the type chain had a 101≡1 rule the
+    // ts/usr chains lacked), so an id matching overlapping rules (e.g.
+    // ≡1 mod 97 and ≡1 mod 101) could get a forced 'click' type paired
+    // with a 97-rule timestamp — the 3600 s as-of probe at id+1 then
+    // measured a different gap than its declared anchor semantics. Fixed
+    // by ONE shared rule selector (first matching rule id, one precedence
+    // order) from which all three columns derive — a row now always
+    // agrees with itself about which probe fired; overlapping-rule sites
+    // degrade to ordinary rows for the LOWER-precedence probe (the
+    // documented rare-degrade class), never to a mixed-rule row.
     val evSkew = sys.env.get("GRAFT_EVENT_SKEW").contains("1")
     val epoch24us = lit(java.time.LocalDate.of(2024, 1, 1).toEpochDay * 86400L * 1000000L)
     val spanUs = 30L * 86400L * 1000000L
@@ -284,26 +296,28 @@ object DataGen {
       if (!evSkew)
         (tsUs(id), usr(id), pick(id, "ev_t", EventTypes))
       else {
-        val ts = when(id % 89 === 1 && id > 0, tsUs(id - 1))
-          .when(id % 89 === 2 && id > 1, tsUs(id - 2))
-          .when(id % 83 === 1 && id > 0, tsUs(id - 1))
-          .when(id % 83 === 2 && id > 1, tsUs(id - 2))
-          .when(id % 97 === 1 && id > 0, tsUs(id - 1) + lit(1800L * 1000000L))
-          .when(id % 101 === 2 && id > 1, tsUs(id - 1) + lit(3600L * 1000000L))
+        // one selector, one precedence order; 0 = no rule (natural row)
+        val rule = when(id % 89 === 1 && id > 0, 1)
+          .when(id % 89 === 2 && id > 1, 2)
+          .when(id % 83 === 1 && id > 0, 3)
+          .when(id % 83 === 2 && id > 1, 4)
+          .when(id % 97 === 1 && id > 0, 5)
+          .when(id % 101 === 1 && id > 0, 6) // as-of ANCHOR: type-only rule
+          .when(id % 101 === 2 && id > 1, 7)
+          .otherwise(0)
+        val ts = when(rule === 1 || rule === 3, tsUs(id - 1))
+          .when(rule === 2 || rule === 4, tsUs(id - 2))
+          .when(rule === 5, tsUs(id - 1) + lit(1800L * 1000000L))
+          .when(rule === 7, tsUs(id - 1) + lit(3600L * 1000000L))
           .otherwise(tsUs(id))
-        val us = when(id % 89 === 1 && id > 0, usr(id - 1))
-          .when(id % 89 === 2 && id > 1, usr(id - 2))
-          .when(id % 83 === 1 && id > 0, usr(id - 1))
-          .when(id % 83 === 2 && id > 1, usr(id - 2))
-          .when(id % 97 === 1 && id > 0, usr(id - 1))
-          .when(id % 101 === 2 && id > 1, usr(id - 1))
+        val us = when(rule === 1 || rule === 3 || rule === 5 || rule === 7,
+            usr(id - 1))
+          .when(rule === 2 || rule === 4, usr(id - 2))
           .otherwise(usr(id))
-        val ty = when(id % 89 === 1 && id > 0, lit("click"))
-          .when(id % 89 === 2 && id > 1, lit("error"))
-          .when(id % 83 === 1 && id > 0, lit("purchase"))
-          .when(id % 83 === 2 && id > 1, lit("view"))
-          .when(id % 101 === 1 && id > 0, lit("click"))
-          .when(id % 101 === 2 && id > 1, lit("error"))
+        val ty = when(rule === 1 || rule === 6, lit("click"))
+          .when(rule === 2 || rule === 7, lit("error"))
+          .when(rule === 3, lit("purchase"))
+          .when(rule === 4, lit("view"))
           .otherwise(pick(id, "ev_t", EventTypes))
         (ts, us, ty)
       }

@@ -32,12 +32,29 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ACTION_EPOCH = 1786882178
 
 
+def load_flagged(doc):
+    """query -> True when NO rep of that query in `doc` ran on a quiet
+    box (every per-rep loadavg > 2x the run's start load) — the cell's
+    min is then a contended observation, not a trustworthy floor
+    (VERDICT r16 item 4: q72 16.3 s / q125 7.0 s driver spikes at
+    loadavg 4+ vs 2.95/3.23 s quiet at the same HEAD)."""
+    thresh = 2.0 * max(1.0, doc.get("load_start", 1.0))
+    flags = {}
+    for name, d in (doc.get("diag") or {}).items():
+        loads = [l for l in d.get("load", []) if l >= 0]
+        flags[name] = bool(loads) and min(loads) > thresh
+    return flags
+
+
 def newest_cells(sf_label):
-    """(query -> seconds, query -> winning stamp path) from the newest
-    stamped artifact that has it, new-action stamps only."""
+    """(query -> seconds, query -> winning stamp path, query -> load
+    flag) from the newest stamped artifact that has it, new-action
+    stamps only."""
     out = {}
     prov = {}
+    lflag = {}
     skipped_old_action = 0
+    skipped_unparseable = 0
     def stamp(p):
         # skip (sort first, i.e. oldest) files whose stamp segment does
         # not parse instead of aborting the whole INDEX generation
@@ -58,20 +75,32 @@ def newest_cells(sf_label):
         if os.path.basename(p) not in root_names]
     files = sorted(root_files + ev_files, key=stamp)
     for path in files:  # oldest -> newest; newer values overwrite
-        if 0 <= stamp(path) < ACTION_EPOCH:
+        if stamp(path) < 0:
+            # ADVICE r16: an unparseable stamp segment must not BYPASS the
+            # action-epoch guard (stamp() = -1 fell outside the old
+            # `0 <= s < EPOCH` range and leaked pre-noop cells in)
+            skipped_unparseable += 1
+            continue
+        if stamp(path) < ACTION_EPOCH:
             skipped_old_action += 1
             continue
         try:
             doc = json.load(open(path))
         except (ValueError, OSError):
             continue
+        flags = load_flagged(doc)
         for name, sec in doc.get("queries", {}).items():
             if isinstance(sec, (int, float)) and sec >= 0:
                 out[name] = sec
                 prov[name] = path
+                lflag[name] = flags.get(name, False)
     if skipped_old_action:
         print(f"[gen_index] {sf_label}: skipped {skipped_old_action} "
               "pre-noop-action stamp file(s) (not comparable)")
+    if skipped_unparseable:
+        print(f"[gen_index] {sf_label}: skipped {skipped_unparseable} "
+              "artifact(s) with unparseable filename stamps (cannot "
+              "verify bench action — excluded)")
     # ADVICE r15: a scale the current round forgot to re-stamp would
     # silently inherit a prior round's number (measured at an old HEAD)
     # — warn with provenance when the winner lives in bench_evidence
@@ -82,7 +111,7 @@ def newest_cells(sf_label):
                 and os.sep + "bench_evidence" + os.sep in v)
         print(f"[gen_index] WARNING {sf_label}: {n} cell(s) inherited from "
               f"prior-round stamp {p} — re-stamp this scale at HEAD")
-    return out, prov
+    return out, prov, lflag
 
 
 def declaration_sites(names):
@@ -174,16 +203,34 @@ CEILINGS = {
 
 def main():
     bench = json.load(open(os.path.join(REPO, "bench_out.json")))
+    # ADVICE r16: the fixed-path bench_out.json carries no filename stamp,
+    # so a stale pre-noop-action full-suite run could silently populate
+    # the main sf0.1 column under a header claiming new-action cells.
+    # Since r17 Bench embeds action+stamp in the artifact; refuse to
+    # build INDEX from anything that predates the action change.
+    b_stamp = bench.get("stamp", -1)
+    b_action = bench.get("action", "")
+    if b_action != "noop-write" or b_stamp < ACTION_EPOCH:
+        raise SystemExit(
+            f"[gen_index] FATAL: bench_out.json action={b_action!r} "
+            f"stamp={b_stamp} predates ACTION_EPOCH={ACTION_EPOCH} (or "
+            "lacks the r17 action tag) — re-run the full suite on the "
+            "driver dir before regenerating INDEX.md")
     sf01 = {k: v for k, v in bench["queries"].items() if v >= 0}
+    flag01 = load_flagged(bench)
     names = sorted(sf01)
-    sf1, prov1 = newest_cells("sf1")
-    sf10, prov10 = newest_cells("sf10")
-    cold01, provc = newest_cells("cold_sf0.1")
+    sf1, prov1, flag1 = newest_cells("sf1")
+    sf10, prov10, flag10 = newest_cells("sf10")
+    cold01, provc, flagc = newest_cells("cold_sf0.1")
     # provenance marker: ᵉ = the cell's winning stamp lives in
     # bench_evidence/ (a prior round), not the repo root (this round)
     def ev(prov, name):
         p = prov.get(name, "")
         return "ᵉ" if os.sep + "bench_evidence" + os.sep in p else ""
+    # ᴸ = every rep of this cell ran at loadavg > 2x the run's start load
+    # — the min is a contended observation (VERDICT r16 item 4)
+    def lf(flags, name):
+        return "ᴸ" if flags.get(name) else ""
     sites = declaration_sites(names)
     specs = spec_files(names)
 
@@ -196,6 +243,9 @@ def main():
         "measurements — pre-r16 count()-action stamps are excluded as not",
         "comparable (VERDICT r15 what's-wrong 1). `ᵉ` = cell inherited from a",
         "bench_evidence/ prior-round stamp, not re-stamped at this HEAD.",
+        "`ᴸ` = load-suspect: every rep of the cell ran at loadavg > 2x the",
+        "run's start load, so the min is a contended observation — re-stamp",
+        "on a quiet box before reading it as a regression (VERDICT r16 item 4).",
         "Spec column lists test files naming",
         "the query id (every query is additionally oracle-hash-gated). Regenerate: `python3 tools/gen_index.py`.",
         "",
@@ -220,10 +270,10 @@ def main():
         ceil = "†" if name in CEILINGS and name in sf10 else ""
         lines.append(
             f"| {name} | {sites.get(name, '—')} | {specs[name]} "
-            f"| {fmt(sf01.get(name))}{warm} "
-            f"| {fmt(cold01.get(name))}{ev(provc, name)} "
-            f"| {fmt(sf1.get(name))}{ev(prov1, name)} "
-            f"| {fmt(sf10.get(name))}{ev(prov10, name)}{ceil} |")
+            f"| {fmt(sf01.get(name))}{warm}{lf(flag01, name)} "
+            f"| {fmt(cold01.get(name))}{ev(provc, name)}{lf(flagc, name)} "
+            f"| {fmt(sf1.get(name))}{ev(prov1, name)}{lf(flag1, name)} "
+            f"| {fmt(sf10.get(name))}{ev(prov10, name)}{lf(flag10, name)}{ceil} |")
     out = os.path.join(REPO, "INDEX.md")
     with open(out, "w", encoding="utf-8") as fh:
         fh.write("\n".join(lines) + "\n")
