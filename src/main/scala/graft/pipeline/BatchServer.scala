@@ -44,10 +44,19 @@ object BatchServer {
   def inverseFrequencyWeights(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     val grp = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_grp_n"))
     val tot = df.agg(count(lit(1)).as("_total"))
-    df.join(broadcast(grp), keyCols, "left")
+    // NULL-SAFE (<=>) merge-back: the declared contract treats NULL group
+    // keys as ordinary groups (reference utils.py:121-135 — dropna=False
+    // groupby + null-matching merge keys; SURVEY §2.3 J1/§2.4 A1). A
+    // using-columns join uses plain equality, so a NULL-keyed row would
+    // never match its own group row and weight would come back NULL.
+    // EqualNullSafe is still an equi-join key to Spark's planner, so the
+    // broadcast hash join is unchanged.
+    val g = grp.select(keyCols.map(c => col(c).as(s"_g_$c")) :+ col("_grp_n"): _*)
+    val cond = keyCols.map(c => col(c) <=> col(s"_g_$c")).reduce(_ && _)
+    df.join(broadcast(g), cond, "left")
       .crossJoin(broadcast(tot))
       .withColumn("weight", col("_total").cast("double") / col("_grp_n").cast("double"))
-      .drop("_grp_n", "_total")
+      .drop(keyCols.map("_g_" + _) ++ Seq("_grp_n", "_total"): _*)
   }
 
   /** 60-bit deterministic total-order key over an id column — md5-based

@@ -220,7 +220,7 @@ object AbQueries {
            |                  AS BIGINT) AS cent
            |           FROM orders GROUP BY 1),
            |r AS (SELECT cent,
-           |             ROW_NUMBER() OVER (ORDER BY cent, o_custkey) AS i,
+           |             ROW_NUMBER() OVER (ORDER BY cent, o_custkey NULLS FIRST) AS i,
            |             COUNT(*) OVER () AS n,
            |             CAST(SUM(cent) OVER () AS BIGINT) AS tot
            |      FROM s),

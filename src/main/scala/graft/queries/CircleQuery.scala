@@ -55,7 +55,8 @@ object CircleQuery {
       |    AND (a.x*(b.y-c.y)+b.x*(c.y-a.y)+c.x*(a.y-b.y)) <> 0),
       |triples AS (
       |  SELECT flag, cx, cy, sqrt((ax-cx)*(ax-cx)+(ay-cy)*(ay-cy)) AS r FROM tri0),
-      |cand AS (SELECT flag,cx,cy,r FROM pairs UNION ALL SELECT flag,cx,cy,r FROM triples),
+      |cand AS (SELECT flag,cx,cy,r FROM pairs UNION ALL SELECT flag,cx,cy,r FROM triples
+      |         UNION ALL SELECT flag, x AS cx, y AS cy, 0e0 AS r FROM hullc),
       |valid AS (
       |  SELECT c.flag, c.cx, c.cy, c.r
       |  FROM cand c JOIN colext e ON c.flag=e.flag

@@ -119,7 +119,7 @@ object CurationQueries {
             |SELECT r.lang, r.n_in, r.rate, s.n_sampled,
             |       CAST(s.n_sampled AS DOUBLE) / CAST(tot.ts AS DOUBLE) AS achieved_share
             |FROM r JOIN s ON r.lang = s.lang CROSS JOIN tot
-            |ORDER BY r.lang""".stripMargin)) { (s, d) =>
+            |ORDER BY r.lang NULLS FIRST""".stripMargin)) { (s, d) =>
     val docs = Tables.documents(s, d)
     val m = docs.agg(count(lit(1)).as("n_total"))
       .select(expr("n_total * 3 DIV 4").as("m"))
@@ -270,7 +270,7 @@ object CurationQueries {
            |            // (CAST(total AS HUGEINT) * total) AS BIGINT)
            |         AS dominance_ppm,
            |       CAST(total AS DOUBLE) * total / sq AS effective_sources
-           |FROM a ORDER BY 1""".stripMargin)) { (s, d) =>
+           |FROM a ORDER BY 1 NULLS FIRST""".stripMargin)) { (s, d) =>
     Tables.documents(s, d)
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("cnt"))

@@ -156,13 +156,18 @@ object ProfileQueries {
            |    SUM(CAST(p*p AS HUGEINT)) AS syy
            |  FROM b GROUP BY flag)
            |SELECT flag, n,
+           |  CASE WHEN (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) = 0
+           |         OR (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)) = 0
+           |       THEN NULL ELSE
            |  (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
            |    / (SQRT(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
            |     * SQRT(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
-           |    AS corr_qty_price,
+           |  END AS corr_qty_price,
+           |  CASE WHEN (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) = 0
+           |       THEN NULL ELSE
            |  (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
            |    / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
-           |    AS slope_cents_per_qty
+           |  END AS slope_cents_per_qty
            |FROM s ORDER BY flag""".stripMargin)) { (s, d) =>
     val b = Tables.lineitem(s, d).select(
       col("l_returnflag").as("flag"),
@@ -179,9 +184,17 @@ object ProfileQueries {
     val num = dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))
     val denx = dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))
     val deny = dbl(col("n")) * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy"))
+    // Degenerate groups (n=1 or constant x/y — the star leg's 1-row 'X'
+    // flag) have zero variance: corr/slope are undefined → NULL. The
+    // guard is load-bearing under ANSI, where Spark's Divide throws
+    // DIVIDE_BY_ZERO even for DOUBLE operands; the zero test is the
+    // SAME IEEE expression in both engines so the NULL decisions match
+    // bit-for-bit (the determinism doctrine above).
     m.select(col("flag"), col("n"),
-      (num / (sqrt(denx) * sqrt(deny))).as("corr_qty_price"),
-      (num / denx).as("slope_cents_per_qty"))
+      when(denx === 0.0 || deny === 0.0, lit(null).cast("double"))
+        .otherwise(num / (sqrt(denx) * sqrt(deny))).as("corr_qty_price"),
+      when(denx === 0.0, lit(null).cast("double"))
+        .otherwise(num / denx).as("slope_cents_per_qty"))
       .orderBy("flag")
   }
 
@@ -189,7 +202,13 @@ object ProfileQueries {
     * values, and orphans (child rows with no parent). No forced
     * broadcast: AQE broadcasts dim-sized parents on its own, and a
     * fact-sized parent (orders) must stay a shuffle join at scale — a
-    * broadcast() hint here would pin the wrong plan. */
+    * broadcast() hint here would pin the wrong plan.
+    *
+    * NULL-FK semantics (NULLS.md pin 4): a NULL FK references nothing
+    * and is NOT an orphan — dbt's `relationships` test semantics. The
+    * anti-join would otherwise count NULL-keyed rows (they never match),
+    * so the orphan arm filters `fk IS NOT NULL` first; completeness is
+    * q106's metric, not this one's. */
   private[graft] def refCheck(name: String,
                               child: org.apache.spark.sql.DataFrame,
                               fk: String,
@@ -197,8 +216,8 @@ object ProfileQueries {
                               pk: String): org.apache.spark.sql.DataFrame = {
     val counts = child.agg(count(lit(1)).as("child_rows"),
       countDistinct(col(fk)).as("distinct_fk"))
-    val orphans = child.join(parent.select(col(pk)),
-        col(fk) === col(pk), "left_anti")
+    val orphans = child.filter(col(fk).isNotNull)
+      .join(parent.select(col(pk)), col(fk) === col(pk), "left_anti")
       .agg(count(lit(1)).as("orphans"))
     counts.crossJoin(orphans)
       .select(lit(name).as("relationship"), col("child_rows"),
@@ -229,35 +248,40 @@ object ProfileQueries {
            |           AS distinct_fk,
            |         (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
            |            ON l.l_orderkey = o.o_orderkey
-           |          WHERE o.o_orderkey IS NULL) AS orphans
+           |          WHERE l.l_orderkey IS NOT NULL
+           |            AND o.o_orderkey IS NULL) AS orphans
            |  UNION ALL
            |  SELECT 'lineitem.l_partkey -> part',
            |         (SELECT COUNT(*) FROM lineitem),
            |         (SELECT COUNT(DISTINCT l_partkey) FROM lineitem),
            |         (SELECT COUNT(*) FROM lineitem l LEFT JOIN part p
            |            ON l.l_partkey = p.p_partkey
-           |          WHERE p.p_partkey IS NULL)
+           |          WHERE l.l_partkey IS NOT NULL
+           |            AND p.p_partkey IS NULL)
            |  UNION ALL
            |  SELECT 'lineitem.l_suppkey -> supplier',
            |         (SELECT COUNT(*) FROM lineitem),
            |         (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem),
            |         (SELECT COUNT(*) FROM lineitem l LEFT JOIN supplier s
            |            ON l.l_suppkey = s.s_suppkey
-           |          WHERE s.s_suppkey IS NULL)
+           |          WHERE l.l_suppkey IS NOT NULL
+           |            AND s.s_suppkey IS NULL)
            |  UNION ALL
            |  SELECT 'orders.o_custkey -> customer',
            |         (SELECT COUNT(*) FROM orders),
            |         (SELECT COUNT(DISTINCT o_custkey) FROM orders),
            |         (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
            |            ON o.o_custkey = c.c_custkey
-           |          WHERE c.c_custkey IS NULL)
+           |          WHERE o.o_custkey IS NOT NULL
+           |            AND c.c_custkey IS NULL)
            |  UNION ALL
            |  SELECT 'customer.c_nationkey -> nation',
            |         (SELECT COUNT(*) FROM customer),
            |         (SELECT COUNT(DISTINCT c_nationkey) FROM customer),
            |         (SELECT COUNT(*) FROM customer c LEFT JOIN nation n
            |            ON c.c_nationkey = n.n_nationkey
-           |          WHERE n.n_nationkey IS NULL)
+           |          WHERE c.c_nationkey IS NOT NULL
+           |            AND n.n_nationkey IS NULL)
            |) ORDER BY 1""".stripMargin)) { (s, d) =>
     val li = Tables.lineitem(s, d)
     Seq(

@@ -111,9 +111,18 @@ object RelationalQueries {
            |         / CAST(COUNT(*) OVER (PARTITION BY c_mktsegment, c_nationkey) AS DOUBLE) AS weight
            |FROM customer ORDER BY c_custkey""".stripMargin)) { (s, d) =>
     val c = Tables.customer(s, d)
+    // null-safe (<=>) merge-back, mirroring BatchServer
+    // .inverseFrequencyWeights: the declared contract is null-as-group
+    // (reference utils.py:121-135), and the oracle's window PARTITION BY
+    // already counts NULL keys as a group — a using-columns join would
+    // leave NULL-keyed customers with weight NULL
     val grp = c.groupBy("c_mktsegment", "c_nationkey").agg(count(lit(1)).as("grp_n"))
+      .withColumnRenamed("c_mktsegment", "_g_seg")
+      .withColumnRenamed("c_nationkey", "_g_nat")
     val tot = c.agg(count(lit(1)).as("total"))
-    c.join(broadcast(grp), Seq("c_mktsegment", "c_nationkey"), "left")
+    c.join(broadcast(grp),
+        col("c_mktsegment") <=> col("_g_seg") && col("c_nationkey") <=> col("_g_nat"),
+        "left")
       .crossJoin(broadcast(tot))
       .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
         (col("total").cast("double") / col("grp_n").cast("double")).as("weight"))
@@ -178,7 +187,7 @@ object RelationalQueries {
             |       COUNT(DISTINCT o_custkey) AS n_customers,
             |       ${Det.sql.sumMoney("o_totalprice")} AS total_price
             |FROM orders JOIN customer ON o_custkey = c_custkey
-            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)) { (s, d) =>
+            |GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST""".stripMargin)) { (s, d) =>
     // customer is NOT broadcast: at 100 TB it is fact-sized (1.5M × SF rows);
     // a shuffle hash join on the key is the scale-correct plan, and AQE
     // promotes it to broadcast automatically when the build side is small.
@@ -479,7 +488,7 @@ object RelationalQueries {
     Some("""SELECT o_custkey,
            |       array_to_string(list_sort(list(DISTINCT o_orderpriority)), '_') AS priorities,
            |       COUNT(*) AS n_orders
-           |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)) { (s, d) =>
+           |FROM orders GROUP BY o_custkey ORDER BY o_custkey NULLS FIRST""".stripMargin)) { (s, d) =>
     Tables.orders(s, d).groupBy("o_custkey")
       .agg(array_join(array_sort(collect_set(col("o_orderpriority"))), "_").as("priorities"),
         count(lit(1)).as("n_orders"))
@@ -508,7 +517,7 @@ object RelationalQueries {
            |       MAX(CASE WHEN rk_ed = 1 THEN big_lines END) AS ed_count,
            |       MAX(CASE WHEN rk_es = 1 THEN l_orderkey END) AS es_orderkey,
            |       MAX(CASE WHEN rk_es = 1 THEN big_lines END) AS es_count
-           |FROM r GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)) { (s, d) =>
+           |FROM r GROUP BY o_custkey ORDER BY o_custkey NULLS FIRST""".stripMargin)) { (s, d) =>
     // fact-fact join (lineitem ⋈ orders): shuffle on the join key, never
     // broadcast — orders is ~1.5M × SF rows.
     val cnt = li(s, d)
@@ -730,7 +739,7 @@ object RelationalQueries {
     Some("""SELECT c_nationkey,
            |       md5(array_to_string(list_sort(list(c_name)), ',')) AS fp,
            |       COUNT(*) AS n
-           |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)) { (s, d) =>
+           |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey NULLS FIRST""".stripMargin)) { (s, d) =>
     Tables.customer(s, d).groupBy("c_nationkey")
       .agg(md5(concat_ws(",", array_sort(collect_list(col("c_name"))))).as("fp"),
         count(lit(1)).as("n"))

@@ -237,7 +237,7 @@ object SubwordQueries {
             |       CAST(SUM(n_subwords) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE) AS fertility,
             |       CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_subwords) AS DOUBLE) AS chars_per_token
             |FROM d JOIN documents USING (doc_id)
-            |GROUP BY lang ORDER BY lang""".stripMargin)) { (s, d) =>
+            |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin)) { (s, d) =>
     Subword.docCounts(docs(s, d), graft.operators.TrainedBpe.vocab)
       .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
         col("n_subwords"))

@@ -48,7 +48,7 @@ object TextQueries {
            |       COUNT(DISTINCT term) AS n_terms,
            |       CAST(COUNT(*) AS DOUBLE)/CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS avg_tokens
            |FROM (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
-           |GROUP BY lang ORDER BY lang""".stripMargin)) { (s, d) =>
+           |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin)) { (s, d) =>
     docs(s, d).select(col("lang"), col("doc_id"), explode(words).as("term"))
       .groupBy("lang")
       .agg(countDistinct(col("doc_id")).as("n_docs"),

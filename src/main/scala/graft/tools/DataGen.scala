@@ -98,6 +98,31 @@ object DataGen {
         println(s"[datagen] wrote $name")
       }
 
+    // GRAFT_STAR_ADVERSARIAL=1 (VERDICT r16 next-round 1): the seventh
+    // oracle-matrix leg — the star-schema tables get the adversarial
+    // treatment the text/event/vector families already have, probing the
+    // two classes NO prior distribution contained (judge-verified zero
+    // NULLs anywhere; single uniform custkey draw):
+    //   - NULL GROUP/JOIN KEYS: ~2% of c_mktsegment and (independently)
+    //     c_nationkey are NULL — q05/q141's declared null-as-group +
+    //     null-safe-merge contract (reference utils.py:121-135) and every
+    //     GROUP BY/ORDER BY over them; ~1% of o_custkey NULL (FK
+    //     completeness/orphan accounting, nullable window partitions);
+    //     ~2% of documents.lang NULL (stored-attribute grouping);
+    //   - HOT KEY: ~10% of all orders additionally land on o_custkey 42
+    //     — the single-hot-key shape for user-partitioned windows and
+    //     the orders⋈customer shuffle join;
+    //   - EMPTY-GROUP EDGE: exactly ONE lineitem row (order 0, line 1)
+    //     carries a fourth l_returnflag value 'X' — 1-row groups through
+    //     every per-flag aggregate (stddev→NULL, 1-point Welzl, 1-row
+    //     histogram/quantiles).
+    // NULL sites are hash-chosen (pure function of id) like everything
+    // here, so the leg regenerates bit-identically at any parallelism.
+    val starAdv = sys.env.get("GRAFT_STAR_ADVERSARIAL").contains("1")
+    def nullify(c: Column, id: Column, salt: String, pctIn50: Int): Column =
+      if (starAdv) when(uint(id, salt, 50) < pctIn50, lit(null)).otherwise(c)
+      else c
+
     val regions = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
     write(spark.range(5).select(col("id").cast("int").as("r_regionkey"),
       element_at(array(regions.map(lit): _*), col("id").cast("int") + 1).as("r_name")),
@@ -109,9 +134,11 @@ object DataGen {
     write(spark.range(nCust).select(
       col("id").as("c_custkey"),
       concat(lit("Customer#"), lpad(col("id").cast("string"), 9, "0")).as("c_name"),
-      uint(col("id"), "c_nat", 25).as("c_nationkey"),
+      nullify(uint(col("id"), "c_nat", 25), col("id"), "c_nnat", 1)
+        .as("c_nationkey"),
       round(u(col("id"), "c_bal") * 11000 - 1000, 2).as("c_acctbal"),
-      pick(col("id"), "c_seg", Segments).as("c_mktsegment")), "customer")
+      nullify(pick(col("id"), "c_seg", Segments), col("id"), "c_nseg", 1)
+        .as("c_mktsegment")), "customer")
 
     write(spark.range(nSupp).select(
       col("id").as("s_suppkey"),
@@ -130,9 +157,16 @@ object DataGen {
 
     // orders: dates 1995-01-01 .. 2001-08-01 (2404 days)
     val epoch95 = lit(java.time.LocalDate.of(1995, 1, 1).toEpochDay * 86400L)
+    val baseCust = pmod(xxhash64(col("id"), lit("o_cust")), lit(nCust))
+    val custCol =
+      if (starAdv)
+        when(uint(col("id"), "o_nck", 100) < 1, lit(null)) // ~1% NULL FK
+          .when(u(col("id"), "o_hot") < 0.10, lit(42L))    // hot key
+          .otherwise(baseCust)
+      else baseCust
     val orders = spark.range(nOrders).select(
       col("id").as("o_orderkey"),
-      pmod(xxhash64(col("id"), lit("o_cust")), lit(nCust)).as("o_custkey"),
+      custCol.as("o_custkey"),
       when(uint(col("id"), "o_st", 100) < 49, "F")
         .when(uint(col("id"), "o_st", 100) < 98, "O").otherwise("P").as("o_orderstatus"),
       round(u(col("id"), "o_total") * 400000 + 900, 2).as("o_totalprice"),
@@ -155,7 +189,10 @@ object DataGen {
       round(u(col("_lid"), "l_price") * 104100 + 900, 2).as("l_extendedprice"),
       (uint(col("_lid"), "l_disc", 11).cast("double") / 100).as("l_discount"),
       (uint(col("_lid"), "l_tax", 9).cast("double") / 100).as("l_tax"),
-      pick(col("_lid"), "l_rf", Seq("A", "N", "R")).as("l_returnflag"),
+      (if (starAdv)
+        when(col("_lid") === 9, lit("X")) // order 1, line 1: a 1-row flag group
+          .otherwise(pick(col("_lid"), "l_rf", Seq("A", "N", "R")))
+      else pick(col("_lid"), "l_rf", Seq("A", "N", "R"))).as("l_returnflag"),
       pick(col("_lid"), "l_ls", Seq("O", "F")).as("l_linestatus"),
       (col("o_orderdate") + make_dt_interval(uint(col("_lid"), "l_ship", 120) + 1))
         .as("l_shipdate")), "lineitem")
@@ -193,10 +230,12 @@ object DataGen {
     val docs = spark.range(nDocs).select(
       col("id").as("doc_id"),
       array_join(words, " ").as("text"),
-      when(uint(col("id"), "d_lang", 100) < 41, "en")
-        .when(uint(col("id"), "d_lang", 100) < 56, "zh")
-        .when(uint(col("id"), "d_lang", 100) < 71, "es")
-        .when(uint(col("id"), "d_lang", 100) < 86, "fr").otherwise("de").as("lang"),
+      nullify(
+        when(uint(col("id"), "d_lang", 100) < 41, "en")
+          .when(uint(col("id"), "d_lang", 100) < 56, "zh")
+          .when(uint(col("id"), "d_lang", 100) < 71, "es")
+          .when(uint(col("id"), "d_lang", 100) < 86, "fr").otherwise("de"),
+        col("id"), "d_nlang", 1).as("lang"),
       concat(lit("src"), uint(col("id"), "d_src", 20)).as("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
     write(docs, "documents")

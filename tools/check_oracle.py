@@ -40,6 +40,14 @@ def main():
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
     all_dirs = sorted(d for d in os.listdir(out) if os.path.isdir(f"{out}/{d}"))
+    # r17 gate hole: a query that THROWS during the Verify dump leaves no
+    # directory at all and used to vanish from this compare entirely (the
+    # star leg's q109 DIVIDE_BY_ZERO was invisible for one full run).
+    # Every declared oracle key must have a dump — a missing one is a
+    # Spark-side failure, not a skip.
+    for name in sorted(set(oracle) - set(all_dirs)):
+        print(f"  {name}: MISSING SPARK DUMP (query threw during Verify?)")
+        n_fail += 1
     for name in all_dirs:
         files = glob.glob(f"{out}/{name}/*.parquet")
         if not files:

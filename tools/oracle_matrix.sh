@@ -1,5 +1,5 @@
 #!/usr/bin/env bash
-# Full oracle gate across every data distribution (r16: six) — the
+# Full oracle gate across every data distribution (r17: seven) — the
 # adversarial-validation matrix VERDICT r15 item 3 asked for. Each leg is
 # a complete Verify dump + DuckDB replay (tools/check_oracle.py) over one
 # generation of the sf0.01 table set:
@@ -10,6 +10,7 @@
 #   zipfchain  both of the above
 #   evskew     GRAFT_EVENT_SKEW=1             (hot user + boundary/tie probes)
 #   vecdegen   GRAFT_VEC_DEGEN=1              (zero-norm/dup/clustered vectors)
+#   staradv    GRAFT_STAR_ADVERSARIAL=1       (NULL keys + hot custkey + 1-row group)
 #
 # Regenerate a missing generation with e.g.:
 #   GRAFT_EVENT_SKEW=1 sbt -batch "runMain graft.tools.DataGen 0.01 testdata_gen/evskew_sf0.01"
@@ -26,9 +27,10 @@ declare -A dirs=(
   [zipfchain]=testdata_gen/zipfchain_sf0.01
   [evskew]=testdata_gen/evskew_sf0.01
   [vecdegen]=testdata_gen/vecdegen_sf0.01
+  [staradv]=testdata_gen/staradv_sf0.01
 )
 rc=0
-for leg in driver zipf chain zipfchain evskew vecdegen; do
+for leg in driver zipf chain zipfchain evskew vecdegen staradv; do
   d=${dirs[$leg]}
   if [ ! -d "$d" ]; then
     echo "[matrix] $leg: $d MISSING — regenerate (header comment)"; rc=1; continue
