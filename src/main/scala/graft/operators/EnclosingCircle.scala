@@ -42,8 +42,16 @@ object EnclosingCircle {
         Some(Circle(ux, uy, math.hypot(ax - ux, ay - uy)))
       }
     }
-    def contains(c: Circle, p: (Double, Double)): Boolean =
-      math.hypot(p._1 - c.cx, p._2 - c.cy) <= c.r * (1.0 + 1e-12) + 1e-12
+    // squared-distance form of `hypot(dx,dy) <= r·(1+1e-12)+1e-12`: both
+    // sides are non-negative so squaring preserves the predicate, and it
+    // removes a sqrt from the innermost rebuild loops (r17: q15's cost
+    // was ~1 s of hypot calls per 8.6k-point lattice, not the encoder
+    // boundary the r16 verdict guessed)
+    def contains(c: Circle, p: (Double, Double)): Boolean = {
+      val dx = p._1 - c.cx; val dy = p._2 - c.cy
+      val bound = c.r * (1.0 + 1e-12) + 1e-12
+      dx * dx + dy * dy <= bound * bound
+    }
 
     var c = Circle(pts(0)._1, pts(0)._2, 0.0)
     for (i <- 1 until pts.length) if (!contains(c, pts(i))) {
