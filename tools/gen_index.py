@@ -33,16 +33,35 @@ ACTION_EPOCH = 1786882178
 
 
 def load_flagged(doc):
-    """query -> True when NO rep of that query in `doc` ran on a quiet
-    box (every per-rep loadavg > 2x the run's start load) — the cell's
-    min is then a contended observation, not a trustworthy floor
-    (VERDICT r16 item 4: q72 16.3 s / q125 7.0 s driver spikes at
-    loadavg 4+ vs 2.95/3.23 s quiet at the same HEAD)."""
-    thresh = 2.0 * max(1.0, doc.get("load_start", 1.0))
+    """query -> True when the cell's WINNING rep ran at loadavg > 2x the
+    run's own MEDIAN per-rep load (min 2.0). The reference must be the
+    run itself, not an absolute number or the start load: a 32-thread
+    Spark suite is its own load (this box idles the 1-min runqueue in
+    the teens mid-suite; the driver box sits near 4), so only a cell
+    whose load stands out against the run's typical self-load is
+    evidence of FOREIGN contention — the r16 q72/q125 spike signature
+    (both reps inflated at loadavg 4+ on a run whose median was ~1-2,
+    vs 2.95/3.23 s quiet at the same HEAD)."""
+    all_loads = sorted(l for d in (doc.get("diag") or {}).values()
+                       for l in d.get("load", []) if l >= 0)
+    if not all_loads:
+        return {}
+    median = all_loads[len(all_loads) // 2]
+    thresh = max(2.0, 2.0 * median)
     flags = {}
     for name, d in (doc.get("diag") or {}).items():
         loads = [l for l in d.get("load", []) if l >= 0]
-        flags[name] = bool(loads) and min(loads) > thresh
+        reps = [r for r in d.get("reps", []) if r >= 0]
+        if not loads:
+            flags[name] = False
+            continue
+        # the load snapshot taken just before the winning (min) rep, when
+        # the two sequences align; conservatively min(loads) otherwise
+        if len(loads) == len(reps) and reps:
+            win_load = loads[reps.index(min(reps))]
+        else:
+            win_load = min(loads)
+        flags[name] = win_load > thresh
     return flags
 
 
@@ -243,9 +262,10 @@ def main():
         "measurements — pre-r16 count()-action stamps are excluded as not",
         "comparable (VERDICT r15 what's-wrong 1). `ᵉ` = cell inherited from a",
         "bench_evidence/ prior-round stamp, not re-stamped at this HEAD.",
-        "`ᴸ` = load-suspect: every rep of the cell ran at loadavg > 2x the",
-        "run's start load, so the min is a contended observation — re-stamp",
-        "on a quiet box before reading it as a regression (VERDICT r16 item 4).",
+        "`ᴸ` = load-suspect: the winning rep's loadavg exceeded 2x the run's",
+        "own median per-rep load — foreign contention relative to the run's",
+        "self-load; re-stamp on a quiet box before reading the cell as a",
+        "regression (VERDICT r16 item 4).",
         "Spec column lists test files naming",
         "the query id (every query is additionally oracle-hash-gated). Regenerate: `python3 tools/gen_index.py`.",
         "",
