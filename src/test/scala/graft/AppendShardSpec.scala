@@ -322,4 +322,68 @@ class AppendShardSpec extends SparkSpec {
     val r2 = Main.run(spark, s"$rootB/config2.yaml", "dedupappend")
     assert(r2("labels_changed").toLong > 0, r2.toString)
   }
+
+  test("CLI: a state torn by a PRE-r16 writer (legacy 12-hex token) refuses " +
+       "--resume with the dedupindex remedy, not an endless retry (ADVICE r16)") {
+    // r16 changed the token derivation (xxhash64 sum -> SHA-256) AND its
+    // width (12 -> 24 hex): no current binary can ever reproduce a
+    // legacy token, so the old error text ("resume with that shard's
+    // parquet") sent operators into a retry loop that always failed.
+    // Width IS the format version; a 12-hex stamp must route to rebuild.
+    val corpus = Seq((10L, textX), (20L, textZ)).toDF("doc_id", "text")
+    val shard = Seq((30L, textM)).toDF("doc_id", "text")
+    val root = Files.createTempDirectory("graft-legacytoken").toString
+    corpus.write.parquet(s"$root/docs")
+    shard.write.parquet(s"$root/shard")
+    Files.writeString(java.nio.file.Paths.get(s"$root/config.yaml"),
+      s"""paths:
+         |  documents: $root/docs
+         |  incoming: $root/shard
+         |  state_dir: $root/state
+         |""".stripMargin)
+    Main.run(spark, s"$root/config.yaml", "dedupindex")
+    // simulate the pre-r16 torn state: labels advanced under a 12-hex
+    // xxhash64-era token, bands left behind
+    Snapshots.upsert(spark, s"$root/state/labels",
+      Seq((99L, 99L)).toDF("doc_id", "cluster_id"), "doc_id",
+      meta = "dedupappend:deadbeefcafe")
+    val e = intercept[IllegalArgumentException](
+      Main.run(spark, s"$root/config.yaml", "dedupappend-resume"))
+    assert(e.getMessage.contains("LEGACY"), e.getMessage)
+    assert(e.getMessage.contains("dedupindex"), e.getMessage)
+    assert(!e.getMessage.contains("resume with that shard"),
+      "the unfollowable retry advice must not be the remedy: " + e.getMessage)
+  }
+
+  test("appendSink: a FOREIGN writer's advance behind the cached head fails " +
+       "loudly within the revalidation window (ADVICE r16)") {
+    // The r16 head cache made torn-by-foreign-writer detection run only
+    // on a closure's FIRST batch — a long-lived sink would silently
+    // merge against stale pinned versions forever. r17 revalidates disk
+    // truth every 16 batches; this drives the sink closure directly (as
+    // foreachBatch would) past one window with an out-of-band upsert in
+    // the middle and expects the loud refusal, not silent masking.
+    val corpus = Seq((10L, textX), (20L, textZ)).toDF("doc_id", "text")
+    val root = Files.createTempDirectory("graft-sinkforeign").toString
+    corpus.write.parquet(s"$root/docs")
+    Files.writeString(java.nio.file.Paths.get(s"$root/config.yaml"),
+      s"""paths:
+         |  documents: $root/docs
+         |  state_dir: $root/state
+         |""".stripMargin)
+    Main.run(spark, s"$root/config.yaml", "dedupindex")
+    val sink = CorpusDedup.appendSink(s"$root/state", "spec")
+    sink(Seq((30L, textM)).toDF("doc_id", "text"), 0L) // seeds the cache
+    // one-live-writer discipline broken out-of-band:
+    Snapshots.upsert(spark, s"$root/state/labels",
+      Seq((99L, 99L)).toDF("doc_id", "cluster_id"), "doc_id",
+      meta = "foreign:writer")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      var b = 1L
+      while (b <= 20L) { sink(empty, b); b += 1 } // crosses the window
+    }
+    assert(e.getMessage.contains("FOREIGN"), e.getMessage)
+    assert(e.getMessage.contains("restart"), e.getMessage)
+  }
 }

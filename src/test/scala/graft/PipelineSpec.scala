@@ -190,6 +190,35 @@ class PipelineSpec extends SparkSpec {
     assert(bySeg.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("inverseFrequencyWeights: NULL keys are groups, matched null-safely (r17)") {
+    // the declared contract (reference utils.py:121-135, SURVEY §2.3 J1 /
+    // §2.4 A1): dropna=False grouping + null-MATCHING merge keys. The
+    // r17 star leg exposed that a using-columns join left NULL-keyed
+    // rows with weight NULL — this pins the <=> behavior.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("seg", StringType, nullable = true),
+      StructField("nat", IntegerType, nullable = true)))
+    val rows = Seq(
+      Row(1L, "A", Integer.valueOf(1)), Row(2L, "A", Integer.valueOf(1)),
+      Row(3L, null, Integer.valueOf(1)), Row(4L, null, Integer.valueOf(1)),
+      Row(5L, null, null), Row(6L, "B", null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val w = BatchServer.inverseFrequencyWeights(df, Seq("seg", "nat"))
+      .select("id", "weight").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // total=6; groups: (A,1)=2, (null,1)=2, (null,null)=1, (B,null)=1
+    assert(w(1L) == 3.0 && w(2L) == 3.0)
+    assert(w(3L) == 3.0 && w(4L) == 3.0, s"NULL-keyed rows must match their own group: $w")
+    assert(w(5L) == 6.0 && w(6L) == 6.0)
+    // no row may come back with a NULL weight (the pre-r17 bug shape)
+    val n = BatchServer.inverseFrequencyWeights(df, Seq("seg", "nat"))
+      .filter(col("weight").isNull).count()
+    assert(n == 0, "null-safe merge must weight every row")
+  }
+
   test("weightedDraw intervals tile [0, W) exactly — every draw hits one row") {
     // zero-weight rows and duplicate weights included: integer micro-unit
     // cumsums must leave no gaps/overlaps, so N draws return exactly N rows

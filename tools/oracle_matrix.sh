@@ -1,5 +1,5 @@
 #!/usr/bin/env bash
-# Full oracle gate across every data distribution (r17: seven) — the
+# Full oracle gate across every data distribution (r17: eight) — the
 # adversarial-validation matrix VERDICT r15 item 3 asked for. Each leg is
 # a complete Verify dump + DuckDB replay (tools/check_oracle.py) over one
 # generation of the sf0.01 table set:
@@ -11,6 +11,7 @@
 #   evskew     GRAFT_EVENT_SKEW=1             (hot user + boundary/tie probes)
 #   vecdegen   GRAFT_VEC_DEGEN=1              (zero-norm/dup/clustered vectors)
 #   staradv    GRAFT_STAR_ADVERSARIAL=1       (NULL keys + hot custkey + 1-row group)
+#   omni       ALL FIVE modes composed        (zipf + chain + evskew + vecdegen + staradv)
 #
 # Regenerate a missing generation with e.g.:
 #   GRAFT_EVENT_SKEW=1 sbt -batch "runMain graft.tools.DataGen 0.01 testdata_gen/evskew_sf0.01"
@@ -28,9 +29,10 @@ declare -A dirs=(
   [evskew]=testdata_gen/evskew_sf0.01
   [vecdegen]=testdata_gen/vecdegen_sf0.01
   [staradv]=testdata_gen/staradv_sf0.01
+  [omni]=testdata_gen/omni_sf0.01
 )
 rc=0
-for leg in driver zipf chain zipfchain evskew vecdegen staradv; do
+for leg in driver zipf chain zipfchain evskew vecdegen staradv omni; do
   d=${dirs[$leg]}
   if [ ! -d "$d" ]; then
     echo "[matrix] $leg: $d MISSING — regenerate (header comment)"; rc=1; continue
