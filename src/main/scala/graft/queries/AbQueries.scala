@@ -18,9 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object AbQueries {
 
-  /** per-user conversion + metrics frame shared by q117/q118. */
+  /** per-user conversion + metrics frame shared by q117/q118. A NULL
+    * user_id is not an identity (NULLS.md pin 5): arm assignment,
+    * recency/frequency/monetary — all meaningless without one. */
   private def perUser(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
       .groupBy(col("user_id"))
       .agg(
         max(when(col("event_type") === "purchase" && col("value") >= 90.0,
@@ -53,7 +56,7 @@ object AbQueries {
             |             MAX(CASE WHEN event_type = 'purchase'
             |                       AND value >= 90.0
             |                      THEN 1 ELSE 0 END) AS conv
-            |          FROM events GROUP BY 1),
+            |          FROM events WHERE user_id IS NOT NULL GROUP BY 1),
             |arms AS (SELECT CASE WHEN ${Det.sql.hex60("h")} % 2 = 0
             |                     THEN 'control' ELSE 'treatment' END AS arm,
             |                conv FROM u),
@@ -152,7 +155,7 @@ object AbQueries {
            |             MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS last_es,
            |             COUNT(*) AS freq,
            |             SUM(CAST(ROUND((value)*100) AS BIGINT)) AS cent
-           |        FROM events GROUP BY 1),
+           |        FROM events WHERE user_id IS NOT NULL GROUP BY 1),
            |b AS (SELECT user_id, cent,
            |        CAST(NTILE(4) OVER (ORDER BY last_es, user_id) AS BIGINT)
            |          AS r_bin,

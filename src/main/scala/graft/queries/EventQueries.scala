@@ -61,7 +61,7 @@ object EventQueries {
     Some("""WITH e AS (
            |  SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
            |         ts
-           |  FROM events),
+           |  FROM events WHERE user_id IS NOT NULL),
            |f AS (
            |  SELECT user_id, event_id, es,
            |         CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
@@ -82,6 +82,7 @@ object EventQueries {
     val byUserEs = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, d)
+      .filter(col("user_id").isNotNull) // sessions need an identity (NULLS.md 5)
       .select(col("user_id"), col("event_id"), col("ts"),
         unix_timestamp(col("ts")).as("es"))
       .withColumn("new_session",
@@ -131,7 +132,8 @@ object EventQueries {
     * actual rule and now both engines pin it. */
   val q24d = DeclaredQuery(
     "q24d_session_window",
-    Some("""WITH e AS (SELECT user_id, event_id, epoch(ts) AS es FROM events),
+    Some("""WITH e AS (SELECT user_id, event_id, epoch(ts) AS es FROM events
+           |           WHERE user_id IS NOT NULL),
            |f AS (SELECT user_id, event_id, es,
            |        CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
            |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
@@ -143,6 +145,7 @@ object EventQueries {
            |       COUNT(*) AS n_events
            |FROM g GROUP BY user_id, snr ORDER BY user_id, start_epoch""".stripMargin)) { (s, d) =>
     Tables.events(s, d)
+      .filter(col("user_id").isNotNull) // identity rule (NULLS.md 5)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"),
@@ -475,7 +478,8 @@ object EventQueries {
   val q99 = DeclaredQuery(
     "q99_rolling_wau",
     Some(s"""WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
-            |                  md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+            |                  md5(CAST(user_id AS VARCHAR)) AS h FROM events
+            |            WHERE user_id IS NOT NULL),
             |dh AS (SELECT DISTINCT day, ${Det.sql.hex60("h")} AS hv FROM du),
             |td AS (SELECT DISTINCT day FROM dh),
             |w2 AS (SELECT DISTINCT t.day AS day, d.hv
@@ -495,6 +499,7 @@ object EventQueries {
     import graft.operators.KmvSketch
     val DayUs = 86400L * 1000000L
     val dh = Tables.events(s, d)
+      .filter(col("user_id").isNotNull) // WAU counts identities (NULLS.md 5)
       .select(expr(s"unix_micros(ts) DIV $DayUs").as("day"), col("user_id"))
       .distinct()
       .select(col("day"), Det.hex60(md5(col("user_id").cast("string"))).as("hv"))
@@ -574,8 +579,10 @@ object EventQueries {
            |       COUNT(*) FILTER (WHERE event_type = 'purchase') AS "purchase",
            |       COUNT(*) FILTER (WHERE event_type = 'signup') AS "signup",
            |       COUNT(*) FILTER (WHERE event_type = 'view') AS "view"
-           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)) { (s, d) =>
+           |FROM events WHERE user_id IS NOT NULL
+           |GROUP BY user_id ORDER BY user_id""".stripMargin)) { (s, d) =>
     Tables.events(s, d)
+      .filter(col("user_id").isNotNull) // identity rule (NULLS.md 5)
       .groupBy("user_id")
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(count(lit(1)))
@@ -647,8 +654,8 @@ object EventQueries {
     * cross join, array algebra on ≤128 longs — no set ever shuffles. */
   val q104 = DeclaredQuery(
     "q104_audience_overlap",
-    Some(s"""WITH ua AS (SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h FROM events WHERE event_type = 'view'),
-            |ub AS (SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h FROM events WHERE event_type = 'purchase'),
+    Some(s"""WITH ua AS (SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h FROM events WHERE event_type = 'view' AND user_id IS NOT NULL),
+            |ub AS (SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
             |va AS (SELECT DISTINCT ${Det.sql.hex60("h")} AS hv FROM ua),
             |vb AS (SELECT DISTINCT ${Det.sql.hex60("h")} AS hv FROM ub),
             |vu AS (SELECT hv FROM va UNION SELECT hv FROM vb),
@@ -675,6 +682,7 @@ object EventQueries {
     import graft.operators.KmvSketch
     val K = KmvSketch.K
     val ev = Tables.events(s, d)
+      .filter(col("user_id").isNotNull) // audiences are identities (NULLS.md 5)
       .select(col("event_type"), Det.hex60(md5(col("user_id").cast("string"))).as("hv"))
     def arm(t: String, n: String, st: String) =
       ev.filter(col("event_type") === t).select("hv").distinct()
@@ -720,7 +728,8 @@ object EventQueries {
   val q107 = DeclaredQuery(
     "q107_scd2_history",
     Some("""WITH e AS (SELECT user_id, event_id, event_type,
-           |                 CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),
+           |                 CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events
+           |           WHERE user_id IS NOT NULL),
            |c AS (SELECT *, lag(event_type) OVER
            |        (PARTITION BY user_id ORDER BY es, event_id) AS prev
            |      FROM e),
@@ -736,6 +745,7 @@ object EventQueries {
            |ORDER BY user_id, version""".stripMargin)) { (s, d) =>
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
     val ch = Tables.events(s, d)
+      .filter(col("user_id").isNotNull) // identity rule (NULLS.md 5)
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_timestamp(col("ts")).as("es"))
       .withColumn("prev", lag(col("event_type"), 1).over(byUser))
@@ -832,7 +842,7 @@ object EventQueries {
   val q112 = DeclaredQuery(
     "q112_gap_fill",
     Some("""WITH e AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
-           |                 value FROM events),
+           |                 value FROM events WHERE user_id IS NOT NULL),
            |hourly AS (SELECT user_id, es // 3600 AS h,
            |                  SUM(CAST(ROUND((value)*100) AS BIGINT)) AS cent
            |           FROM e GROUP BY 1, 2),
@@ -854,6 +864,7 @@ object EventQueries {
            |       CAST(SUM(filled) AS DOUBLE)/1e2 AS locf_value_sum
            |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)) { (s, d) =>
     val e = Tables.events(s, d)
+      .filter(col("user_id").isNotNull) // identity rule (NULLS.md 5)
       .select(col("user_id"), unix_timestamp(col("ts")).as("es"), col("value"))
     val hourly = e
       .groupBy(col("user_id"), expr("es DIV 3600").as("h"))
@@ -1119,7 +1130,7 @@ object EventQueries {
     Some("""WITH ud AS (SELECT DISTINCT user_id,
            |                   CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400
            |                     AS day
-           |            FROM events),
+           |            FROM events WHERE user_id IS NOT NULL),
            |f AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY 1),
            |lagd AS (SELECT user_id, day,
            |                LAG(day) OVER (PARTITION BY user_id
@@ -1146,6 +1157,7 @@ object EventQueries {
            |FROM cls c LEFT JOIN churn ch ON c.day = ch.day
            |GROUP BY 1 ORDER BY 1""".stripMargin)) { (s, d) =>
     val ud = Tables.events(s, d)
+      .filter(col("user_id").isNotNull) // identity rule (NULLS.md 5)
       .select(col("user_id"), expr("unix_timestamp(ts) DIV 86400").as("day"))
       .distinct()
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("day"))

@@ -111,7 +111,8 @@ object TimeSeriesQueries {
            |           (PARTITION BY user_id
            |            ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id)
            |           AS i
-           |  FROM events WHERE event_type IN ('purchase', 'click')),
+           |  FROM events WHERE event_type IN ('purchase', 'click')
+           |    AND user_id IS NOT NULL),
            |n AS (SELECT user_id, MAX(i) AS n FROM e GROUP BY 1),
            |walk AS (
            |  SELECT e.user_id, e.i, GREATEST(0, e.delta) AS bal,
@@ -131,6 +132,7 @@ object TimeSeriesQueries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val e = Tables.events(s, d)
       .filter(col("event_type").isin("purchase", "click"))
+      .filter(col("user_id").isNotNull) // identity rule (NULLS.md 5)
       .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
         col("event_id"),
         when(col("event_type") === "purchase", Det.cents(col("value")))
@@ -167,7 +169,7 @@ object TimeSeriesQueries {
     Some("""WITH e AS (SELECT user_id, event_id,
            |                 CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
            |                 CAST(ROUND((value)*100) AS BIGINT) AS cent
-           |          FROM events),
+           |          FROM events WHERE user_id IS NOT NULL),
            |w AS (SELECT user_id, cent, es,
            |             LEAD(es) OVER (PARTITION BY user_id
            |                            ORDER BY es, event_id) AS nxt
@@ -182,6 +184,7 @@ object TimeSeriesQueries {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("es"), col("event_id"))
     Tables.events(s, d)
+      .filter(col("user_id").isNotNull) // identity rule (NULLS.md 5)
       .select(col("user_id"), col("event_id"),
         unix_timestamp(col("ts")).as("es"), Det.cents(col("value")).as("cent"))
       .withColumn("nxt", lead(col("es"), 1).over(byUser))

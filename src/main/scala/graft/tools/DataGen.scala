@@ -325,11 +325,19 @@ object DataGen {
     // events (ANSI catches it); id * gap stays far inside the range
     def tsUs(i: Column): Column =
       epoch24us + i * lit(spanUs / nEvents) + pmod(xxhash64(i, lit("ev_j")), lit(2000000L))
-    def usr(i: Column): Column =
-      if (evSkew)
-        when(u(i, "ev_hot") < 0.10, lit(0L))
-          .otherwise(pmod(xxhash64(i, lit("ev_u")), lit(nUsers)))
-      else pmod(xxhash64(i, lit("ev_u")), lit(nUsers))
+    def usr(i: Column): Column = {
+      val base =
+        if (evSkew)
+          when(u(i, "ev_hot") < 0.10, lit(0L))
+            .otherwise(pmod(xxhash64(i, lit("ev_u")), lit(nUsers)))
+        else pmod(xxhash64(i, lit("ev_u")), lit(nUsers))
+      // staradv (r17): ~0.5% NULL user_id — the user-partitioned
+      // session/window family had never seen a NULL partition key. The
+      // nullify lives INSIDE usr() so evskew echo rows (which re-evaluate
+      // usr at the anchor id) reproduce the anchor's NULL consistently.
+      if (starAdv) when(uint(i, "ev_nusr", 200) < 1, lit(null)).otherwise(base)
+      else base
+    }
     val id = col("id")
     val (tsCol, usrCol, typCol) =
       if (!evSkew)
