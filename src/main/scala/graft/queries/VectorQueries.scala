@@ -569,16 +569,25 @@ object VectorQueries {
 
   /** nearest codeword per (vec, subspace): one corpus scan against the
     * broadcast codebook, L2 via the dot-product identity, ties to the
-    * lower code. `dist` is the exact squared subspace residual. */
+    * lower code. `dist` is the exact squared subspace residual.
+    *
+    * r18 (guide §2.3 "aggregate before you shuffle"): the winner was a
+    * `row_number` window over the 16-candidate fan-out — an exchange +
+    * sort of 16 rows per (vec, sub). `min(struct(dist, code, vs))` picks
+    * the SAME row (struct order compares dist first, then code; code is
+    * unique per group so the (dist asc, code asc) tie-break is identical
+    * and the vs payload is never compared) but partial-aggregates
+    * map-side: the fan-out collapses before the shuffle, which now
+    * carries one row per (vec, sub), and the sort disappears. */
   private def pqAssign(subs: DataFrame, cent: DataFrame): DataFrame = subs
     .join(broadcast(cent), Seq("sub"))
     .withColumn("dist",
       dot(col("vs"), col("vs")) - lit(2) * dot(col("vs"), col("cv"))
         + dot(col("cv"), col("cv")))
-    .withColumn("ark", row_number().over(
-      Window.partitionBy(col("vec_id"), col("sub"))
-        .orderBy(col("dist").asc, col("code"))))
-    .filter(col("ark") === 1)
+    .groupBy(col("vec_id"), col("sub"))
+    .agg(min(struct(col("dist"), col("code"), col("vs"))).as("_m"))
+    .select(col("vec_id"), col("sub"), col("_m.code").as("code"),
+      col("_m.dist").as("dist"), col("_m.vs").as("vs"))
 
   val q55 = DeclaredQuery(
     "q55_product_quantize",
