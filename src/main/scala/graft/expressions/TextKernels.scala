@@ -2,8 +2,8 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native kernel for q32's position-weighted rolling fingerprint
@@ -48,6 +48,85 @@ object TextKernels {
     }
     acc % 1000000007L
   }
+}
+
+/** Per-document n-gram repetition statistics for q59 — r18 (guide §2.3/
+  * §2.4): the fractions depend ONLY on the row's own token array, so the
+  * explode → two corpus-sized (doc_id, gram) hash-aggs → merge-back plan
+  * shuffled gram strings for a value each task could compute locally.
+  * This kernel computes both fractions in one pass per row: zero
+  * exchanges (the declared ORDER BY aside), embarrassingly parallel at
+  * any scale.
+  *
+  * Exact semantics of the replaced plan (spec-pinned in TextKernelsSpec
+  * against the original explode/agg formulation):
+  *  - top_bigram_frac = 2.0 · max bigram count / n  (0.0 when n < 2)
+  *  - dup_trigram_frac = Σ c>1 counts / Σ counts     (0.0 when n < 3)
+  * with the same double expression trees (2.0·max first, then divide;
+  * integer sums cast to double, then divide); grams compare as their
+  * space-joined strings, exactly `concat_ws(' ', ...)` equality (tokens
+  * are split on ' ' so the join is injective). NULL token array → NULL
+  * struct (callers coalesce to 0.0 exactly like the old left joins).
+  *
+  * CodegenFallback is fine here (the BufferStats precedent): one eval
+  * per row with a primitive loop inside, not per-element interpretation.
+  */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"repetition_stats expects array<string>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("top_bigram_frac", DoubleType, nullable = false),
+    StructField("dup_trigram_frac", DoubleType, nullable = false)))
+  override def prettyName: String = "repetition_stats"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    var top = 0.0
+    var dup = 0.0
+    if (n >= 2) {
+      val toks = new Array[String](n)
+      var i = 0
+      while (i < n) { toks(i) = arr.getUTF8String(i).toString; i += 1 }
+      val m2 = new java.util.HashMap[String, Int]((n * 2) max 16)
+      i = 0
+      while (i < n - 1) {
+        m2.merge(toks(i) + " " + toks(i + 1), 1, (a, b) => a + b)
+        i += 1
+      }
+      var mx = 0
+      val it2 = m2.values().iterator()
+      while (it2.hasNext) { val c = it2.next(); if (c > mx) mx = c }
+      top = 2.0 * mx.toDouble / n.toDouble
+      if (n >= 3) {
+        val m3 = new java.util.HashMap[String, Int]((n * 2) max 16)
+        i = 0
+        while (i < n - 2) {
+          m3.merge(toks(i) + " " + toks(i + 1) + " " + toks(i + 2), 1, (a, b) => a + b)
+          i += 1
+        }
+        var dupSum = 0L
+        var tot = 0L
+        val it3 = m3.values().iterator()
+        while (it3.hasNext) {
+          val c = it3.next()
+          tot += c
+          if (c > 1) dupSum += c
+        }
+        dup = dupSum.toDouble / tot.toDouble
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(top, dup)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 case class RollingFp(child: Expression) extends UnaryExpression {

@@ -74,7 +74,10 @@ object GraphQueries {
            |$iterSql
            |SELECT v, r AS rank_scaled FROM p$Iters ORDER BY v""".stripMargin)
     }) { (s, d) =>
-    val nodes = s.range(0, N.toLong).select(col("id").as("v"))
+    // 4 slices, not defaultParallelism: the range is a pinned 2,000 rows
+    // at every sf, and 3 unioned scans at 32 slices each meant ~96
+    // near-empty map tasks of pure launch overhead per pass (JobProfile)
+    val nodes = s.range(0, N.toLong, 1, 4).select(col("id").as("v"))
     val e = nodes.select(col("v").as("src"), ((col("v") * 31 + 7) % N).as("dst"))
       .union(nodes.select(col("v"), (col("v") * 97 + 3) % N))
       .union(nodes.select(col("v"), (col("v") * 233 + 11) % N))
@@ -159,7 +162,10 @@ object GraphQueries {
            |       CAST(3000000 * n_triangles // n_wedges AS BIGINT) AS closure_ppm
            |FROM agg""".stripMargin)
     }) { (s, d) =>
-    val nodes = s.range(0, N.toLong).select(col("id").as("v"))
+    // 4 slices, not defaultParallelism: the range is a pinned 2,000 rows
+    // at every sf, and 3 unioned scans at 32 slices each meant ~96
+    // near-empty map tasks of pure launch overhead per pass (JobProfile)
+    val nodes = s.range(0, N.toLong, 1, 4).select(col("id").as("v"))
     val raw = nodes.select(col("v").as("s"), ((col("v") * 31 + 7) % N).as("t"))
       .union(nodes.select(col("v"), (col("v") * 97 + 3) % N))
       .union(nodes.select(col("v"), (col("v") * 233 + 11) % N))
@@ -179,8 +185,13 @@ object GraphQueries {
     // eager fill: the broadcast builds below run on concurrent threads and
     // would otherwise race the lazy cache fill (the r11 CC finding)
     ed.count()
+    // deg feeds THREE consumers (the two orientation joins and nWedges)
+    // and oriented TWO (both wedge-join sides) — persist both so each is
+    // computed once instead of once per broadcast subtree (JobProfile:
+    // the overlapping 1-2 s broadcast-build jobs were recomputing these)
     val deg = ed.select(col("a").as("v")).union(ed.select(col("b")))
-      .groupBy("v").agg(count(lit(1)).as("d"))
+      .groupBy("v").agg(count(lit(1)).as("d")).persist()
+    deg.count()
     // orient by (degree, id): src = the endpoint that sorts lower — the
     // √m out-degree bound that keeps the wedge self-join skew-free
     val withDeg = ed
@@ -191,6 +202,8 @@ object GraphQueries {
         struct(col("a").as("src"), col("b").as("dst")))
         .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist()
+    oriented.count()
     val o1 = oriented.as("o1")
     val o2 = oriented.as("o2")
     // wedges at the pivot: two out-edges of the same src, the (dst, dst)

@@ -1290,30 +1290,21 @@ object TextQueries {
            |        OR COALESCE(dup_trigram_frac, 0.0) > 0.30) AS repetitive
            |FROM n LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
            |ORDER BY n.doc_id""".stripMargin)) { (s, d) =>
-    val t = docs(s, d).select(col("doc_id"), words.as("toks"))
-      .withColumn("n", size(col("toks")).cast("long"))
-    def grams(k: Int): DataFrame = {
-      val mk = (0 until k).map(j => s"toks[i+$j]").mkString(", ")
-      t.filter(col("n") >= k)
-        .select(col("doc_id"), col("n"),
-          explode(expr(s"transform(sequence(0, size(toks)-$k), i -> concat_ws(' ', $mk))"))
-            .as("gram"))
-    }
-    val top2 = grams(2)
-      .groupBy("doc_id", "gram").agg(max("n").as("n"), count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg((lit(2.0) * max(col("c")) / max(col("n"))).as("top_bigram_frac"))
-    val dup3 = grams(3)
-      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg((sum(when(col("c") > 1, col("c")).otherwise(lit(0))).cast("double")
-        / sum(col("c")).cast("double")).as("dup_trigram_frac"))
-    t.select(col("doc_id"), col("n").as("n_tokens"))
-      .join(top2, Seq("doc_id"), "left")
-      .join(dup3, Seq("doc_id"), "left")
+    // r18: both fractions depend only on the row's own token array — the
+    // previous explode → two (doc_id, gram) hash-aggs → left-join-back
+    // plan shuffled corpus-sized gram strings for a per-row-computable
+    // value. RepetitionStats computes them in one pass per row (exact
+    // semantics spec-pinned in TextKernelsSpec against the old plan);
+    // the only exchange left is the declared ORDER BY.
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val rs = ColumnShim.column(graft.expressions.RepetitionStats(
+      ColumnShim.expression(col("toks"))))
+    docs(s, d).select(col("doc_id"), words.as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        rs.as("_rs"))
       .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
-        coalesce(col("dup_trigram_frac"), lit(0.0)).as("dup_trigram_frac"))
+        coalesce(col("_rs.top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
+        coalesce(col("_rs.dup_trigram_frac"), lit(0.0)).as("dup_trigram_frac"))
       .withColumn("repetitive",
         col("top_bigram_frac") > 0.18 || col("dup_trigram_frac") > 0.30)
       .orderBy("doc_id")

@@ -532,11 +532,18 @@ object VectorQueries {
   private def pqTrain(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // persisted (r18): subs feeds the c0-assignment chain that the c1
+    // literalFrame collect executes at build time, the caller's final
+    // reassignment, AND (for q56) the probe frame — without the cache
+    // the embeddings scan + 4-way explode re-ran once per consumer. The
+    // single training collect fills it; later actions read the cache
+    // (Bench/Verify cleanup unpersists between queries).
     val subs = e
       .select(col("vec_id"), col("v"),
         explode(array((0 until 4).map(lit): _*)).as("sub"))
       .select(col("vec_id"), col("sub"),
         slice(col("v"), col("sub") * 16 + 1, lit(16)).as("vs"))
+      .persist()
     // seeded init: the 16 md5-picked vectors donate their subvectors as
     // each subspace's initial codebook (same pick trick as q43)
     val skey = md5(concat_ws(":", col("vec_id").cast("string"), lit("pqseed")))
