@@ -129,6 +129,144 @@ case class RepetitionStats(child: Expression)
     copy(child = newChild)
 }
 
+/** Exact length of the union of fixed-width integer intervals
+  * [s, s+width-1] over the row's own span-start array — q66's per-doc
+  * duplicate-token coverage, r18. Replaces the 8× position explode →
+  * corpus-wide (doc, position) DISTINCT → per-doc count chain with one
+  * sort + sweep per row: `COUNT(DISTINCT i+o, o ∈ [0,width))` over a
+  * doc's spans IS the union length of its width-wide intervals. The
+  * start list is bounded by the document's own token count (the same
+  * bound as the token array itself), so unlike a per-GRAM list this
+  * cannot hot-key at scale. NULL/empty array → 0 via the caller's
+  * coalesce, matching the old left join.
+  *
+  * CodegenFallback: one eval per row, primitive sort + sweep inside
+  * (BufferStats precedent). */
+case class CoverageLen(child: Expression, width: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"coverage_len expects array<bigint>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "coverage_len"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    if (n == 0) 0L
+    else {
+      val starts = new Array[Long](n)
+      var i = 0
+      while (i < n) { starts(i) = arr.getLong(i); i += 1 }
+      java.util.Arrays.sort(starts)
+      var total = 0L
+      var coveredTo = Long.MinValue // exclusive end of covered prefix
+      i = 0
+      while (i < n) {
+        val s = starts(i)
+        val e = s + width
+        if (e > coveredTo) {
+          total += e - math.max(s, coveredTo)
+          coveredTo = e
+        }
+        i += 1
+      }
+      total
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** q112's gap-fill rollup computed from the user's OBSERVED hours only —
+  * r18. The previous plan exploded each user's full hour span into grid
+  * rows (span-sized, the query's sf10 cost), left-joined the hourly
+  * frame back, ran a LOCF window, and re-aggregated. Every output is
+  * derivable from the sorted (hour, cent) pairs alone:
+  *   n_hours   = h_max − h_min + 1
+  *   n_observed= count of non-NULL cents
+  *   locf_sum  = Σ run_i · (h_{i+1} − h_i) + run_last · (h_max − h_last + 1)
+  * where run is the last non-NULL cent at or before the segment start —
+  * exactly `SUM(last(cent, ignoreNulls) OVER (... ROWS UNBOUNDED
+  * PRECEDING))` over the grid, because filled is constant between
+  * observed hours. cent·gap ≡ gap-fold addition mod 2⁶⁴, so the long
+  * arithmetic matches the replaced window+sum bit-for-bit (no overflow
+  * occurs on any gated corpus; the oracle would fail loudly otherwise).
+  * Input pairs are one per DISTINCT observed hour of one user — bounded
+  * by the user's event count, the same bound the old window partition
+  * had. Returns struct(n_hours, n_observed, locf_cent_sum  — the last
+  * NULL when no non-NULL cent exists, matching SUM over all-NULL).
+  *
+  * CodegenFallback: one eval per row, sort + sweep inside (BufferStats
+  * precedent). */
+case class LocfGridStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(Array(
+      StructField(_, LongType, _, _), StructField(_, LongType, _, _))), _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"locf_grid_stats expects array<struct<h:bigint,cent:bigint>>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_hours", LongType, nullable = false),
+    StructField("n_observed", LongType, nullable = false),
+    StructField("locf_cent_sum", LongType, nullable = true)))
+  override def prettyName: String = "locf_grid_stats"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    if (n == 0) null
+    else {
+      val hs = new Array[Long](n)
+      val cents = new Array[Long](n)
+      val isNullCent = new Array[Boolean](n)
+      var i = 0
+      while (i < n) {
+        val st = arr.getStruct(i, 2)
+        hs(i) = st.getLong(0)
+        if (st.isNullAt(1)) isNullCent(i) = true else cents(i) = st.getLong(1)
+        i += 1
+      }
+      // sort the three parallel arrays by hour (hours are distinct per user)
+      val idx = Array.range(0, n).map(Integer.valueOf)
+      java.util.Arrays.sort(idx, (a: Integer, b: Integer) =>
+        java.lang.Long.compare(hs(a), hs(b)))
+      val h0 = hs(idx(0))
+      val h1 = hs(idx(n - 1))
+      var nObs = 0L
+      var locf = 0L
+      var run = 0L
+      var runDefined = false
+      var anySum = false
+      i = 0
+      while (i < n) {
+        val k = idx(i)
+        if (!isNullCent(k)) { run = cents(k); runDefined = true; nObs += 1 }
+        if (runDefined) {
+          val next = if (i < n - 1) hs(idx(i + 1)) else h1 + 1
+          locf += run * (next - hs(k))
+          anySum = true
+        }
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(
+        h1 - h0 + 1, nObs, if (anySum) locf else null)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class RollingFp(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

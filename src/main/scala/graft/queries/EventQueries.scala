@@ -869,18 +869,26 @@ object EventQueries {
     val hourly = e
       .groupBy(col("user_id"), expr("es DIV 3600").as("h"))
       .agg(sum(Det.cents(col("value"))).as("cent"))
-    val grid = hourly
-      .groupBy("user_id").agg(min("h").as("h0"), max("h").as("h1"))
-      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
-    val locf = Window.partitionBy(col("user_id")).orderBy(col("h"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(hourly, Seq("user_id", "h"), "left")
-      .withColumn("filled", last(col("cent"), ignoreNulls = true).over(locf))
-      .groupBy("user_id")
-      .agg(count(lit(1)).as("n_hours"),
-        count(col("cent")).as("n_observed"),
-        (count(lit(1)) - count(col("cent"))).as("n_gap"),
-        Det.unCents(sum(col("filled"))).as("locf_value_sum"))
+    // r18: the previous plan exploded each user's FULL hour span into a
+    // grid (span-sized rows — the query's sf10 cost), left-joined hourly
+    // back, ran the LOCF window, and re-aggregated. Every reported value
+    // is a function of the user's observed (h, cent) pairs alone, so one
+    // user-keyed agg + the LocfGridStats sort-and-sweep kernel (segment
+    // length × running value ≡ the grid's hour-by-hour LOCF sum,
+    // spec-pinned in TextKernelsSpec) replaces grid + join + window.
+    // The pair list is bounded by the user's event count — the same
+    // bound the old window partition had.
+    val k = {
+      import org.apache.spark.sql.graftshim.ColumnShim
+      ColumnShim.column(graft.expressions.LocfGridStats(
+        ColumnShim.expression(collect_list(struct(col("h"), col("cent"))))))
+    }
+    hourly.groupBy("user_id").agg(k.as("_k"))
+      .select(col("user_id"),
+        col("_k.n_hours").as("n_hours"),
+        col("_k.n_observed").as("n_observed"),
+        (col("_k.n_hours") - col("_k.n_observed")).as("n_gap"),
+        Det.unCents(col("_k.locf_cent_sum")).as("locf_value_sum"))
       .orderBy("user_id")
   }
 

@@ -1572,13 +1572,21 @@ object TextQueries {
       .agg(countDistinct(col("doc_id")).as("_nd"))
       .filter(col("_nd") >= 2).select("g")
     val j = spans.join(dup, "g").select("doc_id", "i")
-    val nds = j.groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
-    val dt = j.select(col("doc_id"), explode(sequence(col("i"), col("i") + 7)).as("p"))
-      .distinct()
-      .groupBy("doc_id").agg(count(lit(1)).as("dup_tokens"))
+    // r18: dup_tokens = COUNT(DISTINCT i+o, o ∈ [0,8)) per doc ≡ the
+    // union length of the doc's 8-wide span intervals — the previous 8×
+    // position explode + corpus-wide (doc, position) DISTINCT + second
+    // per-doc agg collapse into the n_dup_spans agg via a per-row
+    // sort+sweep kernel over the doc's own span starts (CoverageLen,
+    // spec-pinned; the start list is bounded by the doc's token count,
+    // so no hot key). One doc-keyed exchange instead of three.
+    val perDoc = {
+      import org.apache.spark.sql.graftshim.ColumnShim
+      j.groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"),
+        ColumnShim.column(graft.expressions.CoverageLen(
+          ColumnShim.expression(collect_list(col("i"))), 8)).as("dup_tokens"))
+    }
     base.select(col("doc_id"), col("n_tokens"))
-      .join(nds, Seq("doc_id"), "left")
-      .join(dt, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         when(col("n_tokens") >= 8, col("n_tokens") - 7).otherwise(0L).as("n_spans"),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
