@@ -267,6 +267,66 @@ case class LocfGridStats(child: Expression)
     copy(child = newChild)
 }
 
+/** q31's two token counts in one linear pass — r18 (guide §1.2):
+  * `size(split(text, ' '))` materializes the word array and
+  * `size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))`
+  * materializes EVERY regex match, both only to be counted. This kernel
+  * counts without materializing:
+  *  - ws_tokens = spaces + 1 (split keeps empty fields, so the count is
+  *    exactly separator count + 1);
+  *  - re_tokens walks code points replaying the pattern's leftmost-
+  *    greedy semantics: a maximal [a-z] run counts 1, a maximal [0-9]
+  *    run counts 1, a space matches nothing, anything else counts 1 per
+  *    CODE POINT (negated classes match full code points in both Java
+  *    regex and RE2 — astral chars count once, like the regex).
+  * Spec-pinned in TextKernelsSpec against the original expressions on
+  * corpus + adversarial unicode. NULL text → NULL struct.
+  * CodegenFallback: one eval per row, primitive loop inside. */
+case class TokenCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_counts expects string, got ${other.sql}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("ws_tokens", LongType, nullable = false),
+    StructField("re_tokens", LongType, nullable = false)))
+  override def prettyName: String = "token_counts"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val len = s.length
+    var ws = 1L
+    var re = 0L
+    var i = 0
+    while (i < len) {
+      val c = s.charAt(i)
+      if (c == ' ') { ws += 1; i += 1 }
+      else if (c >= 'a' && c <= 'z') {
+        re += 1
+        i += 1
+        while (i < len && { val x = s.charAt(i); x >= 'a' && x <= 'z' }) i += 1
+      } else if (c >= '0' && c <= '9') {
+        re += 1
+        i += 1
+        while (i < len && { val x = s.charAt(i); x >= '0' && x <= '9' }) i += 1
+      } else {
+        // one match per CODE POINT (surrogate pair = one match)
+        re += 1
+        i += (if (Character.isHighSurrogate(c) && i + 1 < len &&
+          Character.isLowSurrogate(s.charAt(i + 1))) 2 else 1)
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(ws, re)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class RollingFp(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

@@ -524,16 +524,21 @@ object RelationalQueries {
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_custkey", "l_orderkey")
       .agg(sum(when(col("l_quantity") > 25, 1).otherwise(0)).cast("long").as("big_lines"))
-    val r = cnt
-      .withColumn("rk_ed", row_number().over(
-        Window.partitionBy(col("o_custkey")).orderBy(col("big_lines").desc, col("l_orderkey"))))
-      .withColumn("rk_es", row_number().over(
-        Window.partitionBy(col("o_custkey")).orderBy(col("big_lines").asc, col("l_orderkey"))))
-    r.groupBy("o_custkey")
-      .agg(max(when(col("rk_ed") === 1, col("l_orderkey"))).as("ed_orderkey"),
-        max(when(col("rk_ed") === 1, col("big_lines"))).as("ed_count"),
-        max(when(col("rk_es") === 1, col("l_orderkey"))).as("es_orderkey"),
-        max(when(col("rk_es") === 1, col("big_lines"))).as("es_count"))
+    // r18 (guide §2.3): the two rank-1 windows each sorted every
+    // (custkey, orderkey) row twice (desc and asc orderings) before a
+    // final agg threw away all but rank 1. The winners are plain
+    // argmax/argmin with integer tie-breaks, so struct extrema compute
+    // them in ONE map-side-combinable hash-agg, no sorts:
+    //   rk_ed=1 ⇔ max big_lines, ties → MIN orderkey ⇔ max(struct(big,
+    //   -orderkey)); rk_es=1 ⇔ min(struct(big, orderkey)).
+    // (-orderkey cannot overflow: orderkeys are positive.) Identical
+    // integer results; oracle unchanged.
+    cnt.groupBy("o_custkey")
+      .agg(max(struct(col("big_lines"), (-col("l_orderkey")).as("nk"))).as("_ed"),
+        min(struct(col("big_lines"), col("l_orderkey").as("k"))).as("_es"))
+      .select(col("o_custkey"),
+        (-col("_ed.nk")).as("ed_orderkey"), col("_ed.big_lines").as("ed_count"),
+        col("_es.k").as("es_orderkey"), col("_es.big_lines").as("es_count"))
       .orderBy("o_custkey")
   }
 

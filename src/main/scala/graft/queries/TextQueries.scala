@@ -313,10 +313,17 @@ object TextQueries {
            |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
            |       CAST(ceil(n_chars/4.0) AS BIGINT) AS est_bpe
            |FROM documents ORDER BY doc_id""".stripMargin)) { (s, d) =>
-    docs(s, d).select(col("doc_id"),
-      size(words).cast("long").as("ws_tokens"),
-      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("re_tokens"),
+    // r18: both counts come from TokenCounts — one linear pass, nothing
+    // materialized (the regex path allocated every match only to size()
+    // it); semantics spec-pinned against the original expressions in
+    // TextKernelsSpec. NULL text stays NULL through the struct fields.
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val tc = ColumnShim.column(graft.expressions.TokenCounts(
+      ColumnShim.expression(col("text"))))
+    docs(s, d).select(col("doc_id"), tc.as("_tc"),
       ceil(col("n_chars") / 4.0).cast("long").as("est_bpe"))
+      .select(col("doc_id"), col("_tc.ws_tokens").as("ws_tokens"),
+        col("_tc.re_tokens").as("re_tokens"), col("est_bpe"))
       .orderBy("doc_id")
   }
 

@@ -248,9 +248,20 @@ object VectorQueries {
         Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cluster_id"))))
     // one full-corpus assignment pass; the probes' nprobe=2 cluster list is
     // a second pass over FIVE rows, not the corpus (ark per vec_id is
-    // independent of other vec_ids, so the subset rank is identical)
-    val asgn = assignTo(n).filter(col("ark") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cluster_id"))
+    // independent of other vec_ids, so the subset rank is identical).
+    // r18 (guide §2.3): the corpus-sized rank-1 selection is a struct
+    // argmax agg, not a window — min(struct(-csim, cluster_id, ...))
+    // picks the identical (csim DESC, cluster_id ASC) winner, but the
+    // 16-candidate fan-out (carrying the full vectors!) collapses in the
+    // map-side partial agg instead of being shuffled and sorted. The
+    // 5-row probe pass keeps the window (it needs rank ≤ 2).
+    val asgn = n.crossJoin(broadcast(cent))
+      .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .groupBy("vec_id")
+      .agg(min(struct((-col("csim")).as("nc"), col("cluster_id"),
+        col("v"), col("nrm"))).as("_m"))
+      .select(col("vec_id"), col("_m.v").as("v"), col("_m.nrm").as("nrm"),
+        col("_m.cluster_id").as("cluster_id"))
     val probeClusters = assignTo(n.filter(col("vec_id") < 5)).filter(col("ark") <= 2)
       .select(col("vec_id").as("probe_id"), col("cluster_id"))
     val probes = n.filter(col("vec_id") < 5)
@@ -370,7 +381,18 @@ object VectorQueries {
       .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
       .withColumn("ark", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cluster_id"))))
-    val a1 = assignTo(n, cent0).filter(col("ark") === 1)
+    // r18: corpus-sized rank-1 selections become struct-argmax aggs (see
+    // q36's asgn note) — identical winner, 16× fewer shuffled rows, no
+    // sort; the 5-row probe pass below keeps its rank ≤ 2 window.
+    def argmax1(base: DataFrame, cent: DataFrame, payload: Seq[String]): DataFrame =
+      base.crossJoin(broadcast(cent))
+        .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+        .groupBy("vec_id")
+        .agg(min(struct((-col("csim")).as("nc") +: col("cluster_id") +:
+          payload.map(col): _*)).as("_m"))
+        .select(col("vec_id") +: col("_m.cluster_id").as("cluster_id") +:
+          payload.map(p => col(s"_m.$p").as(p)): _*)
+    val a1 = argmax1(n, cent0, Seq("v"))
       .select(col("vec_id"), col("v"), col("cluster_id"))
     // per-(cluster, dim) mean with a DETERMINISTIC fold order (vec_id),
     // two-phase so no group ever buffers a corpus-proportional list:
@@ -392,8 +414,7 @@ object VectorQueries {
       .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
       .select(col("cluster_id"), col("cv"), col("cnrm"))
     val cent1 = graft.util.Bounded.literalFrame(cent1Plan, 16, "ivf refined centroids")
-    val a2 = assignTo(n, cent1)
-    val asgn = a2.filter(col("ark") === 1)
+    val asgn = argmax1(n, cent1, Seq("v", "nrm"))
       .select(col("vec_id"), col("v"), col("nrm"), col("cluster_id"))
     val probeClusters = assignTo(n.filter(col("vec_id") < 5), cent1)
       .filter(col("ark") <= 2)
