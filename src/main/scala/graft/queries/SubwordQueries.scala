@@ -147,13 +147,21 @@ object SubwordQueries {
             |SELECT unit, unit_len, occurrences, n_distinct_words, is_fallback
             |FROM top ORDER BY unit""".stripMargin)) { (s, d) =>
     val vocab = graft.operators.TrainedBpe.vocab
-    val tok = docs(s, d).select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-    val dwUnits = tok.select("word").distinct()
+    val tok = docs(s, d).select(explode(split(col("text"), " ")).as("word"))
+    // r18 (guide §2.3 "aggregate before you shuffle"): the corpus join
+    // shipped every TOKEN OCCURRENCE to its word's units; a word-count
+    // pre-agg (map-side combined, one row per distinct word crosses the
+    // exchange) then weights each (word, unit-instance) row by cnt:
+    //   occurrences = Σ_word cnt_w · multiplicity(unit in word)  — equal
+    //   by distributivity; n_distinct_words counts the same word set.
+    val wc = tok.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val dwUnits = wc
       .withColumn("g", Subword.glens(col("word"), vocab))
-      .select(col("word"), explode(Subword.unitsCol(col("word"), col("g"))).as("unit"))
-    tok.join(dwUnits, "word")
+      .select(col("word"), col("cnt"),
+        explode(Subword.unitsCol(col("word"), col("g"))).as("unit"))
+    dwUnits
       .groupBy("unit")
-      .agg(count(lit(1)).as("occurrences"),
+      .agg(sum(col("cnt")).as("occurrences"),
         countDistinct(col("word")).cast("int").as("n_distinct_words"))
       .orderBy(col("occurrences").desc, col("unit"))
       .limit(100)
