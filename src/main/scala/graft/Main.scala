@@ -418,7 +418,13 @@ object Main {
           // suggesting it. (Token width IS the format version: 12 = legacy
           // xxhash64, 24 = current SHA-256-derived.)
           val tornToken = labelsMeta.stripPrefix("dedupappend:").takeWhile(_ != ':')
-          require(tornToken.length != 12,
+          // ADVICE r17: only a WELL-FORMED dedupappend meta whose token
+          // segment is 12 HEX chars is the legacy format — a foreign
+          // writer whose first colon-segment merely happens to be 12
+          // chars must fall through to the foreign-shard diagnostic
+          require(!(labelsMeta.startsWith("dedupappend:") &&
+              tornToken.length == 12 &&
+              tornToken.forall(c => c.isDigit || ('a' to 'f').contains(c))),
             s"torn state carries a LEGACY pre-r16 shard token '$tornToken' " +
               "(12-hex xxhash64 format; current tokens are 24-hex " +
               "SHA-256-derived) — no current binary can match it, so " +

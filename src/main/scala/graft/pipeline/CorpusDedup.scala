@@ -433,7 +433,11 @@ object CorpusDedup {
           // a 12-hex token is the pre-r16 xxhash64 format no current
           // binary can reproduce — only a dedupindex rebuild recovers it
           val tornToken = labelsMeta.stripPrefix("dedupappend:").takeWhile(_ != ':')
-          require(tornToken.length != 12,
+          // ADVICE r17: legacy detection requires a well-formed
+          // dedupappend meta AND a 12-HEX token (see Main's CLI twin)
+          require(!(labelsMeta.startsWith("dedupappend:") &&
+              tornToken.length == 12 &&
+              tornToken.forall(c => c.isDigit || ('a' to 'f').contains(c))),
             s"torn state carries a LEGACY pre-r16 shard token '$tornToken' " +
               "(12-hex) — --resume can never match it; rebuild with dedupindex")
           require(labelsMeta.startsWith(s"dedupappend:$token:") ||

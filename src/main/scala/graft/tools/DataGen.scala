@@ -112,7 +112,7 @@ object DataGen {
     //   - HOT KEY: ~10% of all orders additionally land on o_custkey 42
     //     — the single-hot-key shape for user-partitioned windows and
     //     the orders⋈customer shuffle join;
-    //   - EMPTY-GROUP EDGE: exactly ONE lineitem row (order 0, line 1)
+    //   - EMPTY-GROUP EDGE: exactly ONE lineitem row (order 1, line 1)
     //     carries a fourth l_returnflag value 'X' — 1-row groups through
     //     every per-flag aggregate (stddev→NULL, 1-point Welzl, 1-row
     //     histogram/quantiles).

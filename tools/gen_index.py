@@ -246,8 +246,12 @@ def main():
     def ev(prov, name):
         p = prov.get(name, "")
         return "ᵉ" if os.sep + "bench_evidence" + os.sep in p else ""
-    # ᴸ = every rep of this cell ran at loadavg > 2x the run's start load
-    # — the min is a contended observation (VERDICT r16 item 4)
+    # ᴸ = the cell's WINNING rep ran at loadavg > 2x the run's median
+    # per-rep load — foreign contention relative to the run's own
+    # self-load, so the min is a contended observation (VERDICT r16 item
+    # 4; ADVICE r17 aligned this comment with the implemented rule).
+    # Caveat: a run contended END-TO-END self-normalizes and flags
+    # nothing — box_factor is the whole-run contention signal.
     def lf(flags, name):
         return "ᴸ" if flags.get(name) else ""
     sites = declaration_sites(names)
