@@ -92,27 +92,72 @@ object EntityQueries {
            |       (SELECT COUNT(*) FROM part p JOIN lab ON p.p_name = lab.name
            |        WHERE lab.entity = s.entity) AS n_rows
            |FROM sized s ORDER BY 1""".stripMargin)) { (s, d) =>
-    val vocab = Tables.part(s, d).select(col("p_name")).distinct()
-    val blocked = vocab
-      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
-    val e = blocked.select(col("p_name").as("x"), col("blk"))
-      .join(blocked.select(col("p_name").as("y"), col("blk").as("blk2")),
-        col("blk") === col("blk2") && col("x") < col("y"))
-      .filter(levenshtein(col("x"), col("y")) <= 2)
-      .select("x", "y")
-    // persisted: auto's edge-count probe would otherwise re-execute the
-    // blocked levenshtein self-join once before the CC rounds (r14
-    // review); the rounds then read the same cache
-    val sym = e.unionByName(e.select(col("y").as("x"), col("x").as("y")))
-      .persist()
-    val (labels, _) = graft.operators.ConnectedComponents.minLabel(
-      vocab, "p_name", sym, "x", "y", labelCol = "entity")
-    val aliasCounts = labels.groupBy("entity")
-      .agg(count(lit(1)).as("n_aliases"))
+    import s.implicits._
+    // r19 (guide §1.2 "the distributed algorithm"): the name VOCABULARY is
+    // orders of magnitude below row count on any real catalog (the premise
+    // this whole blocked-ER family states above) and generator-pinned at
+    // adjectives × nouns = 64 names at every sf. The r18 plan ran the
+    // generic CC flood over this ≤64-vertex graph: 50 Spark jobs / 1052
+    // tasks of pure scheduling floor (driver cell 3.9 s, 8 cores BEAT 32 —
+    // scaling ratio 0.52). Blocking + Levenshtein + min-label union-find
+    // over a require()-bounded vocabulary is driver-side work by design —
+    // the q115 brand-bitmask posture (vocabulary-sized, require()d) — and
+    // collapses the whole cluster step to one distinct-collect. The
+    // distributed flood (operators/ConnectedComponents) remains the path
+    // for corpora whose ID space is NOT vocabulary-bounded (q39/q57/q60);
+    // a catalog that outgrows the bound fails loudly here rather than
+    // silently melting the driver. Worst case inside the bound is ~8.4M
+    // in-memory edit distances over short names — bounded CPU, no state.
+    val names = Tables.part(s, d).select(col("p_name")).distinct()
+      .collect().map(_.getString(0))
+    require(names.length <= 4096,
+      s"${names.length} distinct part names — driver-side clustering holds ≤ 4096")
+    // blocking key = last token (same key the r17/r18 plans used; ≡ the
+    // oracle's split_part(p_name, ' ', 2) on two-token generator names)
+    def lev(a: String, b: String): Int = {
+      // unit-cost edit distance over UTF-16 code units — equal to Spark's
+      // levenshtein() and DuckDB's on this BMP-only (ASCII) vocabulary
+      val n = a.length; val m = b.length
+      var prev = Array.tabulate(m + 1)(identity)
+      var cur = new Array[Int](m + 1)
+      var i = 1
+      while (i <= n) {
+        cur(0) = i
+        var j = 1
+        while (j <= m) {
+          val sub = prev(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1)
+          cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+          j += 1
+        }
+        val t = prev; prev = cur; cur = t
+        i += 1
+      }
+      prev(m)
+    }
+    // min-label union-find: find(x) after full unioning returns the
+    // component representative; labels are then the component MIN name —
+    // exactly minLabel's fixpoint (and the oracle's MIN(seen) closure)
+    val idx = names.sorted
+    val pos = idx.zipWithIndex.toMap
+    val parent = Array.tabulate(idx.length)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r)
+      var c = x; while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }; r }
+    idx.groupBy(_.split(" ").last).values.foreach { block =>
+      for (i <- block.indices; j <- (i + 1) until block.length)
+        if (lev(block(i), block(j)) <= 2) {
+          val (ra, rb) = (find(pos(block(i))), find(pos(block(j))))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+    }
+    // idx is sorted, so a root IS its component's min name
+    val labArr = idx.indices.map(i => (idx(i), idx(find(i))))
+    val lab = labArr.toDF("p_name", "entity")
+    val aliasDf = labArr.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+      .toDF("entity", "n_aliases")
     val rowCounts = Tables.part(s, d).select(col("p_name"))
-      .join(broadcast(labels), "p_name")
+      .join(broadcast(lab), "p_name")
       .groupBy("entity").agg(count(lit(1)).as("n_rows"))
-    aliasCounts.join(rowCounts, "entity")
+    aliasDf.join(broadcast(rowCounts), "entity")
       .select(col("entity").as("canonical"), col("n_aliases"), col("n_rows"))
       .orderBy("canonical")
   }
