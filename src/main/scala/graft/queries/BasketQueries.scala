@@ -85,20 +85,33 @@ object BasketQueries {
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), i))").as("mask"))
       .select("mask")
     val mc = masks.groupBy("mask").agg(count(lit(1)).as("cnt")).persist()
-    mc.count() // eager fill — four same-action consumers below (see doc)
-    val nOrders = mc.agg(sum(col("cnt")).as("n_orders"))
+    mc.count() // eager fill — the consumers below all read this cache
     val setBits =
       s"filter(sequence(0, ${n - 1}), x -> (shiftright(mask, x) & 1) = 1)"
-    val supp = mc.select(explode(expr(setBits)).as("i"), col("cnt"))
+    // r19 (guide §2.4 job-count floor): every frame downstream of mc is
+    // BOUNDED by the ≤63-brand contract (supports ≤63 rows, n_orders 1
+    // row), yet the r18 tail attached them through 5 broadcast joins + a
+    // broadcast'd Apriori mask — 24 jobs/query, with each broadcast build
+    // its own job (JobProfile: job-wall sum 4.1 s vs 3.0 s wall). The
+    // bounded aggregates are collected off the cached mask frame instead
+    // (two vocabulary-sized actions, the q115 posture this query already
+    // holds for `brands`) and re-enter as LITERAL arrays indexed by bit
+    // position — same integer arithmetic, zero joins in the tail.
+    val suppArr = new Array[Long](math.max(n, 1))
+    mc.select(explode(expr(setBits)).as("i"), col("cnt"))
       .groupBy("i").agg(sum(col("cnt")).as("supp"))
+      .collect().foreach(r => suppArr(r.getInt(0)) = r.getLong(1))
+    val nOrders = mc.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
     // Apriori k=1 prune: a pair at the floor needs BOTH items at the
     // floor, so sub-floor brands vanish from the masks before pair
     // enumeration (results above the floor are unchanged)
-    val freq = supp.filter(col("supp") >= MinSupp)
-      .agg(coalesce(expr("bit_or(shiftleft(CAST(1 AS BIGINT), i))"), lit(0L))
-        .as("fmask"))
-    val pairCounts = mc.crossJoin(broadcast(freq))
-      .select(col("mask").bitwiseAND(col("fmask")).as("mask"), col("cnt"))
+    val fmask = (0 until n).filter(suppArr(_) >= MinSupp)
+      .foldLeft(0L)((m, i) => m | (1L << i))
+    val suppLit = array((0 until math.max(n, 1)).map(i => lit(suppArr(i))): _*)
+    val brandLit = array((0 until math.max(n, 1)).map(i =>
+      lit(if (i < n) brands(i) else "")): _*)
+    val out = mc
+      .select(col("mask").bitwiseAND(lit(fmask)).as("mask"), col("cnt"))
       // pruned masks collide — re-group so the pair fan-out runs on the
       // post-prune distinct set; masks with < 2 surviving bits have no
       // pairs to emit
@@ -110,12 +123,12 @@ object BasketQueries {
         .as("ib"))
       .groupBy("ia", "ib").agg(sum(col("cnt")).as("supp_ab"))
       .filter(col("supp_ab") >= MinSupp)
-    val out = pairCounts
-      .join(broadcast(brandIdx.select(col("b").as("brand_a"), col("i").as("ia"))), "ia")
-      .join(broadcast(brandIdx.select(col("b").as("brand_b"), col("i").as("ib"))), "ib")
-      .join(broadcast(supp.select(col("i").as("ia"), col("supp").as("supp_a"))), "ia")
-      .join(broadcast(supp.select(col("i").as("ib"), col("supp").as("supp_b"))), "ib")
-      .crossJoin(broadcast(nOrders))
+      .select(element_at(brandLit, col("ia") + 1).as("brand_a"),
+        element_at(brandLit, col("ib") + 1).as("brand_b"),
+        col("supp_ab"),
+        element_at(suppLit, col("ia") + 1).as("supp_a"),
+        element_at(suppLit, col("ib") + 1).as("supp_b"),
+        lit(nOrders).as("n_orders"))
       .select(col("brand_a"), col("brand_b"), col("supp_ab"),
         expr("(1000000 * supp_ab) div supp_a").as("conf_ppm"),
         expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * supp_ab * n_orders)
