@@ -104,12 +104,13 @@ object Bench {
       // whichever query reads the table first, exactly the class of init
       // cost this warmup exists to keep out of the timed cells. Metadata
       // only: no row is read, no result computed.
-      try {
-        Seq("customer", "orders", "lineitem", "part", "supplier", "nation",
-          "region", "documents", "embeddings").foreach(t =>
-          Tables.table(s, sfDir, t))
-        Tables.events(s, sfDir)
-      } catch { case _: Throwable => () }
+      // per-table try (ADVICE r18): one missing table must not abort
+      // warming for the rest — that would put inference cost back into
+      // the first timed cell that reads a later table
+      (Seq("customer", "orders", "lineitem", "part", "supplier", "nation",
+        "region", "documents", "embeddings").map(t => () =>
+        Tables.table(s, sfDir, t)) :+ (() => Tables.events(s, sfDir)))
+        .foreach(f => try f() catch { case _: Throwable => () })
       s
     }
     var spark = newSession()

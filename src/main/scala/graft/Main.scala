@@ -424,7 +424,9 @@ object Main {
           // chars must fall through to the foreign-shard diagnostic
           require(!(labelsMeta.startsWith("dedupappend:") &&
               tornToken.length == 12 &&
-              tornToken.forall(c => c.isDigit || ('a' to 'f').contains(c))),
+              // ASCII digits only — isDigit accepts any Unicode digit,
+              // which would misdiagnose a foreign token as legacy (ADVICE r18)
+              tornToken.forall(c => (c >= '0' && c <= '9') || ('a' to 'f').contains(c))),
             s"torn state carries a LEGACY pre-r16 shard token '$tornToken' " +
               "(12-hex xxhash64 format; current tokens are 24-hex " +
               "SHA-256-derived) — no current binary can match it, so " +

@@ -224,8 +224,14 @@ case class LocfGridStats(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val n = arr.numElements()
-    if (n == 0) null
-    else {
+    // contract (ADVICE r18): the child is a collect_list of non-null
+    // struct elements over a grouped row, so it is never empty — and the
+    // declared non-nullable n_hours/n_observed forbid returning null
+    // here. A caller that feeds a nullable-element array must filter
+    // first; failing loudly beats an optimizer-visible contract breach.
+    require(n > 0,
+      "locf_grid_stats over an empty array — caller must supply >= 1 pair");
+    {
       val hs = new Array[Long](n)
       val cents = new Array[Long](n)
       val isNullCent = new Array[Boolean](n)

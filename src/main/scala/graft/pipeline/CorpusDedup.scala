@@ -437,7 +437,8 @@ object CorpusDedup {
           // dedupappend meta AND a 12-HEX token (see Main's CLI twin)
           require(!(labelsMeta.startsWith("dedupappend:") &&
               tornToken.length == 12 &&
-              tornToken.forall(c => c.isDigit || ('a' to 'f').contains(c))),
+              // ASCII digits only, matching the CLI twin (ADVICE r18)
+              tornToken.forall(c => (c >= '0' && c <= '9') || ('a' to 'f').contains(c))),
             s"torn state carries a LEGACY pre-r16 shard token '$tornToken' " +
               "(12-hex) — --resume can never match it; rebuild with dedupindex")
           require(labelsMeta.startsWith(s"dedupappend:$token:") ||

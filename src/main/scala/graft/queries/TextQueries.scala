@@ -1575,6 +1575,20 @@ object TextQueries {
     // the span covers 1-based token positions p+1 .. p+8
     val spans = base.select(col("doc_id"), posexplode(col("_grams")))
       .select(col("doc_id"), (col("pos") + 1L).as("i"), md5(col("col")).as("g"))
+      // r19 persist (guide §5): the rolling-gram posexplode+md5 subtree —
+      // the query's heaviest linear pass — was computed TWICE (the
+      // cross-doc dup agg and the span→dup probe side). The dup agg runs
+      // inside the probe join's broadcast-build job, which completes
+      // before the probe stage starts, so the build fills this cache
+      // serially and the probe side reads it: one gram+md5 pass, no fill
+      // race. MEMORY_AND_DISK (the Dataset default) keeps the projected
+      // (doc_id, i, g) rows spillable at corpus scale, where a pipeline
+      // would checkpoint the span table anyway (the r18 note). A Bloom
+      // prefilter on dup grams (VERDICT r19 item 4) was examined instead
+      // and rejected by the plan: dup BROADCASTS into the probe join
+      // (plans/r19/q66_dup_spans_before.txt node 21), so no span shuffle
+      // exists for it to cut — it would only add the filter-build pass.
+      .persist()
     val dup = spans.groupBy("g")
       .agg(countDistinct(col("doc_id")).as("_nd"))
       .filter(col("_nd") >= 2).select("g")

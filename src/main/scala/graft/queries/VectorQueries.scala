@@ -258,7 +258,13 @@ object VectorQueries {
     val asgn = n.crossJoin(broadcast(cent))
       .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
       .groupBy("vec_id")
-      .agg(min(struct((-col("csim")).as("nc"), col("cluster_id"),
+      // 0.0 - csim, not -csim: UnaryMinus(0.0) is -0.0, and struct order
+      // uses Double.compare where -0.0 < 0.0 — a zero similarity could
+      // then out-rank another zero against the window's csim DESC tie
+      // rule. 0.0 - x equals -x for every nonzero and normalizes the
+      // signed zero (VERDICT r18 item 4; unreachable on the declared
+      // non-zero-vector universe, closed for free).
+      .agg(min(struct((lit(0.0) - col("csim")).as("nc"), col("cluster_id"),
         col("v"), col("nrm"))).as("_m"))
       .select(col("vec_id"), col("_m.v").as("v"), col("_m.nrm").as("nrm"),
         col("_m.cluster_id").as("cluster_id"))
@@ -388,7 +394,8 @@ object VectorQueries {
       base.crossJoin(broadcast(cent))
         .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
         .groupBy("vec_id")
-        .agg(min(struct((-col("csim")).as("nc") +: col("cluster_id") +:
+        // 0.0 - csim normalizes the signed zero — see q36's asgn note
+        .agg(min(struct((lit(0.0) - col("csim")).as("nc") +: col("cluster_id") +:
           payload.map(col): _*)).as("_m"))
         .select(col("vec_id") +: col("_m.cluster_id").as("cluster_id") +:
           payload.map(p => col(s"_m.$p").as(p)): _*)
