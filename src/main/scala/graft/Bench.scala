@@ -89,6 +89,17 @@ object Bench {
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        // r19 (guide §2.2 "fewer, larger partitions" applied to caches):
+        // lets AQE coalesce the MATERIALIZATION of persisted frames like
+        // any other stage output. Off by default only to keep cached
+        // output partitioning stable for consumers that depend on it —
+        // none here do — and without it every within-query persist (q44
+        // sh, q55 subs, q66 spans, the rank-recipe inputs) materializes
+        // at the raw shuffle-partition count and every consumer launches
+        // that many near-empty tasks (q118: 336 tasks → 26). Holds at
+        // any core count / cluster size; same flag set in Verify so the
+        // correctness path runs the identical plan shape.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       // untimed warmup: session/codegen/file-index initialization otherwise

@@ -23,6 +23,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // mirror Bench's cached-plan AQE flag so correctness runs the same
+      // plan shape the bench times (see Bench.newSession)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     if (master.startsWith("local-cluster")) {
       builder
         .config("spark.executor.extraClassPath", sys.props("java.class.path"))

@@ -64,7 +64,14 @@ object Ranks {
     * running offset; saves callers a separate `df.count()` action. */
   def globalRowNumberWithCount(df: DataFrame, bucket: Column,
                                order: Seq[Column], out: String): (DataFrame, Long) = {
-    val withB = df.withColumn("_gb", bucket)
+    // r19 persist (guide §5): this recipe inherently consumes its input
+    // twice — the bucket-count collect below and the ranked output — and
+    // the collect is a blocking driver action, so it fills the cache
+    // serially and the returned frame reads it (no fill race). Without
+    // it every caller recomputed its input chain per consumption (q118
+    // ran its events agg ~5×: 3 calls + the final action). Bench/Verify
+    // unpersist between queries; MEMORY_AND_DISK spills at scale.
+    val withB = df.withColumn("_gb", bucket).persist()
     val counts = withB.groupBy("_gb").agg(count(lit(1)).as("_n"))
       .orderBy("_gb").collect()
     var acc = 0L

@@ -167,8 +167,11 @@ object AbQueries {
            |SELECT r_bin, f_bin, m_bin, COUNT(*) AS n_users,
            |       CAST(SUM(cent) AS DOUBLE)/1e2 AS total_value
            |FROM b GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin)) { (s, d) =>
+    // r19: persisted — the three rank calls and the final join otherwise
+    // each recompute the events scan + per-user agg (JobProfile: 27 jobs,
+    // the agg chain ~5×); the first rank call's bucket collect fills it
     val m = perUser(s, d).select(col("user_id"), col("last_es"),
-      col("freq"), col("cent"))
+      col("freq"), col("cent")).persist()
     // monotone bounded coarsenings of each leading order key
     val dayBucket = (col("last_es") / lit(86400L)).cast("long")
     val freqBucket = least(col("freq"), lit(255L))
@@ -181,8 +184,10 @@ object AbQueries {
     import graft.operators.Ranks.globalRowNumberWithCount
     val (r1, n1) = globalRowNumberWithCount(m, dayBucket,
       Seq(col("last_es"), col("user_id")), "r_rank")
+    // r2 ranks off m, not r1 — stacking it on r1 made r2's chain carry
+    // r1's window for no reason (r19)
     val (r2, n2) = globalRowNumberWithCount(
-      r1.select(col("user_id").as("u2"), col("freq")), freqBucket,
+      m.select(col("user_id").as("u2"), col("freq")), freqBucket,
       Seq(col("freq"), col("u2")), "f_rank")
     val (r3, n3) = globalRowNumberWithCount(
       m.select(col("user_id").as("u3"), col("cent")), centBucket,

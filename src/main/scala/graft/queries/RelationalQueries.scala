@@ -989,8 +989,12 @@ object RelationalQueries {
       round(col("l_quantity"), 0).cast("long").as("qty"))
       .groupBy("price_c").agg(max(col("qty")).as("qty"))
     val pStr = col("price_c").cast("string")
+    // r19 persist: the bucket-map collect below and the frontier window
+    // both consume this lineitem-sized agg — the collect fills the cache
+    // serially (the Ranks.globalRowNumberWithCount posture)
     val withB = pts.withColumn("b",
       (length(pStr) * 100 + substring(pStr, 1, 2).cast("long")).cast("long"))
+      .persist()
     // (a) within-bucket running max over (price, qty desc), prior rows only
     val w = Window.partitionBy(col("b"))
       .orderBy(col("price_c"), col("qty").desc)
